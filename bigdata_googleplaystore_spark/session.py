@@ -1,0 +1,93 @@
+"""SparkSession construction with scale-aware defaults.
+
+The reference builds a bare local session (challenge.scala:54-66, app name
+"BigData-Challenge", master=local). This engine keeps that simplicity but
+bakes in the configuration that matters at 100 TB:
+
+- AQE on (runtime shuffle-partition coalescing, skew-join splitting,
+  broadcast-join demotion/promotion at runtime).
+- UTC session timezone so timestamp semantics are reproducible across
+  drivers, executors and external oracles.
+- Arrow-accelerated Python interchange for the few Pandas-UDF operators.
+- `spark.sql.shuffle.partitions` is only the *initial* number; AQE coalesces
+  it down.  On a real cluster set it ~2-3x total cores via `shuffle_partitions`
+  (or rely on AQE's `spark.sql.adaptive.coalescePartitions.initialPartitionNum`).
+
+ANSI mode is left ON (PySpark 4 default): every expression in this engine is
+written ANSI-safe (`try_cast`/`try_*` where inputs may be dirty), instead of
+globally disabling ANSI the way a literal port of the reference would need
+(SURVEY.md §1.4).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+APP_NAME = "bigdata-googleplaystore-spark"
+
+# Defaults chosen for correctness + reproducibility everywhere, and tuned for
+# the local[32] test harness. Cluster deployments override via spark-submit
+# --conf; nothing here is load-bearing for semantics except the timezone.
+_BASE_CONF: dict[str, str] = {
+    # --- correctness / reproducibility ---
+    "spark.sql.session.timeZone": "UTC",
+    # --- adaptivity: the scale story. AQE re-plans at runtime using real
+    # shuffle statistics: coalesces small partitions, splits skewed ones,
+    # converts SMJ->BHJ when a side turns out small. ---
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # --- Python interchange: Arrow batches, never row-at-a-time pickling ---
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # --- scan sizing: 128 MiB splits is the sweet spot for parquet on
+    # object storage; explicit so it is documented, not implicit. ---
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    # Parquet writers default to snappy in this engine (fast, splittable
+    # row-group compression); the reference-parity sinks override to gzip.
+    "spark.sql.parquet.compression.codec": "snappy",
+}
+
+
+def default_parallelism() -> int:
+    """Worker-thread count for local mode: $SPARK_GRAFT_CPUS or all cores."""
+    raw = os.environ.get("SPARK_GRAFT_CPUS", "")
+    try:
+        return max(1, int(raw))
+    except ValueError:
+        return os.cpu_count() or 4
+
+
+def get_spark(
+    app_name: str = APP_NAME,
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's defaults.
+
+    ``master=None`` means: respect an externally-provided master (cluster
+    deploy, or the driver's own session); otherwise fall back to
+    ``local[$SPARK_GRAFT_CPUS]``.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is not None:
+        builder = builder.master(master)
+    elif "SPARK_MASTER" not in os.environ:
+        builder = builder.master(f"local[{default_parallelism()}]")
+
+    conf = dict(_BASE_CONF)
+    # Initial shuffle partition count: AQE coalesces down from here, so err
+    # high. Locally ~2x threads; on a cluster pass cores*2-3.
+    conf["spark.sql.shuffle.partitions"] = str(
+        shuffle_partitions if shuffle_partitions is not None else max(32, default_parallelism())
+    )
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark

@@ -1,0 +1,154 @@
+"""Sources & sinks (SURVEY.md §2.1, rows S1-S7).
+
+The reference's IO surface is: header CSV with schema inference in
+(challenge.scala:16-22), `§`-delimited header CSV out + read-back
+(challenge.scala:104-112), gzip parquet out + read-back
+(challenge.scala:186-196, 219-229). This module re-expresses that surface
+idiomatically and adds the defaults a 100 TB deployment needs:
+
+- Explicit `StructType` schemas are the default; `infer_schema=True` is an
+  opt-in *compatibility* mode (schema inference is an extra full scan of the
+  input and is non-reproducible on dirty data -- SURVEY.md §1.2).
+- `permissive_strings` mode reads every CSV column as string (what inference
+  yields on the reference's dirty file) so the cleaning operators own all
+  coercion via `try_cast`-style expressions.
+- Parquet is the engine's at-rest format. Readers take column/filter
+  arguments only implicitly -- callers express projections/filters on the
+  returned DataFrame and Catalyst pushes them into the scan (verified via
+  `plans.scan_report`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+# --- CSV ------------------------------------------------------------------
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+    *,
+    header: bool = True,
+    sep: str = ",",
+    infer_schema: bool = False,
+    permissive_strings: bool = False,
+    corrupt_record_col: str | None = None,
+) -> DataFrame:
+    """CSV scan (S1/S2/S4).
+
+    ``permissive_strings=True`` reproduces the reference's effective behavior
+    on dirty data (every column lands as string; SURVEY.md §1.2) without the
+    inference scan: pass the column names via ``schema`` (a StructType whose
+    fields are ignored except for names, or a list-like DDL string) and all
+    fields are read as nullable strings.
+
+    ``corrupt_record_col`` opts into tracking unparseable rows
+    (PERMISSIVE-mode `_corrupt_record`, absent from the reference).
+    """
+    reader = spark.read.option("header", header).option("sep", sep)
+    if corrupt_record_col:
+        reader = reader.option("columnNameOfCorruptRecord", corrupt_record_col)
+    if permissive_strings:
+        if schema is None:
+            raise ValueError("permissive_strings requires column names via schema")
+        if isinstance(schema, StructType):
+            names = [f.name for f in schema.fields]
+        else:
+            names = [part.strip().split()[0].strip("`") for part in str(schema).split(",")]
+        ddl = ", ".join(f"`{n}` STRING" for n in names)
+        if corrupt_record_col:
+            ddl += f", `{corrupt_record_col}` STRING"
+        reader = reader.schema(ddl)
+    elif schema is not None:
+        reader = reader.schema(schema)
+    elif infer_schema:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path)
+
+
+def write_csv(
+    df: DataFrame,
+    path: str,
+    *,
+    header: bool = True,
+    sep: str = ",",
+    mode: str = "overwrite",
+    single_file: bool = False,
+) -> None:
+    """CSV sink with custom delimiter (S3; reference uses sep='§',
+    challenge.scala:104-107).
+
+    ``single_file`` coalesces to one part file -- fine for small exports,
+    never for large data (it serializes the write through one task); the
+    reference's single-part outputs come from its single-threaded master.
+    """
+    out = df.coalesce(1) if single_file else df
+    out.write.option("header", header).option("sep", sep).mode(mode).csv(path)
+
+
+# --- Parquet --------------------------------------------------------------
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet scan (S6). Projection & predicates pushed down by Catalyst."""
+    return spark.read.parquet(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    *,
+    compression: str = "snappy",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    bucket_by: tuple[int, list[str]] | None = None,
+    table_name: str | None = None,
+) -> None:
+    """Parquet sink (S5; reference writes gzip, challenge.scala:186-190).
+
+    At scale, prefer ``partition_by`` on low-cardinality pruning columns
+    (date, region) and ``bucket_by`` on high-cardinality join keys so
+    downstream equi-joins and group-bys on those keys skip the shuffle
+    (bucketed writes require a table name -- saveAsTable).
+    """
+    writer = df.write.option("compression", compression).mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if bucket_by:
+        n, cols = bucket_by
+        if not table_name:
+            raise ValueError("bucket_by requires table_name (saveAsTable)")
+        writer.bucketBy(n, *cols).sortBy(*cols).option("path", path).saveAsTable(table_name)
+        return
+    writer.parquet(path)
+
+
+# --- testdata loaders -----------------------------------------------------
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver testdata table (TESTDATA.md)."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables=TESTDATA_TABLES) -> None:
+    """Register testdata tables as temp views for the SQL surface."""
+    for name in tables:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
