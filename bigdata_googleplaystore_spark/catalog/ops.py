@@ -1,0 +1,740 @@
+"""Operator-level queries: one per SURVEY.md §2 inventory row.
+
+Each query isolates one operator family from the reference's surface
+(projections/filters P1-P12, scalar functions F1-F7, aggregations A1-A7,
+joins J1+extensions, sorts/limits O1-O2, plus the set/window/rollup
+extensions listed in §2.7) on the driver's testdata, with a DuckDB oracle.
+
+Determinism: see registry docstring. Money/measure sums go through exact
+decimals (`_util`); top-k uses total tiebreak orders; arrays are sorted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from ._util import dec2, money_sum
+from .registry import register
+
+
+# --------------------------------------------------------------------------
+# P: projections / filters / predicates (SURVEY §2.2)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "scan_project_prune",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE l_returnflag = 'R'
+    """,
+    tags=("scan", "projection"),
+)
+def scan_project_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1: projection + filter; Catalyst prunes the scan to 4 of 11 columns
+    and pushes the predicate into the parquet reader (reference analogue:
+    final selects at challenge.scala:87,167)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+@register(
+    "filter_null_nan_threshold",
+    oracle="""
+    SELECT event_id, user_id, value
+    FROM events
+    WHERE value IS NOT NULL AND NOT isnan(value) AND value >= 50.0
+    """,
+    tags=("filter",),
+)
+def filter_null_nan_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4-P7: the reference's Part-2 predicate conjunction (isNotNull &&
+    !isNaN && >= threshold, challenge.scala:102) on a genuinely-double col."""
+    e = load_table(spark, sf_dir, "events")
+    return e.filter(
+        F.col("value").isNotNull() & ~F.isnan("value") & (F.col("value") >= 50.0)
+    ).select("event_id", "user_id", "value")
+
+
+@register(
+    "case_when_buckets",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_discount > 0.05 THEN 'HIGH'
+                WHEN l_discount = 0.0 THEN 'ZERO'
+                ELSE NULL END AS disc_bucket
+    FROM lineitem
+    """,
+    tags=("projection", "conditional"),
+)
+def case_when_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8/P11/P12: nested when/otherwise with a null default
+    (challenge.scala:141-149's Size/Price coercers are this shape)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_discount") > 0.05, F.lit("HIGH"))
+        .when(F.col("l_discount") == 0.0, F.lit("ZERO"))
+        .otherwise(F.lit(None))
+        .alias("disc_bucket"),
+    )
+
+
+@register(
+    "string_predicates",
+    oracle="""
+    SELECT p_partkey, p_name, p_type
+    FROM part
+    WHERE suffix(p_name, 'bolt') AND contains(p_type, 'ECO')
+    """,
+    tags=("filter", "string"),
+)
+def string_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9/P10: endsWith + contains predicates (challenge.scala:144-147)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_name").endswith("bolt") & F.col("p_type").contains("ECO")
+    ).select("p_partkey", "p_name", "p_type")
+
+
+# --------------------------------------------------------------------------
+# F: scalar functions (SURVEY §2.3)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "regexp_extract_number",
+    oracle="""
+    SELECT p_partkey, p_brand,
+           CAST(regexp_extract(p_brand, '#(\\d+)', 1) AS BIGINT) AS brand_num
+    FROM part
+    """,
+    tags=("string", "regexp"),
+)
+def regexp_extract_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: regexp_extract of a numeric capture group (the reference's
+    size/price parsers, challenge.scala:144-147)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        "p_brand",
+        F.regexp_extract(F.col("p_brand"), r"#(\d+)", 1).cast("long").alias("brand_num"),
+    )
+
+
+@register(
+    "split_explode_tokens",
+    oracle="""
+    SELECT tok, count(*) AS n
+    FROM (SELECT unnest(string_split(p_name, ' ')) AS tok FROM part)
+    GROUP BY tok
+    """,
+    tags=("string", "explode", "agg"),
+)
+def split_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2+F7+A1/A5: split -> explode -> group-count (the reference's
+    Genres split at challenge.scala:151 + explode at :213)."""
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.select(F.explode(F.split(F.col("p_name"), " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "cast_and_date_parts",
+    oracle="""
+    SELECT CAST(o_orderdate AS DATE) AS order_day,
+           year(o_orderdate) AS order_year,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY order_day, order_year
+    """,
+    tags=("cast", "date", "agg"),
+)
+def cast_and_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3/F4: timestamp->date cast + date-part extraction, grouped
+    (challenge.scala:150's to_date analogue on typed data)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.col("o_orderdate").cast("date").alias("order_day"),
+            F.year("o_orderdate").alias("order_year"),
+        )
+        .groupBy("order_day", "order_year")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@register(
+    "round_currency_conversion",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(round(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * CAST(1 - l_discount AS DECIMAL(4,2))
+                      * CAST(0.9 AS DECIMAL(2,1)), 2) AS DOUBLE) AS eur_price
+    FROM lineitem
+    """,
+    tags=("arithmetic", "round"),
+)
+def round_currency_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5/F6: the reference's $->EUR conversion (price * 0.9, round 2;
+    challenge.scala:147) as exact decimal arithmetic per row."""
+    l = load_table(spark, sf_dir, "lineitem")
+    eur = (
+        dec2(F.col("l_extendedprice"))
+        * dec2(F.lit(1) - F.col("l_discount"), 4)
+        * F.lit(0.9).cast("decimal(2,1)")
+    )
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(eur, 2).cast("double").alias("eur_price"),
+    )
+
+
+@register(
+    "json_extract_field",
+    oracle="""
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    """,
+    tags=("json",),
+)
+def json_extract_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: JSON field extraction from the events.props payload
+    column (absent from the reference; table stakes for event pipelines).
+    get_json_object stays JVM-side — no Python in the row path."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object(F.col("props"), "$.k").cast("long").alias("k"),
+    )
+
+
+@register(
+    "array_l2_norm",
+    oracle="""
+    SELECT vec_id,
+           round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                              x -> x * x))), 4) AS l2_norm
+    FROM embeddings
+    """,
+    tags=("array", "higher-order"),
+)
+def array_l2_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: higher-order array functions (transform + aggregate) —
+    the JVM-side path for vector math, no UDF."""
+    e = load_table(spark, sf_dir, "embeddings")
+    sq_sum = F.aggregate(
+        F.transform(F.col("embedding").cast("array<double>"), lambda x: x * x),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return e.select("vec_id", F.round(F.sqrt(sq_sum), 4).alias("l2_norm"))
+
+
+# --------------------------------------------------------------------------
+# A: aggregations (SURVEY §2.4)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "groupby_stats",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS n_customers,
+           round(avg(c_acctbal), 6) AS avg_bal,
+           min(c_acctbal) AS min_bal,
+           max(c_acctbal) AS max_bal
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+    tags=("agg",),
+)
+def groupby_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2/A3/A5: hash group-by with avg/min/max/count (the reference's
+    Part-1/Part-5 aggregate shapes, challenge.scala:82-85, 214-218)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.avg("c_acctbal"), 6).alias("avg_bal"),
+        F.min("c_acctbal").alias("min_bal"),
+        F.max("c_acctbal").alias("max_bal"),
+    )
+
+
+@register(
+    "max_string_and_date",
+    oracle="""
+    SELECT o_orderpriority,
+           max(o_orderstatus) AS max_status,
+           min(o_orderdate) AS first_order,
+           max(o_orderdate) AS last_order,
+           count(*) AS n
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("agg", "string"),
+)
+def max_string_and_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: max over string (lexicographic) and timestamp columns — the
+    reference leans on string-max for 11 columns (challenge.scala:155-165)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.max("o_orderstatus").alias("max_status"),
+        F.min("o_orderdate").alias("first_order"),
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "collect_list_sorted",
+    oracle="""
+    SELECT c_nationkey,
+           list_sort(list(c_mktsegment)) AS segments,
+           count(*) AS n
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+    tags=("agg", "array"),
+)
+def collect_list_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: collect_list (challenge.scala:154) normalized with sort_array —
+    collect order is partition-nondeterministic at scale, so deterministic
+    consumers must sort (SURVEY §4 conclusion (b))."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.sort_array(F.collect_list("c_mktsegment")).alias("segments"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "na_fill_zero",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN v IS NULL OR isnan(v) THEN 0.0 ELSE v END AS value_filled
+    FROM (SELECT event_id,
+                 CASE WHEN value < 50.0 THEN NULL ELSE value END AS v
+          FROM events)
+    """,
+    tags=("null-handling",),
+)
+def na_fill_zero(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: na.fill(0) fills null AND NaN (the reference's Rating trap,
+    challenge.scala:86,143; SURVEY §2.4 A6). Nulls are manufactured first
+    so the fill path is genuinely exercised."""
+    e = load_table(spark, sf_dir, "events")
+    with_nulls = e.select(
+        "event_id",
+        F.when(F.col("value") < 50.0, F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("value_filled"),
+    )
+    return with_nulls.na.fill({"value_filled": 0.0})
+
+
+@register(
+    "dedup_keep_min",
+    oracle="""
+    SELECT o_custkey, min(o_orderkey) AS first_orderkey, count(*) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    """,
+    tags=("dedup", "agg"),
+)
+def dedup_keep_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: deterministic dropDuplicates-by-key. `dropDuplicates(subset)`
+    keeps an arbitrary row (challenge.scala:166 relies on it being a no-op);
+    the scale-safe deterministic form is group-by + min/argmin."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.min("o_orderkey").alias("first_orderkey"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@register(
+    "distinct_projection",
+    oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+    tags=("dedup",),
+)
+def distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 variant: full-row distinct on a projection — deterministic
+    (equivalent to dropDuplicates() on those columns)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select("c_mktsegment", "c_nationkey").distinct()
+
+
+@register(
+    "distinct_count_agg",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_suppkey) AS n_suppliers,
+           count(*) AS n_items
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "distinct"),
+)
+def distinct_count_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 extension: distinct aggregation (expand + two-phase agg in
+    Spark; fine at scale because the distinct key set per group is small
+    relative to the fact table)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.count_distinct("l_suppkey").alias("n_suppliers"),
+        F.count("*").alias("n_items"),
+    )
+
+
+@register(
+    "rollup_counts",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n
+    FROM orders
+    GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg", "rollup"),
+)
+def rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 extension: rollup (hierarchical subtotals + grand total)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(F.count("*").alias("n"))
+
+
+# --------------------------------------------------------------------------
+# J: joins (SURVEY §2.5 + §2.7 variants)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "left_join_null_path",
+    oracle="""
+    SELECT c_custkey, o_orderkey, o_totalprice
+    FROM customer
+    LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 400000.0) big
+      ON c_custkey = o_custkey
+    """,
+    tags=("join",),
+)
+def left_join_null_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: left outer equi-join with a genuinely-exercised null side
+    (challenge.scala:184-185). The build side is filtered first so many
+    probe rows miss."""
+    c = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000.0)
+    return c.join(big, F.col("c_custkey") == F.col("o_custkey"), "left").select(
+        "c_custkey", "o_orderkey", "o_totalprice"
+    )
+
+
+@register(
+    "semi_join_exists",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+    """,
+    tags=("join", "semi"),
+)
+def semi_join_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7: left-semi join (EXISTS) — probe side only, no row duplication."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "anti_join_not_exists",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    """,
+    tags=("join", "anti"),
+)
+def anti_join_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7: left-anti join (NOT EXISTS)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "cross_join_dims",
+    oracle="""
+    SELECT r_name, n_name
+    FROM region CROSS JOIN nation
+    """,
+    tags=("join", "cross"),
+)
+def cross_join_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7: cross join — only ever sane between broadcast-small dims."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return r.crossJoin(F.broadcast(n)).select("r_name", "n_name")
+
+
+@register(
+    "full_outer_join",
+    oracle="""
+    SELECT n.n_nationkey AS nationkey_n, s.s_suppkey, n.n_name
+    FROM nation n
+    FULL OUTER JOIN supplier s ON n.n_nationkey = s.s_nationkey
+    """,
+    tags=("join", "outer"),
+)
+def full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7: full outer join (both null paths live if any nation lacks
+    suppliers)."""
+    n = load_table(spark, sf_dir, "nation")
+    s = load_table(spark, sf_dir, "supplier")
+    return n.join(s, F.col("n_nationkey") == F.col("s_nationkey"), "full_outer").select(
+        F.col("n_nationkey").alias("nationkey_n"), "s_suppkey", "n_name"
+    )
+
+
+# --------------------------------------------------------------------------
+# O: sorts / limits (SURVEY §2.6) + set ops (§2.7)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "orderby_desc_topk",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+    tags=("sort", "limit"),
+)
+def orderby_desc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1+limit: global sort descending with a total tiebreak order, top-k.
+    Spark plans orderBy+limit as TakeOrderedAndProject: per-partition heap
+    top-k + single-driver merge — no full range-partition sort shuffle, the
+    scale-correct top-k."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+@register(
+    "set_union_all",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'F'
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+    tags=("setop",),
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7: UNION ALL (bag semantics, no shuffle)."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderstatus")
+    b = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    return a.unionByName(b)
+
+
+@register(
+    "set_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    tags=("setop",),
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7: INTERSECT (distinct set semantics)."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.intersect(s)
+
+
+@register(
+    "set_except",
+    oracle="""
+    SELECT n_nationkey AS nationkey FROM nation
+    EXCEPT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    tags=("setop",),
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7: EXCEPT (nations with no supplier)."""
+    n = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return n.exceptAll(s).distinct()
+
+
+# --------------------------------------------------------------------------
+# Window functions (§2.7 extension)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "window_rank_per_group",
+    oracle="""
+    SELECT c_custkey, c_nationkey, c_acctbal,
+           row_number() OVER w AS rn,
+           rank() OVER w AS rnk
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+    QUALIFY rn <= 3
+    """,
+    tags=("window",),
+)
+def window_rank_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window: per-group top-3 via row_number/rank with total tiebreak.
+    At scale this is the one-shuffle (hash by partition key) top-k pattern."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return (
+        c.select(
+            "c_custkey",
+            "c_nationkey",
+            "c_acctbal",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "window_lag_delta",
+    oracle="""
+    SELECT event_id, user_id, value,
+           lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS prev_value
+    FROM events
+    """,
+    tags=("window",),
+)
+def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window: lag over an event-time order (sessionization building block)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id", "user_id", "value", F.lag("value").over(w).alias("prev_value")
+    )
+
+
+@register(
+    "window_running_sum",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(sum(CAST(value AS DECIMAL(14,3))) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS DOUBLE) AS running_value
+    FROM events
+    """,
+    tags=("window",),
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window: running sum over event time. Decimal accumulation — window
+    frame evaluation order differs between engines (DuckDB uses segment
+    trees), so float running sums would drift."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(14,3)")).over(w).cast("double").alias(
+            "running_value"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Time windows (batch analogue of the streaming surface; §2.7)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "time_window_tumbling",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS w_start,
+           count(*) AS n_events,
+           CAST(round(sum(CAST(value AS DECIMAL(14,3))), 3) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY w_start
+    """,
+    tags=("time-window", "agg"),
+)
+def time_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F.window tumbling 1h aggregation (batch form of the streaming
+    windowed agg; watermarked streaming version in streaming/)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(14,3)")), 3)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("w_start"), "n_events", "sum_value")
+    )
+
+
+@register(
+    "time_window_sliding",
+    oracle="""
+    SELECT w_start, count(*) AS n_events
+    FROM (SELECT unnest([date_trunc('hour', ts),
+                         date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS w_start
+          FROM events)
+    GROUP BY w_start
+    """,
+    tags=("time-window", "agg"),
+)
+def time_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F.window sliding (2h window, 1h slide): each event lands in two
+    windows; the oracle materializes both membership rows explicitly."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("w_start"), "n_events")
+    )

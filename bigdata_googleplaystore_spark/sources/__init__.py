@@ -144,7 +144,23 @@ def write_parquet(
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one driver testdata table (TESTDATA.md)."""
+    """Load one driver testdata table (TESTDATA.md).
+
+    `events.parquet` stores ts as parquet TIMESTAMP(NANOS), which Spark 4
+    rejects ([PARQUET_TYPE_ILLEGAL]) unless the legacy nanosAsLong read is
+    enabled; we enable it per-session and truncate nanos -> microsecond
+    TimestampType JVM-side (integer `div`, matching DuckDB's ns->us
+    truncation), so downstream operators see a normal timestamp column.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
+
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
