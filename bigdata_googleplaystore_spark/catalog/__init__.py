@@ -5,7 +5,7 @@ from __future__ import annotations
 from .registry import QUERIES, QueryDef, register  # noqa: F401
 
 # Populate the registry. Each module registers its queries at import time.
-from . import ops, tpch  # noqa: E402,F401
+from . import llm, ops, tpch  # noqa: E402,F401
 
 from .tpch import flagship  # noqa: E402,F401
 

@@ -1,0 +1,323 @@
+"""LLM-data-pipeline queries: dedup, similarity search, text analysis,
+multimodal plumbing — the north-star extensions (BASELINE.json) over the
+`documents` and `embeddings` tables.
+
+Oracle notes:
+- shingle/winnowing/md5 pipelines have exact DuckDB equivalents (md5 and
+  string ops are engine-identical; fixed-length hex makes min() portable).
+- xxhash64-based operators (MinHash-LSH, SimHash) and ANN (recall<1 by
+  design) cannot be expressed in DuckDB -> rows-only checks here, with
+  equivalence asserted against the exact operators in tests/test_llm.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    LANG_MARKERS,
+    STOPWORDS_EN,
+    lang_scores,
+    punct_count,
+    stopword_count,
+    tokens,
+    winnow_fingerprints,
+)
+from ..operators import dedup, similarity
+from ..sources import load_table
+from .registry import register
+
+# DuckDB fragments mirroring functions/text.py exactly.
+_TOKS_SQL = r"string_split_regex(trim(lower(text)), '\s+')"
+_SHINGLES_SQL = rf"""
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(ws) >= 3
+                  THEN list_transform(range(1, len(ws)-1),
+                                      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+                  ELSE [] END) AS shingles
+      FROM (SELECT doc_id, {_TOKS_SQL} AS ws FROM documents)
+"""
+
+
+@register(
+    "dedup_exact_docs",
+    oracle="""
+    SELECT lang, source, text,
+           min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM documents
+    GROUP BY lang, source, text
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tier-1 exact dedup: hash group-by on full content, deterministic
+    min-id keeper."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup(d, ["lang", "source", "text"], "doc_id")
+
+
+@register(
+    "dedup_fingerprint_md5",
+    oracle="""
+    SELECT md5(trim(lower(text))) AS fingerprint,
+           min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM documents
+    GROUP BY fingerprint
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_fingerprint_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tier-2 fingerprint dedup: the shuffle key is a 16-byte md5 of the
+    normalized text, not the document itself."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.fingerprint_dedup(d, "text", "doc_id")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    ex AS (SELECT doc_id, len(shingles) AS set_size, unnest(shingles) AS shingle FROM sh),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             round(CAST(count(*) AS DOUBLE)
+                   / (a.set_size + b.set_size - count(*)), 6) AS jaccard
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b, a.set_size, b.set_size
+    )
+    SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.5
+    """,
+    tags=("llm", "dedup", "bench"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tier-3 near-dup: word-3-gram shingle Jaccard >= 0.5 via
+    inverted-index self-join (no O(n²) pair materialization)."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+
+
+@register("dedup_minhash_lsh", oracle=None, tags=("llm", "dedup", "bench"))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tier-4 MinHash(64) + LSH(16 bands x 4 rows) near-dup, candidates
+    verified with exact Jaccard. Rows-only for the driver (xxhash64 has no
+    DuckDB equivalent); tests assert equality with dedup_ngram_jaccard on
+    this corpus (planted dups ~0.8+, background <0.1)."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+
+
+@register("dedup_simhash", oracle=None, tags=("llm", "dedup"))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 near-dup pairs at Hamming <= 8 via pigeonhole block
+    candidates. Rows-only (xxhash64-based)."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_near_pairs(d, "doc_id", "text", n=3, max_hamming=8)
+
+
+@register(
+    "sim_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS cv
+          FROM embeddings WHERE vec_id >= 10),
+    sims AS (
+      SELECT query_id, cand_id,
+             round(list_dot_product(qv, cv)
+                   / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))),
+                   4) AS sim
+      FROM q CROSS JOIN c
+    ),
+    ranked AS (
+      SELECT query_id, cand_id, sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rn
+      FROM sims
+    )
+    SELECT query_id, cand_id, sim, rn FROM ranked WHERE rn <= 5
+    """,
+    tags=("llm", "similarity", "bench"),
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 of query vectors (vec_id<10) against the
+    corpus (vec_id>=10): broadcast x corpus, JVM higher-order dot products,
+    rank window with (rounded sim, cand_id) total order."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(
+        e.filter(F.col("vec_id") >= 10),
+        e.filter(F.col("vec_id") < 10),
+        k=5,
+    )
+
+
+@register("sim_ann_lsh", oracle=None, tags=("llm", "similarity"))
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via random-hyperplane LSH buckets + 1-bit
+    multiprobe, exact rank within candidates. Rows-only (recall < 1 by
+    design); recall vs brute force is asserted in tests/test_llm.py."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_ann_topk(
+        e.filter(F.col("vec_id") >= 10),
+        e.filter(F.col("vec_id") < 10),
+        k=5,
+    )
+
+
+_SW_LIST = "[" + ", ".join(f"'{w}'" for w in STOPWORDS_EN) + "]"
+
+
+@register(
+    "text_token_stats",
+    oracle=rf"""
+    SELECT doc_id,
+           length(text) AS n_chars_measured,
+           len({_TOKS_SQL}) AS n_tokens,
+           length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g'))
+             AS n_punct,
+           len(list_filter({_TOKS_SQL}, t -> list_contains({_SW_LIST}, t)))
+             AS n_stopwords
+    FROM documents
+    """,
+    tags=("llm", "text"),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token/char/punct/stopword counts — all JVM-side expressions."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        F.length(t).alias("n_chars_measured"),
+        F.size(tokens(t)).alias("n_tokens"),
+        punct_count(t).alias("n_punct"),
+        stopword_count(t).alias("n_stopwords"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle=rf"""
+    WITH s AS (
+      SELECT doc_id,
+             len({_TOKS_SQL}) AS n_tokens,
+             len(list_filter({_TOKS_SQL}, t -> list_contains({_SW_LIST}, t)))
+               AS n_sw,
+             length(text)
+               - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS n_punct,
+             length(text) AS n_chars
+      FROM documents
+    )
+    SELECT doc_id,
+           round(CAST(n_sw AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
+           round(CAST(n_punct AS DOUBLE) / n_chars, 6) AS punct_ratio,
+           CAST(n_tokens >= 20 AND n_tokens <= 1000
+                AND CAST(n_sw AS DOUBLE) / n_tokens >= 0.05 AS BOOLEAN) AS passes_quality
+    FROM s
+    """,
+    tags=("llm", "text", "bench"),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality heuristics: stopword ratio, punctuation ratio,
+    length band -> boolean quality gate."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_tokens = F.size(tokens(t))
+    sw_ratio = stopword_count(t).cast("double") / n_tokens
+    p_ratio = punct_count(t).cast("double") / F.length(t)
+    return d.select(
+        "doc_id",
+        F.round(sw_ratio, 6).alias("stopword_ratio"),
+        F.round(p_ratio, 6).alias("punct_ratio"),
+        ((n_tokens >= 20) & (n_tokens <= 1000) & (sw_ratio >= 0.05)).alias(
+            "passes_quality"
+        ),
+    )
+
+
+def _lang_case_sql() -> str:
+    score = {
+        lang: f"len(list_filter(toks, t -> list_contains([{', '.join(repr(m) for m in ms)}], t)))"
+        for lang, ms in LANG_MARKERS.items()
+    }
+    scols = ", ".join(f"{expr} AS s_{lang}" for lang, expr in score.items())
+    greatest = "greatest(" + ", ".join(f"s_{lang}" for lang in LANG_MARKERS) + ")"
+    cases = " ".join(
+        f"WHEN s_{lang} > 0 AND s_{lang} = {greatest} THEN '{lang}'"
+        for lang in LANG_MARKERS
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, lang, {_TOKS_SQL} AS toks FROM documents),
+    s AS (SELECT doc_id, lang, {scols} FROM t)
+    SELECT doc_id, lang AS labeled_lang,
+           CASE {cases} ELSE 'und' END AS predicted_lang
+    FROM s
+    """
+
+
+@register("text_lang_id", oracle=_lang_case_sql(), tags=("llm", "text"))
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-stopword language heuristic with fixed argmax precedence
+    (functions/text.py predict_lang)."""
+    from ..functions.text import predict_lang
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        predict_lang(F.col("text")).alias("predicted_lang"),
+    )
+
+
+@register(
+    "doc_fingerprint_winnow",
+    oracle="""
+    WITH g AS (SELECT doc_id, lower(text) AS t FROM documents),
+    grams AS (
+      SELECT doc_id,
+             CASE WHEN length(t) >= 8
+                  THEN list_transform(range(1, length(t)-6), i -> md5(substr(t, i, 8)))
+                  ELSE [] END AS hs
+      FROM g
+    ),
+    wins AS (
+      SELECT doc_id,
+             CASE WHEN len(hs) >= 4
+                  THEN list_transform(range(1, len(hs)-2), i -> list_min(hs[i:i+3]))
+                  WHEN len(hs) > 0 THEN [list_min(hs)]
+                  ELSE [] END AS fps
+      FROM grams
+    )
+    SELECT DISTINCT doc_id, unnest(fps) AS fp FROM wins
+    """,
+    tags=("llm", "text", "dedup"),
+)
+def doc_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (k=8 char-grams, window 4) as (doc_id, fp)
+    rows — md5-hex min-per-window, portable across engines."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.explode(winnow_fingerprints(F.col("text"), k=8, w=4)).alias("fp")
+    ).distinct()
+
+
+@register(
+    "multimodal_bytes_meta",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents
+    """,
+    tags=("llm", "multimodal"),
+)
+def multimodal_bytes_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary plumbing: treat content as bytes (`encode`), compute
+    typed metadata (byte length, content digest) without decoding. The
+    pattern for image/audio payload columns (operators/multimodal.py stubs
+    the decode)."""
+    d = load_table(spark, sf_dir, "documents")
+    bin_col = F.encode(F.col("text"), "UTF-8")
+    return d.select(
+        "doc_id",
+        F.length(bin_col).alias("n_bytes"),
+        F.md5(bin_col).alias("content_md5"),
+    )

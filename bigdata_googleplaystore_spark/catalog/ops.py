@@ -738,3 +738,39 @@ def time_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"))
         .select(F.col("w.start").alias("w_start"), "n_events")
     )
+
+
+@register(
+    "session_window_gap",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) AS last_event,
+           count(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+    tags=("time-window", "session", "agg"),
+)
+def session_window_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F.session_window (10-minute gap) in batch form — the oracle is the
+    classic gaps-and-islands rewrite. The same streaming/ helper runs this
+    on a watermarked stream (tests/test_streaming.py asserts equality)."""
+    from ..streaming import sessionized
+
+    e = load_table(spark, sf_dir, "events")
+    return sessionized(e, gap="10 minutes")

@@ -1,0 +1,128 @@
+"""Text-analysis Column builders: tokenization, quality signals, language
+ID, shingling, winnowing fingerprints.
+
+All pure built-in-function expression trees (split/filter/transform/
+aggregate/md5) — no UDFs, so they vectorize inside whole-stage codegen and
+scale linearly with no Python overhead. The reference has no text operators
+(SURVEY.md §2.7); these are the north-star LLM-pipeline extensions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small marker vocabularies for the n-gram/stopword language heuristic.
+# Deliberately tiny and hard-coded: the operator contract is "deterministic
+# heuristic", not "good model" — swap in fastText et al. via the pandas-UDF
+# slow path when real language ID is needed.
+STOPWORDS_EN = ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is", "for"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "la", "los", "que", "es"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "zh": ("的", "是", "了", "在", "我"),
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization of lowercased, trimmed text -> array<string>."""
+    return F.split(F.trim(F.lower(text)), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def punct_count(text: Column) -> Column:
+    """Count of non-alphanumeric, non-space characters (quality signal)."""
+    stripped = F.regexp_replace(text, r"[^A-Za-z0-9\s]", "")
+    return F.length(text) - F.length(stripped)
+
+
+def stopword_count(text: Column, stopwords: tuple[str, ...] = STOPWORDS_EN) -> Column:
+    """Occurrences of stopwords among tokens (higher-order filter, JVM-side)."""
+    sw = list(stopwords)
+    return F.size(F.filter(tokens(text), lambda t: t.isin(sw)))
+
+
+def _membership(markers: tuple[str, ...]):
+    # single-arg lambda: a 2-arg lambda would make F.filter pass the array
+    # index as the second argument
+    ms = list(markers)
+    return lambda t: t.isin(ms)
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Marker-hit count per language."""
+    toks = tokens(text)
+    return {
+        lang: F.size(F.filter(toks, _membership(markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def predict_lang(text: Column) -> Column:
+    """Argmax language with a fixed precedence order (en,de,es,fr,zh);
+    'und' when no marker hits. The CASE order IS the tiebreak contract —
+    any SQL oracle must compare in the same order."""
+    s = lang_scores(text)
+    langs = list(LANG_MARKERS)
+    best = None
+    for lang in langs:
+        cond = (s[lang] > 0) & F.greatest(*[s[o] for o in langs]).eqNullSafe(s[lang])
+        best = F.when(cond, F.lit(lang)) if best is None else best.when(cond, F.lit(lang))
+    return best.otherwise(F.lit("und"))
+
+
+def token_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles -> array<string>.
+
+    Built as transform over an index sequence (JVM-side): shingle i =
+    tokens[i..i+n-1] joined by spaces. Documents shorter than n tokens get
+    an empty array.
+    """
+    toks = tokens(text)
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.array_distinct(sh)
+
+
+def char_shingles(text: Column, k: int = 8) -> Column:
+    """Character k-gram shingles of the lowercased text -> array<string>."""
+    t = F.lower(text)
+    idx = F.when(
+        F.length(t) >= k, F.sequence(F.lit(1), F.length(t) - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(idx, lambda i: F.substring(t, i.cast("int"), k))
+
+
+def winnow_fingerprints(text: Column, k: int = 8, w: int = 4) -> Column:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03 scheme):
+    hash every char k-gram, slide a window of w hashes, keep each window's
+    minimum; return the distinct fingerprint set -> array<string>.
+
+    Hashes are md5 hex strings: fixed-length lowercase hex makes the
+    lexicographic min equal the numeric min, and md5 is identical across
+    engines (exact SQL oracle possible, unlike xxhash64).
+    """
+    grams = char_shingles(text, k)
+    hashes = F.transform(grams, F.md5)
+    n_win = F.size(hashes) - (w - 1)
+    idx = F.when(n_win >= 1, F.sequence(F.lit(1), n_win)).otherwise(
+        F.array().cast("array<int>")
+    )
+    mins = F.transform(idx, lambda i: F.array_min(F.slice(hashes, i, w)))
+    # short docs (< w hashes but >= 1): fall back to the global min
+    short = F.when(
+        (F.size(hashes) > 0) & (n_win < 1), F.array(F.array_min(hashes))
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_sort(F.array_distinct(F.concat(mins, short)))

@@ -1,0 +1,240 @@
+"""Deduplication operators for large-scale corpus pipelines.
+
+Four tiers, cheapest first (the standard LLM-data dedup ladder):
+
+1. exact     — hash group-by on the (normalized) content: one shuffle.
+2. fingerprint — md5-of-normalized-text group-by: one shuffle on a 16-byte
+   key instead of the full document (what you actually run at 100 TB).
+3. n-gram Jaccard — inverted-index join on shingles, O(candidate pairs)
+   instead of O(n²): explode distinct shingles, self-join on shingle,
+   count shared shingles per pair, Jaccard = |∩| / (|A|+|B|-|∩|).
+4. MinHash + LSH — constant-size signatures + banding so candidate
+   generation is a group-by on band buckets, not a shingle join. The
+   scale path for billions of docs.
+
+SimHash rounds out the family for Hamming-distance near-dup.
+
+All candidate generation is shuffle-bounded (group-by / equi-join on
+derived keys); nothing collects to the driver. Verification joins only
+touch candidate pairs, which LSH/banding keeps ~linear in practice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import token_shingles
+
+
+def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
+    """Tier 1: keep the min-id row per exact content group (deterministic,
+    unlike dropDuplicates which keeps an arbitrary row per key)."""
+    return df.groupBy(*content_cols).agg(
+        F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies")
+    )
+
+
+def fingerprint_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Tier 2: md5 of normalized text as the dedup key. The shuffle moves
+    16-byte digests, not documents."""
+    fp = F.md5(F.encode(F.trim(F.lower(F.col(text_col))), "UTF-8")).alias("fingerprint")
+    return (
+        df.select(F.col(id_col), fp)
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def shingle_exploded(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) rows, distinct shingles per doc, plus per-doc set size."""
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        token_shingles(F.col(text_col), n).alias("shingles"),
+    ).withColumn("set_size", F.size("shingles"))
+    return sh.select("doc", "set_size", F.explode("shingles").alias("shingle"))
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Tier 3: all pairs with shingle-Jaccard >= threshold.
+
+    Inverted-index self-join: pairs sharing zero shingles are never
+    materialized. The per-shingle fan-out is the scale hazard — hot
+    shingles (stop-phrases) create quadratic bucket blowup, so production
+    runs should drop shingles with document frequency above a cap before
+    the join (same move as LSH band-bucket capping).
+    """
+    s = shingle_exploded(df, id_col, text_col, n)
+    a = s.select(
+        F.col("doc").alias("doc_a"), F.col("set_size").alias("size_a"), "shingle"
+    )
+    b = s.select(
+        F.col("doc").alias("doc_b"), F.col("set_size").alias("size_b"), "shingle"
+    )
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "size_a", "size_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    jac = F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common"))
+    return (
+        inter.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 64
+) -> DataFrame:
+    """MinHash signature per doc: sig[i] = min over shingles of
+    xxhash64(i, shingle). One shuffle (group-by doc); the 64 mins fold
+    map-side. Docs with no shingles are dropped (no signature defined)."""
+    s = shingle_exploded(df, id_col, text_col, n)
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = s.groupBy("doc", "set_size").agg(*mins)
+    return sig.select(
+        "doc",
+        "set_size",
+        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature"),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Tier 4: LSH-banded candidate pairs, verified with exact Jaccard.
+
+    bands=16 x rows=4 over 64 hashes -> s-curve threshold ~ (1/16)^(1/4)
+    ≈ 0.5. Candidates = docs sharing any band bucket (group-by on
+    (band, band_hash) — constant-size keys, scale-safe); each candidate
+    pair is then verified against the true shingle Jaccard so the output
+    has no LSH false positives (false negatives remain possible, which is
+    the documented LSH trade).
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    band_cols = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.lit(b),
+                    *[F.col("signature")[b * rows_per_band + r] for r in range(rows_per_band)],
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sig.select("doc", F.explode(band_cols).alias("bb")).select(
+        "doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    left = buckets.select(F.col("doc").alias("doc_a"), "band", "bucket")
+    right = buckets.select(F.col("doc").alias("doc_b"), "band", "bucket")
+    cands = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    # verify candidates with exact Jaccard (joins only candidate pairs)
+    s = shingle_exploded(df, id_col, text_col, n)
+    a = s.select(F.col("doc").alias("doc_a"), F.col("set_size").alias("size_a"), "shingle")
+    b = s.select(F.col("doc").alias("doc_b"), F.col("set_size").alias("size_b"), "shingle")
+    inter = (
+        cands.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b", "size_a", "size_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    jac = F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common"))
+    return (
+        inter.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """64-bit SimHash per doc: sign-sum of per-shingle xxhash64 bits.
+
+    bit_j(doc) = 1 iff sum over shingles of (+1 if hash bit j set else -1)
+    > 0. Computed as 64 conditional sums in one group-by — JVM-side, one
+    shuffle. Near-dup = small Hamming distance between signatures."""
+    s = shingle_exploded(df, id_col, text_col, n)
+    h = F.xxhash64(F.col("shingle"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(64)
+    ]
+    agg = s.groupBy("doc").agg(*bit_sums)
+    sim = None
+    for j in range(64):
+        bit = F.when(F.col(f"b{j}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, j)
+        sim = term if sim is None else sim.bitwiseXOR(term)
+    return agg.select("doc", sim.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, max_hamming: int = 8
+) -> DataFrame:
+    """SimHash near-dup pairs via block-rotation candidates: split the 64
+    bits into (max_hamming+1) blocks; by pigeonhole any pair within
+    max_hamming shares at least one exact block, so candidates group on
+    (block_id, block_value) and only candidates pay the popcount check."""
+    sigs = simhash64(df, id_col, text_col, n)
+    nblocks = max_hamming + 1
+    width = 64 // nblocks
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("blk"),
+                F.shiftright(F.col("simhash"), i * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("val"),
+            )
+            for i in range(nblocks)
+        ]
+    )
+    exploded = sigs.select(
+        F.col("doc"), F.col("simhash"), F.explode(blocks).alias("bb")
+    ).select("doc", "simhash", F.col("bb.blk").alias("blk"), F.col("bb.val").alias("val"))
+    l = exploded.select(
+        F.col("doc").alias("doc_a"), F.col("simhash").alias("sig_a"), "blk", "val"
+    )
+    r = exploded.select(
+        F.col("doc").alias("doc_b"), F.col("simhash").alias("sig_b"), "blk", "val"
+    )
+    cands = (
+        l.join(r, ["blk", "val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cands.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

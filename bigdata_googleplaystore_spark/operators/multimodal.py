@@ -1,0 +1,98 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+The engine's contract for image/audio/video data at 100 TB:
+
+- payloads live in a `binary` column next to typed metadata columns
+  (media_type, width/height/duration, codec) — never parsed strings;
+- all decode / feature-extraction happens in Arrow-batched functions over
+  `mapInPandas` so bytes move executor-side in columnar batches, never
+  through the driver and never row-at-a-time;
+- partitioning by a content-hash prefix spreads large payloads evenly
+  (payload sizes are skewed; key-salting by digest prefix is free here).
+
+The image/audio codec libraries are not available in this container, so
+`decode_image_batch` is a clearly-marked STUB wired through the real Spark
+plumbing (schema, batching, partitioning are all live and tested); swap
+`_fake_decode` for a real decoder (PIL/ffmpeg) in production images.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("media_type", StringType(), True),
+        StructField("payload", BinaryType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("media_type", StringType(), True),
+        StructField("n_bytes", LongType(), True),
+        StructField("sha_prefix", StringType(), True),
+        StructField("feat_mean", LongType(), True),
+    ]
+)
+
+
+def attach_binary_payload(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Build a media table from a text table for testing: payload =
+    utf-8 bytes (a deterministic stand-in for image bytes)."""
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        F.lit("image/fake").alias("media_type"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+    )
+
+
+def _fake_decode(payload: bytes) -> dict:
+    """STUB decoder: deterministic byte statistics standing in for a real
+    image decode (PIL etc. not installed in this container). Raises on
+    None payloads like a real decoder would on corrupt bytes."""
+    if payload is None:
+        raise NotImplementedError("corrupt/absent payload: real decoder required")
+    return {"n_bytes": len(payload), "feat_mean": sum(payload[:64]) // max(1, min(len(payload), 64))}
+
+
+def decode_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
+    """Arrow-batched decode/feature-extract over mapInPandas.
+
+    Real plumbing: columnar batches executor-side, output schema typed and
+    stable; only `_fake_decode` is a stub. Payload-skew note: upstream
+    should repartition by sha_prefix for even batch sizes."""
+    import hashlib
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            out = {
+                "media_id": pdf["media_id"],
+                "media_type": pdf["media_type"],
+                "n_bytes": [],
+                "sha_prefix": [],
+                "feat_mean": [],
+            }
+            for payload in pdf["payload"]:
+                b = bytes(payload) if payload is not None else None
+                feats = _fake_decode(b)
+                out["n_bytes"].append(feats["n_bytes"])
+                out["sha_prefix"].append(hashlib.sha256(b).hexdigest()[:8])
+                out["feat_mean"].append(feats["feat_mean"])
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, FEATURE_SCHEMA)

@@ -1,0 +1,129 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+Two tiers:
+
+- brute-force cosine top-k: broadcast the (small) query set against the
+  corpus — exact, O(N·Q), the correctness baseline. Per-query top-k via a
+  rank window partitioned by query (one shuffle on query id).
+- LSH-bucketed ANN: random-hyperplane signatures computed by a
+  deterministic Arrow-batched pandas UDF (numpy matmul per batch); probe
+  only matching buckets (optionally with multi-probe neighbors), then
+  exact-rank within the candidate set. The 100 TB path: candidate
+  generation is a group-by on signature, cost ~ bucket sizes, not N·Q.
+
+The reference has no vector operators; this is north-star surface
+(BASELINE.json). Ranking is always on `round(sim, 4)` with id tiebreaks so
+results are reproducible across engines and partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_similarity
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact brute-force top-k: broadcast queries x corpus, JVM-side
+    zip_with/aggregate dot products, rank window per query."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"))
+    sims = F.broadcast(q).crossJoin(c).select(
+        "query_id",
+        "cand_id",
+        F.round(cosine_similarity(F.col("qv"), F.col("cv")), 4).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cand_id"))
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "cand_id", "sim", "rn")
+    )
+
+
+def hyperplane_signatures(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Random-hyperplane LSH signature (sign bits of dot with n_planes
+    fixed gaussian planes) as an integer bucket id.
+
+    The plane matrix is derived deterministically from `seed` inside the
+    UDF, so executors regenerate identical planes with no broadcast needed.
+    Arrow-batched pandas UDF: one numpy (batch x dim) @ (dim x planes)
+    matmul per batch — the sanctioned slow path for genuinely numeric work.
+    """
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    def _sig_fn(vecs):
+        import numpy as np
+        import pandas as pd
+
+        planes = np.random.default_rng(seed).standard_normal((dim, n_planes))
+        out = []
+        for v in vecs:
+            bits = (np.asarray(v, dtype=np.float64) @ planes) > 0
+            out.append(int(sum(1 << i for i, b in enumerate(bits) if b)))
+        return pd.Series(out, dtype="int64")
+
+    _sig = pandas_udf(_sig_fn, LongType())
+
+    return df.select(
+        F.col(id_col), F.col(vec_col), _sig(F.col(vec_col)).alias("bucket")
+    )
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 4,
+    dim: int = 64,
+    multiprobe_bits: int = 1,
+) -> DataFrame:
+    """ANN top-k: join query and corpus signatures on bucket (plus
+    1-bit-flip multiprobe neighbors of the query bucket to cut the miss
+    rate), exact cosine rank within candidates. Recall < 1 by design —
+    the driver records this query rows-only (not SQL-expressible)."""
+    csig = hyperplane_signatures(corpus, id_col, vec_col, n_planes, dim)
+    qsig = hyperplane_signatures(queries, id_col, vec_col, n_planes, dim).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "bucket"
+    )
+    # multiprobe: query probes its own bucket + every bucket at Hamming<=1
+    probes = [F.col("bucket")] + [
+        F.col("bucket").bitwiseXOR(F.lit(1 << b)) for b in range(n_planes * multiprobe_bits)
+    ]
+    qprobe = qsig.select(
+        "query_id", "qv", F.explode(F.array(*probes)).alias("bucket")
+    )
+    cands = F.broadcast(qprobe).join(
+        csig.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"), "bucket"),
+        "bucket",
+    )
+    sims = cands.select(
+        "query_id",
+        "cand_id",
+        F.round(cosine_similarity(F.col("qv"), F.col("cv")), 4).alias("sim"),
+    ).distinct()
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cand_id"))
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "cand_id", "sim", "rn")
+    )

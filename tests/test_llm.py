@@ -1,0 +1,67 @@
+"""Correctness of the approximate LLM-pipeline operators against their
+exact counterparts (the driver only rows-only-checks these; the real
+guarantees are asserted here)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdata_googleplaystore_spark.operators import dedup, similarity
+from bigdata_googleplaystore_spark.sources import load_table
+
+
+def _pairs(df):
+    return {(r["doc_a"], r["doc_b"]) for r in df.collect()}
+
+
+def test_minhash_lsh_finds_planted_dups(spark, sf_dir):
+    """The corpus has planted near-dups (Jaccard >= 0.8) with background
+    pairs < 0.1: at 16 bands x 4 rows the LSH s-curve catches >= 0.8 pairs
+    with probability ~1-2e-4 each, so LSH output must equal the exact
+    inverted-index join here."""
+    d = load_table(spark, sf_dir, "documents")
+    exact = _pairs(dedup.jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5))
+    lsh = _pairs(dedup.minhash_lsh_pairs(d, "doc_id", "text", n=3, threshold=0.5))
+    assert lsh == exact
+    assert len(exact) > 0, "corpus should contain planted near-dups"
+
+
+def test_simhash_catches_near_dups(spark, sf_dir):
+    """SimHash at Hamming<=8: high recall on the planted >=0.9-Jaccard
+    pairs (measured: J 0.97-0.99 pairs land at Hamming 0-6, tail to ~12)
+    and zero background false positives (random 64-bit sigs differ ~32
+    bits, so any reported pair must be genuinely similar)."""
+    d = load_table(spark, sf_dir, "documents")
+    exact_set = _pairs(dedup.jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5))
+    sim_set = _pairs(dedup.simhash_near_pairs(d, "doc_id", "text", n=3, max_hamming=8))
+    assert sim_set <= exact_set, f"simhash false positives: {sim_set - exact_set}"
+    recall = len(sim_set & exact_set) / len(exact_set)
+    assert recall >= 0.7, f"simhash recall too low: {recall:.2f}"
+
+
+def test_ann_recall_vs_brute_force(spark, sf_dir):
+    """LSH ANN with 1-bit multiprobe should recover a solid fraction of
+    the exact top-5 (random 64-dim data is the hard case; require >= 40%
+    overall and a non-crazy per-query shape)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = e.filter(F.col("vec_id") >= 10)
+    queries = e.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["cand_id"])
+        for r in similarity.cosine_topk(corpus, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["cand_id"])
+        for r in similarity.lsh_ann_topk(corpus, queries, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, f"ANN recall too low: {recall:.2f}"
+
+
+def test_exact_dedup_is_lossless(spark, sf_dir):
+    """Exact dedup keeps one keeper per distinct content and accounts for
+    every row."""
+    d = load_table(spark, sf_dir, "documents")
+    out = dedup.exact_dedup(d, ["lang", "source", "text"], "doc_id")
+    assert out.agg(F.sum("n_copies")).collect()[0][0] == d.count()
+    assert out.select("keep_id").distinct().count() == out.count()

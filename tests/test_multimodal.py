@@ -1,0 +1,42 @@
+"""Multimodal plumbing: binary payload columns + Arrow-batched decode.
+
+The decode itself is stubbed (no codec libs in this container); what's
+under test is the real Spark surface: schema, mapInPandas batching,
+determinism, and null/corrupt handling."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_googleplaystore_spark.operators import multimodal
+from bigdata_googleplaystore_spark.sources import load_table
+
+
+def test_payload_roundtrip_and_features(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.attach_binary_payload(docs, "text", "doc_id")
+    assert [f.name for f in media.schema.fields] == ["media_id", "media_type", "payload"]
+
+    feats = multimodal.decode_features(media)
+    assert feats.schema == multimodal.FEATURE_SCHEMA
+
+    # deterministic: features equal an independent driver-side computation
+    # for a sample row
+    row = docs.orderBy("doc_id").first()
+    got = feats.filter(F.col("media_id") == row["doc_id"]).first()
+    payload = row["text"].encode("utf-8")
+    assert got["n_bytes"] == len(payload)
+    assert got["sha_prefix"] == hashlib.sha256(payload).hexdigest()[:8]
+    assert got["feat_mean"] == sum(payload[:64]) // max(1, min(len(payload), 64))
+
+
+def test_decode_raises_on_corrupt_payload(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(1)
+    media = multimodal.attach_binary_payload(docs, "text", "doc_id").withColumn(
+        "payload", F.lit(None).cast("binary")
+    )
+    with pytest.raises(Exception, match="real decoder required"):
+        multimodal.decode_features(media).collect()

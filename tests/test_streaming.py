@@ -1,0 +1,49 @@
+"""Structured Streaming: the streaming transformations must produce the
+same results as their batch forms (Spark's unified model), exercised over
+a real file-source stream."""
+
+from __future__ import annotations
+
+import pytest
+
+from bigdata_googleplaystore_spark import streaming
+from bigdata_googleplaystore_spark.sources import load_table
+
+
+@pytest.fixture(scope="module")
+def event_stream_dir(spark, sf_dir, tmp_path_factory):
+    """Re-write the events table (micros timestamps) into a stream-source
+    directory of several files, as a file stream would arrive."""
+    out = str(tmp_path_factory.mktemp("event_stream"))
+    load_table(spark, sf_dir, "events").repartition(4).write.mode("overwrite").parquet(
+        out
+    )
+    return out
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_stream_windowed_counts_match_batch(spark, sf_dir, event_stream_dir):
+    batch = streaming.windowed_counts(load_table(spark, sf_dir, "events"), "1 hour")
+    schema = spark.read.parquet(event_stream_dir).schema
+    stream = streaming.read_event_stream(spark, event_stream_dir, schema)
+    streamed = streaming.run_stream_to_memory(
+        streaming.windowed_counts(stream, "1 hour", watermark="1 hour"),
+        "win_counts",
+    )
+    cols = ["w_start", "n_events"]
+    assert _rows(streamed, cols) == _rows(batch, cols)
+
+
+def test_stream_sessionized_matches_batch(spark, sf_dir, event_stream_dir):
+    batch = streaming.sessionized(load_table(spark, sf_dir, "events"), "10 minutes")
+    schema = spark.read.parquet(event_stream_dir).schema
+    stream = streaming.read_event_stream(spark, event_stream_dir, schema)
+    streamed = streaming.run_stream_to_memory(
+        streaming.sessionized(stream, "10 minutes", watermark="1 hour"),
+        "sessions",
+    )
+    cols = ["user_id", "session_start", "last_event", "n_events"]
+    assert _rows(streamed, cols) == _rows(batch, cols)
