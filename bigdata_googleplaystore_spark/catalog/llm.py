@@ -22,7 +22,7 @@ from ..functions.text import (
     punct_count,
     stopword_count,
     tokens,
-    winnow_fingerprints,
+
 )
 from ..operators import dedup, similarity
 from ..sources import load_table
@@ -292,11 +292,12 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (k=8 char-grams, window 4) as (doc_id, fp)
-    rows — md5-hex min-per-window, portable across engines."""
+    rows — md5-hex min-per-window, portable across engines. Uses the
+    staged operator (bound-attribute stages), not the fused expression."""
     d = load_table(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id", F.explode(winnow_fingerprints(F.col("text"), k=8, w=4)).alias("fp")
-    ).distinct()
+    return dedup.winnow_rows(d, "doc_id", "text", k=8, w=4).select(
+        F.col("doc").alias("doc_id"), "fp"
+    )
 
 
 @register(

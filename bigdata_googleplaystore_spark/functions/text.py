@@ -105,26 +105,33 @@ def token_shingles(text: Column, n: int = 3) -> Column:
     return shingles_from_tokens(tokens(text), n)
 
 
-def char_shingles(text: Column, k: int = 8) -> Column:
-    """Character k-gram shingles of the lowercased text -> array<string>."""
-    t = F.lower(text)
+def char_grams_lowered(t: Column, k: int = 8) -> Column:
+    """Character k-gram shingles from an *already-lowered, bound* text
+    column -> array<string>.
+
+    Pass a real attribute: an inline `lower(text)` expression is spliced
+    into the per-gram substring lambda and re-lowercases the whole document
+    once per gram — O(len²) characters per doc. `operators.dedup.winnow_rows`
+    materializes the lowered column behind a projection first."""
     idx = F.when(
         F.length(t) >= k, F.sequence(F.lit(1), F.length(t) - (k - 1))
     ).otherwise(F.array().cast("array<int>"))
     return F.transform(idx, lambda i: F.substring(t, i.cast("int"), k))
 
 
-def winnow_fingerprints(text: Column, k: int = 8, w: int = 4) -> Column:
-    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03 scheme):
-    hash every char k-gram, slide a window of w hashes, keep each window's
-    minimum; return the distinct fingerprint set -> array<string>.
+def char_shingles(text: Column, k: int = 8) -> Column:
+    """Character k-gram shingles of the lowercased text (convenience form;
+    see char_grams_lowered for the scale caveat)."""
+    return char_grams_lowered(F.lower(text), k)
 
-    Hashes are md5 hex strings: fixed-length lowercase hex makes the
-    lexicographic min equal the numeric min, and md5 is identical across
-    engines (exact SQL oracle possible, unlike xxhash64).
-    """
-    grams = char_shingles(text, k)
-    hashes = F.transform(grams, F.md5)
+
+def window_min_hashes(hashes: Column, w: int = 4) -> Column:
+    """Winnowing window minima from a *bound* hash-array column: slide a
+    window of w hashes, keep each window's min; distinct, sorted.
+
+    Same bound-attribute contract as shingles_from_tokens: an inline hash
+    expression would be re-evaluated in full for every window (quadratic —
+    observed >400 s for 5k docs at k=8 before staging)."""
     n_win = F.size(hashes) - (w - 1)
     idx = F.when(n_win >= 1, F.sequence(F.lit(1), n_win)).otherwise(
         F.array().cast("array<int>")
@@ -135,3 +142,21 @@ def winnow_fingerprints(text: Column, k: int = 8, w: int = 4) -> Column:
         (F.size(hashes) > 0) & (n_win < 1), F.array(F.array_min(hashes))
     ).otherwise(F.array().cast("array<string>"))
     return F.array_sort(F.array_distinct(F.concat(mins, short)))
+
+
+def winnow_fingerprints(text: Column, k: int = 8, w: int = 4) -> Column:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03 scheme):
+    hash every char k-gram, slide a window of w hashes, keep each window's
+    minimum; return the distinct fingerprint set -> array<string>.
+
+    Hashes are md5 hex strings: fixed-length lowercase hex makes the
+    lexicographic min equal the numeric min, and md5 is identical across
+    engines (exact SQL oracle possible, unlike xxhash64).
+
+    SMALL INPUTS ONLY: this single-expression form re-evaluates the whole
+    hash array per window (quadratic md5s per doc). The scale path is
+    `operators.dedup.winnow_rows`, which stages lowered text / grams /
+    hashes as separate bound projections.
+    """
+    hashes = F.transform(char_shingles(text, k), F.md5)
+    return window_min_hashes(hashes, w)

@@ -24,7 +24,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import token_shingles
+from ..functions.text import (
+    char_grams_lowered,
+    shingles_from_tokens,
+    tokens,
+    window_min_hashes,
+)
 
 
 def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
@@ -53,17 +58,58 @@ def _par(df: DataFrame) -> int:
 def shingle_exploded(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """(id, shingle) rows, distinct shingles per doc, plus per-doc set size.
 
-    Explicitly repartitioned: a small corpus file arrives as one input
-    split, and the *input* stats are tiny while the downstream join/agg
-    work explodes combinatorially — AQE would coalesce the exchange to one
-    partition and serialize the expensive stage, so parallelism is forced
-    here (observed 30s -> ~2s on 32 cores at sf0.1)."""
-    sh = df.select(
-        F.col(id_col).alias("doc"),
-        token_shingles(F.col(text_col), n).alias("shingles"),
-    ).withColumn("set_size", F.size("shingles"))
-    return sh.repartition(_par(df), "doc").select(
-        "doc", "set_size", F.explode("shingles").alias("shingle")
+    Staged on purpose — two properties a single fused expression loses:
+
+    1. Tokenization is projected to a *bound attribute* before shingling.
+       A fused `shingles(tokens(text))` tree splices the split() subtree
+       into every element_at of the shingle lambda, re-tokenizing the doc
+       once per shingle — O(tokens²) per doc (observed: ~16 s for 5k docs
+       vs ~1 s staged). CollapseProject keeps the stages separate because
+       the token array is non-cheap and referenced more than once.
+    2. The repartition between tokenize and shingle spreads the work: a
+       small corpus arrives as one input split, and input-size stats make
+       AQE serialize the downstream combinatorial stage onto one core.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("toks")
+    ).repartition(_par(df), "doc")
+    sh = toks.select("doc", shingles_from_tokens(F.col("toks"), n).alias("shingles"))
+    # explode_outer, NOT explode: for plain explode, InferFiltersFromGenerate
+    # adds `size(shingles)>0` and predicate pushdown substitutes the whole
+    # fused shingle expression through the exchange into the single-split
+    # scan — re-running the quadratic tree single-threaded (observed 9-16 s
+    # for 5k docs; ~0.3 s without). The post-filter on the generated column
+    # restores explode's drop-empty semantics and cannot be pushed below
+    # the Generate.
+    return sh.select(
+        "doc", F.size("shingles").alias("set_size"),
+        F.explode_outer("shingles").alias("shingle"),
+    ).filter(F.col("shingle").isNotNull())
+
+
+def winnow_rows(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8, w: int = 4
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al., SIGMOD'03) as distinct
+    (doc, fp) rows — the scale path.
+
+    Each stage (lowered text -> char k-grams -> md5s -> window minima) is
+    its own projection so every array feeds the next lambda as a bound
+    attribute; the fused `winnow_fingerprints` expression re-hashes the
+    entire gram array once per window (quadratic md5s — >400 s for 5k docs
+    at sf0.1, vs ~1 s staged)."""
+    lowered = df.select(
+        F.col(id_col).alias("doc"), F.lower(F.col(text_col)).alias("t")
+    ).repartition(_par(df), "doc")
+    grams = lowered.select("doc", char_grams_lowered(F.col("t"), k).alias("grams"))
+    hashes = grams.select("doc", F.transform("grams", F.md5).alias("hs"))
+    wins = hashes.select("doc", window_min_hashes(F.col("hs"), w).alias("fps"))
+    # explode_outer + post-filter: see shingle_exploded for why plain
+    # explode would push the fused fingerprint tree into the scan.
+    return (
+        wins.select("doc", F.explode_outer("fps").alias("fp"))
+        .filter(F.col("fp").isNotNull())
+        .distinct()
     )
 
 
@@ -156,7 +202,7 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
-    buckets = sig.select("doc", F.explode(band_cols).alias("bb")).select(
+    buckets = sig.select("doc", F.explode_outer(band_cols).alias("bb")).select(
         "doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
     left = buckets.select(F.col("doc").alias("doc_a"), "band", "bucket")
@@ -232,7 +278,7 @@ def simhash_near_pairs(
         ]
     )
     exploded = sigs.select(
-        F.col("doc"), F.col("simhash"), F.explode(blocks).alias("bb")
+        F.col("doc"), F.col("simhash"), F.explode_outer(blocks).alias("bb")
     ).select("doc", "simhash", F.col("bb.blk").alias("blk"), F.col("bb.val").alias("val"))
     l = exploded.select(
         F.col("doc").alias("doc_a"), F.col("simhash").alias("sig_a"), "blk", "val"
