@@ -150,6 +150,31 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_dot_product(a.e, b.e)
+                   / (sqrt(list_dot_product(a.e, a.e))
+                      * sqrt(list_dot_product(b.e, b.e))), 4) AS sim
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.45
+    """,
+    tags=("llm", "dedup", "similarity"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: exact all-pairs cosine >= 0.45 over the
+    embeddings table (the semantic-dedup tier of the ladder; bucketed LSH
+    is the scale path, see sim_ann_lsh). Threshold 0.45 because the
+    synthetic embeddings have no planted near-dups (max pairwise cosine
+    ~0.51) — a higher cut would make the check vacuously empty."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_near_pairs(e, "vec_id", "embedding", threshold=0.45)
+
+
 @register("sim_ann_lsh", oracle=None, tags=("llm", "similarity"))
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 via random-hyperplane LSH buckets + 1-bit

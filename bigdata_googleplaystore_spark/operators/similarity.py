@@ -50,6 +50,33 @@ def cosine_topk(
     )
 
 
+def cosine_near_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (id_a < id_b) with
+    cosine >= threshold. Exact all-pairs baseline — O(N²/2) similarity
+    evaluations, JVM-side.
+
+    Scale path: replace the self-join with `hyperplane_signatures`
+    bucketing (join on bucket, verify candidates exactly, same shape as
+    dedup.minhash_lsh_pairs) once N² stops fitting; kept exact here so the
+    operator is oracle-checkable."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = F.broadcast(a).join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            F.round(cosine_similarity(F.col("va"), F.col("vb")), 4).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+
+
 def hyperplane_signatures(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -103,6 +103,31 @@ def write_csv(
     out.write.option("header", header).option("sep", sep).mode(mode).csv(path)
 
 
+# --- JSON (lines) ---------------------------------------------------------
+
+
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+    *,
+    multiline: bool = False,
+) -> DataFrame:
+    """JSON-lines scan. Pass an explicit schema at scale: inference scans
+    the whole input once before the real read. For JSON *columns* inside a
+    table (e.g. events.props), prefer `F.get_json_object`/`from_json` on
+    the string column — no extra source needed."""
+    reader = spark.read.option("multiLine", multiline)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_json(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
+    """JSON-lines sink (one object per row; splittable, schema-on-read)."""
+    df.write.mode(mode).json(path)
+
+
 # --- Parquet --------------------------------------------------------------
 
 

@@ -80,14 +80,61 @@ def sessionized(
     )
 
 
-def run_stream_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
+def user_running_totals_batch(
+    events: DataFrame, key_col: str = "user_id", value_col: str = "value"
+) -> DataFrame:
+    """Batch form of the stateful per-key totals: plain groupBy/agg."""
+    return events.groupBy(key_col).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum(value_col), 6).alias("total_value"),
+    )
+
+
+def user_running_totals_stream(
+    events: DataFrame, key_col: str = "user_id", value_col: str = "value"
+) -> DataFrame:
+    """Custom stateful streaming operator via `applyInPandasWithState`:
+    per-key running (count, sum) carried in the state store across
+    micro-batches, one updated row emitted per key per batch.
+
+    The Arrow-batched state function is the sanctioned pattern for
+    operators Structured Streaming lacks natively (custom counters,
+    sketches, ML feature state). State size is O(keys); pair with a
+    TTL-style timeout in deployments where the key space is unbounded.
+    After the stream drains, the latest row per key equals
+    `user_running_totals_batch` — asserted in tests/test_streaming.py."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = f"{key_col} long, n_events long, total_value double"
+    state_schema = "n long, total double"
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf[value_col].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {key_col: [key[0]], "n_events": [n], "total_value": [round(total, 6)]}
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame, name: str, output_mode: str = "complete"
+) -> DataFrame:
     """Drain a (file-bounded) stream into an in-memory table and return a
     batch DataFrame over it. Test/debug utility — real deployments write
     to kafka/parquet sinks with checkpointing."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .start()
     )
     q.processAllAvailable()

@@ -37,6 +37,37 @@ def test_stream_windowed_counts_match_batch(spark, sf_dir, event_stream_dir):
     assert _rows(streamed, cols) == _rows(batch, cols)
 
 
+def test_stateful_running_totals_match_batch(spark, sf_dir, event_stream_dir):
+    """applyInPandasWithState carries per-user (count, sum) state across
+    micro-batches (maxFilesPerTrigger=1 forces 4 batches); the final update
+    per user must equal the batch groupBy."""
+    from pyspark.sql import functions as F
+
+    batch = streaming.user_running_totals_batch(load_table(spark, sf_dir, "events"))
+    schema = spark.read.parquet(event_stream_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(event_stream_dir)
+    )
+    updates = streaming.run_stream_to_memory(
+        streaming.user_running_totals_stream(stream),
+        "running_totals",
+        output_mode="update",
+    )
+    # latest update per user = the row with the highest running count
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    final = (
+        updates.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "total_value")
+    )
+    cols = ["user_id", "n_events", "total_value"]
+    assert _rows(final, cols) == _rows(batch, cols)
+
+
 def test_stream_sessionized_matches_batch(spark, sf_dir, event_stream_dir):
     batch = streaming.sessionized(load_table(spark, sf_dir, "events"), "10 minutes")
     schema = spark.read.parquet(event_stream_dir).schema
