@@ -1,0 +1,54 @@
+"""Scale-posture tests: assert the *physical plan* properties that decide
+100 TB behavior — filters reach the scan, projections prune columns, small
+dims broadcast, self-join pipelines reuse exchanges — so regressions in
+plan shape fail CI, not a cluster run."""
+
+from __future__ import annotations
+
+from bigdata_googleplaystore_spark import plans
+from bigdata_googleplaystore_spark.catalog import QUERIES
+
+
+def test_q6_filters_and_projection_reach_scan(spark, sf_dir):
+    r = plans.analyze(QUERIES["q6_forecast_revenue"].fn(spark, sf_dir))
+    scan = r.scan_for("lineitem")
+    assert scan is not None
+    # predicate pushdown: the date/discount/quantity filters land on the scan
+    assert any("l_shipdate" in f for f in scan.pushed_filters)
+    assert any("l_discount" in f for f in scan.pushed_filters)
+    # column pruning: reads only the 4 columns the query touches
+    assert scan.reads_only("l_shipdate", "l_discount", "l_quantity", "l_extendedprice")
+
+
+def test_q5_broadcasts_small_dims(spark, sf_dir):
+    """region/nation/supplier are small: the multi-way join must broadcast
+    rather than shuffle the big fact table once per dim."""
+    r = plans.analyze(QUERIES["q5_region_supplier_volume"].fn(spark, sf_dir))
+    assert r.broadcast_joins >= 2
+    # no shuffle-requiring join at all: every join side is broadcastable
+    assert r.sort_merge_joins == 0
+
+
+def test_q1_scan_prunes_to_agg_columns(spark, sf_dir):
+    r = plans.analyze(QUERIES["q1_pricing_summary"].fn(spark, sf_dir))
+    scan = r.scan_for("lineitem")
+    assert scan is not None
+    assert "l_comment" not in scan.read_columns  # widest column stays unread
+    assert any("l_shipdate" in f for f in scan.pushed_filters)
+
+
+def test_jaccard_shuffle_count_is_bounded(spark, sf_dir):
+    """Shuffle discipline for the inverted-index self-join: both sides
+    derive from one identical exchange subtree (AQE dedups it at runtime;
+    ReusedExchange is only visible post-execution), so the static plan
+    carries at most 2 exchanges per side (doc, shingle) plus the pair
+    aggregation — a new exchange appearing here is a perf regression."""
+    r = plans.analyze(QUERIES["dedup_ngram_jaccard"].fn(spark, sf_dir))
+    assert r.exchanges <= 5
+
+
+def test_topk_is_single_pass(spark, sf_dir):
+    """orderBy+limit must plan as TakeOrderedAndProject (per-partition
+    top-k + merge), not a global sort."""
+    r = plans.analyze(QUERIES["orderby_desc_topk"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in r.text
