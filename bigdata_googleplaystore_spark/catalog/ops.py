@@ -774,3 +774,52 @@ def session_window_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "events")
     return sessionized(e, gap="10 minutes")
+
+
+# --------------------------------------------------------------------------
+# Approximate aggregation + SQL interface (SURVEY §2.7 extensions)
+# --------------------------------------------------------------------------
+
+
+@register("agg_approx_distinct", oracle=None, tags=("agg", "approx"))
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-count per returnflag next to the exact
+    count. Rows-only for the driver (DuckDB's approx sketch differs by
+    construction); tests/test_ops_extra.py asserts the documented <2.3%
+    relative error at rsd=0.023 against the exact value."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey", rsd=0.023).alias("approx_orders"),
+            F.count_distinct("l_orderkey").alias("exact_orders"),
+        )
+    )
+
+
+@register(
+    "sql_interface_revenue",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_price,
+           count(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("sql", "agg"),
+)
+def sql_interface_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SQL string surface (free via temp views +
+    spark.sql; the reference never calls spark.sql, SURVEY §2.7): the
+    same ANSI SQL text runs on Spark and the DuckDB oracle."""
+    from ..sources import register_views
+
+    register_views(spark, sf_dir, tables=("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+                 AS total_price,
+               count(*) AS n_orders
+        FROM orders GROUP BY o_orderpriority
+        """
+    )
