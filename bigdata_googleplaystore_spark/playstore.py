@@ -32,12 +32,6 @@ from pyspark.sql import functions as F
 
 CSV_DELIMITER = "§"  # C:11 csvWritingProperties
 
-_MONTHS = (
-    "January|February|March|April|May|June"
-    "|July|August|September|October|November|December"
-)
-
-
 def read_playstore_csv(spark: SparkSession, path: str) -> DataFrame:
     """Read a Play-Store-shaped CSV the way the reference does: header on,
     schema inferred (C:10, C:16-18). On the real file inference yields
@@ -149,14 +143,13 @@ def parse_price_eur(c: Column) -> Column:
 
 
 def parse_last_updated(c: Column) -> Column:
-    """C:150: to_date with 'MMMM d, yyyy'. Guarded by a full-month-name
-    regex so unparseable values (shifted rows put version strings here)
-    yield null under ANSI instead of raising, matching Spark 3.x
-    non-ANSI `to_date` semantics on this dataset."""
-    return F.when(
-        c.rlike(rf"^(?:{_MONTHS}) \d{{1,2}}, \d{{4}}$"),
-        F.to_date(c, "MMMM d, yyyy"),
-    ).otherwise(F.lit(None).cast("date"))
+    """C:150: to_date with 'MMMM d, yyyy', made total via `try_to_date` —
+    unparseable values (shifted rows put version strings here) and
+    calendar-invalid dates ('February 31') yield null under ANSI instead
+    of raising, matching Spark 3.x non-ANSI `to_date` on this dataset.
+    (A month-name regex guard is NOT sufficient: it passes strings whose
+    *day* is invalid, which still raise — caught by the hypothesis suite.)"""
+    return F.try_to_date(c, "MMMM d, yyyy")
 
 
 def group_by_app_and_standardize(play_store: DataFrame) -> DataFrame:
