@@ -20,6 +20,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import functions as F  # noqa: E402
+
 from bigdata_googleplaystore_spark.catalog import QUERIES  # noqa: E402
 from bigdata_googleplaystore_spark.session import get_spark  # noqa: E402
 from bigdata_googleplaystore_spark.sources import TESTDATA_TABLES, load_table  # noqa: E402
@@ -44,6 +46,32 @@ def main() -> None:
         n = QUERIES[name].fn(spark, SF_DIR).count()
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    # Reference-pipeline replication at the reference's own data scale —
+    # the direct comparable for BASELINE.md's measured numbers (CSV read +
+    # inference 2.32 s, Part 2 0.77 s, full replication ≈90 s on local[2]).
+    ref_csv = "/root/reference/src/main/resources/originals/googleplaystore.csv"
+    if os.path.exists(ref_csv):
+        import tempfile
+
+        from bigdata_googleplaystore_spark import playstore
+
+        with tempfile.TemporaryDirectory() as tmp:
+            t0 = time.perf_counter()
+            ps = playstore.read_playstore_csv(spark, ref_csv)
+            df3 = playstore.group_by_app_and_standardize(ps)
+            playstore.generate_best_apps_csv(spark, ps, f"{tmp}/best_apps.csv").count()
+            df1 = df3.select("App").withColumn("Average_Sentiment_Polarity", F.lit(0.0))
+            df4 = playstore.clean_google_play_store_data(spark, df1, df3, f"{tmp}/cleaned.gz")
+            playstore.get_google_play_store_metrics_by_genre(
+                spark, df4, f"{tmp}/metrics.gz"
+            ).count()
+            timings["playstore_parts_2_3_4_5"] = round(time.perf_counter() - t0, 3)
+            print(
+                f"# playstore_parts_2_3_4_5: {timings['playstore_parts_2_3_4_5']:.3f}s"
+                " (baseline ~90s)",
+                file=sys.stderr,
+            )
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
