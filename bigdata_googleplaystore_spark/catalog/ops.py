@@ -781,6 +781,48 @@ def session_window_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+@register(
+    "asof_join_last_click",
+    oracle="""
+    WITH errors AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+    clicks AS (SELECT user_id, ts, event_id AS click_id, value AS click_value
+               FROM events WHERE event_type = 'click')
+    SELECT e.event_id, e.user_id, c.click_id,
+           CAST(round(CAST(c.click_value AS DECIMAL(12,2)), 2) AS DOUBLE) AS click_value
+    FROM errors e
+    ASOF LEFT JOIN clicks c ON e.user_id = c.user_id AND e.ts >= c.ts
+    """,
+    tags=("join", "asof", "time"),
+)
+def asof_join_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): each error event picks up the most
+    recent click of the same user at or before it — point-in-time-correct
+    lookup, oracle'd against DuckDB's native ASOF JOIN. Union-marker +
+    window implementation: one shuffle per side, no pair blowup."""
+    from ..operators.asof import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    errors = e.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_id"),
+        F.col("value").alias("click_value"),
+    )
+    joined = asof_join(
+        errors, clicks, key="user_id", ts="ts",
+        right_value_cols=["click_id", "click_value"], tiebreak="event_id",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "click_id",
+        F.round(dec2(F.col("click_value")), 2).cast("double").alias("click_value"),
+    )
+
+
 @register("agg_approx_distinct", oracle=None, tags=("agg", "approx"))
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct-count per returnflag next to the exact

@@ -96,3 +96,80 @@ def decode_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("payload", BinaryType(), True),
+        StructField("out_w", LongType(), True),
+        StructField("out_h", LongType(), True),
+    ]
+)
+
+
+def resize_images(media: DataFrame, out_w: int = 64, out_h: int = 64) -> DataFrame:
+    """Resize stage: STUB transform (deterministic byte subsample standing
+    in for a real PIL/opencv resize — libs absent in this container); the
+    Spark plumbing (Arrow batches in, binary column out, stable typed
+    schema) is the real contract a production decoder drops into."""
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        target = out_w * out_h
+        for pdf in it:
+            payloads = []
+            for p in pdf["payload"]:
+                if p is None:
+                    payloads.append(None)
+                    continue
+                b = bytes(p)
+                stride = max(1, len(b) // target)
+                payloads.append(b[::stride][:target])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "out_w": out_w,
+                    "out_h": out_h,
+                }
+            )
+
+    return media.mapInPandas(batches, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", LongType(), False),
+        StructField("frame", BinaryType(), True),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Frame sampling for video payloads: one output row per sampled
+    frame (media_id, frame_idx, frame bytes). STUB frame extraction
+    (equal-size byte slices in place of ffmpeg keyframes); real contract:
+    a 1->N mapInPandas fan-out whose output count is data-dependent —
+    the shape a video pipeline needs (explode happens *inside* the Arrow
+    batch, never via a driver loop)."""
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            ids, idxs, frames = [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    continue
+                b = bytes(p)
+                step = max(1, len(b) // n_frames)
+                for i in range(min(n_frames, len(b))):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(b[i * step : (i + 1) * step])
+            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return media.mapInPandas(batches, FRAME_SCHEMA)

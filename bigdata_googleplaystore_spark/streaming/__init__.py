@@ -80,6 +80,28 @@ def sessionized(
     )
 
 
+def dedup_events(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    ts_col: str = "ts",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Exact dedup on `keys`, batch- and stream-compatible.
+
+    Batch (no watermark): plain dropDuplicates. Streaming: requires a
+    watermark and uses dropDuplicatesWithinWatermark, so per-key dedup
+    state is evicted once the key's event time falls behind the watermark —
+    bounded state, the only deploy-safe form of streaming dedup for an
+    unbounded key space (ingestion-time duplicate suppression for
+    at-least-once sources)."""
+    keys = keys or ["event_id"]
+    if watermark:
+        return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            keys
+        )
+    return events.dropDuplicates(keys)
+
+
 def user_running_totals_batch(
     events: DataFrame, key_col: str = "user_id", value_col: str = "value"
 ) -> DataFrame:

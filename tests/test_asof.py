@@ -1,0 +1,52 @@
+"""As-of join edge cases on a handcrafted frame (the catalog query covers
+the bulk semantics against DuckDB's native ASOF JOIN)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from bigdata_googleplaystore_spark.operators.asof import asof_join
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "k1", _ts("2024-01-01T10:00:00")),  # after r2 -> v=20
+            (2, "k1", _ts("2024-01-01T09:00:00")),  # equal to r1 ts -> inclusive
+            (3, "k1", _ts("2024-01-01T08:00:00")),  # before all -> null
+            (4, "k2", _ts("2024-01-01T12:00:00")),  # key with no right rows
+        ],
+        "event_id long, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("k1", _ts("2024-01-01T09:00:00"), 10),
+            ("k1", _ts("2024-01-01T09:30:00"), 20),
+        ],
+        "k string, ts timestamp, v long",
+    )
+    return left, right
+
+
+def test_asof_semantics(frames):
+    left, right = frames
+    out = {
+        r["event_id"]: r["v"]
+        for r in asof_join(
+            left, right, key="k", ts="ts", right_value_cols=["v"], tiebreak="event_id"
+        ).collect()
+    }
+    assert out == {1: 20, 2: 10, 3: None, 4: None}
+
+
+def test_asof_rejects_column_collision(frames):
+    left, right = frames
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, key="k", ts="ts", right_value_cols=["ts"])

@@ -40,3 +40,36 @@ def test_decode_raises_on_corrupt_payload(spark, sf_dir):
     )
     with pytest.raises(Exception, match="real decoder required"):
         multimodal.decode_features(media).collect()
+
+
+def test_resize_images_schema_and_determinism(spark, sf_dir):
+    from bigdata_googleplaystore_spark.operators import multimodal
+    from bigdata_googleplaystore_spark.sources import load_table
+
+    d = load_table(spark, sf_dir, "documents").limit(50)
+    media = multimodal.attach_binary_payload(d, "text", "doc_id")
+    out = multimodal.resize_images(media, out_w=8, out_h=8)
+    rows = out.collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert r["out_w"] == 8 and r["out_h"] == 8
+        assert r["payload"] is not None and len(r["payload"]) <= 64
+    # deterministic: second run byte-identical
+    again = {r["media_id"]: bytes(r["payload"]) for r in out.collect()}
+    assert all(bytes(r["payload"]) == again[r["media_id"]] for r in rows)
+
+
+def test_sample_frames_fanout(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from bigdata_googleplaystore_spark.operators import multimodal
+    from bigdata_googleplaystore_spark.sources import load_table
+
+    d = load_table(spark, sf_dir, "documents").limit(20)
+    media = multimodal.attach_binary_payload(d, "text", "doc_id")
+    frames = multimodal.sample_frames(media, n_frames=4)
+    per_media = frames.groupBy("media_id").agg(F.count("*").alias("n")).collect()
+    assert len(per_media) == 20
+    assert all(r["n"] == 4 for r in per_media)  # docs are >=4 bytes
+    idx = frames.select("frame_idx").distinct().collect()
+    assert sorted(r["frame_idx"] for r in idx) == [0, 1, 2, 3]

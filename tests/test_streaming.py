@@ -37,6 +37,30 @@ def test_stream_windowed_counts_match_batch(spark, sf_dir, event_stream_dir):
     assert _rows(streamed, cols) == _rows(batch, cols)
 
 
+def test_stream_dedup_within_watermark(spark, sf_dir, event_stream_dir):
+    """Streaming dedup drops re-delivered events: stream the events dir
+    TWICE (simulating at-least-once redelivery); with event_id dedup the
+    drained output matches the batch distinct row count."""
+    import shutil
+    import tempfile
+
+    src = tempfile.mkdtemp(prefix="dup_stream")
+    n = 0
+    import os
+
+    for f in os.listdir(event_stream_dir):
+        if f.endswith(".parquet"):
+            shutil.copy(f"{event_stream_dir}/{f}", f"{src}/a{n}.parquet")
+            shutil.copy(f"{event_stream_dir}/{f}", f"{src}/b{n}.parquet")
+            n += 1
+    schema = spark.read.parquet(event_stream_dir).schema
+    stream = streaming.read_event_stream(spark, src, schema)
+    deduped = streaming.dedup_events(stream, ["event_id"], watermark="365 days")
+    out = streaming.run_stream_to_memory(deduped, "dedup_events", output_mode="append")
+    batch_n = load_table(spark, sf_dir, "events").count()
+    assert out.count() == batch_n
+
+
 def test_stateful_running_totals_match_batch(spark, sf_dir, event_stream_dir):
     """applyInPandasWithState carries per-user (count, sum) state across
     micro-batches (maxFilesPerTrigger=1 forces 4 batches); the final update
