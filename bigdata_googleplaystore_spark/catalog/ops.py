@@ -823,6 +823,58 @@ def asof_join_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "interval_join_sessions",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    tagged AS (
+      SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM ordered
+    ),
+    sessions AS (
+      SELECT user_id, sid, min(ts) AS session_start, max(ts) AS last_event,
+             count(*) AS n_events
+      FROM tagged GROUP BY user_id, sid
+    )
+    SELECT e.event_id, e.user_id, s.session_start, s.n_events
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+    JOIN sessions s ON e.user_id = s.user_id
+                   AND e.ts >= s.session_start AND e.ts <= s.last_event
+    """,
+    tags=("join", "range", "time", "session"),
+)
+def interval_join_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join (operators/rangejoin.py): error events matched into
+    the user session [start, last_event] that contains them. Sessions come
+    from Spark's session_window; the oracle re-derives them independently
+    via SQL gaps-and-islands and joins with BETWEEN — two implementations,
+    one answer."""
+    from ..operators.rangejoin import interval_join
+    from ..streaming import sessionized
+
+    e = load_table(spark, sf_dir, "events")
+    sessions = sessionized(e, gap="10 minutes")
+    errors = e.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    return interval_join(
+        errors,
+        sessions,
+        point_col="ts",
+        start_col="session_start",
+        end_col="last_event",
+        equi_keys=["user_id"],
+    ).select("event_id", "user_id", "session_start", "n_events")
+
+
 @register("agg_approx_distinct", oracle=None, tags=("agg", "approx"))
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct-count per returnflag next to the exact
@@ -864,4 +916,71 @@ def sql_interface_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                count(*) AS n_orders
         FROM orders GROUP BY o_orderpriority
         """
+    )
+
+
+@register(
+    "cube_counts",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg", "cube"),
+)
+def cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 extension: cube — all 2^k grouping-set combinations in one
+    pass (Spark expands to a single shuffle over the union of grouping
+    sets, not k separate jobs)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"),
+        money_sum(dec2(F.col("o_totalprice"))).alias("total"),
+    )
+
+
+@register(
+    "nested_struct_map",
+    oracle="""
+    SELECT o_orderpriority AS prio,
+           count(*) AS n_orders,
+           CAST(round(min(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS min_price,
+           CAST(round(max(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS max_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("struct", "map", "nested"),
+)
+def nested_struct_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-type support (absent from the reference, SURVEY §1.3): pack
+    rows into structs and a map, aggregate over *extracted fields*, then
+    flatten back to scalars — proving struct/map construction, field
+    access, and map_from/element_at round-trip losslessly. Output is flat
+    so the oracle comparison stays engine-portable."""
+    o = load_table(spark, sf_dir, "orders")
+    nested = o.select(
+        F.struct(
+            F.col("o_orderkey").alias("key"),
+            F.struct(
+                F.col("o_totalprice").alias("price"),
+                F.col("o_orderpriority").alias("prio"),
+            ).alias("meta"),
+        ).alias("order_s"),
+        F.create_map(
+            F.lit("status"), F.col("o_orderstatus"),
+            F.lit("prio"), F.col("o_orderpriority"),
+        ).alias("tags"),
+    )
+    return (
+        nested.select(
+            F.element_at(F.col("tags"), "prio").alias("prio"),
+            F.col("order_s.meta.price").alias("price"),
+        )
+        .groupBy("prio")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.min(dec2(F.col("price"))), 2).cast("double").alias("min_price"),
+            F.round(F.max(dec2(F.col("price"))), 2).cast("double").alias("max_price"),
+        )
     )

@@ -1,0 +1,76 @@
+"""Interval (range) join — points matched into [start, end] intervals.
+
+Spark plans a bare `p BETWEEN start AND end` join as a nested-loop cross
+product (O(|points| x |intervals|)); this module provides the two
+scale-safe shapes:
+
+1. `interval_join(..., equi_keys=[...])`: when an equi key exists (the
+   common case — per-user sessions, per-device windows), join on the key
+   and filter the range predicate. Spark executes an equi-join with the
+   range as a post-condition: shuffle on the key, no cross product.
+2. `interval_join(..., equi_keys=None, bucket_width=w)`: pure range join
+   via bucket decomposition — each point maps to bucket(p/w); each
+   interval explodes to every bucket it overlaps; equi-join on bucket,
+   then the exact range filter. Cost O(|points| + |intervals| x
+   spanned_buckets + |true matches|): the standard distributed range-join
+   technique (same decomposition spatial engines use for 1-D). Choose
+   `bucket_width` ~ the typical interval length so intervals span O(1)
+   buckets.
+
+Oracle: ANSI `JOIN ... ON p >= start AND p <= end` (DuckDB executes it as
+its own IEJoin) — see catalog query `interval_join_sessions`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _bucket(c: Column, width: float) -> Column:
+    return F.floor(c.cast("double") / F.lit(float(width))).cast("long")
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    equi_keys: list[str] | None = None,
+    bucket_width: float | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """All (point, interval) pairs with start <= point <= end (inclusive
+    both ends), optionally also matching on `equi_keys`.
+
+    Column names must be disjoint apart from `equi_keys` (rename inputs).
+    Timestamps are supported: bucketing casts via unix seconds, so pass
+    `bucket_width` in seconds for timestamp domains."""
+    p_ts = F.col(point_col)
+    cond = (p_ts >= F.col(start_col)) & (p_ts <= F.col(end_col))
+
+    if equi_keys:
+        return points.join(intervals, equi_keys, how).filter(cond)
+
+    if bucket_width is None:
+        raise ValueError("pure range join requires bucket_width")
+
+    def _num(c: Column, df: DataFrame, name: str) -> Column:
+        # timestamps bucket via epoch seconds; numerics as-is
+        if str(df.schema[name].dataType).startswith("Timestamp"):
+            return F.unix_timestamp(c)
+        return c
+
+    p_num = _num(F.col(point_col), points, point_col)
+    s_num = _num(F.col(start_col), intervals, start_col)
+    e_num = _num(F.col(end_col), intervals, end_col)
+
+    pb = points.withColumn("_bucket", _bucket(p_num, bucket_width))
+    ib = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(_bucket(s_num, bucket_width), _bucket(e_num, bucket_width))
+        ),
+    )
+    return pb.join(ib, "_bucket", how).filter(cond).drop("_bucket")
