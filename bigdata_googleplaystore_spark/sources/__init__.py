@@ -77,6 +77,17 @@ def read_csv(
             ddl += f", `{corrupt_record_col}` STRING"
         reader = reader.schema(ddl)
     elif schema is not None:
+        if corrupt_record_col:
+            # the tracking column must exist in the read schema, or Spark
+            # silently drops the corrupt-row payload
+            if isinstance(schema, StructType):
+                from pyspark.sql.types import StringType, StructField
+
+                schema = StructType(
+                    [*schema.fields, StructField(corrupt_record_col, StringType())]
+                )
+            else:
+                schema = f"{schema}, `{corrupt_record_col}` STRING"
         reader = reader.schema(schema)
     elif infer_schema:
         reader = reader.option("inferSchema", True)

@@ -12,3 +12,25 @@ def test_approx_distinct_error_bound(spark, sf_dir_mid):
         rel_err = abs(r["approx_orders"] - r["exact_orders"]) / r["exact_orders"]
         # rsd=0.023 -> ~2.3% standard deviation; 4 sigma margin
         assert rel_err < 0.1, (r["l_returnflag"], rel_err)
+
+
+def test_corrupt_record_tracking(spark, tmp_path):
+    """§2.7: permissive CSV reads can surface unparseable rows in a
+    _corrupt_record column instead of silently nulling them (the
+    reference's implicit PERMISSIVE mode tracks nothing)."""
+    p = tmp_path / "dirty.csv"
+    p.write_text("a,b\n1,2\n3\n4,5,6\nx,7\n")
+    from bigdata_googleplaystore_spark.sources import read_csv
+
+    df = read_csv(
+        spark,
+        str(p),
+        schema="a INT, b INT",
+        corrupt_record_col="_corrupt_record",
+    )
+    rows = df.collect()
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    good = [r for r in rows if r["_corrupt_record"] is None]
+    # short row (3), long row (4,5,6) and type-bad row (x,7) are tracked
+    assert len(bad) == 3 and len(good) == 1
+    assert good[0]["a"] == 1 and good[0]["b"] == 2
