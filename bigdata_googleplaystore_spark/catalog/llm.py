@@ -347,3 +347,83 @@ def multimodal_bytes_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(bin_col).alias("n_bytes"),
         F.md5(bin_col).alias("content_md5"),
     )
+
+
+@register(
+    "text_bpe_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text,
+               '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]+'))
+             AS n_bpe_tokens,
+           len(string_split_regex(trim(lower(text)), '\s+')) AS n_ws_tokens
+    FROM documents
+    """,
+    tags=("llm", "text", "tokens"),
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting both ways the north star asks for: whitespace and a
+    BPE-ish pre-tokenizer regex (functions.text.BPE_TOKEN_PATTERN), counts
+    matching DuckDB's RE2 exactly."""
+    from ..functions.text import bpe_token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        bpe_token_count(t).alias("n_bpe_tokens"),
+        F.size(tokens(t)).alias("n_ws_tokens"),
+    )
+
+
+@register(
+    "text_repetition_ratio",
+    oracle=rf"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    b AS (
+      SELECT doc_id, toks,
+             CASE WHEN len(toks) >= 2
+                  THEN list_transform(range(1, len(toks)),
+                                      i -> toks[i] || ' ' || toks[i+1])
+                  ELSE [] END AS bigrams
+      FROM t
+    )
+    SELECT doc_id,
+           round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6)
+             AS distinct_token_ratio,
+           round(CAST(len(list_distinct(bigrams)) AS DOUBLE)
+                 / greatest(len(bigrams), 1), 6) AS distinct_bigram_ratio
+    FROM b
+    """,
+    tags=("llm", "text", "quality"),
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition signals (Gopher-style): distinct-token and
+    distinct-bigram ratios — low values flag boilerplate/spam. Staged
+    through a bound token attribute (the shingle-trap rule)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens(F.col("text")).alias("toks"))
+    n = F.size("toks")
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.col("toks"), i.cast("int")),
+                F.element_at(F.col("toks"), (i + 1).cast("int")),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    staged = toks.select("doc_id", "toks", bigrams.alias("bigrams"))
+    return staged.select(
+        "doc_id",
+        F.round(
+            F.size(F.array_distinct("toks")).cast("double") / F.size("toks"), 6
+        ).alias("distinct_token_ratio"),
+        F.round(
+            F.size(F.array_distinct("bigrams")).cast("double")
+            / F.greatest(F.size("bigrams"), F.lit(1)),
+            6,
+        ).alias("distinct_bigram_ratio"),
+    )

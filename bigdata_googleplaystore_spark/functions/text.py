@@ -35,6 +35,25 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
 
+# GPT-2-style pre-tokenizer shape, simplified to the RE2/Java-regex common
+# subset: common contractions, letter runs, digit runs, symbol runs. Both
+# Spark (Java regex) and DuckDB (RE2) use leftmost-first alternation here,
+# so counts agree exactly across engines.
+BPE_TOKEN_PATTERN = r"'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]+"
+
+
+def bpe_like_tokens(text: Column) -> Column:
+    """Subword-ish tokens via the BPE pre-tokenizer regex -> array<string>.
+    A deterministic stand-in for a real BPE vocab: the regex performs the
+    pre-tokenization split every BPE implementation starts from, which is
+    the part that matters for corpus token-count estimation."""
+    return F.regexp_extract_all(text, F.lit(BPE_TOKEN_PATTERN), F.lit(0))
+
+
+def bpe_token_count(text: Column) -> Column:
+    return F.size(bpe_like_tokens(text))
+
+
 def punct_count(text: Column) -> Column:
     """Count of non-alphanumeric, non-space characters (quality signal)."""
     stripped = F.regexp_replace(text, r"[^A-Za-z0-9\s]", "")
