@@ -427,3 +427,19 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("distinct_bigram_ratio"),
     )
+
+
+@register("sim_ann_ivf", oracle=None, tags=("llm", "similarity"))
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: deterministic k-means coarse quantizer (iterative Lloyd's
+    on DataFrames, only centroids touch the driver), queries probe their 6
+    nearest of 16 cells, exact rank within candidates. Rows-only (recall<1
+    by design); recall floor asserted in tests/test_llm.py."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        e.filter(F.col("vec_id") >= 10),
+        e.filter(F.col("vec_id") < 10),
+        k=5,
+        n_cells=16,
+        n_probe=6,
+    )

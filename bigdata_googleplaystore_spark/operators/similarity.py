@@ -114,6 +114,114 @@ def hyperplane_signatures(
     )
 
 
+def kmeans_centroids(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    iters: int = 3,
+) -> list[list[float]]:
+    """Deterministic Lloyd's k-means over a DataFrame of vectors, for the
+    IVF coarse quantizer.
+
+    Iterative-algorithm-on-DataFrames pattern: only the k centroids
+    (k x dim floats) ever touch the driver; each iteration's assign step
+    is a broadcast argmin over the corpus and the update step is a
+    posexplode -> groupBy(cluster, dim) -> avg (elementwise mean without
+    any vector UDAF). Seeding is the k lowest-id vectors — deterministic
+    across runs/partitionings by construction."""
+    seeds = (
+        df.orderBy(F.col(id_col)).limit(k).select(vec_col).collect()
+    )
+    centroids = [[float(x) for x in r[vec_col]] for r in seeds]
+
+    for _ in range(iters):
+        assigned = assign_to_centroids(df, centroids, id_col, vec_col)
+        new = (
+            assigned.select("cid", F.posexplode(F.col(vec_col)).alias("dim", "x"))
+            .groupBy("cid", "dim")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dims"))
+            .select("cid", F.transform("dims", lambda s: s["m"]).alias("centroid"))
+            .collect()
+        )
+        for r in new:  # clusters that lost all members keep their old centroid
+            centroids[r["cid"]] = [float(x) for x in r["centroid"]]
+    return centroids
+
+
+def assign_to_centroids(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Add `cid` = index of the nearest centroid (max cosine; ties -> the
+    lowest index via the (sim, -cid) max-struct trick). Centroids ride
+    along as an array-of-arrays literal — broadcast-by-expression, no join."""
+    cents = F.array(
+        *[F.array(*[F.lit(x) for x in c]).cast("array<double>") for c in centroids]
+    )
+    scored = F.transform(
+        cents,
+        lambda c, i: F.struct(
+            cosine_similarity(F.col(vec_col), c).alias("sim"),
+            (-i).cast("long").alias("neg_cid"),
+        ),
+    )
+    best = F.array_max(scored)
+    return df.withColumn("cid", (-best["neg_cid"]).cast("int"))
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    iters: int = 2,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: k-means cells over the corpus, each query
+    probes its `n_probe` nearest cells, exact cosine rank within the
+    probed candidates. The 100 TB shape: the corpus partitions by cell
+    (cluster-prunable at rest), and query cost is |probed cells| not |N|.
+    Recall < 1 by design — asserted against brute force in tests."""
+    centroids = kmeans_centroids(corpus, id_col, vec_col, k=n_cells, iters=iters)
+    c_assigned = assign_to_centroids(corpus, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"), "cid"
+    )
+    cents = F.array(
+        *[F.array(*[F.lit(x) for x in c]).cast("array<double>") for c in centroids]
+    )
+    scored = F.transform(
+        cents,
+        lambda c, i: F.struct(
+            cosine_similarity(F.col(vec_col), c).alias("sim"), i.alias("cid")
+        ),
+    )
+    probes = F.slice(F.reverse(F.array_sort(scored)), 1, n_probe)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(F.transform(probes, lambda s: s["cid"])).alias("cid"),
+    )
+    cands = F.broadcast(q).join(c_assigned, "cid")
+    sims = cands.select(
+        "query_id",
+        "cand_id",
+        F.round(cosine_similarity(F.col("qv"), F.col("cv")), 4).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cand_id"))
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "cand_id", "sim", "rn")
+    )
+
+
 def lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,

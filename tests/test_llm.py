@@ -4,6 +4,7 @@ guarantees are asserted here)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from bigdata_googleplaystore_spark.operators import dedup, similarity
@@ -65,3 +66,35 @@ def test_exact_dedup_is_lossless(spark, sf_dir):
     out = dedup.exact_dedup(d, ["lang", "source", "text"], "doc_id")
     assert out.agg(F.sum("n_copies")).collect()[0][0] == d.count()
     assert out.select("keep_id").distinct().count() == out.count()
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    """IVF with 6/16 probes on random 64-dim vectors (the no-cluster hard
+    case): decent recall of the exact top-5, and never a false similarity
+    value (candidates are ranked with the exact metric)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = e.filter(F.col("vec_id") >= 10)
+    queries = e.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["cand_id"]): r["sim"]
+        for r in similarity.cosine_topk(corpus, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["cand_id"]): r["sim"]
+        for r in similarity.ivf_topk(
+            corpus, queries, k=5, n_cells=16, n_probe=6
+        ).collect()
+    }
+    recall = len(set(exact) & set(approx)) / len(exact)
+    assert recall >= 0.4, f"IVF recall too low: {recall:.2f}"
+    for pair in set(exact) & set(approx):
+        assert exact[pair] == approx[pair]  # exact metric on candidates
+
+
+def test_kmeans_centroids_deterministic(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    c1 = similarity.kmeans_centroids(e, k=8, iters=2)
+    c2 = similarity.kmeans_centroids(e.repartition(13), k=8, iters=2)
+    assert len(c1) == 8
+    for a, b in zip(c1, c2):
+        assert a == pytest.approx(b, abs=1e-9)
