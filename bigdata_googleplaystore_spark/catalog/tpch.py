@@ -344,3 +344,150 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The `entry()` query: Q1 pricing summary (SURVEY.md §7.1 M1)."""
     return q1_pricing_summary(spark, sf_dir)
+
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    )
+    SELECT c_count, count(*) AS custdist
+    FROM per_cust GROUP BY c_count
+    """,
+    tags=("flagship", "join", "agg"),
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: orders-per-customer histogram. The left join keeps
+    customers with zero orders (count(o_orderkey) counts non-null only),
+    then a second, tiny aggregation on the count itself."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+    WITH avg_qty AS (
+      SELECT l_partkey AS ap, 0.5 * avg(l_quantity) AS half_avg
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))) / 7.0, 2) AS DOUBLE)
+             AS avg_yearly,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN avg_qty ON ap = l_partkey
+    WHERE p_brand = 'Brand#1' AND l_quantity < half_avg
+    """,
+    tags=("flagship", "join", "agg", "subquery"),
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average
+    quantity) decorrelated into an aggregate-then-join — the fact table is
+    read once for the averages and once for the probe, both shuffling on
+    partkey so AQE can co-locate them; the dim filter broadcasts."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    avg_qty = l.groupBy(F.col("l_partkey").alias("ap")).agg(
+        (F.lit(0.5) * F.avg("l_quantity")).alias("half_avg")
+    )
+    return (
+        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(avg_qty, F.col("ap") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(
+            (F.round(F.sum(dec2(F.col("l_extendedprice"))) / 7.0, 2))
+            .cast("double")
+            .alias("avg_yearly"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q19_disjunctive_predicates",
+    oracle="""
+    SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * CAST(1 - l_discount AS DECIMAL(4,2))), 2) AS DOUBLE)
+             AS revenue,
+           count(*) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 15 AND 35)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 25 AND 45)
+    """,
+    tags=("flagship", "join", "filter", "disjunction"),
+)
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs across both join sides. Catalyst
+    extracts the common single-side conjuncts (brand/size to the part
+    scan, quantity bounds to the lineitem scan) so the disjunction prunes
+    before the join instead of after."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+    qty, size, brand = F.col("l_quantity"), F.col("p_size"), F.col("p_brand")
+    cond = (
+        ((brand == "Brand#1") & size.between(1, 15) & qty.between(1, 21))
+        | ((brand == "Brand#2") & size.between(10, 30) & qty.between(15, 35))
+        | ((brand == "Brand#3") & size.between(20, 50) & qty.between(25, 45))
+    )
+    return j.filter(cond).agg(
+        money_sum(revenue_dec()).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+@register(
+    "q22_inactive_customers",
+    oracle="""
+    WITH positive AS (SELECT avg(c_acctbal) AS threshold
+                      FROM customer WHERE c_acctbal > 0.0)
+    SELECT substr(c_name, 10, 2) AS cgroup,
+           count(*) AS numcust,
+           CAST(round(sum(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS totacctbal
+    FROM customer, positive
+    WHERE c_acctbal > threshold
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+    GROUP BY cgroup
+    """,
+    tags=("flagship", "join", "anti", "agg", "subquery"),
+)
+def q22_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no
+    high-value order — a scalar aggregate (crossJoin-broadcast of one
+    row), an anti join replacing NOT EXISTS, and a substring group key.
+    (Adapted: every sf0.01 customer has orders, so plain NOT EXISTS would
+    be vacuously empty; the >300k predicate keeps the anti join
+    selective.)"""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 300000.0
+    )
+    threshold = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("threshold")
+    )
+    rich = c.crossJoin(F.broadcast(threshold)).filter(
+        F.col("c_acctbal") > F.col("threshold")
+    )
+    inactive = rich.join(o, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+    return (
+        inactive.groupBy(F.substring("c_name", 10, 2).alias("cgroup"))
+        .agg(
+            F.count("*").alias("numcust"),
+            money_sum(dec2(F.col("c_acctbal"))).alias("totacctbal"),
+        )
+    )

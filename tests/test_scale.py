@@ -80,3 +80,23 @@ def test_bucketed_join_runs_without_shuffle(spark, sf_dir, tmp_path):
     assert r.exchanges == 0, r.text
     # and it actually runs, producing every lineitem row
     assert joined.count() == l.count()
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """partitionBy at write time -> PartitionFilters at read time: a
+    filter on the partition column must prune directories in the scan,
+    not filter rows post-read."""
+    from bigdata_googleplaystore_spark.sources import write_parquet
+
+    e = load_table(spark, sf_dir, "events")
+    out = str(tmp_path / "events_by_type")
+    write_parquet(e, out, partition_by=["event_type"])
+    df = spark.read.parquet(out).filter(F.col("event_type") == "error")
+    r = plans.analyze(df)
+    assert "PartitionFilters" in r.text
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", r.text)
+    assert m and "event_type" in m.group(1), r.text
+    # row counts agree with the unpartitioned path
+    assert df.count() == e.filter(F.col("event_type") == "error").count()
