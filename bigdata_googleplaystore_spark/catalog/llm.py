@@ -443,3 +443,42 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_cells=16,
         n_probe=6,
     )
+
+
+@register(
+    "multimodal_frame_stats",
+    oracle="""
+    WITH m AS (SELECT doc_id AS media_id, encode(text) AS payload FROM documents),
+    frames AS (
+      SELECT media_id,
+             unnest(range(0, CASE WHEN octet_length(payload) < 4
+                                  THEN octet_length(payload) ELSE 4 END)) AS frame_idx,
+             octet_length(payload) // 4 AS step,
+             octet_length(payload) AS n
+      FROM m
+    )
+    SELECT media_id, count(*) AS n_frames,
+           sum(CASE WHEN frame_idx < 3 OR step = 0
+                    THEN (CASE WHEN step = 0 THEN 1 ELSE step END)
+                    ELSE (CASE WHEN n - 3*step < step THEN n - 3*step ELSE step END)
+               END) AS total_frame_bytes
+    FROM frames
+    GROUP BY media_id
+    """,
+    tags=("llm", "multimodal"),
+)
+def multimodal_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing end-to-end: documents -> binary payloads ->
+    mapInPandas 1-to-N frame fan-out -> per-media frame count and byte
+    totals. The oracle independently recomputes the deterministic slicing
+    arithmetic in SQL, so the Arrow-batch fan-out itself is value-checked,
+    not just row-counted."""
+    from ..operators import multimodal
+
+    d = load_table(spark, sf_dir, "documents")
+    media = multimodal.attach_binary_payload(d, "text", "doc_id")
+    frames = multimodal.sample_frames(media, n_frames=4)
+    return frames.groupBy("media_id").agg(
+        F.count("*").alias("n_frames"),
+        F.sum(F.length("frame")).alias("total_frame_bytes"),
+    )

@@ -17,7 +17,8 @@ rows = df.collect()
 print(f"entry(): {len(rows)} rows, schema={[f.name for f in df.schema.fields]}")
 assert len(rows) > 0
 
-SF = "/root/testdata/sf0.01"
+import os
+SF = os.environ.get("SIM_SF_DIR", "/root/testdata/sf0.01")
 con = duckdb.connect()
 for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
