@@ -984,3 +984,33 @@ def nested_struct_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max(dec2(F.col("price"))), 2).cast("double").alias("max_price"),
         )
     )
+
+
+@register(
+    "time_bounded_self_join",
+    oracle="""
+    SELECT e.user_id,
+           e.event_id AS error_id,
+           c.event_id AS click_id
+    FROM events e
+    JOIN events c
+      ON e.user_id = c.user_id
+     AND c.ts <= e.ts
+     AND c.ts >= e.ts - INTERVAL 15 MINUTE
+    WHERE e.event_type = 'error' AND c.event_type = 'click'
+    """,
+    tags=("join", "time", "streaming"),
+)
+def time_bounded_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the stream-stream join (streaming.
+    errors_with_recent_clicks): errors paired with same-user clicks in the
+    15 minutes before them. The identical function body runs as a
+    watermarked stream-stream join — asserted in tests/test_streaming.py."""
+    from ..streaming import errors_with_recent_clicks
+
+    e = load_table(spark, sf_dir, "events")
+    return errors_with_recent_clicks(
+        e.filter(F.col("event_type") == "error"),
+        e.filter(F.col("event_type") == "click"),
+        gap="15 minutes",
+    ).select("user_id", "error_id", "click_id")

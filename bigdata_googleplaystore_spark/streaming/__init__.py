@@ -80,6 +80,44 @@ def sessionized(
     )
 
 
+def errors_with_recent_clicks(
+    errors: DataFrame,
+    clicks: DataFrame,
+    gap: str = "15 minutes",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Stream-stream (or batch-batch) inner join: each error event paired
+    with every click by the same user in the `gap` window before it.
+
+    In streaming mode both sides need a watermark plus the time-range
+    join condition — that pair is what lets the engine expire buffered
+    state (a click older than error-watermark - gap can never match
+    again). Without the range bound a stream-stream join's state grows
+    forever. The identical function body works in batch (withWatermark is
+    a no-op there), and tests assert batch ≡ stream."""
+    e = errors.select(
+        "user_id",
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("error_ts"),
+    )
+    c = clicks.select(
+        F.col("user_id").alias("click_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    if watermark:
+        e = e.withWatermark("error_ts", watermark)
+        c = c.withWatermark("click_ts", watermark)
+    cond = (
+        (e["user_id"] == c["click_user"])
+        & (c["click_ts"] <= e["error_ts"])
+        & (c["click_ts"] >= e["error_ts"] - F.expr(f"INTERVAL {gap}"))
+    )
+    return e.join(c, cond).select(
+        "user_id", "error_id", "error_ts", "click_id", "click_ts"
+    )
+
+
 def dedup_events(
     events: DataFrame,
     keys: list[str] | None = None,

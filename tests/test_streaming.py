@@ -102,3 +102,29 @@ def test_stream_sessionized_matches_batch(spark, sf_dir, event_stream_dir):
     )
     cols = ["user_id", "session_start", "last_event", "n_events"]
     assert _rows(streamed, cols) == _rows(batch, cols)
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir, event_stream_dir):
+    """Stream-stream inner join with watermarks + time-range condition
+    produces exactly the batch join's rows once the bounded stream drains."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    batch = streaming.errors_with_recent_clicks(
+        ev.filter(F.col("event_type") == "error"),
+        ev.filter(F.col("event_type") == "click"),
+        gap="15 minutes",
+    )
+    schema = spark.read.parquet(event_stream_dir).schema
+    s1 = streaming.read_event_stream(spark, event_stream_dir, schema)
+    s2 = streaming.read_event_stream(spark, event_stream_dir, schema)
+    joined = streaming.errors_with_recent_clicks(
+        s1.filter(F.col("event_type") == "error"),
+        s2.filter(F.col("event_type") == "click"),
+        gap="15 minutes",
+        watermark="1 hour",
+    )
+    out = streaming.run_stream_to_memory(joined, "ss_join", output_mode="append")
+    cols = ["user_id", "error_id", "click_id"]
+    assert _rows(out, cols) == _rows(batch, cols)
+    assert out.count() > 0
