@@ -482,3 +482,39 @@ def multimodal_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_frames"),
         F.sum(F.length("frame")).alias("total_frame_bytes"),
     )
+
+
+@register(
+    "dedup_near_clusters",
+    oracle=f"""
+    WITH RECURSIVE sh AS ({_SHINGLES_SQL}),
+    ex AS (SELECT doc_id, len(shingles) AS set_size, unnest(shingles) AS shingle FROM sh),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b, a.set_size, b.set_size
+      HAVING round(CAST(count(*) AS DOUBLE)
+                   / (a.set_size + b.set_size - count(*)), 6) >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+             WHERE e.dst <> r.src
+    )
+    SELECT src AS doc, least(src, min(dst)) AS keep_id
+    FROM reach GROUP BY src
+    """,
+    tags=("llm", "dedup", "graph"),
+)
+def dedup_near_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete near-dup pipeline: jaccard pairs -> connected
+    components (iterative min-label propagation) -> per-doc cluster
+    keeper. Oracle computes components independently via a recursive-CTE
+    transitive closure — two different algorithms, same clusters."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.near_dup_clusters(d, "doc_id", "text", n=3, threshold=0.5)

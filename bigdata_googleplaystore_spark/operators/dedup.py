@@ -231,6 +231,74 @@ def minhash_lsh_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b", max_iters: int = 20
+) -> DataFrame:
+    """Connected components over a pair list -> (node, component) where
+    component = min node id in the component. The step near-dup pipelines
+    need after pair generation: pairs -> duplicate *clusters* -> one
+    keeper per cluster.
+
+    Iterative min-label propagation on DataFrames: each round every node
+    takes the min label among itself and its neighbors; converged when no
+    label changes (checked with a count aggregate, the only driver-side
+    value per round). Rounds = O(component diameter) — near-dup clusters
+    are shallow (pairs/triples), so this converges in 2-3 rounds; for
+    genuinely deep graphs swap in large-star/small-star. Each round is
+    one join + one groupBy on the label frame — shuffle-bounded, nothing
+    but the convergence flag leaves the executors."""
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+    )
+    labels = edges.select("src").distinct().select(
+        F.col("src").alias("node"), F.col("src").alias("label")
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+                (F.col("nbr_label") < F.col("label")).alias("_changed"),
+            )
+        )
+        new_labels = new_labels.cache()
+        changed = new_labels.filter(F.col("_changed")).count()
+        labels = new_labels.drop("_changed")
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component"))
+
+
+def near_dup_clusters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The full near-dup pipeline: shingle-Jaccard pairs -> connected
+    components -> (doc, cluster keeper). Keeper = min doc id per
+    component (deterministic); docs in no pair are their own keeper and
+    are omitted here (callers left-join and coalesce to self)."""
+    pairs = jaccard_pairs(df, id_col, text_col, n, threshold)
+    cc = connected_components(pairs)
+    return cc.select(
+        F.col("node").alias("doc"), F.col("component").alias("keep_id")
+    )
+
+
 def simhash64(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """64-bit SimHash per doc: sign-sum of per-shingle xxhash64 bits.
 

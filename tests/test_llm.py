@@ -98,3 +98,20 @@ def test_kmeans_centroids_deterministic(spark, sf_dir):
     assert len(c1) == 8
     for a, b in zip(c1, c2):
         assert a == pytest.approx(b, abs=1e-9)
+
+
+def test_connected_components_chain_and_islands(spark):
+    """A 6-node chain (diameter forces several propagation rounds), a
+    triangle, and an isolated pair must each collapse to their min id."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6),       # chain 1-6
+         (10, 11), (11, 12), (10, 12),                 # triangle
+         (20, 21)],                                    # pair
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
