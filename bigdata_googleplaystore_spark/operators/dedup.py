@@ -247,12 +247,19 @@ def connected_components(
     genuinely deep graphs swap in large-star/small-star. Each round is
     one join + one groupBy on the label frame — shuffle-bounded, nothing
     but the convergence flag leaves the executors."""
+    # localCheckpoint per round: truncates the iterative lineage (each
+    # round references the previous labels twice, so an uncheckpointed
+    # chain recomputes exponentially on block loss) and materializes the
+    # expensive pair-generation upstream exactly once. On a real cluster
+    # prefer reliable checkpoint() — localCheckpoint blocks die with
+    # their executor.
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(
             pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = edges.select("src").distinct().select(
         F.col("src").alias("node"), F.col("src").alias("label")
@@ -272,13 +279,17 @@ def connected_components(
                 ).alias("label"),
                 (F.col("nbr_label") < F.col("label")).alias("_changed"),
             )
+            .localCheckpoint(eager=True)
         )
-        new_labels = new_labels.cache()
         changed = new_labels.filter(F.col("_changed")).count()
         labels = new_labels.drop("_changed")
         if changed == 0:
-            break
-    return labels.select("node", F.col("label").alias("component"))
+            return labels.select("node", F.col("label").alias("component"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iters} rounds — a "
+        f"component's diameter exceeds max_iters; raise it or switch to a "
+        f"large-star/small-star contraction for deep graphs"
+    )
 
 
 def near_dup_clusters(
