@@ -63,6 +63,7 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT md5(trim(lower(text))) AS fingerprint,
            min(doc_id) AS keep_id, count(*) AS n_copies
     FROM documents
+    WHERE text IS NOT NULL
     GROUP BY fingerprint
     """,
     tags=("llm", "dedup"),

@@ -29,4 +29,12 @@ def l2_norm(v: Column) -> Column:
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """Cosine similarity, null on zero-norm inputs.
+
+    The naive ratio yields NaN for a zero vector, and Spark orders NaN
+    ABOVE every double — a single zero embedding would rank as the #1
+    neighbor of every query and pass any `sim >= t` filter (NaN >= t is
+    true in Spark SQL). Null instead: desc ordering puts nulls last and
+    threshold filters drop them."""
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom > 0.0, dot(a, b) / denom).otherwise(F.lit(None))

@@ -45,9 +45,18 @@ def asof_join(
     if overlap:
         raise ValueError(f"right value columns collide with left: {sorted(overlap)}")
 
+    # The right row's values travel as ONE struct, filled with a single
+    # last(ignorenulls). Filling each value column independently would mix
+    # columns from different right rows whenever a right value is
+    # legitimately null (the older row's value would bleed through),
+    # breaking the "columns of the single most recent right row" contract.
+    # The struct is non-null for every right row (even all-null values)
+    # and absent exactly on left rows, so ignorenulls skips only those.
     l = left.withColumn("_side", F.lit(1))
     r = right.select(
-        F.col(key), F.col(ts), *[F.col(c) for c in right_value_cols]
+        F.col(key),
+        F.col(ts),
+        F.struct(*[F.col(c) for c in right_value_cols]).alias("_rv"),
     ).withColumn("_side", F.lit(0))
     unioned = l.unionByName(r, allowMissingColumns=True)
 
@@ -60,17 +69,12 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(
-        "*",
-        *[
-            F.last(c, ignorenulls=True).over(w).alias(f"_asof_{c}")
-            for c in right_value_cols
-        ],
+        "*", F.last("_rv", ignorenulls=True).over(w).alias("_asof_rv")
     )
     return (
         filled.filter(F.col("_side") == 1)
-        .drop("_side", *right_value_cols)
         .select(
             *left.columns,
-            *[F.col(f"_asof_{c}").alias(c) for c in right_value_cols],
+            *[F.col(f"_asof_rv.{c}").alias(c) for c in right_value_cols],
         )
     )

@@ -42,10 +42,16 @@ def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFram
 
 def fingerprint_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Tier 2: md5 of normalized text as the dedup key. The shuffle moves
-    16-byte digests, not documents."""
+    16-byte digests, not documents.
+
+    Null-content rows are excluded: md5(null) is null and groupBy treats
+    nulls as equal, so without the filter every missing-text doc would be
+    reported as a "copy" of all the others and a keep-min pruner would
+    wrongly drop them. Absent content is not duplicate content."""
     fp = F.md5(F.encode(F.trim(F.lower(F.col(text_col))), "UTF-8")).alias("fingerprint")
     return (
-        df.select(F.col(id_col), fp)
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), fp)
         .groupBy("fingerprint")
         .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies"))
     )
@@ -113,6 +119,18 @@ def winnow_rows(
     )
 
 
+def _jaccard_threshold(inter: DataFrame, threshold: float) -> DataFrame:
+    """Shared tail of both near-dup tiers: (doc_a, doc_b, size_a, size_b,
+    n_common) -> rounded Jaccard filtered at threshold. One definition so
+    the LSH tier can never disagree with the exact tier on the formula."""
+    jac = F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common"))
+    return (
+        inter.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -143,21 +161,23 @@ def jaccard_pairs(
         .groupBy("doc_a", "doc_b", "size_a", "size_b")
         .agg(F.count("*").alias("n_common"))
     )
-    jac = F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common"))
-    return (
-        inter.withColumn("jaccard", F.round(jac, 6))
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    return _jaccard_threshold(inter, threshold)
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 64
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signature per doc: sig[i] = min over shingles of
     xxhash64(i, shingle). One shuffle (group-by doc); the 64 mins fold
-    map-side. Docs with no shingles are dropped (no signature defined)."""
-    s = shingle_exploded(df, id_col, text_col, n)
+    map-side. Docs with no shingles are dropped (no signature defined).
+    Pass `shingles` (a shingle_exploded frame) to share the shingling
+    pipeline with a verification stage."""
+    s = shingles if shingles is not None else shingle_exploded(df, id_col, text_col, n)
     mins = [
         F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
         for i in range(num_hashes)
@@ -188,8 +208,15 @@ def minhash_lsh_pairs(
     has no LSH false positives (false negatives remain possible, which is
     the documented LSH trade).
     """
+    if bands < 1 or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands must divide num_hashes (got {num_hashes=} {bands=}): "
+            "rows_per_band=0 would put every doc in one bucket (an O(N^2) "
+            "candidate blowup) and a remainder would silently drop hashes"
+        )
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    shingles = shingle_exploded(df, id_col, text_col, n)
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes, shingles=shingles)
     band_cols = F.array(
         *[
             F.struct(
@@ -213,22 +240,21 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    # verify candidates with exact Jaccard (joins only candidate pairs)
-    s = shingle_exploded(df, id_col, text_col, n)
-    a = s.select(F.col("doc").alias("doc_a"), F.col("set_size").alias("size_a"), "shingle")
-    b = s.select(F.col("doc").alias("doc_b"), F.col("set_size").alias("size_b"), "shingle")
+    # verify candidates with exact Jaccard (joins only candidate pairs);
+    # reuses the SAME shingle frame the signatures came from
+    a = shingles.select(
+        F.col("doc").alias("doc_a"), F.col("set_size").alias("size_a"), "shingle"
+    )
+    b = shingles.select(
+        F.col("doc").alias("doc_b"), F.col("set_size").alias("size_b"), "shingle"
+    )
     inter = (
         cands.join(a, "doc_a")
         .join(b, ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b", "size_a", "size_b")
         .agg(F.count("*").alias("n_common"))
     )
-    jac = F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common"))
-    return (
-        inter.withColumn("jaccard", F.round(jac, 6))
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    return _jaccard_threshold(inter, threshold)
 
 
 def connected_components(

@@ -51,8 +51,26 @@ def interval_join(
     cond = (p_ts >= F.col(start_col)) & (p_ts <= F.col(end_col))
 
     if equi_keys:
-        return points.join(intervals, equi_keys, how).filter(cond)
+        # The range predicate must live IN the join condition, not a
+        # post-join filter: under 'left'/outer hows a filter would see
+        # null start/end for unmatched points, evaluate to null, and drop
+        # exactly the rows the outer join was asked to preserve
+        # (degenerating to inner-join semantics).
+        ikeys = intervals
+        join_cond = cond
+        for k in equi_keys:
+            ikeys = ikeys.withColumnRenamed(k, f"_r_{k}")
+            join_cond = join_cond & (F.col(k) == F.col(f"_r_{k}"))
+        return points.join(ikeys, join_cond, how).drop(
+            *[f"_r_{k}" for k in equi_keys]
+        )
 
+    if how != "inner":
+        raise ValueError(
+            "bucket-decomposed range join supports how='inner' only "
+            "(outer variants need an unmatched-row add-back; use equi_keys "
+            "or compose with a left_anti join)"
+        )
     if bucket_width is None:
         raise ValueError("pure range join requires bucket_width")
 

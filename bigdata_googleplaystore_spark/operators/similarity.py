@@ -240,9 +240,20 @@ def lsh_ann_topk(
     qsig = hyperplane_signatures(queries, id_col, vec_col, n_planes, dim).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "bucket"
     )
-    # multiprobe: query probes its own bucket + every bucket at Hamming<=1
+    # multiprobe: the query's own bucket, every bucket at Hamming 1, and
+    # (multiprobe_bits >= 2) Hamming-2 pair flips. Flips are bounded to
+    # bits < n_planes — flipping a bit no signature has set would probe
+    # phantom buckets that can never match.
+    import itertools
+
+    flips = [1 << b for b in range(n_planes)]
+    if multiprobe_bits >= 2:
+        flips += [
+            (1 << i) | (1 << j)
+            for i, j in itertools.combinations(range(n_planes), 2)
+        ]
     probes = [F.col("bucket")] + [
-        F.col("bucket").bitwiseXOR(F.lit(1 << b)) for b in range(n_planes * multiprobe_bits)
+        F.col("bucket").bitwiseXOR(F.lit(m)) for m in flips
     ]
     qprobe = qsig.select(
         "query_id", "qv", F.explode(F.array(*probes)).alias("bucket")

@@ -39,7 +39,17 @@ def salted_join(
     Use when the small side is too big to broadcast but far smaller than
     the skewed side (the classic fact⨝mid-size-dim skew). `seed` only
     fixes the salt layout for reproducible benchmarks; results never
-    depend on it."""
+    depend on it.
+
+    Supported hows: inner / left (big side preserved). right/full would
+    emit the replicated small-side copies as spurious unmatched rows —
+    rejected rather than silently wrong."""
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left only, got {how!r}: the "
+            "replicated small side makes right/full joins emit one row "
+            "per salt copy"
+        )
     salted_big = big.withColumn(
         "_salt", F.floor(F.rand(seed) * n_salts).cast("int")
     )
@@ -73,8 +83,15 @@ def split_broadcast_join(
     `top_keys(big, key, threshold)` — a one-column frame of skewed keys,
     small by construction.
 
-    union(shuffle-join(tail), broadcast-join(hot)) ≡ join(big, other):
-    the two branches partition `big` disjointly on key membership."""
+    union(shuffle-join(tail), broadcast-join(hot)) ≡ join(big, other) for
+    inner/left hows: the two branches partition `big` disjointly on key
+    membership. right/full are rejected — hot-key `other` rows would
+    surface in both branches (null-padded in the tail branch, matched in
+    the hot branch)."""
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"split_broadcast_join supports inner/left only, got {how!r}"
+        )
     hot = F.broadcast(hot_keys.select(key))
     big_hot = big.join(hot, key, "left_semi")
     big_tail = big.join(hot, key, "left_anti")

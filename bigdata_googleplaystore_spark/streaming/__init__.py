@@ -165,7 +165,8 @@ def user_running_totals_stream(
     `user_running_totals_batch` — asserted in tests/test_streaming.py."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    out_schema = f"{key_col} long, n_events long, total_value double"
+    key_type = events.schema[key_col].dataType.simpleString()
+    out_schema = f"{key_col} {key_type}, n_events long, total_value double"
     state_schema = "n long, total double"
 
     def fn(key, pdfs, state):

@@ -50,3 +50,21 @@ def test_asof_rejects_column_collision(frames):
     left, right = frames
     with pytest.raises(ValueError, match="collide"):
         asof_join(left, right, key="k", ts="ts", right_value_cols=["ts"])
+
+
+def test_asof_null_right_value_not_resurrected(spark):
+    """A legitimately-null right value must come through as null, not be
+    back-filled from an older right row (per-column fill would bleed;
+    the struct fill must not)."""
+    left = spark.createDataFrame(
+        [(1, "k", _ts("2024-01-01T11:00:00"))], "event_id long, k string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("k", _ts("2024-01-01T09:00:00"), 1, 2),
+         ("k", _ts("2024-01-01T10:00:00"), 7, None)],
+        "k string, ts timestamp, a long, b long",
+    )
+    [row] = asof_join(
+        left, right, key="k", ts="ts", right_value_cols=["a", "b"]
+    ).collect()
+    assert row["a"] == 7 and row["b"] is None
