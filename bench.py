@@ -55,6 +55,10 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
+    # The headline metric sums ONLY the sf-scaled testdata queries, so the
+    # number is comparable across rounds and environments.
+    headline_total = round(sum(timings.values()), 3)
+
     # Reference-pipeline replication at the reference's own data scale —
     # the direct comparable for BASELINE.md's measured numbers (CSV read +
     # inference 2.32 s, Part 2 0.77 s, full replication ≈90 s on local[2]).
@@ -90,7 +94,7 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "headline_queries_total_wall_clock",
-                "value": round(sum(timings.values()), 3),
+                "value": headline_total,
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,

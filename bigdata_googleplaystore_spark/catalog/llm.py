@@ -18,7 +18,6 @@ from pyspark.sql import functions as F
 from ..functions.text import (
     LANG_MARKERS,
     STOPWORDS_EN,
-    lang_scores,
     punct_count,
     stopword_count,
     tokens,

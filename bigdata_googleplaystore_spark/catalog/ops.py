@@ -124,7 +124,9 @@ def regexp_extract_number(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select(
         "p_partkey",
         "p_brand",
-        F.regexp_extract(F.col("p_brand"), r"#(\d+)", 1).cast("long").alias("brand_num"),
+        F.regexp_extract(F.col("p_brand"), r"#(\d+)", 1)
+        .try_cast("long")  # ANSI-safe: unmatched pattern -> '' -> null, not CAST_INVALID_INPUT
+        .alias("brand_num"),
     )
 
 
@@ -597,7 +599,9 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier").select(
         F.col("s_nationkey").alias("nationkey")
     )
-    return n.exceptAll(s).distinct()
+    # subtract() IS SQL EXCEPT (distinct); exceptAll().distinct() differs
+    # when the left side holds duplicates of a right-side row
+    return n.subtract(s)
 
 
 # --------------------------------------------------------------------------

@@ -63,6 +63,11 @@ def asof_join(
     order = [F.col(ts).asc(), F.col("_side").asc()]
     if tiebreak is not None:
         order.append(F.col(tiebreak).asc_nulls_first())
+    # final key: the right-value struct itself, so two right rows with an
+    # identical (key, ts) — where `tiebreak`, a left-side column, is null
+    # for both — still have a deterministic winner (the max struct)
+    # instead of a partitioning-dependent one
+    order.append(F.col("_rv").asc_nulls_first())
     w = (
         Window.partitionBy(key)
         .orderBy(*order)

@@ -65,7 +65,12 @@ class PlanReport:
     def exchanges(self) -> int:
         """Shuffle exchanges (excludes broadcast exchanges and reuses):
         the number that matters for 100 TB wall-clock."""
-        return len(re.findall(r"Exchange (?:hash|range|SinglePartition|rangepartitioning|hashpartitioning)", self.text))
+        return len(
+            re.findall(
+                r"Exchange (?:hash|range|SinglePartition|RoundRobin|rebalance)",
+                self.text,
+            )
+        )
 
     @property
     def reused_exchanges(self) -> int:
@@ -80,9 +85,6 @@ class PlanReport:
             if table_substr in s.location:
                 return s
         return None
-
-
-_SCAN_RE = re.compile(r"Scan (\w+) ?([^\n]*)")
 
 
 def analyze(df: DataFrame) -> PlanReport:

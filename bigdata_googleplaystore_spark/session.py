@@ -74,8 +74,16 @@ def get_spark(
     builder = SparkSession.builder.appName(app_name)
     if master is not None:
         builder = builder.master(master)
-    elif "SPARK_MASTER" not in os.environ:
-        builder = builder.master(f"local[{default_parallelism()}]")
+    else:
+        # Respect an externally-configured master (spark-submit --master
+        # lands in spark.master via system properties, visible through a
+        # fresh SparkConf). Only default to local[N] when nothing chose a
+        # master — unconditionally forcing local would silently turn a
+        # cluster submit into a single-node run.
+        from pyspark import SparkConf
+
+        if not SparkConf().contains("spark.master") and "SPARK_MASTER" not in os.environ:
+            builder = builder.master(f"local[{default_parallelism()}]")
 
     conf = dict(_BASE_CONF)
     # Initial shuffle partition count: AQE coalesces down from here, so err

@@ -71,7 +71,9 @@ def read_csv(
         if isinstance(schema, StructType):
             names = [f.name for f in schema.fields]
         else:
-            names = [part.strip().split()[0].strip("`") for part in str(schema).split(",")]
+            # parse DDL properly — naive comma-splitting invents phantom
+            # columns for types with commas (DECIMAL(10,2), STRUCT<...>)
+            names = [f.name for f in StructType.fromDDL(str(schema)).fields]
         ddl = ", ".join(f"`{n}` STRING" for n in names)
         if corrupt_record_col:
             ddl += f", `{corrupt_record_col}` STRING"
@@ -189,8 +191,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     truncation), so downstream operators see a normal timestamp column.
     """
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        # Scope the legacy-nanos conf to this read: leaking it
+        # session-wide would make OTHER parquet reads silently accept
+        # TIMESTAMP(NANOS) columns as raw longs without this fixup.
+        key = "spark.sql.legacy.parquet.nanosAsLong"
+        prev = spark.conf.get(key, None)
+        spark.conf.set(key, "true")
+        try:
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+            df.schema  # force analysis while the conf is active
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
         from pyspark.sql import functions as F
         from pyspark.sql.types import LongType
 
