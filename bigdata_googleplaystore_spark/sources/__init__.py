@@ -184,12 +184,19 @@ def write_parquet(
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver testdata table (TESTDATA.md).
 
+    Pins the session timezone to UTC: every catalog query flows through
+    here, and window/date-part/collected-timestamp results are
+    session-TZ-dependent — a non-UTC driver session would shift them
+    against the timezone-naive DuckDB oracles (engine sessions already
+    default to UTC; this covers externally-built sessions).
+
     `events.parquet` stores ts as parquet TIMESTAMP(NANOS), which Spark 4
     rejects ([PARQUET_TYPE_ILLEGAL]) unless the legacy nanosAsLong read is
-    enabled; we enable it per-session and truncate nanos -> microsecond
+    enabled; we enable it per-read and truncate nanos -> microsecond
     TimestampType JVM-side (integer `div`, matching DuckDB's ns->us
     truncation), so downstream operators see a normal timestamp column.
     """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # Scope the legacy-nanos conf to this read: leaking it
         # session-wide would make OTHER parquet reads silently accept
