@@ -178,6 +178,33 @@ def write_parquet(
     writer.parquet(path)
 
 
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ~target-sized files and return the output file count.
+
+    Streaming sinks and fine-grained partition writes accumulate small
+    files, and at 100 TB the scan's task count (and NameNode/liststore
+    pressure) follows the file count, not the byte count. Sizing uses the
+    on-disk byte sum (cheap file-status scan, no data read) and
+    `repartition` (round-robin) for even output sizes. Compact into a NEW
+    directory and swap — rewriting in place would race readers."""
+    from pathlib import Path
+
+    n_bytes = sum(
+        f.stat().st_size for f in Path(path).rglob("*.parquet") if f.is_file()
+    )
+    n_files = max(1, -(-n_bytes // target_file_bytes))  # ceil
+    spark.read.parquet(path).repartition(n_files).write.mode("overwrite").parquet(
+        out_path
+    )
+    return n_files
+
+
 # --- testdata loaders -----------------------------------------------------
 
 

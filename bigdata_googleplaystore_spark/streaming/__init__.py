@@ -186,6 +186,36 @@ def user_running_totals_stream(
     )
 
 
+def run_stream_foreach_batch_parquet(
+    stream_df: DataFrame, out_dir: str, checkpoint_dir: str
+) -> None:
+    """Exactly-once-per-batch parquet sink via foreachBatch: each
+    micro-batch overwrites its own `_batch_id=<id>` partition, so a batch
+    replayed after a failure rewrites the same directory instead of
+    appending duplicates (idempotent writes + checkpointed offsets =
+    end-to-end exactly-once for deterministic transformations). The
+    pattern generalizes to JDBC upserts / MERGE sinks — foreachBatch is
+    the extension point Structured Streaming gives you for any sink with
+    transactional or idempotent semantics."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out_dir)
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+
 def run_stream_to_memory(
     stream_df: DataFrame, name: str, output_mode: str = "complete"
 ) -> DataFrame:

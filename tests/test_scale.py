@@ -100,3 +100,20 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     assert m and "event_type" in m.group(1), r.text
     # row counts agree with the unpartitioned path
     assert df.count() == e.filter(F.col("event_type") == "error").count()
+
+
+def test_compact_parquet_reduces_file_count(spark, sf_dir, tmp_path):
+    from bigdata_googleplaystore_spark.sources import compact_parquet
+
+    src = str(tmp_path / "fragmented")
+    load_table(spark, sf_dir, "lineitem").repartition(37).write.parquet(src)
+    out = str(tmp_path / "compacted")
+    n = compact_parquet(spark, src, out, target_file_bytes=8 * 1024 * 1024)
+    import glob
+
+    files = glob.glob(f"{out}/*.parquet")
+    assert len(files) == n <= 3
+    assert (
+        spark.read.parquet(out).count()
+        == load_table(spark, sf_dir, "lineitem").count()
+    )

@@ -128,3 +128,28 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, event_stream_dir):
     cols = ["user_id", "error_id", "click_id"]
     assert _rows(out, cols) == _rows(batch, cols)
     assert out.count() > 0
+
+
+def test_foreach_batch_parquet_exactly_once_shape(spark, sf_dir, event_stream_dir, tmp_path):
+    """foreachBatch sink: batches land in _batch_id partitions, total rows
+    equal the source, and re-running the same checkpointed stream adds
+    nothing (offsets already committed)."""
+    schema = spark.read.parquet(event_stream_dir).schema
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(event_stream_dir)
+        )
+        streaming.run_stream_foreach_batch_parquet(stream, out, ckpt)
+
+    run()
+    total = load_table(spark, sf_dir, "events").count()
+    sunk = spark.read.parquet(out)
+    assert sunk.count() == total
+    assert sunk.select("_batch_id").distinct().count() >= 2  # multi-batch
+    run()  # replay with same checkpoint: no new data, no duplicates
+    assert spark.read.parquet(out).count() == total
