@@ -650,3 +650,57 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )
+
+
+@register(
+    "q9_product_profit",
+    oracle=f"""
+    SELECT nation, o_year,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * CAST(1 - l_discount AS DECIMAL(4,2))
+                          - CAST(p_retailprice AS DECIMAL(12,2))
+                            * CAST(0.06 AS DECIMAL(3,2))
+                            * CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE)
+             AS sum_profit
+    FROM (
+      SELECT n_name AS nation, year(o_orderdate) AS o_year,
+             l_extendedprice, l_discount, p_retailprice, l_quantity
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE contains(p_name, 'red')
+    ) profit
+    GROUP BY nation, o_year
+    """,
+    tags=("flagship", "join", "agg"),
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: product profit by supplier nation and order year.
+    (Adapted: no partsupp table and no 'green' parts in testdata — filter is
+    'red' parts, and supply cost = 6% of the part's
+    retail price per unit.) Five-table join — part/supplier/nation
+    broadcast, the orders⨝lineitem chain shuffles once on orderkey."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    profit = (
+        dec2(F.col("l_extendedprice")) * dec2(F.lit(1) - F.col("l_discount"), 4)
+        - dec2(F.col("p_retailprice"))
+        * F.lit(0.06).cast("decimal(3,2)")
+        * dec2(F.col("l_quantity"))
+    )
+    return (
+        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(money_sum(profit).alias("sum_profit"))
+    )
