@@ -704,3 +704,27 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(money_sum(profit).alias("sum_profit"))
     )
+
+
+@register(
+    "q16_supplier_variety",
+    oracle="""
+    SELECT p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+    GROUP BY p_type, p_size
+    """,
+    tags=("flagship", "join", "agg", "distinct"),
+)
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier variety per part type/size
+    (adapted: lineitem is the part-supplier bridge — no partsupp table).
+    count_distinct plans as a two-phase expand/aggregate; the part dim
+    broadcast-prunes before the fact scan aggregates."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#1")
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )

@@ -68,3 +68,42 @@ def test_asof_null_right_value_not_resurrected(spark):
         left, right, key="k", ts="ts", right_value_cols=["a", "b"]
     ).collect()
     assert row["a"] == 7 and row["b"] is None
+
+
+def test_asof_matches_bruteforce_on_random_frames(spark):
+    """Property: on random (key, ts) data with duplicate timestamps and
+    sparse keys, asof_join equals the brute-force definition (max right
+    ts <= left ts per key, deterministic max-struct winner on ties)."""
+    import random
+
+    rng = random.Random(23)
+    keys = ["a", "b", "c", "d"]
+    left_rows = [
+        (i, rng.choice(keys), _ts(f"2024-01-01T{rng.randrange(24):02d}:00:00"))
+        for i in range(60)
+    ]
+    right_rows = [
+        (rng.choice(keys + ["zz"]),
+         _ts(f"2024-01-01T{rng.randrange(24):02d}:00:00"),
+         rng.randrange(5), 100 + j)
+        for j in range(40)
+    ]
+    left = spark.createDataFrame(left_rows, "event_id long, k string, ts timestamp")
+    right = spark.createDataFrame(right_rows, "k string, ts timestamp, v long, rid long")
+
+    got = {
+        r["event_id"]: (r["v"], r["rid"])
+        for r in asof_join(
+            left, right, key="k", ts="ts", right_value_cols=["v", "rid"]
+        ).collect()
+    }
+
+    for eid, k, lts in left_rows:
+        cands = [rr for rr in right_rows if rr[0] == k and rr[1] <= lts]
+        if not cands:
+            assert got[eid] == (None, None), (eid, got[eid])
+            continue
+        best_ts = max(rr[1] for rr in cands)
+        # winner among equal-ts rows: the max (v, rid) struct
+        winner = max((rr[2], rr[3]) for rr in cands if rr[1] == best_ts)
+        assert got[eid] == winner, (eid, got[eid], winner)
