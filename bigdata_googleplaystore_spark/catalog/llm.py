@@ -518,3 +518,60 @@ def dedup_near_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     transitive closure — two different algorithms, same clusters."""
     d = load_table(spark, sf_dir, "documents")
     return dedup.near_dup_clusters(d, "doc_id", "text", n=3, threshold=0.5)
+
+
+_U_SQL = "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT::DOUBLE / 4294967296.0)"
+
+
+@register(
+    "split_train_test",
+    oracle=f"""
+    WITH u AS (SELECT doc_id, {_U_SQL} AS u FROM documents)
+    SELECT CASE WHEN u < 0.8 THEN 'train'
+                WHEN u < 0.9 THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs, min(doc_id) AS min_id, max(doc_id) AS max_id
+    FROM u GROUP BY split
+    """,
+    tags=("llm", "sampling", "split"),
+)
+def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by md5-hash of doc_id
+    (operators/sampling.py): assignment is a pure function of the row —
+    stable across runs, partitionings, and engines (oracle reproduces the
+    identical split from the same md5 prefix)."""
+    from ..operators.sampling import hash_split
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        hash_split(d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+    )
+
+
+@register(
+    "sample_quota_per_source",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY {_U_SQL} ASC, doc_id ASC) AS rn
+      FROM documents
+    )
+    SELECT doc_id, source FROM ranked WHERE rn <= 20
+    """,
+    tags=("llm", "sampling", "quota"),
+)
+def sample_quota_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota cap: at most 20 docs per source, hash-ordered so
+    the kept subset is stable ('random' but reproducible) — the corpus
+    mixing primitive that stops one crawl from dominating."""
+    from ..operators.sampling import quota_per_group
+
+    d = load_table(spark, sf_dir, "documents")
+    return quota_per_group(d, "source", "doc_id", n=20).select("doc_id", "source")

@@ -115,3 +115,40 @@ def test_connected_components_chain_and_islands(spark):
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1,
                    10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_hash_split_deterministic_and_partition_invariant(spark, sf_dir):
+    from bigdata_googleplaystore_spark.operators.sampling import hash_split
+
+    d = load_table(spark, sf_dir, "documents")
+    f = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r["doc_id"]: r["split"] for r in hash_split(d, "doc_id", f).collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(d.repartition(13), "doc_id", f).collect()
+    }
+    assert a == b  # pure function of the row
+    n = len(a)
+    train_frac = sum(1 for v in a.values() if v == "train") / n
+    assert 0.7 < train_frac < 0.9  # roughly the asked fraction
+    with pytest.raises(ValueError, match="sum to 1"):
+        hash_split(d, "doc_id", {"train": 0.5})
+
+
+def test_quota_per_group_stable_subset(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from bigdata_googleplaystore_spark.operators.sampling import quota_per_group
+
+    d = load_table(spark, sf_dir, "documents")
+    q1 = {r["doc_id"] for r in quota_per_group(d, "source", "doc_id", 5).collect()}
+    q2 = {
+        r["doc_id"]
+        for r in quota_per_group(d.repartition(7), "source", "doc_id", 5).collect()
+    }
+    assert q1 == q2  # same kept subset regardless of partitioning
+    per = (
+        quota_per_group(d, "source", "doc_id", 5)
+        .groupBy("source").agg(F.count("*").alias("n")).collect()
+    )
+    assert all(r["n"] <= 5 for r in per)
