@@ -12,7 +12,7 @@ Oracle notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import (
@@ -575,3 +575,88 @@ def sample_quota_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return quota_per_group(d, "source", "doc_id", n=20).select("doc_id", "source")
+
+
+@register(
+    "text_scrub_patterns",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               'https?://[^\s]+', '<URL>', 'g'),
+             '\b\d{3}[- ]\d{3,4}[- ]\d{4}\b', '<PHONE>', 'g') AS scrubbed,
+           length(text)
+             - length(regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '', 'g'))
+             AS email_chars_removed
+    FROM documents
+    """,
+    tags=("llm", "text", "scrub"),
+)
+def text_scrub_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style pattern scrubbing (emails, URLs, phone shapes ->
+    placeholder tokens) as chained JVM regexp_replace — the pre-training
+    redaction pass, kept to the RE2/Java common regex subset so the
+    oracle rewrites identically."""
+    d = load_table(spark, sf_dir, "documents")
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    url = r"https?://[^\s]+"
+    phone = r"\b\d{3}[- ]\d{3,4}[- ]\d{4}\b"
+    t = F.col("text")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.regexp_replace(t, email, "<EMAIL>"), url, "<URL>"),
+        phone,
+        "<PHONE>",
+    )
+    return d.select(
+        "doc_id",
+        scrubbed.alias("scrubbed"),
+        (F.length(t) - F.length(F.regexp_replace(t, email, ""))).alias(
+            "email_chars_removed"
+        ),
+    )
+
+
+@register(
+    "pack_sequences",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, source, len({_TOKS_SQL}) AS n_tokens FROM documents
+    ),
+    packed AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) - n_tokens)
+                   / 512) AS BIGINT) AS chunk_id
+      FROM toks
+    )
+    SELECT source, chunk_id, count(*) AS n_docs, sum(n_tokens) AS chunk_tokens
+    FROM packed GROUP BY source, chunk_id
+    """,
+    tags=("llm", "tokens", "packing"),
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing: per source (stable doc_id order), docs are
+    assigned to ~512-token training chunks by the running token count
+    before each doc — the deterministic document->context-window packing
+    step of a pretraining pipeline, as one window + one aggregate."""
+    from ..functions.text import tokens as _tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", F.size(_tokens(F.col("text"))).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = toks.withColumn(
+        "chunk_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 512).cast("long"),
+    )
+    return packed.groupBy("source", "chunk_id").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tokens").alias("chunk_tokens")
+    )
