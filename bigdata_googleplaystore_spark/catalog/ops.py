@@ -1107,3 +1107,62 @@ def percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("l_extendedprice", F.lit(0.9)), 6).alias("p90_price"),
         F.round(F.percentile("l_discount", F.lit(0.99)), 6).alias("p99_disc"),
     )
+
+
+@register(
+    "window_range_frame_sum",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+                  OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                        RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+             AS nearby_total
+    FROM orders
+    """,
+    tags=("window", "frame"),
+)
+def window_range_frame_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based, not row-based): per customer, the sum of
+    order totals within $1000 below the current order's price — peers and
+    near-peers aggregate together regardless of row count, which a ROWS
+    frame cannot express."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_totalprice"))
+        .rangeBetween(-1000, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.round(F.sum(dec2(F.col("o_totalprice"))).over(w), 2)
+        .cast("double")
+        .alias("nearby_total"),
+    )
+
+
+@register(
+    "window_ntile_percent_rank",
+    oracle="""
+    SELECT o_orderkey,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cum_dist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+    tags=("window", "rank"),
+)
+def window_ntile_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: quartile bucketing, percent_rank,
+    cume_dist per priority class — (price, orderkey) is a total order so
+    every rank value is deterministic."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+    )

@@ -728,3 +728,48 @@ def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
+
+
+@register(
+    "q20_excess_stock_suppliers",
+    oracle="""
+    WITH red_parts AS (SELECT p_partkey FROM part WHERE contains(p_name, 'red')),
+    heavy AS (
+      SELECT l_suppkey
+      FROM lineitem JOIN red_parts ON p_partkey = l_partkey
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l_suppkey, l_partkey
+      HAVING sum(l_quantity) > 50
+    )
+    SELECT DISTINCT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (SELECT l_suppkey FROM heavy)
+    ORDER BY s_suppkey
+    """,
+    tags=("flagship", "join", "semi", "having"),
+)
+def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who moved >50 units of some 'red' part
+    in 1997 (adapted: availability comes from shipped quantities — no
+    partsupp). IN-subquery becomes semi join onto a group-having
+    pre-aggregation; the part filter broadcasts into the fact scan."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    heavy = (
+        l.join(F.broadcast(p.select("p_partkey")),
+               F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 50)
+        .select("l_suppkey")
+    )
+    return (
+        s.join(heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .distinct()
+    )
