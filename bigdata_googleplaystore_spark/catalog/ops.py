@@ -1166,3 +1166,34 @@ def window_ntile_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
     )
+
+
+@register(
+    "array_set_functions",
+    oracle="""
+    WITH t AS (
+      SELECT p_partkey,
+             string_split(p_name, ' ') AS words,
+             string_split(lower(p_type), ' ') AS type_words
+      FROM part
+    )
+    SELECT p_partkey,
+           list_sort(list_distinct(words || type_words)) AS all_words,
+           list_sort(array_intersect(words, type_words)) AS shared_words,
+           len(list_filter(words, w -> len(w) > 4)) AS long_words
+    FROM t
+    """,
+    tags=("array", "setop", "higher-order"),
+)
+def array_set_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array algebra: union/intersect/filter on word arrays, sorted so the
+    result is order-insensitive across engines."""
+    p = load_table(spark, sf_dir, "part")
+    words = F.split(F.col("p_name"), " ")
+    type_words = F.split(F.lower(F.col("p_type")), " ")
+    return p.select(
+        "p_partkey",
+        F.array_sort(F.array_union(words, type_words)).alias("all_words"),
+        F.array_sort(F.array_intersect(words, type_words)).alias("shared_words"),
+        F.size(F.filter(words, lambda w: F.length(w) > 4)).alias("long_words"),
+    )
