@@ -1197,3 +1197,34 @@ def array_set_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_sort(F.array_intersect(words, type_words)).alias("shared_words"),
         F.size(F.filter(words, lambda w: F.length(w) > 4)).alias("long_words"),
     )
+
+
+@register(
+    "string_function_suite",
+    oracle="""
+    SELECT p_partkey,
+           lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS padded_key,
+           reverse(p_name) AS rev_name,
+           translate(p_name, 'aeiou', 'AEIOU') AS vowels_up,
+           levenshtein(p_name, p_type) AS name_type_dist,
+           instr(p_name, ' ') AS first_space,
+           repeat(left(p_brand, 5), 2) AS brand_twice
+    FROM part
+    """,
+    tags=("string", "functions"),
+)
+def string_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function breadth in one row-wise pass: padding, reverse,
+    translate, edit distance (levenshtein — the scalar fuzzy-match
+    primitive), substring position, repeat/left — all JVM-side with
+    byte-identical DuckDB equivalents."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("padded_key"),
+        F.reverse(F.col("p_name")).alias("rev_name"),
+        F.translate(F.col("p_name"), "aeiou", "AEIOU").alias("vowels_up"),
+        F.levenshtein(F.col("p_name"), F.col("p_type")).alias("name_type_dist"),
+        F.instr(F.col("p_name"), " ").alias("first_space"),
+        F.repeat(F.substring(F.col("p_brand"), 1, 5), 2).alias("brand_twice"),
+    )
