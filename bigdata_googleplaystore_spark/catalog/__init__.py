@@ -10,12 +10,81 @@ from . import llm, ops, tpch  # noqa: E402,F401
 from .tpch import flagship  # noqa: E402,F401
 
 
+# The round-1 driver recorded CORRECTNESS rows for only the first 50 entries
+# of queries(), so dict order decides which queries get the hard signal.
+# Round-2 ordering: queries with no green round-1 row yet come first — the 39
+# that fell past the cutoff (all TPC-H shapes, window functions,
+# pivot/unpivot/cube, percentiles, as-of/interval joins, time windows, string
+# suite), then the round-1 reds that were fixed this round, then any queries
+# new this round — followed by the already-driver-verified round-1 greens.
+_PRIORITY: list[str] = [
+    # TPC-H shapes (never driver-checked in round 1)
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_supplier_volume",
+    "q6_forecast_revenue",
+    "q4_order_priority",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "q13_customer_distribution",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_predicates",
+    "q22_inactive_customers",
+    "q7_nation_volume_shipping",
+    "q15_top_supplier",
+    "q21_waiting_suppliers",
+    "q9_product_profit",
+    "q16_supplier_variety",
+    "q20_excess_stock_suppliers",
+    "q12_priority_shipping",
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q11_important_stock",
+    # windows / time / joins / misc (never driver-checked in round 1)
+    "window_lag_delta",
+    "window_running_sum",
+    "window_range_frame_sum",
+    "window_ntile_percent_rank",
+    "time_window_tumbling",
+    "time_window_sliding",
+    "session_window_gap",
+    "asof_join_last_click",
+    "interval_join_sessions",
+    "time_bounded_self_join",
+    "agg_approx_distinct",
+    "sql_interface_revenue",
+    "cube_counts",
+    "nested_struct_map",
+    "pivot_status_counts",
+    "unpivot_measures",
+    "set_except_all",
+    "percentiles_exact",
+    "array_set_functions",
+    "string_function_suite",
+    # round-1 reds, fixed this round (need a fresh row to go green)
+    "collect_list_sorted",
+    "multimodal_frame_stats",
+    "pack_sequences",
+    # new this round
+    "dedup_embedding_ann",
+    "dedup_minhash_containment",
+    "dedup_simhash_containment",
+]
+
+
+def _ordered() -> dict[str, QueryDef]:
+    out = {n: QUERIES[n] for n in _PRIORITY if n in QUERIES}
+    out.update({n: qd for n, qd in QUERIES.items() if n not in out})
+    return out
+
+
 def spark_queries():
     """name -> (spark, sf_dir) -> DataFrame, for __spark_entry__.queries()."""
-    return {name: qd.fn for name, qd in QUERIES.items()}
+    return {name: qd.fn for name, qd in _ordered().items()}
 
 
 def oracle_sqls():
     """name -> DuckDB SQL, for __spark_entry__.oracle_sql(); rows-only
     queries (no SQL-expressible oracle) are omitted per the driver contract."""
-    return {name: qd.oracle for name, qd in QUERIES.items() if qd.oracle}
+    return {name: qd.oracle for name, qd in _ordered().items() if qd.oracle}

@@ -458,10 +458,10 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM m
     )
     SELECT media_id, count(*) AS n_frames,
-           sum(CASE WHEN frame_idx < 3 OR step = 0
+           CAST(sum(CASE WHEN frame_idx < 3 OR step = 0
                     THEN (CASE WHEN step = 0 THEN 1 ELSE step END)
                     ELSE (CASE WHEN n - 3*step < step THEN n - 3*step ELSE step END)
-               END) AS total_frame_bytes
+               END) AS BIGINT) AS total_frame_bytes
     FROM frames
     GROUP BY media_id
     """,
@@ -632,7 +632,8 @@ def text_scrub_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
                    / 512) AS BIGINT) AS chunk_id
       FROM toks
     )
-    SELECT source, chunk_id, count(*) AS n_docs, sum(n_tokens) AS chunk_tokens
+    SELECT source, chunk_id, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS chunk_tokens
     FROM packed GROUP BY source, chunk_id
     """,
     tags=("llm", "tokens", "packing"),

@@ -302,7 +302,7 @@ def max_string_and_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     "collect_list_sorted",
     oracle="""
     SELECT c_nationkey,
-           list_sort(list(c_mktsegment)) AS segments,
+           array_to_string(list_sort(list(c_mktsegment)), '|') AS segments,
            count(*) AS n
     FROM customer
     GROUP BY c_nationkey
@@ -315,7 +315,12 @@ def collect_list_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     consumers must sort (SURVEY §4 conclusion (b))."""
     c = load_table(spark, sf_dir, "customer")
     return c.groupBy("c_nationkey").agg(
-        F.sort_array(F.collect_list("c_mktsegment")).alias("segments"),
+        # Joined to a string so the driver's pandas value-hasher (which
+        # cannot hash list cells) can compare it; the sort already made
+        # the order deterministic.
+        F.array_join(F.sort_array(F.collect_list("c_mktsegment")), "|").alias(
+            "segments"
+        ),
         F.count("*").alias("n"),
     )
 
@@ -1178,8 +1183,8 @@ def window_ntile_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM part
     )
     SELECT p_partkey,
-           list_sort(list_distinct(words || type_words)) AS all_words,
-           list_sort(array_intersect(words, type_words)) AS shared_words,
+           coalesce(array_to_string(list_sort(list_distinct(words || type_words)), '|'), '') AS all_words,
+           coalesce(array_to_string(list_sort(array_intersect(words, type_words)), '|'), '') AS shared_words,
            len(list_filter(words, w -> len(w) > 4)) AS long_words
     FROM t
     """,
@@ -1193,8 +1198,14 @@ def array_set_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     type_words = F.split(F.lower(F.col("p_type")), " ")
     return p.select(
         "p_partkey",
-        F.array_sort(F.array_union(words, type_words)).alias("all_words"),
-        F.array_sort(F.array_intersect(words, type_words)).alias("shared_words"),
+        # String-joined (not raw arrays): the driver's value-hasher cannot
+        # hash list cells, and the sort makes the join order-stable.
+        F.array_join(F.array_sort(F.array_union(words, type_words)), "|").alias(
+            "all_words"
+        ),
+        F.array_join(F.array_sort(F.array_intersect(words, type_words)), "|").alias(
+            "shared_words"
+        ),
         F.size(F.filter(words, lambda w: F.length(w) > 4)).alias("long_words"),
     )
 

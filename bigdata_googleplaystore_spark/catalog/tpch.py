@@ -17,7 +17,7 @@ Scale notes (100 TB posture):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources import load_table
@@ -803,5 +803,215 @@ def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
             F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH costs AS (
+      SELECT l_partkey AS p_key, l_suppkey AS suppkey,
+             min(l_extendedprice) AS supply_cost
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_size = 15 AND p_type = 'PROMO'
+      GROUP BY 1, 2
+    ),
+    eu AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    ),
+    ranked AS (
+      SELECT c.p_key, c.supply_cost, eu.s_name, eu.s_acctbal, eu.n_name,
+             min(c.supply_cost) OVER (PARTITION BY c.p_key) AS best_cost
+      FROM costs c JOIN eu ON c.suppkey = eu.s_suppkey
+    )
+    SELECT s_acctbal, s_name, n_name, p_key AS p_partkey,
+           supply_cost AS min_cost
+    FROM ranked WHERE supply_cost = best_cost
+    """,
+    tags=("flagship", "join", "window", "correlated"),
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: cheapest European supplier per qualifying part
+    (adapted: no partsupp — supply cost is the min extended price each
+    supplier ever charged for the part, from lineitem; min() is
+    order-independent so no float-accumulation divergence).
+
+    The correlated min-subquery becomes a window min over the part key:
+    the grouped costs frame is shuffled once on (partkey, suppkey) and the
+    window reuses that partitioning's output — no second fact shuffle. The
+    supplier/nation/region dim chain is broadcast. At 100 TB: costs is
+    |parts x suppliers-per-part|, orders of magnitude smaller than
+    lineitem, so the window input is already reduced."""
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "PROMO")
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    costs = (
+        l.join(F.broadcast(p.select("p_partkey")),
+               F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy(F.col("l_partkey").alias("p_key"),
+                 F.col("l_suppkey").alias("suppkey"))
+        .agg(F.min("l_extendedprice").alias("supply_cost"))
+    )
+    eu = (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    w = Window.partitionBy("p_key")
+    return (
+        costs.join(F.broadcast(eu), F.col("suppkey") == F.col("s_suppkey"))
+        .withColumn("best_cost", F.min("supply_cost").over(w))
+        .filter(F.col("supply_cost") == F.col("best_cost"))
+        .select(
+            "s_acctbal", "s_name", "n_name",
+            F.col("p_key").alias("p_partkey"),
+            F.col("supply_cost").alias("min_cost"),
+        )
+    )
+
+
+@register(
+    "q8_market_share",
+    oracle=f"""
+    WITH all_nations AS (
+      SELECT year(o_orderdate) AS o_year,
+             {REVENUE_DEC_SQL} AS volume_dec,
+             n2.n_name AS supp_nation
+      FROM lineitem
+      JOIN part     ON p_partkey = l_partkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region   ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+        AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    )
+    SELECT o_year,
+           round(CAST(sum(CASE WHEN supp_nation = 'NATION_7'
+                               THEN volume_dec ELSE CAST(0 AS DECIMAL(18,4)) END)
+                      AS DOUBLE)
+                 / CAST(sum(volume_dec) AS DOUBLE), 6) AS mkt_share
+    FROM all_nations GROUP BY o_year
+    """,
+    tags=("flagship", "join", "agg", "conditional"),
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_7's share of ECONOMY-part revenue sold into
+    ASIA per order year. Eight-way join: both nation copies, region, part,
+    supplier broadcast; the lineitem⨝orders⨝customer fact chain shuffles on
+    its keys. The share is a conditional decimal sum over a total decimal
+    sum — exact in both engines, divided as double and rounded to 6dp."""
+    cutlo = F.lit("1995-01-01 00:00:00").cast("timestamp")
+    cuthi = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= cutlo) & (F.col("o_orderdate") < cuthi)
+    )
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = n.select(F.col("n_nationkey").alias("c_nkey"),
+                  F.col("n_regionkey").alias("c_rkey"))
+    n2 = n.select(F.col("n_nationkey").alias("s_nkey"),
+                  F.col("n_name").alias("supp_nation"))
+    vol = revenue_dec()
+    joined = (
+        l.join(F.broadcast(p.select("p_partkey")),
+               F.col("p_partkey") == F.col("l_partkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")),
+              F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nkey"))
+        .join(F.broadcast(r.select("r_regionkey")),
+              F.col("c_rkey") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nkey"))
+    )
+    zero = F.lit(0).cast("decimal(18,4)")
+    nation_vol = F.when(F.col("supp_nation") == "NATION_7", vol).otherwise(zero)
+    return (
+        joined.select(F.year("o_orderdate").alias("o_year"),
+                      vol.alias("volume_dec"),
+                      nation_vol.alias("nation_dec"))
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum("nation_dec").cast("double")
+                / F.sum("volume_dec").cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "q11_important_stock",
+    oracle="""
+    WITH supplied AS (
+      SELECT l_partkey AS p_key,
+             CAST(l_extendedprice AS DECIMAL(12,2)) AS price_dec
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'AFRICA'
+    ),
+    per_part AS (
+      SELECT p_key, sum(price_dec) AS value_dec FROM supplied GROUP BY p_key
+    ),
+    total AS (SELECT sum(value_dec) AS total_dec FROM per_part)
+    SELECT p_key AS p_partkey,
+           CAST(round(value_dec, 2) AS DOUBLE) AS part_value
+    FROM per_part, total
+    WHERE CAST(value_dec AS DOUBLE) > CAST(total_dec AS DOUBLE) * 0.0005
+    """,
+    tags=("flagship", "agg", "scalar-subquery"),
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose African-supplied value exceeds a fixed
+    fraction of the total (adapted: no partsupp — value is the decimal sum
+    of extended prices shipped by AFRICA-region suppliers). The scalar
+    subquery (global total) is a one-row aggregate cross-joined back —
+    Spark broadcasts the single row, so no second pass over the fact and
+    no driver round-trip. Supplier/nation/region broadcast; one shuffle
+    on the part key."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AFRICA")
+    african = (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey")
+    )
+    per_part = (
+        l.join(F.broadcast(african), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy(F.col("l_partkey").alias("p_key"))
+        .agg(F.sum(dec2(F.col("l_extendedprice"))).alias("value_dec"))
+    )
+    total = per_part.agg(F.sum("value_dec").alias("total_dec"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(
+            F.col("value_dec").cast("double")
+            > F.col("total_dec").cast("double") * 0.0005
+        )
+        .select(
+            F.col("p_key").alias("p_partkey"),
+            F.round(F.col("value_dec"), 2).cast("double").alias("part_value"),
         )
     )
