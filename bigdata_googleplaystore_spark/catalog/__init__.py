@@ -66,10 +66,12 @@ _PRIORITY: list[str] = [
     "collect_list_sorted",
     "multimodal_frame_stats",
     "pack_sequences",
-    # new this round
+    # new or newly-oracled this round
     "dedup_embedding_ann",
-    "dedup_minhash_containment",
+    "dedup_minhash_lsh",
     "dedup_simhash_containment",
+    # semantics changed this round (null-content exclusion) — re-check
+    "dedup_exact_docs",
 ]
 
 

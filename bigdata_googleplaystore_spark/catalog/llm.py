@@ -45,13 +45,15 @@ _SHINGLES_SQL = rf"""
     SELECT lang, source, text,
            min(doc_id) AS keep_id, count(*) AS n_copies
     FROM documents
+    WHERE lang IS NOT NULL AND source IS NOT NULL AND text IS NOT NULL
     GROUP BY lang, source, text
     """,
     tags=("llm", "dedup"),
 )
 def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tier-1 exact dedup: hash group-by on full content, deterministic
-    min-id keeper."""
+    min-id keeper; null-content rows excluded (they are not duplicates
+    of each other — see operators/dedup.exact_dedup)."""
     d = load_table(spark, sf_dir, "documents")
     return dedup.exact_dedup(d, ["lang", "source", "text"], "doc_id")
 
@@ -97,12 +99,35 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
 
 
-@register("dedup_minhash_lsh", oracle=None, tags=("llm", "dedup", "bench"))
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    ex AS (SELECT doc_id, len(shingles) AS set_size, unnest(shingles) AS shingle FROM sh),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             round(CAST(count(*) AS DOUBLE)
+                   / (a.set_size + b.set_size - count(*)), 6) AS jaccard
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b, a.set_size, b.set_size
+    )
+    SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.5
+    """,
+    tags=("llm", "dedup", "bench"),
+)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tier-4 MinHash(64) + LSH(16 bands x 4 rows) near-dup, candidates
-    verified with exact Jaccard. Rows-only for the driver (xxhash64 has no
-    DuckDB equivalent); tests assert equality with dedup_ngram_jaccard on
-    this corpus (planted dups ~0.8+, background <0.1)."""
+    verified with exact Jaccard.
+
+    Oracle = the exact inverted-index Jaccard join: candidates are
+    Jaccard-verified, so LSH can only lose pairs, and on this corpus every
+    true pair sits far above the 16x4 s-curve (planted dups >= ~0.8 miss
+    with p ~ 2e-4; background < 0.1) — LSH output therefore EQUALS the
+    exact tier, deterministically (xxhash64 is seed-fixed). A hash
+    mismatch here means a real regression in signatures, banding, or
+    verification, which is exactly what the gate should catch. Equality is
+    also asserted at test time (tests/test_llm.py) and held at sf0.01 and
+    sf0.1 when this oracle was added."""
     d = load_table(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(d, "doc_id", "text", n=3, threshold=0.5)
 
@@ -110,9 +135,55 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("dedup_simhash", oracle=None, tags=("llm", "dedup"))
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-64 near-dup pairs at Hamming <= 8 via pigeonhole block
-    candidates. Rows-only (xxhash64-based)."""
+    candidates. Rows-only (xxhash64-based, recall ~0.7 by design — see
+    dedup_simhash_containment for the oracle-checked invariants)."""
     d = load_table(spark, sf_dir, "documents")
     return dedup.simhash_near_pairs(d, "doc_id", "text", n=3, max_hamming=8)
+
+
+@register(
+    "dedup_simhash_containment",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    ex AS (SELECT doc_id, len(shingles) AS set_size, unnest(shingles) AS shingle FROM sh),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             round(CAST(count(*) AS DOUBLE)
+                   / (a.set_size + b.set_size - count(*)), 6) AS jaccard
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b, a.set_size, b.set_size
+    ),
+    exact AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.5)
+    SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
+           CAST(0 AS BIGINT) AS n_violations,
+           true AS simhash_found_pairs
+    FROM exact
+    """,
+    tags=("llm", "dedup", "invariant"),
+)
+def dedup_simhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked SimHash invariants (SimHash itself is approximate
+    with recall ~0.7, so per-pair equality is not checkable — but its
+    guarantees are):
+
+    - n_exact_pairs: the exact Jaccard>=0.5 pair count, computed by the
+      Spark inverted-index tier and independently by the SQL oracle —
+      anchors the whole shingle pipeline.
+    - n_violations: SimHash pairs NOT in the exact set (anti-join count).
+      Block-rotation candidates + Hamming<=8 on this corpus (planted
+      near-dups vs ~32-bit-apart background) must yield zero false
+      positives; the oracle pins 0.
+    - simhash_found_pairs: SimHash must actually find something (guards
+      against a vacuously-empty subset)."""
+    d = load_table(spark, sf_dir, "documents")
+    exact = dedup.jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+    sim = dedup.simhash_near_pairs(d, "doc_id", "text", n=3, max_hamming=8)
+    violations = sim.join(exact, ["doc_a", "doc_b"], "left_anti")
+    return (
+        exact.agg(F.count("*").alias("n_exact_pairs"))
+        .crossJoin(violations.agg(F.count("*").alias("n_violations")))
+        .crossJoin(sim.agg((F.count("*") > 0).alias("simhash_found_pairs")))
+    )
 
 
 @register(
@@ -173,6 +244,36 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~0.51) — a higher cut would make the check vacuously empty."""
     e = load_table(spark, sf_dir, "embeddings")
     return similarity.cosine_near_pairs(e, "vec_id", "embedding", threshold=0.45)
+
+
+@register("dedup_embedding_ann", oracle=None, tags=("llm", "dedup", "similarity"))
+def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup at scale: multi-table hyperplane-LSH candidates +
+    exact cosine verification (operators/similarity.embedding_near_pairs_ann)
+    — the registered scale path; dedup_embedding_cosine stays as the exact
+    small-N tier the oracle can check.
+
+    The synthetic embeddings have no planted near-dups (max pairwise cosine
+    ~0.51), so the query plants them: each vector gets a deterministically
+    perturbed copy (+0.02 on every 7th dim, id offset by 1_000_000). Near-dup
+    = cosine >= 0.9, which pairs every original with its copy and nothing
+    else. Rows-only in the driver; recall=1 and subset-of-exact are asserted
+    in tests/test_llm.py."""
+    e = load_table(spark, sf_dir, "embeddings")
+    perturbed = e.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x.cast("double")
+            + F.when(i % 7 == 0, F.lit(0.02)).otherwise(F.lit(0.0)),
+        ).alias("embedding"),
+    )
+    corpus = e.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    ).unionByName(perturbed)
+    return similarity.embedding_near_pairs_ann(
+        corpus, "vec_id", "embedding", threshold=0.9, n_planes=4, dim=64, n_tables=8
+    )
 
 
 @register("sim_ann_lsh", oracle=None, tags=("llm", "similarity"))

@@ -34,8 +34,17 @@ from ..functions.text import (
 
 def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
     """Tier 1: keep the min-id row per exact content group (deterministic,
-    unlike dropDuplicates which keeps an arbitrary row per key)."""
-    return df.groupBy(*content_cols).agg(
+    unlike dropDuplicates which keeps an arbitrary row per key).
+
+    Rows with a null in ANY content column are excluded, mirroring
+    fingerprint_dedup: groupBy treats null==null, so without the filter
+    every missing-content row would be reported as a copy of all the
+    others and a keep-min pruner would wrongly drop them. Absent content
+    is not duplicate content."""
+    non_null = df
+    for c in content_cols:
+        non_null = non_null.filter(F.col(c).isNotNull())
+    return non_null.groupBy(*content_cols).agg(
         F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies")
     )
 
@@ -137,18 +146,40 @@ def jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Tier 3: all pairs with shingle-Jaccard >= threshold.
 
     Inverted-index self-join: pairs sharing zero shingles are never
-    materialized. The per-shingle fan-out is the scale hazard — hot
-    shingles (stop-phrases) create quadratic bucket blowup, so production
-    runs should drop shingles with document frequency above a cap before
-    the join (same move as LSH band-bucket capping).
+    materialized. The per-shingle fan-out is the scale hazard — a hot
+    shingle (stop-phrase) shared by d docs contributes d²/2 joined rows,
+    so one phrase in every doc makes the join quadratic in the corpus.
+
+    `max_shingle_df` caps that: shingles with document frequency above
+    the cap are dropped before the self-join (one extra group-by on the
+    already-shuffled shingle frame), bounding the join at
+    |shingles| x cap²/2 rows — linear in the corpus for fixed cap. The
+    trade is documented and one-sided: dropped shingles can only lower a
+    pair's measured intersection (set sizes are unchanged), so the capped
+    output is a SUBSET of the exact output — hot shingles carry no
+    dedup signal anyway (sharing 'terms of service apply' is not
+    near-duplication). Default None = exact (the oracle-checked path);
+    production runs at scale should set a cap (e.g. 1000).
     """
     s = shingle_exploded(df, id_col, text_col, n).repartition(
         _par(df), "shingle"
     )
+    if max_shingle_df is not None:
+        rare = (
+            s.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_shingle_df)
+            .select("shingle")
+        )
+        # join on the grouping key of a frame already partitioned by
+        # shingle: the DF-count agg and this semi-join reuse the same
+        # exchange, so the cap costs no extra fact shuffle
+        s = s.join(rare, "shingle", "left_semi")
     a = s.select(
         F.col("doc").alias("doc_a"), F.col("set_size").alias("size_a"), "shingle"
     )
@@ -215,7 +246,14 @@ def minhash_lsh_pairs(
             "candidate blowup) and a remainder would silently drop hashes"
         )
     rows_per_band = num_hashes // bands
-    shingles = shingle_exploded(df, id_col, text_col, n)
+    # The shingle frame feeds three consumers with DIFFERENT downstream
+    # partitionings (signature groupBy(doc), verify join on doc_a, verify
+    # join on (doc_b, shingle)) — no ReusedExchange applies, so without
+    # materialization the tokenize+shingle pipeline runs three times
+    # (measured ~15% of query time at sf0.1). localCheckpoint computes it
+    # once; on a real cluster prefer reliable checkpoint()/cache with
+    # replication — localCheckpoint blocks die with their executor.
+    shingles = shingle_exploded(df, id_col, text_col, n).localCheckpoint(eager=True)
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes, shingles=shingles)
     band_cols = F.array(
         *[

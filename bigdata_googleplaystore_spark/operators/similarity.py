@@ -101,16 +101,111 @@ def hyperplane_signatures(
         import pandas as pd
 
         planes = np.random.default_rng(seed).standard_normal((dim, n_planes))
-        out = []
-        for v in vecs:
-            bits = (np.asarray(v, dtype=np.float64) @ planes) > 0
-            out.append(int(sum(1 << i for i, b in enumerate(bits) if b)))
-        return pd.Series(out, dtype="int64")
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int64")
+        # One (batch x dim) @ (dim x planes) matmul per Arrow batch; the
+        # bit-pack is a second tiny matmul against powers of two. Same
+        # result as the per-row loop it replaced, ~batch-size x faster.
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        bits = (mat @ planes) > 0
+        weights = (1 << np.arange(n_planes)).astype(np.int64)
+        return pd.Series(bits @ weights, dtype="int64")
 
     _sig = pandas_udf(_sig_fn, LongType())
 
     return df.select(
         F.col(id_col), F.col(vec_col), _sig(F.col(vec_col)).alias("bucket")
+    )
+
+
+def hyperplane_signature_tables(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 4,
+    dim: int = 64,
+    n_tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Multi-table LSH signatures: `n_tables` independent hyperplane
+    signatures per vector, computed in ONE Arrow-batched matmul against a
+    (dim x n_planes*n_tables) plane matrix, returned as
+    (id, table, bucket) rows.
+
+    Multiple tables are how hyperplane LSH reaches high recall: a single
+    b-bit table keeps a near-dup pair with probability p^b (p = 1 - θ/π);
+    L tables keep it with 1-(1-p^b)^L. One data pass regardless of L."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    def _sigs_fn(vecs):
+        import numpy as np
+        import pandas as pd
+
+        planes = np.random.default_rng(seed).standard_normal(
+            (dim, n_planes * n_tables)
+        )
+        if len(vecs) == 0:
+            return pd.Series([], dtype="object")
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        bits = (mat @ planes).reshape(len(vecs), n_tables, n_planes) > 0
+        weights = (1 << np.arange(n_planes)).astype(np.int64)
+        buckets = bits @ weights  # (batch x n_tables)
+        return pd.Series(list(buckets))
+
+    _sigs = pandas_udf(_sigs_fn, ArrayType(LongType()))
+
+    sig = df.select(F.col(id_col), _sigs(F.col(vec_col)).alias("buckets"))
+    return sig.select(
+        id_col, F.posexplode_outer("buckets").alias("table", "bucket")
+    ).filter(F.col("bucket").isNotNull())
+
+
+def embedding_near_pairs_ann(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_planes: int = 4,
+    dim: int = 64,
+    n_tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Scale path for embedding near-dup: multi-table hyperplane LSH
+    candidate generation + exact cosine verification.
+
+    Candidates = pairs sharing any (table, bucket) — a self-equi-join on
+    constant-size keys, cost ~ sum of bucket sizes squared per table, NOT
+    N². Every candidate is verified with the exact rounded cosine, so the
+    output is a strict subset of `cosine_near_pairs` (no false positives;
+    false negatives at rate (1-p^b)^L are the documented ANN trade — with
+    the defaults and cos >= 0.9 that is < 1%).
+
+    At 100 TB: the signature pass is one Arrow matmul scan; the bucket
+    join shuffles (table, bucket, id) triples; only candidate pairs touch
+    vectors again (joined by id, shuffle on id)."""
+    sigs = hyperplane_signature_tables(
+        df, id_col, vec_col, n_planes, dim, n_tables, seed
+    )
+    a = sigs.select(F.col(id_col).alias("id_a"), "table", "bucket")
+    b = sigs.select(F.col(id_col).alias("id_b"), "table", "bucket")
+    cands = (
+        a.join(b, ["table", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_similarity(F.col("va"), F.col("vb")), 4).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
     )
 
 

@@ -190,14 +190,22 @@ def compact_parquet(
     Streaming sinks and fine-grained partition writes accumulate small
     files, and at 100 TB the scan's task count (and NameNode/liststore
     pressure) follows the file count, not the byte count. Sizing uses the
-    on-disk byte sum (cheap file-status scan, no data read) and
-    `repartition` (round-robin) for even output sizes. Compact into a NEW
-    directory and swap — rewriting in place would race readers."""
-    from pathlib import Path
-
-    n_bytes = sum(
-        f.stat().st_size for f in Path(path).rglob("*.parquet") if f.is_file()
-    )
+    on-disk byte sum via the Hadoop FileSystem API (cheap file-status
+    scan, no data read, and correct for hdfs://, s3a://, file:// alike —
+    a local pathlib walk would silently report 0 bytes for remote URIs
+    and compact everything into one file). `repartition` (round-robin)
+    gives even output sizes. Compact into a NEW directory and swap —
+    rewriting in place would race readers."""
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+    n_bytes = 0
+    it = fs.listFiles(hpath, True)  # recursive remote iterator
+    while it.hasNext():
+        status = it.next()
+        if status.getPath().getName().endswith(".parquet"):
+            n_bytes += status.getLen()
     n_files = max(1, -(-n_bytes // target_file_bytes))  # ceil
     spark.read.parquet(path).repartition(n_files).write.mode("overwrite").parquet(
         out_path

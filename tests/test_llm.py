@@ -61,11 +61,27 @@ def test_ann_recall_vs_brute_force(spark, sf_dir):
 
 def test_exact_dedup_is_lossless(spark, sf_dir):
     """Exact dedup keeps one keeper per distinct content and accounts for
-    every row."""
+    every non-null-content row (null-content rows are excluded — they are
+    not duplicates of each other)."""
     d = load_table(spark, sf_dir, "documents")
     out = dedup.exact_dedup(d, ["lang", "source", "text"], "doc_id")
-    assert out.agg(F.sum("n_copies")).collect()[0][0] == d.count()
+    eligible = d.filter(
+        F.col("lang").isNotNull()
+        & F.col("source").isNotNull()
+        & F.col("text").isNotNull()
+    ).count()
+    assert out.agg(F.sum("n_copies")).collect()[0][0] == eligible
     assert out.select("keep_id").distinct().count() == out.count()
+
+
+def test_exact_dedup_excludes_null_content(spark):
+    """Two rows with null text must NOT be grouped as copies of each
+    other (groupBy treats null==null; the operator filters them)."""
+    d = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, None), (4, None)], ["id", "text"]
+    )
+    out = dedup.exact_dedup(d, ["text"], "id").collect()
+    assert len(out) == 1 and out[0]["n_copies"] == 2
 
 
 def test_ivf_recall_vs_brute_force(spark, sf_dir):
@@ -152,3 +168,81 @@ def test_quota_per_group_stable_subset(spark, sf_dir):
         .groupBy("source").agg(F.count("*").alias("n")).collect()
     )
     assert all(r["n"] <= 5 for r in per)
+
+
+def test_embedding_ann_near_pairs_vs_exact(spark, sf_dir):
+    """embedding_near_pairs_ann = LSH candidates + exact verify, so its
+    output must be a subset of the exact all-pairs tier, and on planted
+    self-copies (cos ~0.998, far above the 0.9 cut, with 8 tables of
+    4-bit signatures -> miss rate < 0.2% per pair) recall must be ~1."""
+    e = load_table(spark, sf_dir, "embeddings")
+    to_double = F.transform("embedding", lambda x: x.cast("double"))
+    perturbed = e.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x.cast("double")
+            + F.when(i % 7 == 0, F.lit(0.02)).otherwise(F.lit(0.0)),
+        ).alias("embedding"),
+    )
+    corpus = e.select("vec_id", to_double.alias("embedding")).unionByName(perturbed)
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.cosine_near_pairs(
+            corpus, "vec_id", "embedding", threshold=0.9
+        ).collect()
+    }
+    ann = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.embedding_near_pairs_ann(
+            corpus, "vec_id", "embedding",
+            threshold=0.9, n_planes=4, dim=64, n_tables=8,
+        ).collect()
+    }
+    assert ann <= exact, f"ANN false positives: {ann - exact}"
+    assert len(exact) > 0, "planted copies should produce near-dup pairs"
+    recall = len(ann & exact) / len(exact)
+    assert recall >= 0.95, f"ANN near-pair recall too low: {recall:.2f}"
+
+
+def test_hyperplane_signatures_deterministic(spark, sf_dir):
+    """Vectorized signature path: same seed -> identical buckets across
+    runs and partitionings (plane matrix is derived from the seed inside
+    the UDF, so executors can't disagree)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    s1 = {
+        (r["vec_id"], r["bucket"])
+        for r in similarity.hyperplane_signatures(e).collect()
+    }
+    s2 = {
+        (r["vec_id"], r["bucket"])
+        for r in similarity.hyperplane_signatures(e.repartition(7)).collect()
+    }
+    assert s1 == s2
+    tables = similarity.hyperplane_signature_tables(e, n_tables=3)
+    per_id = tables.groupBy("vec_id").count().select("count").distinct().collect()
+    assert [r["count"] for r in per_id] == [3]
+
+
+def test_jaccard_hot_shingle_cap(spark):
+    """A stop-phrase shared by every doc must not quadratically blow up
+    the inverted-index join: with max_shingle_df set, pairs related ONLY
+    through the hot shingle disappear while true near-dups survive, and
+    the capped output is a subset of the exact output."""
+    phrase = "terms of service apply to this"
+    docs = [(i, f"{phrase} unique{i} alpha{i} beta{i} gamma{i}") for i in range(40)]
+    # planted near-dup pair: long shared tail, far above threshold
+    tail = "the quick brown fox jumps over the lazy dog again and again"
+    docs += [(100, tail), (101, tail + " extra")]
+    d = spark.createDataFrame(docs, ["doc_id", "text"])
+    exact = _pairs(dedup.jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.3))
+    capped = _pairs(
+        dedup.jaccard_pairs(
+            d, "doc_id", "text", n=3, threshold=0.3, max_shingle_df=10
+        )
+    )
+    assert capped <= exact
+    assert (100, 101) in capped, "true near-dup lost to the DF cap"
+    # the 40 stop-phrase docs share ~4 hot shingles (df=40 > cap) and
+    # nothing else; with the cap they can't form pairs at all
+    assert all(a >= 100 for a, _ in capped), f"hot-shingle-only pair kept: {capped}"
