@@ -72,6 +72,11 @@ _PRIORITY: list[str] = [
     "dedup_simhash_containment",
     # semantics changed this round (null-content exclusion) — re-check
     "dedup_exact_docs",
+    # new training-pipeline queries (the window holds ~50; the overflow
+    # rotates in next round once the above have their green rows)
+    "text_quality_rules",
+    "decontaminate_ngram_overlap",
+    "sample_token_budget_per_source",
 ]
 
 

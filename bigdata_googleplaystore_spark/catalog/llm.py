@@ -762,3 +762,200 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.groupBy("source", "chunk_id").agg(
         F.count("*").alias("n_docs"), F.sum("n_tokens").alias("chunk_tokens")
     )
+
+
+@register(
+    "text_quality_rules",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, text, {_TOKS_SQL} AS ws FROM documents
+      WHERE text IS NOT NULL
+    ),
+    m AS (
+      SELECT doc_id, text, ws,
+             len(ws) AS n_words,
+             length(array_to_string(ws, '')) AS total_chars,
+             len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS alpha_words,
+             length(text) - length(replace(text, '#', ''))
+               + (length(text) - length(replace(text, '...', ''))) // 3 AS symbols,
+             len(array_intersect(ws, ['the','a','of','and','to'])) AS stopword_hits,
+             contains(lower(text), 'lorem ipsum') AS has_lorem,
+             contains(text, '{{') AS has_brace,
+             length(text) - length(regexp_replace(text, '[.!?]', '', 'g')) AS n_sentences
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           round(CAST(total_chars AS DOUBLE) / n_words, 6) AS mean_word_len,
+           round(CAST(alpha_words AS DOUBLE) / n_words, 6) AS alpha_word_ratio,
+           round(CAST(symbols AS DOUBLE) / n_words, 6) AS symbol_word_ratio,
+           CAST(stopword_hits AS BIGINT) AS stopword_hits,
+           has_lorem, has_brace,
+           CAST(n_sentences AS BIGINT) AS n_sentences,
+           (n_words BETWEEN 20 AND 80
+            AND CAST(total_chars AS DOUBLE) / n_words BETWEEN 3 AND 10
+            AND CAST(alpha_words AS DOUBLE) / n_words >= 0.8
+            AND CAST(symbols AS DOUBLE) / n_words < 0.1
+            AND stopword_hits >= 1
+            AND NOT has_lorem AND NOT has_brace) AS keep
+    FROM m
+    """,
+    tags=("llm", "text", "quality"),
+)
+def text_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style heuristic quality gate as one JVM expression pass:
+    word-count bounds, mean word length, alphabetic-word ratio,
+    symbol-to-word ratio (# and ellipses), stopword presence, lorem-ipsum
+    and curly-brace flags, sentence-punctuation count, and the combined
+    keep decision (public heuristics from Gopher, Rae et al. 2021 §A1.1,
+    and C4, Raffel et al. 2020 §2.2 — thresholds adapted to this corpus'
+    20-100-word synthetic docs). No UDFs: every signal is a built-in
+    expression over one staged token array, so the filter runs inside
+    whole-stage codegen at scan speed — the shape you want for a first
+    pass over 100 TB."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    staged = d.select("doc_id", "text", tokens(F.col("text")).alias("ws"))
+    t = F.col("text")
+    n_words = F.size("ws")
+    total_chars = F.length(F.concat_ws("", F.col("ws")))
+    alpha_words = F.size(F.filter(F.col("ws"), lambda x: x.rlike("[a-z]")))
+    symbols = (
+        F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+        + (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / F.lit(3)
+    ).cast("long")
+    stopword_hits = F.size(
+        F.array_intersect(F.col("ws"), F.array(*[F.lit(w) for w in ("the", "a", "of", "and", "to")]))
+    )
+    has_lorem = F.contains(F.lower(t), F.lit("lorem ipsum"))
+    has_brace = F.contains(t, F.lit("{"))
+    n_sentences = F.length(t) - F.length(F.regexp_replace(t, r"[.!?]", ""))
+    mean_word_len = total_chars.cast("double") / n_words
+    alpha_ratio = alpha_words.cast("double") / n_words
+    symbol_ratio = symbols.cast("double") / n_words
+    keep = (
+        n_words.between(20, 80)
+        & mean_word_len.between(3, 10)
+        & (alpha_ratio >= 0.8)
+        & (symbol_ratio < 0.1)
+        & (stopword_hits >= 1)
+        & ~has_lorem
+        & ~has_brace
+    )
+    return staged.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        F.round(alpha_ratio, 6).alias("alpha_word_ratio"),
+        F.round(symbol_ratio, 6).alias("symbol_word_ratio"),
+        stopword_hits.cast("long").alias("stopword_hits"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        n_sentences.cast("long").alias("n_sentences"),
+        keep.alias("keep"),
+    )
+
+
+@register(
+    "decontaminate_ngram_overlap",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    tagged AS (
+      SELECT sh.doc_id, sh.shingles, d.source
+      FROM sh JOIN documents d USING (doc_id)
+    ),
+    bench AS (
+      SELECT DISTINCT unnest(shingles) AS shingle
+      FROM tagged WHERE source IN ('src0', 'src1')
+    ),
+    corpus AS (
+      SELECT doc_id, unnest(shingles) AS shingle
+      FROM tagged WHERE source NOT IN ('src0', 'src1')
+    ),
+    hits AS (
+      SELECT c.doc_id, count(*) AS n_overlap
+      FROM corpus c JOIN bench b USING (shingle)
+      GROUP BY c.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+           coalesce(h.n_overlap, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    WHERE d.source NOT IN ('src0', 'src1')
+    """,
+    tags=("llm", "text", "decontamination"),
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing any word-3-gram
+    with a held-out benchmark set (here: sources src0/src1 stand in for
+    the eval benchmark). The standard pre-training hygiene step (n-gram
+    overlap, as in GPT-3 appendix C / PaLM), shaped for scale: the
+    benchmark's distinct shingle set is small (|benchmark| docs), so the
+    probe is an equi-join against it — at 100 TB the benchmark side
+    broadcasts and the corpus is never shuffled, only scanned."""
+    d = load_table(spark, sf_dir, "documents")
+    bench_docs = d.filter(F.col("source").isin("src0", "src1"))
+    corpus_docs = d.filter(~F.col("source").isin("src0", "src1"))
+    bench_sh = (
+        dedup.shingle_exploded(bench_docs, "doc_id", "text", 3)
+        .select("shingle")
+        .distinct()
+    )
+    corpus_sh = dedup.shingle_exploded(corpus_docs, "doc_id", "text", 3)
+    hits = (
+        corpus_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    return (
+        corpus_docs.select("doc_id")
+        .join(hits, F.col("doc_id") == F.col("doc"), "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long").alias("n_overlap"),
+            (F.coalesce(F.col("n_overlap"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+@register(
+    "sample_token_budget_per_source",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, source, len({_TOKS_SQL}) AS n_tokens FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) - n_tokens
+                  AS BIGINT) AS cum_before
+      FROM toks
+    )
+    SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens, cum_before
+    FROM cum WHERE cum_before < 1000
+    """,
+    tags=("llm", "sampling", "mixing"),
+)
+def sample_token_budget_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixing by token budget: keep each source's docs (stable
+    doc_id order) until the source has contributed ~1000 tokens — the
+    deterministic per-domain quota step of a data-mixture recipe
+    (cf. The Pile / DoReMi domain weighting, public work). One window
+    over (source, doc_id); the same parallelism note as pack_sequences
+    applies — partition-by-source is the contract, so at 100 TB the
+    source cardinality should exceed the executor count (or the budget
+    assignment runs per coarse shard)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", F.size(tokens(F.col("text"))).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = toks.withColumn(
+        "cum_before", (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long")
+    )
+    return cum.filter(F.col("cum_before") < 1000).select(
+        "doc_id", "source", F.col("n_tokens").cast("long").alias("n_tokens"), "cum_before"
+    )

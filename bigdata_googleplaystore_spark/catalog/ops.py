@@ -1239,3 +1239,87 @@ def string_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.instr(F.col("p_name"), " ").alias("first_space"),
         F.repeat(F.substring(F.col("p_brand"), 1, 5), 2).alias("brand_twice"),
     )
+
+
+@register(
+    "grouping_sets_id",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT)
+             AS gid,
+           count(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    tags=("agg", "grouping-sets"),
+)
+def grouping_sets_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form rollup/cube specialize)
+    plus grouping_id() to disambiguate which set produced each row —
+    without it, a genuinely-null key is indistinguishable from a
+    subtotal row. Spark expands the sets into one Expand + single
+    shuffle, not one job per set."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "window_first_last_nth",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           first_value(o_orderkey) OVER w AS cheapest_key,
+           last_value(o_orderkey) OVER w_full AS priciest_key,
+           nth_value(o_orderkey, 2) OVER w_full AS second_cheapest_key
+    FROM orders
+    WINDOW
+      w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey),
+      w_full AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    tags=("window", "navigation"),
+)
+def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Navigation window functions: first/last/nth value per priority
+    class. last_value and nth_value use an explicit unbounded frame —
+    with the default RANGE-to-current frame they would degenerate to
+    'current row' / nulls, the classic window-frame trap (same in
+    DuckDB, so the oracle pins the correct frames)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.first("o_orderkey").over(w).alias("cheapest_key"),
+        F.last("o_orderkey").over(w_full).alias("priciest_key"),
+        F.nth_value("o_orderkey", 2).over(w_full).alias("second_cheapest_key"),
+    )
+
+
+@register(
+    "posexplode_ordinality",
+    oracle="""
+    WITH t AS (SELECT p_partkey, string_split(p_name, ' ') AS words FROM part)
+    SELECT p_partkey,
+           CAST(i - 1 AS INTEGER) AS pos,
+           words[i] AS word
+    FROM t, unnest(range(1, len(words) + 1)) AS u(i)
+    """,
+    tags=("generator", "array"),
+)
+def posexplode_ordinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode: generator with ordinality (element position), the
+    order-preserving fan-out plain explode loses. 0-based in Spark; the
+    oracle reconstructs it from DuckDB's 1-based list indexing."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.posexplode(F.split(F.col("p_name"), " ")).alias("pos", "word"),
+    )
