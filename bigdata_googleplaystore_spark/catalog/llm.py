@@ -959,3 +959,326 @@ def sample_token_budget_per_source(spark: SparkSession, sf_dir: str) -> DataFram
     return cum.filter(F.col("cum_before") < 1000).select(
         "doc_id", "source", F.col("n_tokens").cast("long").alias("n_tokens"), "cum_before"
     )
+
+
+@register(
+    "text_top_ngram_fraction",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents WHERE text IS NOT NULL
+    ),
+    b AS (
+      SELECT doc_id, len(toks) AS n_toks,
+             CASE WHEN len(toks) >= 2
+                  THEN list_transform(range(1, len(toks)),
+                                      i -> toks[i] || ' ' || toks[i+1])
+                  ELSE [] END AS bigrams
+      FROM t
+    ),
+    e AS (SELECT doc_id, n_toks, unnest(bigrams) AS bigram FROM b),
+    c AS (SELECT doc_id, n_toks, bigram, count(*) AS cnt FROM e GROUP BY ALL),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY cnt DESC, bigram) AS rk
+      FROM c
+    )
+    SELECT doc_id, bigram AS top_bigram, CAST(cnt AS BIGINT) AS top_count,
+           round(CAST(2 * cnt AS DOUBLE) / n_toks, 6) AS top_bigram_token_fraction
+    FROM r WHERE rk = 1
+    """,
+    tags=("llm", "text", "quality"),
+)
+def text_top_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style top-n-gram repetition: the fraction of a doc's tokens
+    covered by its most frequent bigram (Rae et al. 2021 §A1.1 use the
+    char-fraction of the top 2/3/4-gram; token-fraction here since the
+    corpus is whitespace word-soup). High values flag templated spam.
+
+    Shape for scale: bigrams are EXPLODED and counted with a
+    (doc, bigram) group-by rather than counted in-array with a
+    higher-order aggregate — the group-by is linear in total tokens with
+    map-side partial aggregation, where the in-array count is
+    O(distinct x length) per doc and single-task for a long doc. The
+    winner per doc is a row_number over (count desc, bigram) — a second
+    shuffle on doc, deterministic under ties. Docs with <2 tokens have
+    no bigram and are dropped (same as the oracle)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = d.select("doc_id", tokens(F.col("text")).alias("toks"))
+    n = F.size("toks")
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.col("toks"), i.cast("int")),
+                F.element_at(F.col("toks"), (i + 1).cast("int")),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    staged = toks.select("doc_id", n.alias("n_toks"), bigrams.alias("bigrams"))
+    # explode_outer + post-filter, not explode: see operators/dedup.py
+    # shingle_exploded — plain explode lets the fused bigram tree be
+    # pushed through the exchange and re-evaluated quadratically.
+    exploded = staged.select(
+        "doc_id", "n_toks", F.explode_outer("bigrams").alias("bigram")
+    ).filter(F.col("bigram").isNotNull())
+    counts = exploded.groupBy("doc_id", "n_toks", "bigram").agg(
+        F.count("*").alias("cnt")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.asc("bigram"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "doc_id",
+            F.col("bigram").alias("top_bigram"),
+            F.col("cnt").cast("long").alias("top_count"),
+            F.round((F.lit(2) * F.col("cnt")).cast("double") / F.col("n_toks"), 6)
+            .alias("top_bigram_token_fraction"),
+        )
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=rf"""
+    WITH e AS (
+      SELECT source, unnest({_TOKS_SQL}) AS term
+      FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+    ),
+    tf AS (SELECT source, term, count(*) AS tf FROM e GROUP BY ALL),
+    idf AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    nsrc AS (SELECT count(DISTINCT source) AS n_src FROM tf),
+    scored AS (
+      SELECT tf.source, tf.term, tf.tf, idf.df,
+             tf.tf * ln(CAST(nsrc.n_src AS DOUBLE) / idf.df) AS score
+      FROM tf JOIN idf USING (term) CROSS JOIN nsrc
+    ),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY source
+                                   ORDER BY score DESC, term) AS rk
+      FROM scored
+    )
+    SELECT source, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           round(score, 6) AS tfidf, CAST(rk AS INTEGER) AS rk
+    FROM r WHERE rk <= 5
+    """,
+    tags=("llm", "text", "tfidf"),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF per source over the token stream: tf = term count within
+    the source, df = number of sources containing the term, score =
+    tf * ln(N/df); top-5 terms per source. The classic
+    distinctive-vocabulary probe of a corpus-mixing pipeline.
+
+    Two shuffles (tf group-by, df group-by on the already-small tf
+    frame) plus a per-source window; N arrives via a crossJoin with a
+    broadcast 1-row aggregate, NOT a driver-side collect, so the plan
+    stays fully declarative. Terms present in every source score exactly
+    0 (ln 1) in both engines, so the rank tiebreak (term asc) is
+    engine-stable."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("source").isNotNull()
+    )
+    toks = d.select("source", tokens(F.col("text")).alias("toks"))
+    exploded = toks.select(
+        "source", F.explode_outer("toks").alias("term")
+    ).filter(F.col("term").isNotNull())
+    tf = exploded.groupBy("source", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    nsrc = tf.select("source").distinct().agg(F.count("*").alias("n_src"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(nsrc))
+        .withColumn(
+            "score",
+            F.col("tf") * F.log(F.col("n_src").cast("double") / F.col("df")),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select(
+            "source",
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            F.round("score", 6).alias("tfidf"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    m AS (
+      SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+      FROM v
+    ),
+    q AS (
+      SELECT vec_id, v, scale,
+             CASE WHEN scale = 0
+                  THEN list_transform(v, x -> 0)
+                  ELSE list_transform(
+                         v, x -> CAST(greatest(-127, least(127, round(x / scale)))
+                                      AS INTEGER))
+             END AS qv
+      FROM m
+    )
+    SELECT vec_id,
+           CAST(len(v) AS INTEGER) AS n_dims,
+           round(scale, 9) AS scale,
+           CAST(list_sum(qv) AS BIGINT) AS sum_q,
+           CAST(len(list_filter(qv, x -> abs(x) = 127)) AS BIGINT) AS n_sat,
+           round(CASE WHEN scale = 0 THEN 0.0 ELSE
+             list_max(list_transform(range(1, len(v) + 1),
+                                     i -> abs(v[i] - qv[i] * scale))) END,
+             9) AS max_abs_err
+    FROM q
+    """,
+    tags=("llm", "embedding", "quantization"),
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the storage
+    tier an ANN index actually serves at 100 TB (4x smaller than f32,
+    dot products in int arithmetic). Per vector: scale = max|x|/127,
+    q_i = clamp(round(x_i/scale), ±127); reported as scalar summaries
+    (sum of quantized ints, saturation count, max reconstruction error)
+    so the driver's hasher sees no array cells.
+
+    All higher-order built-ins over a bound array attribute — zero UDFs,
+    zero shuffles: a pure map stage that fuses into the parquet scan."""
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    v = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    m = v.select(
+        "vec_id",
+        "v",
+        (F.array_max(F.transform("v", F.abs)) / F.lit(127.0)).alias("scale"),
+    )
+    clamp = lambda x: F.greatest(
+        F.lit(-127), F.least(F.lit(127), F.round(x / F.col("scale")))
+    ).cast("int")
+    q = m.select(
+        "vec_id",
+        "v",
+        "scale",
+        F.when(
+            F.col("scale") == 0, F.transform("v", lambda x: F.lit(0))
+        ).otherwise(F.transform("v", clamp)).alias("qv"),
+    )
+    err = F.array_max(
+        F.zip_with("v", "qv", lambda x, qq: F.abs(x - qq * F.col("scale")))
+    )
+    # err is staged onto the frame BEFORE the select that aliases
+    # round(scale, 9) AS scale: with both in one select, Spark's lateral
+    # column alias resolution binds the err expression's `scale` to the
+    # ROUNDED sibling alias, not the input column — observed as a 1.5e-8
+    # max_abs_err drift vs the oracle (q * rounded_scale).
+    staged = q.withColumn(
+        "raw_err", F.when(F.col("scale") == 0, F.lit(0.0)).otherwise(err)
+    )
+    return staged.select(
+        "vec_id",
+        F.size("v").alias("n_dims"),
+        F.round("scale", 9).alias("scale"),
+        F.aggregate("qv", F.lit(0).cast("long"), lambda acc, x: acc + x).alias(
+            "sum_q"
+        ),
+        F.size(F.filter("qv", lambda x: F.abs(x) == 127)).cast("long").alias(
+            "n_sat"
+        ),
+        F.round("raw_err", 9).alias("max_abs_err"),
+    )
+
+
+@register(
+    "embedding_label_centroids",
+    oracle="""
+    WITH e AS (
+      SELECT label, embedding FROM embeddings
+      WHERE embedding IS NOT NULL AND label IS NOT NULL
+    ),
+    comp AS (
+      SELECT label, CAST(i - 1 AS INTEGER) AS pos,
+             CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(38,12)) AS x
+      FROM e, unnest(range(1, len(embedding) + 1)) AS u(i)
+    )
+    SELECT label, pos, count(*) AS n,
+           round(CAST(sum(x) AS DOUBLE) / count(*), 6) AS centroid
+    FROM comp GROUP BY label, pos
+    """,
+    tags=("llm", "embedding", "centroid"),
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids as (label, pos, component) rows —
+    the M-step of k-means / the class-prototype step of a curation
+    pipeline, and the layout that keeps the result hashable (no array
+    cells) and the shuffle bounded: posexplode emits N x dim rows but
+    partial aggregation combines them map-side to labels x dim before
+    the exchange, so the shuffle moves a constant-size frame no matter
+    the corpus size.
+
+    Float sums are accumulation-order-dependent, so components are cast
+    to DECIMAL(38,12) before summing (exact + associative in both
+    engines — the catalog's standard money-sum scheme, see _util.py);
+    the divide-and-round happens once at the end in double."""
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & F.col("label").isNotNull()
+    )
+    comp = e.select(
+        "label", F.posexplode("embedding").alias("pos", "x")
+    ).select(
+        "label", "pos", F.col("x").cast("double").cast("decimal(38,12)").alias("x")
+    )
+    return comp.groupBy("label", "pos").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("x").cast("double") / F.count("*"), 6).alias("centroid"),
+    )
+
+
+@register(
+    "curriculum_length_buckets",
+    oracle="""
+    WITH b AS (
+      SELECT lang, n_chars,
+             ntile(4) OVER (PARTITION BY lang ORDER BY n_chars, doc_id)
+               AS bucket
+      FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+    )
+    SELECT lang, CAST(bucket AS INTEGER) AS bucket, count(*) AS n_docs,
+           min(n_chars) AS min_chars, max(n_chars) AS max_chars
+    FROM b GROUP BY lang, bucket
+    """,
+    tags=("llm", "sampling", "curriculum"),
+)
+def curriculum_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-based curriculum binning: ntile(4) quartiles of n_chars
+    within each language, summarized per bucket — the deterministic
+    assignment step of a short-to-long training curriculum. The window
+    partitions by lang (not a global ORDER BY, which would serialize
+    onto one task); the total order (n_chars, doc_id) makes the quartile
+    boundary engine-stable. Integer-only outputs — no float drift."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("lang").isNotNull() & F.col("n_chars").isNotNull()
+    )
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    b = d.select("lang", "n_chars", F.ntile(4).over(w).alias("bucket"))
+    return b.groupBy("lang", F.col("bucket").cast("int").alias("bucket")).agg(
+        F.count("*").alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )

@@ -238,6 +238,16 @@ def minhash_lsh_pairs(
     pair is then verified against the true shingle Jaccard so the output
     has no LSH false positives (false negatives remain possible, which is
     the documented LSH trade).
+
+    Candidate generation is deliberately a self-JOIN on (band, bucket),
+    not collect_set(doc)-per-bucket + pair fan-out: profiled at sf0.1 the
+    two are within noise locally (~0.7 s either way — stage overhead, not
+    data), but the collect_set shape materializes a hot bucket's f^2/2
+    pair structs in ONE task's memory (flatten of a nested transform),
+    where the join streams the same f^2 rows through the shuffle
+    machinery and spills. A corpus with a large exact-duplicate class
+    makes exactly such a hot bucket, so the join is the 100 TB-safe
+    shape.
     """
     if bands < 1 or num_hashes % bands != 0:
         raise ValueError(
