@@ -141,6 +141,31 @@ def write_json(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+# --- ORC ------------------------------------------------------------------
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan. Same pushdown story as parquet (projection + predicate
+    reach the scan); ORC is the interchange format Hive-era warehouses
+    hand over, so a migration off the reference needs both readers."""
+    return spark.read.orc(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    *,
+    compression: str = "zlib",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """ORC sink (zlib default mirrors the ORC ecosystem default)."""
+    writer = df.write.option("compression", compression).mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
 # --- Parquet --------------------------------------------------------------
 
 

@@ -1,0 +1,94 @@
+"""Source/sink round-trips beyond the reference's CSV+parquet surface
+(SURVEY.md §2.1): JSON-lines, ORC, and batch dynamic partition overwrite.
+
+Round-trip = write the frame, read it back, compare the full multiset of
+rows AND the schema — a sink that silently widens types (JSON) or drops
+partition columns would pass a count-only check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdata_googleplaystore_spark import sources
+
+
+def _rows(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_json_lines_roundtrip_with_schema(spark, sf_dir, tmp_path):
+    src = sources.load_table(spark, sf_dir, "nation")
+    path = str(tmp_path / "nation_json")
+    sources.write_json(src, path)
+    # schema-on-read: an explicit schema restores the exact types
+    # (inference would widen n_nationkey to bigint but ints survive; a
+    # DATE column would NOT — JSON carries no date type, which is why
+    # the loader demands a schema at scale)
+    back = sources.read_json(spark, path, schema=src.schema)
+    assert back.schema == src.schema
+    cols = [f.name for f in src.schema.fields]
+    assert _rows(back, cols) == _rows(src, cols)
+
+
+def test_orc_roundtrip_preserves_types_and_values(spark, sf_dir, tmp_path):
+    src = sources.load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_orc")
+    sources.write_orc(src, path)
+    back = sources.read_orc(spark, path)
+    assert back.schema == src.schema
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"]
+    assert _rows(back, cols) == _rows(src, cols)
+
+
+def test_orc_scan_pushes_filters(spark, sf_dir, tmp_path):
+    src = sources.load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_orc_pushdown")
+    sources.write_orc(src, path)
+    plan = (
+        sources.read_orc(spark, path)
+        .filter(F.col("o_orderkey") == 7)
+        .select("o_orderkey", "o_totalprice")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,7)" in plan
+
+
+def test_dynamic_partition_overwrite_batch(spark, sf_dir, tmp_path):
+    """mode=overwrite + partitionOverwriteMode=dynamic must replace ONLY
+    the partitions present in the incoming frame — static overwrite
+    (the default) would wipe the whole table. This is the batch half of
+    the exactly-once foreachBatch sink pattern (streaming half tested in
+    test_streaming.py)."""
+    e = sources.load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    path = str(tmp_path / "events_dyn")
+    sources.write_parquet(e, path, partition_by=["event_type"])
+    total_before = spark.read.parquet(path).count()
+    one_type = (
+        e.filter(F.col("event_type") == "click")
+        .withColumn("event_id", F.col("event_id") + 10_000_000)
+    )
+    n_click = one_type.count()
+    (
+        one_type.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("event_type")
+        .parquet(path)
+    )
+    after = spark.read.parquet(path)
+    assert after.count() == total_before  # click replaced 1:1, others intact
+    assert after.filter(F.col("event_type") == "click").count() == n_click
+    # the rewritten partition really is the new data
+    assert (
+        after.filter(
+            (F.col("event_type") == "click") & (F.col("event_id") < 10_000_000)
+        ).count()
+        == 0
+    )
+    # and a non-targeted partition survived untouched
+    assert (
+        after.filter(F.col("event_type") != "click").count()
+        == total_before - n_click
+    )
