@@ -1323,3 +1323,103 @@ def posexplode_ordinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey",
         F.posexplode(F.split(F.col("p_name"), " ")).alias("pos", "word"),
     )
+
+
+@register(
+    "incremental_agg_merge",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n_rows,
+           CAST(sum(l_quantity) AS DOUBLE) AS total,
+           min(l_quantity) AS vmin,
+           max(l_quantity) AS vmax,
+           round(sum(l_quantity) / count(l_quantity), 6) AS vavg
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "incremental", "scale"),
+)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-aggregation contract, driver-checked: split the fact
+    table into three 'daily partitions', keep only mergeable partial
+    state per split (count/sum/min/max — operators/incremental.py), fold
+    the partials together, finalize — and the result must equal a direct
+    aggregate over the full table (the oracle). This is the maintenance
+    primitive for incremental materialized views: history is never
+    re-scanned, each refresh shuffles |keys| rows.
+
+    l_quantity is integer-valued (TPC-H 1..50), so its double sum is
+    exact under any accumulation order — no decimal staging needed."""
+    from ..operators import incremental
+
+    li = load_table(spark, sf_dir, "lineitem")
+    parts = [li.filter(F.col("l_orderkey") % 3 == i) for i in range(3)]
+    merged = incremental.merge_partials(
+        *[incremental.partial_agg(p, ["l_returnflag"], "l_quantity") for p in parts]
+    )
+    out = incremental.finalize(merged)
+    return out.select(
+        "l_returnflag",
+        "n_rows",
+        F.col("total").cast("double").alias("total"),
+        "vmin",
+        "vmax",
+        F.round("vavg", 6).alias("vavg"),
+    )
+
+
+@register(
+    "zorder_bucket_histogram",
+    oracle="""
+    WITH stats AS (
+      SELECT CAST(min(o_custkey) AS DOUBLE) AS lo1,
+             CAST(max(o_custkey) AS DOUBLE) AS hi1,
+             CAST(min(o_totalprice) AS DOUBLE) AS lo2,
+             CAST(max(o_totalprice) AS DOUBLE) AS hi2
+      FROM orders
+    ),
+    b AS (
+      SELECT
+        CASE WHEN hi1 = lo1 THEN 0
+             ELSE least(255, CAST(floor((o_custkey - lo1) / (hi1 - lo1) * 256)
+                                  AS BIGINT)) END AS b1,
+        CASE WHEN hi2 = lo2 THEN 0
+             ELSE least(255, CAST(floor((o_totalprice - lo2) / (hi2 - lo2) * 256)
+                                  AS BIGINT)) END AS b2
+      FROM orders CROSS JOIN stats
+    ),
+    z AS (
+      SELECT b1, b2,
+             (((b1 >> 0) & 1) << 0)  | (((b2 >> 0) & 1) << 1) |
+             (((b1 >> 1) & 1) << 2)  | (((b2 >> 1) & 1) << 3) |
+             (((b1 >> 2) & 1) << 4)  | (((b2 >> 2) & 1) << 5) |
+             (((b1 >> 3) & 1) << 6)  | (((b2 >> 3) & 1) << 7) |
+             (((b1 >> 4) & 1) << 8)  | (((b2 >> 4) & 1) << 9) |
+             (((b1 >> 5) & 1) << 10) | (((b2 >> 5) & 1) << 11) |
+             (((b1 >> 6) & 1) << 12) | (((b2 >> 6) & 1) << 13) |
+             (((b1 >> 7) & 1) << 14) | (((b2 >> 7) & 1) << 15) AS zvalue
+      FROM b
+    )
+    SELECT zvalue >> 11 AS z_range, count(*) AS n,
+           min(zvalue) AS zmin, max(zvalue) AS zmax
+    FROM z GROUP BY z_range
+    """,
+    tags=("layout", "scale", "zorder"),
+)
+def zorder_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order curve positions over (o_custkey, o_totalprice), histogrammed
+    into 32 contiguous curve ranges (the would-be file assignment of
+    zorder_write_parquet at n_files=32) — checked bit-for-bit against a
+    SQL re-derivation of the Morton interleave. Proves the layout
+    operator's curve math, min/max bucketing, and guard rails (constant
+    column → bucket 0) match an independent implementation."""
+    from ..operators import layout
+
+    o = load_table(spark, sf_dir, "orders")
+    keyed = layout.zorder_key(o, ["o_custkey", "o_totalprice"], bits=8)
+    return keyed.groupBy(
+        F.shiftright(F.col("_zvalue"), 11).alias("z_range")
+    ).agg(
+        F.count("*").alias("n"),
+        F.min("_zvalue").alias("zmin"),
+        F.max("_zvalue").alias("zmax"),
+    )

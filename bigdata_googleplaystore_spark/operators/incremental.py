@@ -1,0 +1,68 @@
+"""Incremental aggregation: maintain a grouped aggregate as new data
+arrives without re-scanning history.
+
+The 100 TB pattern: a daily pipeline lands partition P_d; recomputing
+`SELECT key, count(*), sum(x), min(x), max(x) FROM all_history GROUP BY
+key` re-reads everything ever ingested. Algebraic aggregates instead
+merge: keep the PARTIAL state per key (count, sum, min, max — each
+mergeable by +, +, least, greatest), fold each new partition's partial in
+with one union + re-aggregate over |keys| rows, and derive the
+non-mergeable outputs (avg = sum/count) at read time. This is exactly
+Spark's own partial/final aggregation contract lifted to storage — and
+the maintenance primitive behind incremental materialized views
+(Structured Streaming's stateful aggs do the same thing with the state
+store in place of the partial table).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_STATE_COLS = ("_n", "_n_nonnull", "_sum", "_min", "_max")
+
+
+def partial_agg(df: DataFrame, keys: list[str], value_col: str) -> DataFrame:
+    """Partial (mergeable) state per key over one batch of raw rows."""
+    return df.groupBy(*keys).agg(
+        F.count("*").alias("_n"),
+        F.count(value_col).alias("_n_nonnull"),
+        F.sum(value_col).alias("_sum"),
+        F.min(value_col).alias("_min"),
+        F.max(value_col).alias("_max"),
+    )
+
+
+def merge_partials(*partials: DataFrame) -> DataFrame:
+    """Merge any number of partial-state frames (same schema) into one.
+    Shuffles only |keys| rows per input — never the raw data."""
+    if not partials:
+        raise ValueError("merge_partials needs at least one frame")
+    unioned = partials[0]
+    for p in partials[1:]:
+        unioned = unioned.unionByName(p)
+    keys = [c for c in unioned.columns if c not in _STATE_COLS]
+    return unioned.groupBy(*keys).agg(
+        F.sum("_n").alias("_n"),
+        F.sum("_n_nonnull").alias("_n_nonnull"),
+        F.sum("_sum").alias("_sum"),
+        F.min("_min").alias("_min"),
+        F.max("_max").alias("_max"),
+    )
+
+
+def finalize(partial: DataFrame) -> DataFrame:
+    """Derive the user-facing aggregate from partial state. avg follows
+    SQL semantics (null-ignoring: sum over non-null count; null when no
+    non-null values)."""
+    keys = [c for c in partial.columns if c not in _STATE_COLS]
+    return partial.select(
+        *keys,
+        F.col("_n").alias("n_rows"),
+        F.col("_sum").alias("total"),
+        F.col("_min").alias("vmin"),
+        F.col("_max").alias("vmax"),
+        F.when(
+            F.col("_n_nonnull") > 0, F.col("_sum") / F.col("_n_nonnull")
+        ).alias("vavg"),
+    )

@@ -1,0 +1,136 @@
+"""Invariant tests for the batch-2 training-pipeline operators — the
+guarantees the DuckDB oracle can't express (it checks value equality, not
+the mathematical contract)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from bigdata_googleplaystore_spark.catalog import QUERIES
+from bigdata_googleplaystore_spark.sources import load_table
+
+
+def test_quantize_error_bound(spark, sf_dir):
+    """Symmetric int8 quantization guarantees |x - q*scale| <= scale/2
+    for every in-range component (round-to-nearest), and the max element
+    hits q = ±127 exactly (that's what defines the scale)."""
+    out = QUERIES["embedding_quantize_int8"].fn(spark, sf_dir).collect()
+    assert len(out) > 0
+    for r in out:
+        if r["scale"] == 0:
+            assert r["max_abs_err"] == 0
+            continue
+        assert r["max_abs_err"] <= r["scale"] / 2 + 1e-9, r
+        assert r["n_sat"] >= 1, "max-|x| dim must saturate at ±127"
+        assert abs(r["sum_q"]) <= 127 * r["n_dims"]
+
+
+def test_quantize_matches_numpy(spark, sf_dir):
+    """Spot-check the whole pipeline against a NumPy reimplementation."""
+    e = load_table(spark, sf_dir, "embeddings").limit(20).collect()
+    got = {
+        r["vec_id"]: r
+        for r in QUERIES["embedding_quantize_int8"].fn(spark, sf_dir).collect()
+    }
+    for row in e:
+        if row["embedding"] is None:
+            continue
+        v = np.array(row["embedding"], dtype=np.float64)
+        scale = np.abs(v).max() / 127.0
+        q = (
+            np.zeros_like(v, dtype=np.int64)
+            if scale == 0
+            else np.clip(np.floor(np.abs(v / scale) + 0.5) * np.sign(v / scale), -127, 127)
+        )
+        r = got[row["vec_id"]]
+        assert r["sum_q"] == int(q.sum()), row["vec_id"]
+        if scale > 0:
+            assert math.isclose(
+                r["max_abs_err"], np.abs(v - q * scale).max(), abs_tol=2e-9
+            )
+
+
+def test_label_centroids_match_numpy(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings").collect()
+    by_label: dict[int, list] = {}
+    for r in e:
+        if r["embedding"] is not None and r["label"] is not None:
+            by_label.setdefault(r["label"], []).append(r["embedding"])
+    got = QUERIES["embedding_label_centroids"].fn(spark, sf_dir).collect()
+    cent = {(r["label"], r["pos"]): r for r in got}
+    for label, vecs in by_label.items():
+        m = np.array(vecs, dtype=np.float64).mean(axis=0)
+        for pos, want in enumerate(m):
+            r = cent[(label, pos)]
+            assert r["n"] == len(vecs)
+            assert math.isclose(r["centroid"], want, abs_tol=1e-6), (label, pos)
+
+
+def test_tfidf_scores_and_coverage(spark, sf_dir):
+    """Every source gets exactly min(5, |vocab|) ranked terms; scores are
+    non-negative and non-increasing in rank; a term present in every
+    source scores exactly 0."""
+    out = QUERIES["tfidf_top_terms"].fn(spark, sf_dir).collect()
+    by_source: dict[str, list] = {}
+    n_sources = len({r["source"] for r in out})
+    for r in out:
+        by_source.setdefault(r["source"], []).append(r)
+    for source, rows in by_source.items():
+        rows.sort(key=lambda r: r["rk"])
+        assert [r["rk"] for r in rows] == list(range(1, len(rows) + 1))
+        scores = [r["tfidf"] for r in rows]
+        assert all(s >= 0 for s in scores), source
+        assert scores == sorted(scores, reverse=True), source
+        for r in rows:
+            if r["df"] == n_sources:
+                assert r["tfidf"] == 0.0
+
+
+def test_top_ngram_fraction_bounds(spark, sf_dir):
+    """top_count*2 tokens can't exceed... the fraction is in (0, 1+1/n]:
+    a doc of one repeated bigram ('a a a') has n-1 bigrams covering all
+    n tokens, fraction 2(n-1)/n < 2; templated spam sits near 1."""
+    out = QUERIES["text_top_ngram_fraction"].fn(spark, sf_dir).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r["top_count"] >= 1
+        assert 0 < r["top_bigram_token_fraction"] <= 2.0
+        assert " " in r["top_bigram"]
+
+
+def test_curriculum_buckets_partition_the_corpus(spark, sf_dir):
+    """Buckets tile each language: counts sum to the language's doc count,
+    bucket boundaries are non-overlapping and ordered (max of bucket k <=
+    min of bucket k+1 can overlap only on equal n_chars ties — assert the
+    weaker ordered-medians invariant ntile guarantees)."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("lang").isNotNull() & F.col("n_chars").isNotNull()
+    )
+    lang_counts = {r["lang"]: r["n"] for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    out = QUERIES["curriculum_length_buckets"].fn(spark, sf_dir).collect()
+    by_lang: dict[str, list] = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rows in by_lang.items():
+        rows.sort(key=lambda r: r["bucket"])
+        assert sum(r["n_docs"] for r in rows) == lang_counts[lang]
+        assert [r["bucket"] for r in rows] == list(range(1, len(rows) + 1))
+        # ntile balance: sizes differ by at most 1
+        sizes = [r["n_docs"] for r in rows]
+        assert max(sizes) - min(sizes) <= 1
+        # ordered length ranges (ties may touch, never invert)
+        for a, b in zip(rows, rows[1:]):
+            assert a["max_chars"] <= b["min_chars"] or a["max_chars"] == b["min_chars"]
+
+
+def test_decontamination_flags_planted_overlap(spark, sf_dir):
+    """Docs sharing a 3-gram with the benchmark sources are flagged; the
+    flag is exactly n_overlap > 0 and never set for zero overlap."""
+    out = QUERIES["decontaminate_ngram_overlap"].fn(spark, sf_dir).collect()
+    assert len(out) > 0
+    assert any(r["contaminated"] for r in out), "word-soup corpus must overlap"
+    for r in out:
+        assert r["contaminated"] == (r["n_overlap"] > 0)
