@@ -1423,3 +1423,163 @@ def zorder_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("_zvalue").alias("zmin"),
         F.max("_zvalue").alias("zmax"),
     )
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
+      FROM events WHERE user_id IS NOT NULL
+      GROUP BY user_id
+    ),
+    activity AS (
+      SELECT e.user_id,
+             CAST(floor(date_diff('day', DATE '2024-01-01', f.cohort_day) / 7)
+                  AS INTEGER) AS cohort_week,
+             CAST(floor(date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) / 7)
+                  AS INTEGER) AS weeks_since
+      FROM events e JOIN firsts f USING (user_id)
+    )
+    SELECT cohort_week, weeks_since,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM activity GROUP BY cohort_week, weeks_since
+    """,
+    tags=("analytics", "cohort", "window"),
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — the canonical product-analytics rollup:
+    users bucketed by first-seen week, counted distinct in each
+    subsequent week of activity. Two shuffles (per-user min, then the
+    cohort x week distinct count); the firsts frame is |users| rows and
+    broadcast into the activity join, so the event log itself is
+    scanned once and never re-shuffled by user. Week indices are day
+    arithmetic from a fixed epoch (engine-portable, unlike WEEK()
+    semantics)."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    firsts = e.groupBy("user_id").agg(F.min("ts").cast("date").alias("cohort_day"))
+    epoch = F.lit("2024-01-01").cast("date")
+    activity = e.join(F.broadcast(firsts), "user_id").select(
+        "user_id",
+        F.floor(F.datediff(F.col("cohort_day"), epoch) / 7)
+        .cast("int")
+        .alias("cohort_week"),
+        F.floor(F.datediff(F.col("ts").cast("date"), F.col("cohort_day")) / 7)
+        .cast("int")
+        .alias("weeks_since"),
+    )
+    return activity.groupBy("cohort_week", "weeks_since").agg(
+        F.count_distinct("user_id").alias("n_users")
+    )
+
+
+@register(
+    "funnel_conversion",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' AND user_id IS NOT NULL GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, v.t1, min(e.ts) AS t2
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > v.t1
+      GROUP BY e.user_id, v.t1
+    ),
+    p AS (
+      SELECT e.user_id, c.t1, min(e.ts) AS t3
+      FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+      GROUP BY e.user_id, c.t1
+    )
+    SELECT * FROM (
+      SELECT 1 AS stage, 'view' AS event_type,
+             CAST(count(*) AS BIGINT) AS n_users,
+             CAST(NULL AS DOUBLE) AS avg_seconds_from_view
+      FROM v
+      UNION ALL
+      SELECT 2, 'click', CAST(count(*) AS BIGINT),
+             round(avg(date_diff('microseconds', t1, t2)) / 1e6, 6)
+      FROM c
+      UNION ALL
+      SELECT 3, 'purchase', CAST(count(*) AS BIGINT),
+             round(avg(date_diff('microseconds', t1, t3)) / 1e6, 6)
+      FROM p
+    )
+    """,
+    tags=("analytics", "funnel", "sequence"),
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view -> click -> purchase: each stage counts users
+    whose qualifying event strictly follows their previous stage's first
+    event, plus mean seconds from first view. The standard
+    event-sequence workload, shaped as staged per-user min-aggregates +
+    joins on the shrinking user frame (|users| rows, broadcastable) —
+    the event log is scanned per stage but never self-joined
+    row-to-row, so the shuffles stay bounded by the user count.
+    Second diffs are exact microsecond integers before the one
+    averaging division (sums < 2^53 — engine-portable)."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(F.broadcast(v), "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id", "t1")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(c.select("user_id", "t1", "t2")), "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id", "t1")
+        .agg(F.min("ts").alias("t3"))
+    )
+    micros = lambda a, b: F.unix_micros(F.col(b)) - F.unix_micros(F.col(a))
+    stage = lambda df, n, name, dt: df.agg(
+        F.lit(n).alias("stage"),
+        F.lit(name).alias("event_type"),
+        F.count("*").alias("n_users"),
+        (F.round(F.avg(dt) / 1e6, 6) if dt is not None else F.lit(None).cast("double")).alias(
+            "avg_seconds_from_view"
+        ),
+    )
+    s1 = v.agg(
+        F.lit(1).alias("stage"),
+        F.lit("view").alias("event_type"),
+        F.count("*").alias("n_users"),
+        F.lit(None).cast("double").alias("avg_seconds_from_view"),
+    )
+    s2 = stage(c, 2, "click", micros("t1", "t2"))
+    s3 = stage(p, 3, "purchase", micros("t1", "t3"))
+    return s1.unionByName(s2).unionByName(s3)
+
+
+@register(
+    "percentiles_approx",
+    oracle=None,  # sketch-based: Spark's GK algorithm has no DuckDB twin;
+    # bounded-error vs percentiles_exact asserted in tests/test_ops_extra.py
+    tags=("agg", "approx", "percentile", "sketch"),
+)
+def percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna sketch) of order totals per
+    status — the 100 TB form of the exact-percentile query: the sketch
+    is a constant-size mergeable summary computed map-side, so the
+    shuffle carries sketches instead of every value (exact percentile
+    must materialize each group's full value multiset on one task).
+    accuracy=10000 bounds rank error at n/10000."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.percentile_approx(
+            "o_totalprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.9)), 10000
+        ).alias("pcts")
+    ).select(
+        "o_orderstatus",
+        F.col("pcts")[0].alias("p25"),
+        F.col("pcts")[1].alias("p50"),
+        F.col("pcts")[2].alias("p90"),
+    )

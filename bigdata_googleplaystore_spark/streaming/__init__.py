@@ -216,6 +216,53 @@ def run_stream_foreach_batch_parquet(
     q.stop()
 
 
+def run_stream_incremental_agg(
+    stream_df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    state_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Streaming materialized-view maintenance: each micro-batch writes
+    its MERGEABLE partial aggregate (operators/incremental.py state:
+    count/sum/min/max per key) into its own `_batch_id` partition with
+    dynamic partition overwrite.
+
+    Replayed batches rewrite their own partition — idempotent, so the
+    state table is exactly-once without transactions. History is never
+    re-read: each batch shuffles only its own |keys| rows. Readers call
+    `read_incremental_state` to fold the partials; a compaction job can
+    merge old partitions into a base the same way (same merge operator)
+    without changing reader semantics."""
+    from ..operators import incremental
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            incremental.partial_agg(batch_df, keys, value_col)
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(state_dir)
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+
+def read_incremental_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Fold all per-batch partials into the current aggregate view."""
+    from ..operators import incremental
+
+    partials = spark.read.parquet(state_dir).drop("_batch_id")
+    return incremental.finalize(incremental.merge_partials(partials))
+
+
 def run_stream_to_memory(
     stream_df: DataFrame, name: str, output_mode: str = "complete"
 ) -> DataFrame:

@@ -34,3 +34,36 @@ def test_corrupt_record_tracking(spark, tmp_path):
     # short row (3), long row (4,5,6) and type-bad row (x,7) are tracked
     assert len(bad) == 3 and len(good) == 1
     assert good[0]["a"] == 1 and good[0]["b"] == 2
+
+
+def test_approx_percentiles_within_rank_error(spark, sf_dir_mid):
+    """GK sketch contract: each reported quantile's true rank is within
+    n/accuracy of the requested rank. Checked against the exact sorted
+    values per group at sf0.01."""
+    from pyspark.sql import functions as F
+
+    from bigdata_googleplaystore_spark.catalog import QUERIES
+    from bigdata_googleplaystore_spark.sources import load_table
+
+    got = {
+        r["o_orderstatus"]: r
+        for r in QUERIES["percentiles_approx"].fn(spark, sf_dir_mid).collect()
+    }
+    o = load_table(spark, sf_dir_mid, "orders")
+    for status, row in got.items():
+        vals = sorted(
+            r["o_totalprice"]
+            for r in o.filter(F.col("o_orderstatus") == status)
+            .select("o_totalprice")
+            .collect()
+        )
+        n = len(vals)
+        tol = max(1, n // 10000 + 1)
+        for q, col in ((0.25, "p25"), (0.5, "p50"), (0.9, "p90")):
+            # rank of the reported value in the exact ordering
+            import bisect
+
+            lo = bisect.bisect_left(vals, row[col])
+            hi = bisect.bisect_right(vals, row[col])
+            want = q * (n - 1)
+            assert lo - tol <= want <= hi + tol, (status, q, lo, hi, want)

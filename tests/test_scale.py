@@ -117,3 +117,52 @@ def test_compact_parquet_reduces_file_count(spark, sf_dir, tmp_path):
         spark.read.parquet(out).count()
         == load_table(spark, sf_dir, "lineitem").count()
     )
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE's runtime skew-join replan is the engine's answer to hot keys
+    a static plan can't see: one key carrying 200x the median partition
+    must make the final plan read the hot partition in slices
+    (AQEShuffleRead skewed / SortMergeJoin(skew=true)) instead of
+    serializing the whole key through one task. Thresholds are scaled
+    down to test size; production uses the session defaults
+    (session.py enables AQE + skewJoin)."""
+    from pyspark.sql import functions as F
+
+    overrides = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "65536",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32768",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        hot = spark.range(0, 200_000).select(
+            F.lit(0).alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+        )
+        tail = spark.range(0, 1000).select(
+            (F.col("id") % 50 + 1).alias("k"), F.lit("x").alias("payload")
+        )
+        right = spark.range(0, 51).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("rv")
+        )
+        j = (
+            hot.unionAll(tail)
+            .join(right, "k")
+            .select(F.sum(F.length("payload")).alias("s"))
+        )
+        [row] = j.collect()
+        assert row["s"] == 200_000 * 64 + 1000  # join lost/duplicated nothing
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:1500]
+        assert "AQEShuffleRead skewed" in plan
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

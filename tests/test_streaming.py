@@ -153,3 +153,50 @@ def test_foreach_batch_parquet_exactly_once_shape(spark, sf_dir, event_stream_di
     assert sunk.select("_batch_id").distinct().count() >= 2  # multi-batch
     run()  # replay with same checkpoint: no new data, no duplicates
     assert spark.read.parquet(out).count() == total
+
+
+def test_stream_incremental_agg_matches_batch(spark, sf_dir, event_stream_dir, tmp_path):
+    """The streaming materialized view (per-batch mergeable partials +
+    merge-on-read) must equal a direct batch aggregate after the stream
+    drains, and replaying the checkpointed stream must not change it
+    (idempotent per-batch partitions)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_googleplaystore_spark.operators import incremental
+
+    schema = spark.read.parquet(event_stream_dir).schema
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(event_stream_dir)
+        )
+        streaming.run_stream_incremental_agg(
+            stream, ["event_type"], "value", state, ckpt
+        )
+
+    run()
+    got = streaming.read_incremental_state(spark, state)
+    want = incremental.finalize(
+        incremental.partial_agg(
+            load_table(spark, sf_dir, "events"), ["event_type"], "value"
+        )
+    )
+    cols = ["event_type", "n_rows", "vmin", "vmax"]
+    assert _rows(got, cols) == _rows(want, cols)
+    # float totals: compare rounded (sums accumulate in different orders)
+    g = {r["event_type"]: r for r in got.collect()}
+    w = {r["event_type"]: r for r in want.collect()}
+    for k in w:
+        assert abs(g[k]["total"] - w[k]["total"]) < 1e-6
+        assert abs(g[k]["vavg"] - w[k]["vavg"]) < 1e-9
+    # state table really is per-batch partials, several of them
+    assert (
+        spark.read.parquet(state).select("_batch_id").distinct().count() >= 2
+    )
+    run()  # replay: committed offsets -> no state change
+    again = streaming.read_incremental_state(spark, state)
+    assert _rows(again, cols) == _rows(want, cols)
