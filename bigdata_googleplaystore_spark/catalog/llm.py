@@ -1282,3 +1282,63 @@ def curriculum_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
     )
+
+
+@register(
+    "chunk_documents_overlap",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents WHERE text IS NOT NULL
+    ),
+    c AS (
+      SELECT doc_id, len(toks) AS n_toks,
+             CAST(u.i AS INTEGER) AS chunk_idx,
+             toks[u.i * 24 + 1 : u.i * 24 + 32] AS chunk
+      FROM t, unnest(range(0, CAST(ceil(greatest(len(toks) - 8, 1) / 24.0)
+                                   AS BIGINT))) AS u(i)
+    )
+    SELECT doc_id, chunk_idx,
+           CAST(len(chunk) AS INTEGER) AS chunk_len,
+           chunk[1] AS first_token,
+           chunk[len(chunk)] AS last_token,
+           md5(array_to_string(chunk, ' ')) AS chunk_md5
+    FROM c WHERE len(chunk) > 0
+    """,
+    tags=("llm", "chunking", "tokens"),
+)
+def chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking — the pre-embedding step of a
+    retrieval/training pipeline: windows of 32 tokens with stride 24
+    (8-token overlap so no boundary context is lost). Emitted as scalar
+    summaries (length, first/last token, md5 of the joined chunk) so
+    the result is hashable while still pinning the exact chunk content.
+
+    Pure per-row array work: a chunk-count sequence exploded to
+    (doc, chunk_idx), then one F.slice per row — no shuffle at all until
+    a downstream consumer groups; at 100 TB this is a map-only stage
+    that rides the parquet scan. Chunk indices are data-derived
+    (ceil((n-overlap)/stride)), so empty tails never materialize."""
+    size, stride = 32, 24
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = d.select("doc_id", tokens(F.col("text")).alias("toks"))
+    n = F.size("toks")
+    n_chunks = F.ceil(F.greatest(n - (size - stride), F.lit(1)) / F.lit(float(stride)))
+    staged = toks.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0), n_chunks.cast("int") - 1)).alias("chunk_idx"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("chunk_idx") * stride + 1, size)
+    out = staged.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        chunk.alias("chunk"),
+    ).filter(F.size("chunk") > 0)
+    return out.select(
+        "doc_id",
+        "chunk_idx",
+        F.size("chunk").alias("chunk_len"),
+        F.element_at("chunk", 1).alias("first_token"),
+        F.element_at("chunk", -1).alias("last_token"),
+        F.md5(F.encode(F.array_join("chunk", " "), "UTF-8")).alias("chunk_md5"),
+    )

@@ -1583,3 +1583,85 @@ def percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pcts")[1].alias("p50"),
         F.col("pcts")[2].alias("p90"),
     )
+
+
+@register(
+    "timeseries_gapfill_ffill",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             count(*) AS n,
+             CAST(round(sum(CAST(value AS DECIMAL(14,2))), 2) AS DOUBLE)
+               AS day_value
+      FROM events WHERE event_type IS NOT NULL
+      GROUP BY event_type, day
+    ),
+    bounds AS (
+      SELECT event_type, min(day) AS d0, max(day) AS d1 FROM daily
+      GROUP BY event_type
+    ),
+    spine AS (
+      SELECT b.event_type, CAST(u.d AS DATE) AS day
+      FROM bounds b, unnest(generate_series(b.d0, b.d1, INTERVAL 1 DAY)) AS u(d)
+    ),
+    joined AS (
+      SELECT s.event_type, s.day,
+             coalesce(d.n, 0) AS n,
+             d.day_value
+      FROM spine s LEFT JOIN daily d USING (event_type, day)
+    )
+    SELECT event_type, day, CAST(n AS BIGINT) AS n,
+           coalesce(day_value, 0.0) AS day_value,
+           last_value(day_value IGNORE NULLS)
+             OVER (PARTITION BY event_type ORDER BY day
+                   ROWS UNBOUNDED PRECEDING) AS day_value_ffill
+    FROM joined
+    """,
+    tags=("analytics", "timeseries", "gapfill", "window"),
+)
+def timeseries_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densification: build each event type's full daily
+    calendar spine with F.sequence (gap days appear as zero-count rows),
+    then forward-fill the last observed daily value across gaps with
+    last(..., ignorenulls) over an ordered window — the standard
+    gap-fill + LOCF pair every metrics store needs.
+
+    The spine is generated from a per-type (min, max) aggregate — |types|
+    rows exploded to |types| x days, never a driver-side loop — and the
+    left join back to the daily aggregate is broadcastable (the daily
+    frame is already aggregated). The ffill window partitions by
+    event_type: bounded state, parallel across types."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
+    daily = (
+        e.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.count("*").alias("n"),
+            # value is a clean 2-decimal double: decimal-accumulate so the
+            # sum is exact and order-independent (the _util.py scheme)
+            F.round(F.sum(F.col("value").cast("decimal(14,2)")), 2)
+            .cast("double")
+            .alias("day_value"),
+        )
+    )
+    bounds = daily.groupBy("event_type").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence(F.col("d0"), F.col("d1"), F.expr("INTERVAL 1 DAY"))
+        ).alias("day"),
+    )
+    joined = spine.join(F.broadcast(daily), ["event_type", "day"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "event_type",
+        "day",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+        F.coalesce(F.col("day_value"), F.lit(0.0)).alias("day_value"),
+        F.last("day_value", ignorenulls=True).over(w).alias("day_value_ffill"),
+    )
