@@ -1665,3 +1665,33 @@ def timeseries_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("day_value"), F.lit(0.0)).alias("day_value"),
         F.last("day_value", ignorenulls=True).over(w).alias("day_value_ffill"),
     )
+
+
+@register(
+    "variant_shred_props",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_long,
+           CAST(json_extract(props, '$.k') AS DOUBLE) AS k_double,
+           json_extract_string(props, '$.missing') AS missing_field
+    FROM events WHERE props IS NOT NULL
+    """,
+    tags=("json", "variant", "semi-structured"),
+)
+def variant_shred_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured shredding through Spark 4's VARIANT type:
+    parse_json once into the binary variant encoding, then typed
+    variant_get extractions (long, double, and an absent path -> null).
+    VARIANT is the at-scale answer to schemaless columns — parsed once,
+    stored shredded/binary, typed access without per-query string
+    re-parsing (get_json_object re-parses the text on every extraction;
+    compare json_extract_field). Oracle = DuckDB's JSON extraction of
+    the same paths."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("props").isNotNull())
+    v = e.select("event_id", F.parse_json("props").alias("v"))
+    return v.select(
+        "event_id",
+        F.variant_get("v", "$.k", "long").alias("k_long"),
+        F.variant_get("v", "$.k", "double").alias("k_double"),
+        F.variant_get("v", "$.missing", "string").alias("missing_field"),
+    )
