@@ -253,7 +253,8 @@ def array_l2_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_mktsegment,
            count(*) AS n_customers,
-           round(avg(c_acctbal), 6) AS avg_bal,
+           round(CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                 / count(c_acctbal), 6) AS avg_bal,
            min(c_acctbal) AS min_bal,
            max(c_acctbal) AS max_bal
     FROM customer
@@ -267,7 +268,11 @@ def groupby_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     return c.groupBy("c_mktsegment").agg(
         F.count("*").alias("n_customers"),
-        F.round(F.avg("c_acctbal"), 6).alias("avg_bal"),
+        # decimal-sum / count (order-independent), not double avg
+        F.round(
+            F.sum(F.col("c_acctbal").cast("decimal(12,2)")).cast("double")
+            / F.count("c_acctbal"), 6
+        ).alias("avg_bal"),
         F.min("c_acctbal").alias("min_bal"),
         F.max("c_acctbal").alias("max_bal"),
     )

@@ -35,9 +35,12 @@ _CUTOFF = "1998-09-02 00:00:00"
            CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE)                                   AS sum_base_price,
            CAST(round(sum({REVENUE_DEC_SQL}), 2) AS DOUBLE)                AS sum_disc_price,
            CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2)) * CAST(1 + l_tax AS DECIMAL(4,2))), 2) AS DOUBLE)  AS sum_charge,
-           round(avg(l_quantity), 6)                                        AS avg_qty,
-           round(avg(l_extendedprice), 6)                                   AS avg_price,
-           round(avg(l_discount), 6)                                        AS avg_disc,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                 / count(l_quantity), 6)                                    AS avg_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                 / count(l_extendedprice), 6)                               AS avg_price,
+           round(CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)
+                 / count(l_discount), 6)                                    AS avg_disc,
            count(*)                                                         AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '{_CUTOFF}'
@@ -61,9 +64,21 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             money_sum(dec2(F.col("l_extendedprice"))).alias("sum_base_price"),
             money_sum(revenue_dec()).alias("sum_disc_price"),
             money_sum(charge_dec()).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            # avg via exact decimal sum / count: double avg accumulates in
+            # partition order and the last-ulp drift vs DuckDB can straddle
+            # the round(6) boundary (_util.py scheme, applied to means)
+            F.round(
+                F.sum(dec2(F.col("l_quantity"))).cast("double")
+                / F.count("l_quantity"), 6
+            ).alias("avg_qty"),
+            F.round(
+                F.sum(dec2(F.col("l_extendedprice"))).cast("double")
+                / F.count("l_extendedprice"), 6
+            ).alias("avg_price"),
+            F.round(
+                F.sum(dec2(F.col("l_discount"), 4)).cast("double")
+                / F.count("l_discount"), 6
+            ).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -453,7 +468,8 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q22_inactive_customers",
     oracle="""
-    WITH positive AS (SELECT avg(c_acctbal) AS threshold
+    WITH positive AS (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                             / count(c_acctbal) AS threshold
                       FROM customer WHERE c_acctbal > 0.0)
     SELECT substr(c_name, 10, 2) AS cgroup,
            count(*) AS numcust,
@@ -477,8 +493,12 @@ def q22_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_totalprice") > 300000.0
     )
+    # exact decimal sum / count: the threshold must be the SAME double in
+    # both engines — a last-ulp avg drift flips membership of a customer
+    # whose 2-decimal balance equals the exact quotient
     threshold = c.filter(F.col("c_acctbal") > 0.0).agg(
-        F.avg("c_acctbal").alias("threshold")
+        (F.sum(dec2(F.col("c_acctbal"))).cast("double") / F.count("c_acctbal"))
+        .alias("threshold")
     )
     rich = c.crossJoin(F.broadcast(threshold)).filter(
         F.col("c_acctbal") > F.col("threshold")
