@@ -84,6 +84,16 @@ def get_spark(
 
         if not SparkConf().contains("spark.master") and "SPARK_MASTER" not in os.environ:
             builder = builder.master(f"local[{default_parallelism()}]")
+            # In local mode the whole engine (driver + all executor threads)
+            # shares ONE JVM heap, and Spark's default is ~1g — a probe at
+            # 4x sf0.1 OOM'd the inverted-index join there while the machine
+            # had >100 GiB free. Only set when WE choose the master (a
+            # cluster submit sizes executors itself); only effective before
+            # the JVM launches (getOrCreate on a live session ignores it).
+            builder = builder.config(
+                "spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+            )
 
     conf = dict(_BASE_CONF)
     # Initial shuffle partition count: AQE coalesces down from here, so err
