@@ -1700,3 +1700,68 @@ def variant_shred_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.variant_get("v", "$.k", "double").alias("k_double"),
         F.variant_get("v", "$.missing", "string").alias("missing_field"),
     )
+
+
+@register(
+    "map_functions_suite",
+    oracle=r"""
+    WITH t AS (
+      SELECT p_partkey, string_split(p_name, ' ') AS words FROM part
+    ),
+    kv AS (
+      -- DuckDB re-derives the same key->value association from the raw
+      -- lists (last-wins on duplicate keys, matching map_from_arrays):
+      -- distinct keys in first-appearance order, value = length of the
+      -- LAST occurrence (all occurrences of an equal word have equal
+      -- length, so last-wins == any-wins here).
+      SELECT p_partkey, list_distinct(words) AS ks,
+             list_transform(list_distinct(words), w -> length(w)) AS vs
+      FROM t
+    )
+    SELECT p_partkey,
+           CAST(len(ks) AS INTEGER) AS n_keys,
+           CAST(len(list_filter(vs, v -> v > 4)) AS INTEGER) AS n_long,
+           CAST(list_sum(list_transform(vs, v -> v * 2)) AS BIGINT)
+             AS doubled_total,
+           array_to_string(
+             list_transform(list_sort(ks), k -> k || '=' ||
+               CAST(2 * length(k) AS VARCHAR)), ',') AS doubled_entries
+    FROM kv
+    """,
+    tags=("map", "higher-order", "functions"),
+)
+def map_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed higher-order functions over a per-row word->length map:
+    map_from_arrays (last-wins on dup keys), map_filter,
+    transform_values, map_keys/map_values, and a deterministic
+    serialization (sorted 'k=v' entries) so the driver hashes scalars.
+    DuckDB has no MAP lambda suite, so the oracle re-derives identical
+    results from the underlying lists — the check pins map SEMANTICS
+    (dedup, filter, transform), not engine representation. All per-row
+    JVM expression work: no shuffle, fused into the scan."""
+    p = load_table(spark, sf_dir, "part")
+    t = p.select("p_partkey", F.split("p_name", " ").alias("words"))
+    staged = t.select(
+        "p_partkey",
+        F.map_from_arrays(
+            "words", F.transform("words", F.length)
+        ).alias("m"),
+    )
+    doubled = F.transform_values("m", lambda k, v: v * 2)
+    entries = F.transform(
+        F.array_sort(F.map_keys("m")),
+        lambda k: F.concat_ws(
+            "=", k, F.element_at(doubled, k).cast("string")
+        ),
+    )
+    return staged.select(
+        "p_partkey",
+        F.size(F.map_keys("m")).alias("n_keys"),
+        F.size(F.map_filter("m", lambda k, v: v > 4)).alias("n_long"),
+        F.aggregate(
+            F.map_values(doubled),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("doubled_total"),
+        F.array_join(entries, ",").alias("doubled_entries"),
+    )

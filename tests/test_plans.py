@@ -52,3 +52,17 @@ def test_topk_is_single_pass(spark, sf_dir):
     top-k + merge), not a global sort."""
     r = plans.analyze(QUERIES["orderby_desc_topk"].fn(spark, sf_dir))
     assert "TakeOrderedAndProject" in r.text
+
+
+def test_training_pipeline_queries_broadcast_small_sides(spark, sf_dir):
+    """The training-pipeline probes must not sort-merge-join: the
+    benchmark shingle set (decontamination) and the per-user firsts
+    frame (cohort) are small by construction and declared broadcast —
+    at 100 TB a sort-merge join here would shuffle the full corpus."""
+    from bigdata_googleplaystore_spark.catalog import QUERIES
+
+    for name in ("decontaminate_ngram_overlap", "cohort_retention"):
+        df = QUERIES[name].fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
