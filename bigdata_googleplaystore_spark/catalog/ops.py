@@ -1765,3 +1765,69 @@ def map_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("doubled_total"),
         F.array_join(entries, ",").alias("doubled_entries"),
     )
+
+
+@register(
+    "corr_covar_exact",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             sum(CAST(l_quantity AS DECIMAL(12,2))) AS sx,
+             sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sy,
+             sum(CAST(l_quantity AS DECIMAL(12,2))
+                 * CAST(l_quantity AS DECIMAL(12,2))) AS sxx,
+             sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * CAST(l_extendedprice AS DECIMAL(12,2))) AS syy,
+             sum(CAST(l_quantity AS DECIMAL(12,2))
+                 * CAST(l_extendedprice AS DECIMAL(12,2))) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+                 / (n - 1), 4) AS covar_samp,
+           round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+                 / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+                        * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)),
+                 6) AS corr_qty_price
+    FROM s
+    """,
+    tags=("agg", "statistics"),
+)
+def corr_covar_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample covariance and Pearson correlation of quantity vs price per
+    return flag — computed from EXACT decimal moment sums (Σx, Σy, Σxy,
+    Σx², Σy² over 2-decimal inputs are exact and associative), with the
+    float division/sqrt happening once on identical doubles in both
+    engines. The built-in corr()/covar_samp() stream doubles through an
+    order-dependent accumulator — same statistics, but not
+    cross-engine-hashable; this decomposition is, and it is also the
+    map-side-combinable form you'd use at 100 TB anyway (five mergeable
+    sums per group, one shuffle)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(12,2)")
+    y = F.col("l_extendedprice").cast("decimal(12,2)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy, sxy = (
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+        F.col("sxy").cast("double"),
+    )
+    cov_num = sxy - sx * sy / n
+    return s.select(
+        "l_returnflag",
+        n,
+        F.round(cov_num / (n - 1), 4).alias("covar_samp"),
+        F.round(
+            cov_num / F.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6
+        ).alias("corr_qty_price"),
+    )
