@@ -1831,3 +1831,42 @@ def corr_covar_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             cov_num / F.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6
         ).alias("corr_qty_price"),
     )
+
+
+@register(
+    "window_time_range_rolling",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_events_1h,
+           CAST(round(sum(CAST(value AS DECIMAL(14,2))) OVER w, 2) AS DOUBLE)
+             AS value_1h
+    FROM events
+    WHERE user_id IS NOT NULL
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window", "time", "range-frame", "analytics"),
+)
+def window_time_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 1-hour-window metrics per user: for every event, the count
+    and decimal-exact value sum of that user's events in the preceding
+    hour — the sliding-lookback feature every fraud/engagement pipeline
+    computes. Expressed as a RANGE frame over epoch microseconds
+    (portable across engines, unlike interval-typed frames) partitioned
+    by user: state per partition is one in-flight hour of events, and
+    users parallelize. The value sum rides the catalog's decimal scheme
+    so frame sums are accumulation-order-independent."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.count("*").over(w).alias("n_events_1h"),
+        F.round(F.sum(F.col("value").cast("decimal(14,2)")).over(w), 2)
+        .cast("double")
+        .alias("value_1h"),
+    )
