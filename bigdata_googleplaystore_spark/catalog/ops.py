@@ -1870,3 +1870,77 @@ def window_time_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("value_1h"),
     )
+
+
+@register(
+    "try_arithmetic_suite",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_discount = 0.0 THEN NULL
+                ELSE round(l_extendedprice / l_discount, 4) END AS price_per_disc,
+           CASE WHEN l_tax = 0.0 THEN NULL
+                ELSE CAST(CAST(l_quantity AS BIGINT) % CAST(l_tax * 100 AS BIGINT)
+                          AS BIGINT) END AS qty_mod_taxpts,
+           round(l_extendedprice + l_tax * 1000, 4) AS shifted,
+           CAST(NULL AS BIGINT) AS overflow_sum
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1998-11-01'
+    """,
+    tags=("arithmetic", "ansi", "null-safety"),
+)
+def try_arithmetic_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe arithmetic via the try_ family: this engine keeps
+    PySpark 4's ANSI mode ON (errors on overflow / division by zero
+    instead of silently wrapping), so dirty-data arithmetic goes through
+    try_divide / try_mod / try_add — null on failure, never a crashed
+    100 TB job three hours in. The oracle mirrors each failure case with
+    explicit CASE guards (DuckDB raises on div-by-zero too);
+    try_add(BIGINT_MAX, qty) pins the overflow->null contract."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1998-11-01").cast("timestamp")
+    )
+    max_long = F.lit(9223372036854775807).cast("long")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.try_divide(F.col("l_extendedprice"), F.col("l_discount")), 4)
+        .alias("price_per_disc"),
+        F.try_mod(
+            F.col("l_quantity").cast("long"),
+            (F.col("l_tax") * 100).cast("long"),
+        ).alias("qty_mod_taxpts"),
+        F.round(F.try_add(F.col("l_extendedprice"), F.col("l_tax") * 1000), 4)
+        .alias("shifted"),
+        F.try_add(max_long, F.col("l_quantity").cast("long")).alias("overflow_sum"),
+    )
+
+
+@register(
+    "regexp_extract_all_tokens",
+    oracle=r"""
+    -- DuckDB's regexp_extract_all yields NULL (not []) on zero matches;
+    -- Spark yields [] -> join '' — coalesce to align
+    SELECT p_partkey,
+           CAST(coalesce(len(regexp_extract_all(p_name, '[a-z]{5,}')), 0)
+                AS INTEGER) AS n_long_words,
+           coalesce(array_to_string(regexp_extract_all(p_name, '[a-z]{5,}'), '|'),
+                    '') AS long_words
+    FROM part
+    """,
+    tags=("regexp", "string", "functions"),
+)
+def regexp_extract_all_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract_all: every >=5-letter word per part name (the
+    multi-match sibling of regexp_extract, F1). Serialized with a join
+    for the hasher plus the raw count; the array column itself is
+    stringified because the driver's pandas hasher cannot hash lists
+    (round-1 lesson, collect_list_sorted)."""
+    p = load_table(spark, sf_dir, "part")
+    # Spark's regexp_extract_all defaults to capture-group 1 — the
+    # pattern needs an explicit group (DuckDB's returns the full match)
+    words = F.regexp_extract_all(F.col("p_name"), F.lit("([a-z]{5,})"))
+    return p.select(
+        "p_partkey",
+        F.size(words).alias("n_long_words"),
+        F.array_join(words, "|").alias("long_words"),
+    )
