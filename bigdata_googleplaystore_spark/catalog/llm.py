@@ -1342,3 +1342,117 @@ def chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("chunk", -1).alias("last_token"),
         F.md5(F.encode(F.array_join("chunk", " "), "UTF-8")).alias("chunk_md5"),
     )
+
+
+_U_SRC_MIXW = (
+    "(('0x' || substr(md5('mixw' || source), 1, 8))::UBIGINT::DOUBLE / 4294967296.0)"
+)
+_U_DOC_MIXD = (
+    "(('0x' || substr(md5('mixd' || CAST(doc_id AS VARCHAR)), 1, 8))"
+    "::UBIGINT::DOUBLE / 4294967296.0)"
+)
+
+
+@register(
+    "mixture_weighted_resample",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, source,
+             0.5 + 2.0 * {_U_SRC_MIXW} AS w,
+             {_U_DOC_MIXD} AS u
+      FROM documents WHERE source IS NOT NULL
+    ),
+    c AS (
+      SELECT doc_id, source,
+             CAST(floor(w) AS BIGINT)
+               + CASE WHEN u < w - floor(w) THEN 1 ELSE 0 END AS n_copies
+      FROM base
+    ),
+    e AS (
+      SELECT source, doc_id, unnest(range(1, n_copies + 1)) AS copy_idx
+      FROM c WHERE n_copies > 0
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs_kept,
+           CAST(max(copy_idx) AS BIGINT) AS max_copies
+    FROM e GROUP BY source
+    """,
+    tags=("llm", "sampling", "mixture"),
+)
+def mixture_weighted_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture resampling (operators/sampling.weighted_resample):
+    each source gets a deterministic hash-derived weight in [0.5, 2.5);
+    every doc is repeated floor(w) times plus a frac(w)-probability extra
+    copy decided by the doc-id hash. The realized mixture matches the
+    target weights in expectation while being bit-reproducible across
+    runs, partitionings, and engines (the oracle re-derives the exact
+    same sample from the same md5 prefixes). Fan-out is a narrow
+    explode(sequence(...)) — map-only, no shuffle until the final agg."""
+    from ..operators.sampling import hash_uniform, weighted_resample
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("source").isNotNull())
+    w_src = F.lit(0.5) + F.lit(2.0) * hash_uniform(F.col("source"), salt="mixw")
+    resampled = weighted_resample(d, w_src, "doc_id", salt="mixd")
+    return resampled.groupBy("source").agg(
+        F.count("*").alias("n_samples"),
+        F.countDistinct("doc_id").alias("n_docs_kept"),
+        F.max("copy_idx").alias("max_copies"),
+    )
+
+
+@register(
+    "boilerplate_token_prune",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, {_TOKS_SQL} AS ws FROM documents WHERE text IS NOT NULL
+    ),
+    ex AS (SELECT doc_id, unnest(ws) AS tok FROM d),
+    t AS (SELECT CAST(count(*) AS DOUBLE) AS total_docs FROM d),
+    dfreq AS (SELECT tok, count(DISTINCT doc_id) AS n_docs FROM ex GROUP BY tok),
+    common AS (SELECT tok FROM dfreq, t WHERE n_docs > 0.3 * total_docs),
+    per_doc AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens FROM ex GROUP BY doc_id
+    ),
+    kept AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept
+      FROM ex ANTI JOIN common USING (tok) GROUP BY doc_id
+    )
+    SELECT p.doc_id, p.n_tokens,
+           coalesce(k.n_kept, CAST(0 AS BIGINT)) AS n_kept,
+           round(1.0 - CAST(coalesce(k.n_kept, 0) AS DOUBLE) / p.n_tokens, 6)
+             AS pruned_frac
+    FROM per_doc p LEFT JOIN kept k USING (doc_id)
+    """,
+    tags=("llm", "text", "boilerplate"),
+)
+def boilerplate_token_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-adaptive boilerplate pruning: tokens appearing in >30% of
+    documents (site chrome, navigation text, license banners at web
+    scale) are learned from the corpus itself and stripped. Two passes:
+    (1) one agg builds the document-frequency table — vocabulary-sized,
+    tiny next to the corpus; (2) a BROADCAST anti-join drops the common
+    tokens, so the 100 TB pass is map-side with no shuffle of the
+    exploded token stream. Returns per-doc before/after token counts."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    ex = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    total_docs = d.agg(F.count("*").cast("double").alias("total_docs"))
+    dfreq = ex.distinct().groupBy("tok").agg(F.count("*").alias("n_docs"))
+    common = dfreq.crossJoin(F.broadcast(total_docs)).filter(
+        F.col("n_docs") > 0.3 * F.col("total_docs")
+    )
+    per_doc = ex.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
+    kept = (
+        ex.join(F.broadcast(common.select("tok")), "tok", "left_anti")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_kept"))
+    )
+    n_kept = F.coalesce(F.col("n_kept"), F.lit(0).cast("long"))
+    return per_doc.join(kept, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        n_kept.alias("n_kept"),
+        F.round(F.lit(1.0) - n_kept.cast("double") / F.col("n_tokens"), 6).alias(
+            "pruned_frac"
+        ),
+    )

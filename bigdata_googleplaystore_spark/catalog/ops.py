@@ -1944,3 +1944,157 @@ def regexp_extract_all_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(words).alias("n_long_words"),
         F.array_join(words, "|").alias("long_words"),
     )
+
+
+@register(
+    "sessionize_gap_cumsum",
+    oracle="""
+    WITH ev AS (SELECT * FROM events WHERE user_id IS NOT NULL),
+    flagged AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             CAST(sum(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS session_seq
+      FROM flagged
+    )
+    SELECT user_id, session_seq,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(ts) AS session_start,
+           epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us,
+           CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS spend
+    FROM sess GROUP BY user_id, session_seq
+    """,
+    tags=("analytics", "sessionize", "window"),
+)
+def sessionize_gap_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization, the batch window-function formulation
+    (complement of session_window_gap's F.session_window): a 30-minute
+    silence starts a new session; session id = running sum of new-session
+    flags per user. One shuffle on user_id serves both window passes and
+    the final agg (same partitioning, Catalyst reuses the exchange).
+    Timestamps compare in exact microseconds (unix_micros/epoch_us) and
+    spend sums in exact decimal, so both engines agree bit-for-bit."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    flagged = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1).otherwise(0).alias(
+            "is_new"
+        ),
+    )
+    sess = flagged.withColumn(
+        "session_seq",
+        F.sum("is_new")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"),
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias(
+            "duration_us"
+        ),
+        money_sum(dec2(F.col("value"))).alias("spend"),
+    )
+
+
+@register(
+    "listagg_distinct_sources",
+    oracle="""
+    WITH ds AS (
+      SELECT DISTINCT lang, source FROM documents
+      WHERE lang IS NOT NULL AND source IS NOT NULL
+    )
+    SELECT lang,
+           string_agg(source, ',' ORDER BY source) AS sources_csv,
+           CAST(count(*) AS BIGINT) AS n_sources
+    FROM ds GROUP BY lang
+    """,
+    tags=("aggregation", "listagg", "sql"),
+)
+def listagg_distinct_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """listagg WITHIN GROUP (Spark 4's ordered string_agg): the ordered
+    concatenation is deterministic by contract — unlike collect_list,
+    whose order is partitioning-dependent — so it is safe to hash. The
+    DISTINCT pre-projection keeps the aggregated state vocabulary-sized
+    regardless of corpus row count."""
+    from ..sources import register_views
+
+    register_views(spark, sf_dir, tables=("documents",))
+    return spark.sql(
+        """
+        WITH ds AS (
+          SELECT DISTINCT lang, source FROM documents
+          WHERE lang IS NOT NULL AND source IS NOT NULL
+        )
+        SELECT lang,
+               listagg(source, ',') WITHIN GROUP (ORDER BY source) AS sources_csv,
+               count(*) AS n_sources
+        FROM ds GROUP BY lang
+        """
+    )
+
+
+@register(
+    "hll_distinct_accuracy",
+    oracle="""
+    WITH per AS (
+      SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+      FROM events WHERE event_type IS NOT NULL GROUP BY event_type
+    ),
+    g_all AS (
+      SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+      FROM events WHERE event_type IS NOT NULL
+    )
+    SELECT event_type, exact_users, TRUE AS within_5pct FROM per
+    UNION ALL
+    SELECT 'ALL', exact_users, TRUE FROM g_all
+    """,
+    tags=("aggregation", "sketch", "approx"),
+)
+def hll_distinct_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datasketches HLL, the 100 TB distinct-count pattern: per-group
+    sketches are built in one pass (hll_sketch_agg), and the GLOBAL
+    distinct count comes from MERGING those sketches (hll_union_agg) —
+    no second scan, no giant exact-distinct shuffle. The query returns
+    the exact counts plus a boolean asserting the estimate landed within
+    5% (HLL lgK=12 gives ~1.6% rse), so the oracle can check the sketch
+    path without DuckDB having to reproduce the sketch internals."""
+    from ..sources import register_views
+
+    register_views(spark, sf_dir, tables=("events",))
+    return spark.sql(
+        """
+        WITH s AS (
+          SELECT event_type,
+                 hll_sketch_agg(user_id) AS sk,
+                 count(DISTINCT user_id) AS exact_users
+          FROM events WHERE event_type IS NOT NULL GROUP BY event_type
+        )
+        SELECT event_type, exact_users,
+               abs(hll_sketch_estimate(sk) - exact_users)
+                 <= ceil(0.05 * exact_users) AS within_5pct
+        FROM s
+        UNION ALL
+        SELECT 'ALL' AS event_type,
+               max(g.exact_users) AS exact_users,
+               abs(hll_sketch_estimate(hll_union_agg(s.sk)) - max(g.exact_users))
+                 <= ceil(0.05 * max(g.exact_users)) AS within_5pct
+        FROM s CROSS JOIN (
+          SELECT count(DISTINCT user_id) AS exact_users
+          FROM events WHERE event_type IS NOT NULL
+        ) g
+        """
+    )

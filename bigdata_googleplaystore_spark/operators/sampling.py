@@ -68,3 +68,35 @@ def quota_per_group(
         .filter(F.col("_rank") <= n)
         .drop("_rank")
     )
+
+
+def weighted_resample(
+    df: DataFrame,
+    weight: Column,
+    id_col: str,
+    salt: str = "",
+    copy_col: str = "copy_idx",
+) -> DataFrame:
+    """Resample rows to a fractional per-row `weight` (e.g. a domain-mixture
+    temperature weight): each row is repeated floor(w) times plus one extra
+    copy with probability frac(w), decided by the row's id hash — so the
+    realized corpus mixture matches the target weights in expectation while
+    every run (and every engine) reproduces the exact same sample.
+
+    Rows with effective count 0 are dropped. The fan-out is a narrow
+    `explode(sequence(...))` — no shuffle, no driver loop; at 100 TB the
+    output partition count simply grows with sum(w)/n and AQE re-splits
+    oversized partitions."""
+    u = hash_uniform(F.col(id_col), salt)
+    n_copies = (
+        F.floor(weight) + F.when(u < weight - F.floor(weight), 1).otherwise(0)
+    ).cast("long")
+    return (
+        df.withColumn("_n_copies", n_copies)
+        .filter(F.col("_n_copies") > 0)
+        .withColumn(
+            copy_col,
+            F.explode(F.sequence(F.lit(1).cast("long"), F.col("_n_copies"))),
+        )
+        .drop("_n_copies")
+    )

@@ -246,3 +246,30 @@ def test_jaccard_hot_shingle_cap(spark):
     # the 40 stop-phrase docs share ~4 hot shingles (df=40 > cap) and
     # nothing else; with the cap they can't form pairs at all
     assert all(a >= 100 for a, _ in capped), f"hot-shingle-only pair kept: {capped}"
+
+
+def test_weighted_resample_deterministic_and_unbiased(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from bigdata_googleplaystore_spark.operators.sampling import weighted_resample
+
+    d = load_table(spark, sf_dir, "documents")
+    w = F.lit(1.7)
+    a = sorted(
+        (r["doc_id"], r["copy_idx"])
+        for r in weighted_resample(d, w, "doc_id", salt="t").collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["copy_idx"])
+        for r in weighted_resample(d.repartition(11), w, "doc_id", salt="t").collect()
+    )
+    assert a == b  # partition-invariant sample
+    n_in = d.count()
+    n_out = len(a)
+    assert 1.4 * n_in < n_out < 2.0 * n_in  # ~1.7x in expectation
+    # every row keeps floor(w)=1 copy; copy_idx is 1..n_copies
+    per_doc = {}
+    for doc, idx in a:
+        per_doc.setdefault(doc, []).append(idx)
+    assert len(per_doc) == n_in
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_doc.values())
