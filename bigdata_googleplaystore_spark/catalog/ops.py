@@ -2098,3 +2098,248 @@ def hll_distinct_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) g
         """
     )
+
+
+@register(
+    "bitmap_distinct_rollup",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+      GROUP BY event_type, d
+    ),
+    total AS (
+      SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS total_users
+      FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+      GROUP BY event_type
+    )
+    SELECT daily.event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           min(n_users) AS min_daily_users,
+           max(n_users) AS max_daily_users,
+           CAST(sum(n_users) AS BIGINT) AS sum_daily_users,
+           max(total_users) AS total_users
+    FROM daily JOIN total USING (event_type)
+    GROUP BY daily.event_type
+    """,
+    tags=("aggregation", "bitmap", "incremental", "scale"),
+)
+def bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact re-aggregable distinct counts via RoaringBitmap-style aggs
+    (bitmap_construct_agg / bitmap_or_agg): daily per-type bitmaps are
+    built in one scan, daily actives read off them, and the per-type
+    TOTAL distinct comes from OR-merging the daily bitmaps — never a
+    second scan, never a giant exact-distinct shuffle. This is the
+    incremental distinct-count pattern for 100 TB event logs: persist
+    the daily bitmaps and any rollup (week, month, all-time) is a merge
+    of kilobyte-sized state. The oracle recomputes both levels with
+    plain count(DISTINCT) — the bitmap path must agree exactly."""
+    from ..sources import register_views
+
+    register_views(spark, sf_dir, tables=("events",))
+    return spark.sql(
+        """
+        WITH b AS (
+          SELECT event_type, CAST(date_trunc('DAY', ts) AS DATE) AS d,
+                 bitmap_bucket_number(user_id) AS bkt,
+                 bitmap_construct_agg(bitmap_bit_position(user_id)) AS bm
+          FROM events
+          WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+          GROUP BY event_type, CAST(date_trunc('DAY', ts) AS DATE),
+                   bitmap_bucket_number(user_id)
+        ),
+        daily AS (
+          SELECT event_type, d, CAST(sum(bitmap_count(bm)) AS BIGINT) AS n_users
+          FROM b GROUP BY event_type, d
+        ),
+        merged AS (
+          SELECT event_type, bkt, bitmap_or_agg(bm) AS bm
+          FROM b GROUP BY event_type, bkt
+        ),
+        total AS (
+          SELECT event_type, CAST(sum(bitmap_count(bm)) AS BIGINT) AS total_users
+          FROM merged GROUP BY event_type
+        )
+        SELECT daily.event_type,
+               CAST(count(*) AS BIGINT) AS n_days,
+               min(n_users) AS min_daily_users,
+               max(n_users) AS max_daily_users,
+               CAST(sum(n_users) AS BIGINT) AS sum_daily_users,
+               max(total_users) AS total_users
+        FROM daily JOIN total USING (event_type)
+        GROUP BY daily.event_type
+        """
+    )
+
+
+@register(
+    "fuzzy_name_match_blocked",
+    oracle="""
+    WITH names AS (
+      SELECT p_name, CAST(count(*) AS BIGINT) AS n
+      FROM part WHERE p_name IS NOT NULL GROUP BY p_name
+    ),
+    nm AS (
+      SELECT p_name, n, arr[len(arr)] AS lastw
+      FROM (SELECT p_name, n, string_split(p_name, ' ') AS arr FROM names)
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist,
+           a.n AS n_parts_a, b.n AS n_parts_b
+    FROM nm a JOIN nm b
+      ON a.lastw = b.lastw AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    """,
+    tags=("join", "fuzzy", "entity-resolution"),
+)
+def fuzzy_name_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity resolution done the scalable way: dedup to DISTINCT
+    names first (vocabulary-sized, not row-sized), generate candidate
+    pairs only within a blocking key (the name's last token), score with
+    exact Levenshtein, then join counts back. The quadratic step runs on
+    the vocabulary inside each block — sum(block^2), never N^2 over the
+    table (operators/dedup.blocked_fuzzy_pairs)."""
+    from ..operators.dedup import blocked_fuzzy_pairs
+
+    p = load_table(spark, sf_dir, "part")
+    names = (
+        p.filter(F.col("p_name").isNotNull())
+        .groupBy("p_name")
+        .agg(F.count("*").alias("n"))
+    )
+    nm = names.withColumn("_last", F.element_at(F.split("p_name", " "), -1))
+    pairs = blocked_fuzzy_pairs(nm, "p_name", "_last", max_dist=3)
+    cnt = F.broadcast(names)
+    return (
+        pairs.join(cnt.withColumnRenamed("p_name", "name_a"), "name_a")
+        .withColumnRenamed("n", "n_parts_a")
+        .join(
+            cnt.withColumnRenamed("p_name", "name_b").withColumnRenamed(
+                "n", "n_parts_b"
+            ),
+            "name_b",
+        )
+        .select("name_a", "name_b", "dist", "n_parts_a", "n_parts_b")
+    )
+
+
+@register(
+    "pandas_group_gap_stats",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS tus, event_id
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    w AS (
+      SELECT user_id, tus,
+             tus - lag(tus) OVER (
+               PARTITION BY user_id ORDER BY tus, event_id
+             ) AS gap
+      FROM e
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           median(gap) AS median_gap_us,
+           CAST(max(gap) AS BIGINT) AS max_gap_us,
+           CAST(max(tus) - min(tus) AS BIGINT) AS span_us
+    FROM w GROUP BY user_id HAVING count(gap) >= 1
+    """,
+    tags=("pandas-udf", "grouped-map", "analytics"),
+)
+def pandas_group_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map Pandas path (applyInPandas): per-user inter-event gap
+    stats computed in pandas over Arrow-shipped per-user batches — the
+    escape hatch for per-group logic SQL can't express. Kept exact for
+    the oracle by doing ALL arithmetic on integer microseconds (pandas
+    int64 diff/max are exact; the even-count median averages two ints,
+    which both engines represent identically in float64). One shuffle on
+    user_id; group state is one user's events, bounded at any scale."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id", F.unix_micros("ts").alias("tus"), "event_id")
+    )
+
+    def gap_stats(pdf):
+        import pandas as pd
+
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series(dtype="int64"),
+                    "n_events": pd.Series(dtype="int64"),
+                    "median_gap_us": pd.Series(dtype="float64"),
+                    "max_gap_us": pd.Series(dtype="int64"),
+                    "span_us": pd.Series(dtype="int64"),
+                }
+            )
+        pdf = pdf.sort_values(["tus", "event_id"])
+        gaps = pdf["tus"].diff().dropna()
+        return pd.DataFrame(
+            [
+                {
+                    "user_id": int(pdf["user_id"].iloc[0]),
+                    "n_events": len(pdf),
+                    "median_gap_us": float(gaps.median()),
+                    "max_gap_us": int(gaps.max()),
+                    "span_us": int(pdf["tus"].iloc[-1] - pdf["tus"].iloc[0]),
+                }
+            ]
+        )
+
+    return e.groupBy("user_id").applyInPandas(
+        gap_stats,
+        "user_id long, n_events long, median_gap_us double, "
+        "max_gap_us long, span_us long",
+    )
+
+
+@register(
+    "udtf_word_bigrams",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+      FROM documents WHERE text IS NOT NULL AND doc_id % 20 = 3
+    ),
+    pairs AS (
+      SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+      FROM d, unnest(range(1, len(ws))) AS u(i)
+    )
+    SELECT doc_id, w1, w2, CAST(count(*) AS INTEGER) AS n
+    FROM pairs GROUP BY doc_id, w1, w2
+    """,
+    tags=("udtf", "generator", "text"),
+)
+def udtf_word_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function) surface: a LATERAL-joined generator
+    that fans each document out into its distinct word bigrams with
+    counts. Tokenization mirrors functions.text.tokens (trim+lower+\\s+)
+    so the DuckDB oracle reproduces it with string_split_regex. UDTFs
+    are the row-python slow path — the query runs on a 1-in-20 document
+    sample and the docstring exists to say: use explode()+groupBy for
+    this in production; the UDTF form is API-surface coverage."""
+    from collections import Counter
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="w1 string, w2 string, n int")
+    class WordBigrams:
+        def eval(self, text):
+            if text is None:
+                return
+            toks = text.strip().lower().split()
+            for (w1, w2), n in Counter(zip(toks, toks[1:])).items():
+                yield w1, w2, n
+
+    spark.udtf.register("word_bigrams", WordBigrams)
+    from ..sources import register_views
+
+    register_views(spark, sf_dir, tables=("documents",))
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.w1, s.w2, s.n
+        FROM documents d, LATERAL word_bigrams(d.text) s
+        WHERE d.text IS NOT NULL AND d.doc_id % 20 = 3
+        """
+    )

@@ -451,3 +451,33 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def blocked_fuzzy_pairs(
+    df: DataFrame,
+    name_col: str,
+    block_col: str,
+    max_dist: int = 3,
+) -> DataFrame:
+    """Entity-resolution fuzzy matching: candidate pairs are generated only
+    WITHIN a blocking key (never all-pairs), then scored with exact
+    Levenshtein edit distance. Callers should block on a key whose group
+    size stays bounded as the table grows (last name token, phonetic code,
+    length bucket) — the join cost is sum(block_size^2), not N^2.
+
+    Expects `df` pre-deduplicated to distinct names (vocabulary-sized for
+    catalog-like inputs), so the self-join is small enough to broadcast.
+    Returns (name_a, name_b, dist) with name_a < name_b."""
+    a = df.select(
+        F.col(name_col).alias("name_a"), F.col(block_col).alias("_blk")
+    )
+    b = df.select(
+        F.col(name_col).alias("name_b"), F.col(block_col).alias("_blk")
+    )
+    return (
+        a.join(F.broadcast(b), "_blk")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= max_dist)
+        .select("name_a", "name_b", "dist")
+    )

@@ -67,3 +67,29 @@ def test_approx_percentiles_within_rank_error(spark, sf_dir_mid):
             hi = bisect.bisect_right(vals, row[col])
             want = q * (n - 1)
             assert lo - tol <= want <= hi + tol, (status, q, lo, hi, want)
+
+
+def test_blocked_fuzzy_pairs_semantics(spark):
+    """Pairs only form within a block; dist is exact Levenshtein; pairs
+    are canonically ordered (name_a < name_b) so no duplicates."""
+    from bigdata_googleplaystore_spark.operators.dedup import blocked_fuzzy_pairs
+
+    df = spark.createDataFrame(
+        [
+            ("red bolt", "bolt"),
+            ("hot bolt", "bolt"),
+            ("old bolt", "bolt"),
+            ("red ring", "ring"),  # cross-block: never paired with bolts
+            ("crimson fastener", "fastener"),
+        ],
+        ["name", "blk"],
+    )
+    got = {
+        (r["name_a"], r["name_b"]): r["dist"]
+        for r in blocked_fuzzy_pairs(df, "name", "blk", max_dist=3).collect()
+    }
+    assert got == {
+        ("hot bolt", "red bolt"): 3,
+        ("hot bolt", "old bolt"): 3,
+        ("old bolt", "red bolt"): 2,
+    }
