@@ -2343,3 +2343,151 @@ def udtf_word_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE d.text IS NOT NULL AND d.doc_id % 20 = 3
         """
     )
+
+
+@register(
+    "data_quality_audit",
+    oracle="""
+    SELECT check_name, n_bad, n_total, n_bad = 0 AS ok FROM (
+    WITH ev AS (SELECT count(*) AS t FROM events),
+         doc AS (SELECT count(*) AS t FROM documents),
+         ord AS (SELECT count(*) AS t FROM orders WHERE o_custkey IS NOT NULL),
+         li AS (SELECT count(*) AS t FROM lineitem WHERE l_orderkey IS NOT NULL)
+    SELECT 'events.user_id_not_null' AS check_name,
+           CAST((SELECT count(*) FROM events WHERE user_id IS NULL) AS BIGINT) AS n_bad,
+           CAST((SELECT t FROM ev) AS BIGINT) AS n_total
+    UNION ALL
+    SELECT 'events.value_non_negative',
+           CAST((SELECT count(*) FROM events WHERE value < 0) AS BIGINT),
+           CAST((SELECT t FROM ev) AS BIGINT)
+    UNION ALL
+    SELECT 'documents.text_not_null',
+           CAST((SELECT count(*) FROM documents WHERE text IS NULL) AS BIGINT),
+           CAST((SELECT t FROM doc) AS BIGINT)
+    UNION ALL
+    SELECT 'documents.n_chars_matches_text',
+           CAST((SELECT count(*) FROM documents
+                 WHERE text IS NOT NULL AND n_chars <> length(text)) AS BIGINT),
+           CAST((SELECT t FROM doc) AS BIGINT)
+    UNION ALL
+    SELECT 'orders.custkey_fk',
+           CAST((SELECT count(*) FROM orders o ANTI JOIN customer c
+                 ON o.o_custkey = c.c_custkey
+                 WHERE o.o_custkey IS NOT NULL) AS BIGINT),
+           CAST((SELECT t FROM ord) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem.orderkey_fk',
+           CAST((SELECT count(*) FROM lineitem l ANTI JOIN orders o
+                 ON l.l_orderkey = o.o_orderkey
+                 WHERE l.l_orderkey IS NOT NULL) AS BIGINT),
+           CAST((SELECT t FROM li) AS BIGINT)
+    )
+    """,
+    tags=("quality", "validation", "pipeline"),
+)
+def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-promotion data-quality gate (operators/quality.py): null and
+    range expectations fuse into ONE conditional-sum aggregate per table
+    (never a scan per check), and referential integrity runs as left-anti
+    orphan probes on the FK key. The whole audit is a lazy union — one
+    job, no driver-side loops — and emits (check, n_bad, n_total, ok)
+    rows a pipeline can alert on."""
+    from ..operators import quality
+
+    ev = load_table(spark, sf_dir, "events")
+    doc = load_table(spark, sf_dir, "documents")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+
+    ev_checks = quality.expect_agg(
+        ev,
+        {
+            "events.user_id_not_null": F.col("user_id").isNull(),
+            "events.value_non_negative": F.col("value") < 0,
+        },
+    )
+    doc_checks = quality.expect_agg(
+        doc,
+        {
+            "documents.text_not_null": F.col("text").isNull(),
+            "documents.n_chars_matches_text": F.col("text").isNotNull()
+            & (F.col("n_chars") != F.length("text")),
+        },
+    )
+    fk1 = quality.expect_fk(orders, "o_custkey", customer, "c_custkey", "orders.custkey_fk")
+    fk2 = quality.expect_fk(lineitem, "l_orderkey", orders, "o_orderkey", "lineitem.orderkey_fk")
+    return ev_checks.unionAll(doc_checks).unionAll(fk1).unionAll(fk2)
+
+
+@register(
+    "cogroup_order_reconciliation",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 10 = 7
+    ),
+    l AS (
+      SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
+      FROM lineitem WHERE l_orderkey % 10 = 7 GROUP BY l_orderkey
+    )
+    SELECT o.o_orderkey,
+           coalesce(l.n_lines, CAST(0 AS BIGINT)) AS n_lines,
+           coalesce(l.sum_qty, CAST(0 AS DOUBLE)) AS sum_qty,
+           o.o_totalprice
+    FROM o LEFT JOIN l ON o.o_orderkey = l.l_orderkey
+    """,
+    tags=("pandas-udf", "cogroup", "join"),
+)
+def cogroup_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped-map Pandas path (groupBy().cogroup().applyInPandas):
+    each order's header batch and its lineitem batch arrive together in
+    pandas — the escape hatch for per-key reconciliation logic that is
+    not a plain join (imperative matching, per-key validation). Exact
+    for the oracle: l_quantity is integer-valued so its float sum is
+    order-independent. Orders without lines emit zeros; orphan lineitem
+    groups (no header) emit nothing. Runs on a 1-in-10 orderkey sample —
+    the per-group python invocation is the slow path; the docstring says
+    use a join when the logic IS a join."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 10 == 7)
+        .select("o_orderkey", "o_totalprice")
+    )
+    l = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 10 == 7)
+        .select("l_orderkey", "l_quantity")
+    )
+
+    def reconcile(key, opdf, lpdf):
+        import pandas as pd
+
+        if len(opdf) == 0:  # orphan lineitems: surfaced by data_quality_audit
+            return pd.DataFrame(
+                {
+                    "o_orderkey": pd.Series(dtype="int64"),
+                    "n_lines": pd.Series(dtype="int64"),
+                    "sum_qty": pd.Series(dtype="float64"),
+                    "o_totalprice": pd.Series(dtype="float64"),
+                }
+            )
+        return pd.DataFrame(
+            [
+                {
+                    "o_orderkey": int(key[0]),
+                    "n_lines": len(lpdf),
+                    "sum_qty": float(lpdf["l_quantity"].sum()) if len(lpdf) else 0.0,
+                    "o_totalprice": float(opdf["o_totalprice"].iloc[0]),
+                }
+            ]
+        )
+
+    return (
+        o.groupBy("o_orderkey")
+        .cogroup(l.groupBy("l_orderkey"))
+        .applyInPandas(
+            reconcile,
+            "o_orderkey long, n_lines long, sum_qty double, o_totalprice double",
+        )
+    )

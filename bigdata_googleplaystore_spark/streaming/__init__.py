@@ -278,3 +278,20 @@ def run_stream_to_memory(
     q.processAllAvailable()
     q.stop()
     return stream_df.sparkSession.table(name)
+
+
+def enrich_stream_static(
+    events_stream: DataFrame,
+    dim: DataFrame,
+    key: str,
+    dim_cols: list[str],
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch of the stream joins
+    a *batch* dimension table — the standard pattern for decorating an
+    event stream with slowly-changing reference data (user profile, device
+    registry). The static side is re-planned per micro-batch (so dimension
+    updates are picked up) and is explicitly broadcast: stateless,
+    watermark-free, and the stream side never shuffles. Left join keeps
+    events whose key is missing from the dimension (late-arriving dims)."""
+    cols = [F.col(key)] + [F.col(c) for c in dim_cols]
+    return events_stream.join(F.broadcast(dim.select(*cols)), key, "left")

@@ -93,3 +93,35 @@ def test_blocked_fuzzy_pairs_semantics(spark):
         ("hot bolt", "old bolt"): 3,
         ("old bolt", "red bolt"): 2,
     }
+
+
+def test_quality_checks_catch_planted_violations(spark):
+    from pyspark.sql import functions as F
+
+    from bigdata_googleplaystore_spark.operators import quality
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -3.0), (None, 5.0), (4, None)],
+        "id int, v double",
+    )
+    got = {
+        r["check_name"]: (r["n_bad"], r["n_total"], r["ok"])
+        for r in quality.expect_agg(
+            df,
+            {
+                "id.not_null": F.col("id").isNull(),
+                "v.non_negative": F.col("v") < 0,
+                "v.not_null": F.col("v").isNull(),
+            },
+        ).collect()
+    }
+    assert got == {
+        "id.not_null": (1, 4, False),
+        "v.non_negative": (1, 4, False),
+        "v.not_null": (1, 4, False),
+    }
+    parent = spark.createDataFrame([(1,), (2,)], "k int")
+    child = spark.createDataFrame([(1,), (2,), (9,), (None,)], "k int")
+    row = quality.expect_fk(child, "k", parent, "k", "child.k_fk").collect()[0]
+    # null FK values are not orphans; 9 is
+    assert (row["n_bad"], row["n_total"], row["ok"]) == (1, 3, False)

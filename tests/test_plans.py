@@ -66,3 +66,33 @@ def test_training_pipeline_queries_broadcast_small_sides(spark, sf_dir):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan, name
         assert "SortMergeJoin" not in plan, name
+
+
+def test_sessionize_reuses_one_user_shuffle(spark, sf_dir):
+    """Both window passes and the final session agg partition by user_id:
+    the plan must carry a single hash exchange on user_id — a second
+    exchange appearing means the agg stopped reusing the window
+    partitioning and the query shuffles the events table twice."""
+    r = plans.analyze(QUERIES["sessionize_gap_cumsum"].fn(spark, sf_dir))
+    assert r.exchanges <= 1, r.text
+
+
+def test_boilerplate_prune_anti_join_broadcasts(spark, sf_dir):
+    """The learned common-token vocabulary is tiny; stripping it from the
+    exploded token stream must be a broadcast anti-join (map-side), never
+    a shuffle of the token stream on the token key."""
+    r = plans.analyze(QUERIES["boilerplate_token_prune"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in r.text and "LeftAnti" in r.text, r.text
+    # token-stream shuffles: doc_id aggs (and their reuse) only — the
+    # tok-keyed anti join must not add one
+    assert not any("tok" in x for x in __import__("re").findall(
+        r"Exchange hashpartitioning\(([^)]*)\)", r.text)) , r.text
+
+
+def test_bitmap_rollup_single_scan(spark, sf_dir):
+    """The daily level and the merged total both derive from one events
+    scan + one (type, day, bucket) bitmap agg — the rollup must not
+    re-scan the fact table."""
+    r = plans.analyze(QUERIES["bitmap_distinct_rollup"].fn(spark, sf_dir))
+    n_event_scans = sum(1 for s in r.scans if "events" in s.location)
+    assert n_event_scans <= 2, r.text  # initial plan may not dedup subtrees yet

@@ -200,3 +200,27 @@ def test_stream_incremental_agg_matches_batch(spark, sf_dir, event_stream_dir, t
     run()  # replay: committed offsets -> no state change
     again = streaming.read_incremental_state(spark, state)
     assert _rows(again, cols) == _rows(want, cols)
+
+
+def test_stream_static_enrich_matches_batch(spark, sf_dir, event_stream_dir):
+    """Stream-static left join == the same join run in batch; events with
+    no dimension row survive with nulls."""
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, sf_dir, "events")
+    # synthetic dim: per-user tier, deliberately missing half the users
+    dim = (
+        events.select("user_id")
+        .distinct()
+        .filter(F.col("user_id") % 2 == 0)
+        .withColumn("tier", F.when(F.col("user_id") % 4 == 0, "gold").otherwise("basic"))
+    )
+    batch = streaming.enrich_stream_static(events, dim, "user_id", ["tier"])
+    schema = spark.read.parquet(event_stream_dir).schema
+    stream = spark.readStream.schema(schema).parquet(event_stream_dir)
+    enriched = streaming.enrich_stream_static(stream, dim, "user_id", ["tier"])
+    got = streaming.run_stream_to_memory(enriched, "enrich_t", "append")
+    cols = ["event_id", "user_id", "tier"]
+    assert _rows(got, cols) == _rows(batch, cols)
+    # missing-dim events kept with null tier
+    assert got.filter(F.col("tier").isNull()).count() > 0
