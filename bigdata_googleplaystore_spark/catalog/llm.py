@@ -1456,3 +1456,26 @@ def boilerplate_token_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pruned_frac"
         ),
     )
+
+
+@register(
+    "multimodal_arrow_stats",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE WHEN text IS NULL THEN NULL
+                ELSE CAST(strlen(text) AS BIGINT) END AS n_bytes,
+           text IS NULL AS payload_missing
+    FROM documents
+    """,
+    tags=("multimodal", "arrow", "map-in-arrow"),
+)
+def multimodal_arrow_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow surface (operators/multimodal.payload_stats_arrow):
+    byte-level payload accounting computed on Arrow buffers in place —
+    the no-copy fast path under the pandas-based decode operators. The
+    oracle recomputes byte lengths from the source text (payloads are
+    UTF-8 encodings of it, so n_bytes == strlen(text))."""
+    from ..operators.multimodal import attach_binary_payload, payload_stats_arrow
+
+    d = load_table(spark, sf_dir, "documents")
+    return payload_stats_arrow(attach_binary_payload(d, "text", "doc_id"))

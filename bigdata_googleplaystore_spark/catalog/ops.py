@@ -2491,3 +2491,35 @@ def cogroup_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey long, n_lines long, sum_qty double, o_totalprice double",
         )
     )
+
+
+@register(
+    "global_row_number_shards",
+    oracle="""
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY source, doc_id) AS BIGINT) AS rn,
+           CAST((row_number() OVER (ORDER BY source, doc_id) - 1) % 8 AS BIGINT)
+             AS shard_id
+    FROM documents WHERE source IS NOT NULL
+    """,
+    tags=("layout", "ordering", "scale"),
+)
+def global_row_number_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global ordinals + shard assignment for training-data
+    sharding (operators/layout.global_row_numbers): 1..N by a total order
+    WITHOUT the single-task `row_number() OVER (ORDER BY ...)` trap —
+    range-repartition, per-partition counts (only |partitions| longs hit
+    the driver), then an Arrow mapInPandas pass adds the partition offset.
+    The oracle is the very window function the operator refuses to run
+    globally: results must be identical, produced with full parallelism."""
+    from ..operators.layout import global_row_numbers
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("source").isNotNull())
+        .select("doc_id", "source")
+    )
+    out = global_row_numbers(d, ["source", "doc_id"], out_col="rn")
+    return out.select(
+        "doc_id", "rn", ((F.col("rn") - 1) % 8).cast("long").alias("shard_id")
+    )

@@ -90,3 +90,61 @@ def zorder_write_parquet(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def global_row_numbers(
+    df: DataFrame,
+    order_cols: list[str],
+    out_col: str = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed global row numbering: assign 1..N by a TOTAL order
+    without the single-task trap (`row_number() OVER (ORDER BY ...)` with
+    no PARTITION BY plans one window task holding the whole table).
+
+    Shape: range-repartition + in-partition sort (range partitioner
+    guarantees partition p's rows all order before p+1's), snapshot the
+    partitioning (localCheckpoint — the count pass and the assign pass
+    MUST see identical boundaries), count rows per partition (only
+    |partitions| longs reach the driver), then one Arrow mapInPandas pass
+    adds offset[pid] + running index. No global shuffle beyond the sort
+    itself; every stage is as parallel as the partition count.
+
+    `order_cols` must be a total order (include a unique tiebreak key) —
+    then the assignment is deterministic for ANY boundary placement.
+    The checkpointed intermediate is unpersisted before returning."""
+    n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    cols = [F.col(c) for c in order_cols]
+    sorted_df = (
+        df.repartitionByRange(n_parts, *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    counts = {
+        r["_pid"]: r["n"]
+        for r in sorted_df.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+
+    out_fields = sorted_df.drop("_pid").schema.fields
+    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in out_fields)
+    out_schema += f", {out_col} long"
+
+    def assign(batches):
+        seen = 0
+        base = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if base is None:
+                base = offsets[int(pdf["_pid"].iloc[0])]
+            pdf = pdf.drop(columns=["_pid"])
+            pdf[out_col] = range(base + seen + 1, base + seen + 1 + len(pdf))
+            seen += len(pdf)
+            yield pdf
+
+    return sorted_df.mapInPandas(assign, out_schema)

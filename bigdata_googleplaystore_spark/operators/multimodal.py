@@ -173,3 +173,30 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
             yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
 
     return media.mapInPandas(batches, FRAME_SCHEMA)
+
+
+def payload_stats_arrow(media: DataFrame) -> DataFrame:
+    """Arrow-native metadata pass (mapInArrow): payload byte lengths and
+    empty/null accounting computed directly on Arrow buffers with
+    pyarrow.compute — no pandas materialization, no per-row python
+    objects. This is the hot-path shape for byte-heavy media tables
+    where even the Arrow->pandas bridge is measurable overhead: the
+    binary column's buffers are read in place and never copied."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def stats(batches):
+        for batch in batches:
+            n_bytes = pc.binary_length(batch.column("payload"))
+            yield pa.record_batch(
+                [
+                    batch.column("media_id"),
+                    pc.cast(n_bytes, pa.int64()),
+                    pc.is_null(batch.column("payload")),
+                ],
+                names=["media_id", "n_bytes", "payload_missing"],
+            )
+
+    return media.mapInArrow(
+        stats, "media_id long, n_bytes long, payload_missing boolean"
+    )

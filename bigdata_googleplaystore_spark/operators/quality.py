@@ -60,3 +60,17 @@ def expect_fk(
             (F.col("n_bad") == 0).alias("ok"),
         )
     )
+
+
+def with_metrics(df: DataFrame, name: str, *metrics: Column):
+    """Zero-cost pipeline observability via `Dataset.observe`: the metric
+    aggregates are computed AS the query runs (inside the same tasks that
+    produce the output) — no second scan, no extra job. Returns
+    (observed_df, observation); after any action on the observed frame,
+    `observation.get` yields the metric dict. The operational pattern for
+    row-count / null-count / checksum accounting on every pipeline write
+    at 100 TB, where 'run the audit query again' would double the bill."""
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    return df.observe(obs, *metrics), obs

@@ -111,3 +111,29 @@ def test_incremental_merge_null_semantics(spark):
     assert out["a"]["n_rows"] == 2 and out["a"]["vavg"] == 1.0
     assert out["b"]["n_rows"] == 2 and out["b"]["vavg"] is None
     assert out["b"]["vmin"] is None and out["b"]["vmax"] is None
+
+
+def test_global_row_numbers_total_order_and_parallel(spark, sf_dir):
+    """Ordinals equal the single-window reference for any input
+    partitioning and any target partition count."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from bigdata_googleplaystore_spark.operators.layout import global_row_numbers
+    from bigdata_googleplaystore_spark.sources import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    ref = {
+        r["doc_id"]: r["rn"]
+        for r in d.withColumn(
+            "rn", F.row_number().over(Window.orderBy("source", "doc_id"))
+        ).collect()
+    }
+    for src, nparts in ((d, 4), (d.repartition(13), 7)):
+        got = {
+            r["doc_id"]: r["rn"]
+            for r in global_row_numbers(
+                src, ["source", "doc_id"], num_partitions=nparts
+            ).collect()
+        }
+        assert got == ref

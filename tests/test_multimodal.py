@@ -73,3 +73,25 @@ def test_sample_frames_fanout(spark, sf_dir):
     assert all(r["n"] == 4 for r in per_media)  # docs are >=4 bytes
     idx = frames.select("frame_idx").distinct().collect()
     assert sorted(r["frame_idx"] for r in idx) == [0, 1, 2, 3]
+
+
+def test_observe_metrics_no_extra_scan(spark, sf_dir):
+    """quality.with_metrics: metrics come from the SAME pass that produced
+    the output and match a direct aggregate."""
+    from pyspark.sql import functions as F
+
+    from bigdata_googleplaystore_spark.operators import quality
+    from bigdata_googleplaystore_spark.sources import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    observed, obs = quality.with_metrics(
+        d,
+        "doc_metrics",
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("text").isNull(), 1).otherwise(0)).alias("null_text"),
+    )
+    kept = observed.filter(F.col("source").isNotNull()).count()
+    m = obs.get
+    assert m["n_rows"] == d.count()  # observed BEFORE the filter
+    assert m["null_text"] == d.filter(F.col("text").isNull()).count()
+    assert kept <= m["n_rows"]
