@@ -1479,3 +1479,101 @@ def multimodal_arrow_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return payload_stats_arrow(attach_binary_payload(d, "text", "doc_id"))
+
+
+_U_DOC_CUR = (
+    "(('0x' || substr(md5('cur' || CAST(doc_id AS VARCHAR)), 1, 8))"
+    "::UBIGINT::DOUBLE / 4294967296.0)"
+)
+
+
+@register(
+    "corpus_curation_pipeline",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, text, lang, source, {_TOKS_SQL} AS ws
+      FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+    ),
+    q AS (
+      SELECT doc_id, text, lang, source,
+             len(ws) AS n_words,
+             len(array_intersect(ws, ['the','a','of','and','to'])) AS sw,
+             len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS alpha
+      FROM t
+    ),
+    kept AS (
+      SELECT doc_id, text, lang, source, n_words FROM q
+      WHERE n_words BETWEEN 20 AND 80 AND sw >= 1
+        AND CAST(alpha AS DOUBLE) / n_words >= 0.8
+    ),
+    ded AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY text),
+    rep AS (SELECT k.* FROM kept k SEMI JOIN ded ON k.doc_id = ded.doc_id),
+    split_assigned AS (
+      SELECT lang, source, n_words,
+             CASE WHEN {_U_DOC_CUR} < 0.9 THEN 'train'
+                  WHEN {_U_DOC_CUR} < 0.9500000000000001 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM rep
+    )
+    SELECT split, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS sum_tokens,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+    FROM split_assigned GROUP BY split, lang
+    """,
+    tags=("llm", "pipeline", "flagship"),
+)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation — the composed pipeline a training-data
+    team actually runs, as ONE lazy plan: (1) heuristic quality gate
+    (word-count bounds, alphabetic ratio, stopword presence — all JVM
+    expressions at scan speed), (2) exact content dedup keeping the
+    min-doc_id representative (one shuffle on the text key; swap in the
+    MinHash operator for near-dup at scale), (3) leakage-proof
+    hash-deterministic train/val/test split (operators/sampling.
+    hash_split — a pure function of doc_id, stable across runs, retries,
+    partitionings, and engines), (4) per-(split, lang) accounting. The
+    oracle replays every stage in SQL, including the exact md5 split
+    boundaries — the full pipeline must agree end to end."""
+    from ..functions.text import tokens
+    from ..operators.sampling import hash_split
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & F.col("lang").isNotNull())
+        .select("doc_id", "text", "lang", "source", tokens(F.col("text")).alias("ws"))
+    )
+    n_words = F.size("ws")
+    sw = F.size(
+        F.array_intersect(
+            F.col("ws"), F.array(*[F.lit(w) for w in ("the", "a", "of", "and", "to")])
+        )
+    )
+    alpha = F.size(F.filter(F.col("ws"), lambda x: x.rlike("[a-z]")))
+    kept = (
+        d.select(
+            "doc_id",
+            "text",
+            "lang",
+            "source",
+            n_words.alias("n_words"),
+            sw.alias("sw"),
+            alpha.alias("alpha"),
+        )
+        .filter(
+            F.col("n_words").between(20, 80)
+            & (F.col("sw") >= 1)
+            & (F.col("alpha").cast("double") / F.col("n_words") >= 0.8)
+        )
+        .select("doc_id", "text", "lang", "source", "n_words")
+    )
+    ded = kept.groupBy("text").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    rep = kept.join(ded, "doc_id", "semi")
+    assigned = hash_split(
+        rep, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}, salt="cur"
+    )
+    return assigned.groupBy("split", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_words").alias("sum_tokens"),
+        F.countDistinct("source").alias("n_sources"),
+    )

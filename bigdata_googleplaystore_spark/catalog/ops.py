@@ -2523,3 +2523,32 @@ def global_row_number_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "rn", ((F.col("rn") - 1) % 8).cast("long").alias("shard_id")
     )
+
+
+@register(
+    "pagerank_event_transitions",
+    oracle=None,  # iterative fixpoint: not SQL-expressible; see tests/test_graph.py
+    tags=("graph", "iterative", "rows-only"),
+)
+def pagerank_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (operators/graph.py) over the event-type
+    transition graph: edges are consecutive (prev_type -> type) steps in
+    each user's timeline, weighted by transition count. The operator is
+    the driver-iterated join-agg loop with lineage checkpointing — the
+    DataFrame-native form of iterative graph algorithms; its numerics
+    are verified against a hand-rolled reference implementation in
+    tests/test_graph.py (no SQL oracle: a 10-step damped fixpoint isn't
+    expressible as one DuckDB query). Output is rounded to 9 decimals to
+    absorb float-sum ordering across partitions."""
+    from ..operators.graph import pagerank
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = e.select(
+        F.lag("event_type").over(w).alias("src"), F.col("event_type").alias("dst")
+    ).filter(F.col("src").isNotNull())
+    edges = steps.groupBy("src", "dst").agg(F.count("*").cast("double").alias("w"))
+    ranks = pagerank(edges, iterations=10, weight="w")
+    return ranks.select("node", F.round("rank", 9).alias("rank")).orderBy("node")
