@@ -2552,3 +2552,48 @@ def pagerank_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = steps.groupBy("src", "dst").agg(F.count("*").cast("double").alias("w"))
     ranks = pagerank(edges, iterations=10, weight="w")
     return ranks.select("node", F.round("rank", 9).alias("rank")).orderBy("node")
+
+
+@register(
+    "merge_upsert_orders",
+    oracle="""
+    WITH upd AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CAST(round(CAST(o_totalprice AS DECIMAL(14,2))
+                        + CAST(1.00 AS DECIMAL(14,2)), 2) AS DOUBLE) AS o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 17 = 0
+    ),
+    merged AS (
+      SELECT * FROM orders o
+      WHERE o.o_orderkey % 17 <> 0
+      UNION ALL
+      SELECT * FROM upd
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(14,2))), 2) AS DOUBLE)
+             AS total_price
+    FROM merged GROUP BY o_orderstatus
+    """,
+    tags=("incremental", "merge", "upsert"),
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot upsert (operators/incremental.merge_upsert): a derived
+    update batch (every 17th order gets +1.00 on its total) merges into
+    the orders snapshot — matched keys replaced, everything else kept —
+    then the merged table is audited per status with exact decimal sums.
+    The update-key anti-join is broadcast, so at 100 TB the snapshot is
+    filtered map-side; only the final audit aggregates shuffle."""
+    from ..operators.incremental import merge_upsert
+
+    orders = load_table(spark, sf_dir, "orders")
+    updates = orders.filter(F.col("o_orderkey") % 17 == 0).withColumn(
+        "o_totalprice",
+        F.round(dec2(F.col("o_totalprice")) + dec2(F.lit(1.00)), 2).cast("double"),
+    )
+    merged = merge_upsert(orders, updates, ["o_orderkey"])
+    return merged.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        money_sum(dec2(F.col("o_totalprice"))).alias("total_price"),
+    )

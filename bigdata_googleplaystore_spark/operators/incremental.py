@@ -66,3 +66,27 @@ def finalize(partial: DataFrame) -> DataFrame:
             F.col("_n_nonnull") > 0, F.col("_sum") / F.col("_n_nonnull")
         ).alias("vavg"),
     )
+
+
+def merge_upsert(
+    target: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+    broadcast_updates: bool = True,
+) -> DataFrame:
+    """MERGE-INTO semantics (matched -> replace, unmatched -> insert) as a
+    pure DataFrame transform: keep every target row whose key has no
+    update (left-anti), then union the updates. The daily-upsert shape
+    for snapshot maintenance without a transactional table format.
+
+    Scale posture: the update batch is normally orders of magnitude
+    smaller than the snapshot, so the anti-join BROADCASTS the update
+    keys — the 100 TB target is filtered map-side and never shuffles.
+    Set broadcast_updates=False when the batch is genuinely large and a
+    shuffled anti-join is the right plan. Requires `updates` deduplicated
+    on the key (one winner per key — enforce upstream, e.g. max-ts row)."""
+    keys = updates.select(*key_cols).distinct()
+    if broadcast_updates:
+        keys = F.broadcast(keys)
+    kept = target.join(keys, key_cols, "left_anti")
+    return kept.unionByName(updates)

@@ -50,6 +50,8 @@ def read_csv(
     infer_schema: bool = False,
     permissive_strings: bool = False,
     corrupt_record_col: str | None = None,
+    mode: str | None = None,
+    multiline: bool = False,
 ) -> DataFrame:
     """CSV scan (S1/S2/S4).
 
@@ -61,8 +63,18 @@ def read_csv(
 
     ``corrupt_record_col`` opts into tracking unparseable rows
     (PERMISSIVE-mode `_corrupt_record`, absent from the reference).
+
+    ``mode`` selects malformed-row policy: PERMISSIVE (default — nulls +
+    optional corrupt-record capture), DROPMALFORMED (silently skip), or
+    FAILFAST (abort the read). ``multiline=True`` allows quoted fields to
+    span physical lines (kills input-split parallelism per file — use
+    only on sources that genuinely need it).
     """
     reader = spark.read.option("header", header).option("sep", sep)
+    if mode:
+        reader = reader.option("mode", mode)
+    if multiline:
+        reader = reader.option("multiLine", True)
     if corrupt_record_col:
         reader = reader.option("columnNameOfCorruptRecord", corrupt_record_col)
     if permissive_strings:

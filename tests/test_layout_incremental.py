@@ -137,3 +137,16 @@ def test_global_row_numbers_total_order_and_parallel(spark, sf_dir):
             ).collect()
         }
         assert got == ref
+
+
+def test_merge_upsert_replaces_and_inserts(spark):
+    from bigdata_googleplaystore_spark.operators.incremental import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k int, s string, v double"
+    )
+    updates = spark.createDataFrame(
+        [(2, "B", 99.0), (9, "new", 1.0)], "k int, s string, v double"
+    )
+    got = {r["k"]: (r["s"], r["v"]) for r in merge_upsert(target, updates, ["k"]).collect()}
+    assert got == {1: ("a", 10.0), 2: ("B", 99.0), 3: ("c", 30.0), 9: ("new", 1.0)}

@@ -92,3 +92,48 @@ def test_dynamic_partition_overwrite_batch(spark, sf_dir, tmp_path):
         after.filter(F.col("event_type") != "click").count()
         == total_before - n_click
     )
+
+
+def test_csv_malformed_row_modes(spark, tmp_path):
+    """The three malformed-row policies on a dirty CSV (the reference's
+    own input famously has a column-shifted row: SURVEY.md §1.2)."""
+    import pytest as _pytest
+
+    from bigdata_googleplaystore_spark import sources
+
+    p = tmp_path / "dirty.csv"
+    p.write_text(
+        "id,price,name\n"
+        "1,9.99,widget\n"
+        "oops_not_an_int,free,gadget\n"
+        "3,1.50,bolt\n"
+    )
+    schema = "id INT, price DOUBLE, name STRING"
+
+    # PERMISSIVE + capture: bad row kept, typed fields null, raw line saved
+    df = sources.read_csv(
+        spark, str(p), schema, corrupt_record_col="_bad", mode="PERMISSIVE"
+    )
+    rows = {r["name"]: r for r in df.collect()}
+    assert rows["widget"]["_bad"] is None and rows["widget"]["id"] == 1
+    assert rows["gadget"]["id"] is None
+    assert rows["gadget"]["_bad"] == "oops_not_an_int,free,gadget"
+
+    # DROPMALFORMED: bad row gone
+    dropped = sources.read_csv(spark, str(p), schema, mode="DROPMALFORMED")
+    assert sorted(r["id"] for r in dropped.collect()) == [1, 3]
+
+    # FAILFAST: read aborts
+    with _pytest.raises(Exception, match="(?i)malformed|FAILFAST"):
+        sources.read_csv(spark, str(p), schema, mode="FAILFAST").collect()
+
+
+def test_csv_multiline_quoted_fields(spark, tmp_path):
+    from bigdata_googleplaystore_spark import sources
+
+    p = tmp_path / "multi.csv"
+    p.write_text('id,note\n1,"line one\nline two"\n2,plain\n')
+    df = sources.read_csv(spark, str(p), "id INT, note STRING", multiline=True)
+    rows = {r["id"]: r["note"] for r in df.collect()}
+    assert rows[1] == "line one\nline two"
+    assert rows[2] == "plain"
