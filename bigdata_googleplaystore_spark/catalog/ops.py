@@ -2597,3 +2597,86 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         money_sum(dec2(F.col("o_totalprice"))).alias("total_price"),
     )
+
+
+@register(
+    "scd2_type_intervals",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, ts, event_id FROM events
+      WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    ),
+    flagged AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                    OR lag(event_type) OVER w <> event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    runs AS (
+      SELECT user_id, event_type, ts,
+             CAST(sum(chg) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS run_seq
+      FROM flagged
+    ),
+    iv AS (
+      SELECT user_id, run_seq, min(event_type) AS event_type,
+             min(ts) AS valid_from, CAST(count(*) AS BIGINT) AS n_events
+      FROM runs GROUP BY user_id, run_seq
+    )
+    SELECT user_id, run_seq, event_type, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_seq)
+             AS valid_to,
+           n_events
+    FROM iv
+    """,
+    tags=("analytics", "scd2", "gaps-islands", "window"),
+)
+def scd2_type_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) intervals from a change log —
+    the gaps-and-islands pattern: consecutive per-user runs of the same
+    event_type collapse into one row with [valid_from, valid_to) validity
+    (valid_to = next run's start, NULL while current). Change flag via
+    lag, run id via running sum, interval end via lead — all three window
+    passes and the run aggregation share ONE user_id shuffle. This is
+    how a dimension snapshot with history is maintained declaratively at
+    any scale; the 'current' view is just valid_to IS NULL."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    flagged = e.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(prev.isNull() | (prev != F.col("event_type")), 1)
+        .otherwise(0)
+        .alias("chg"),
+    )
+    runs = flagged.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.sum("chg")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("run_seq"),
+    )
+    iv = runs.groupBy("user_id", "run_seq").agg(
+        F.min("event_type").alias("event_type"),
+        F.min("ts").alias("valid_from"),
+        F.count("*").alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("run_seq")
+    return iv.select(
+        "user_id",
+        "run_seq",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        "n_events",
+    )

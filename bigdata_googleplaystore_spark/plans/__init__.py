@@ -64,7 +64,15 @@ class PlanReport:
     @property
     def exchanges(self) -> int:
         """Shuffle exchanges (excludes broadcast exchanges and reuses):
-        the number that matters for 100 TB wall-clock."""
+        the number that matters for 100 TB wall-clock.
+
+        Formatted explain puts the node header `(n) Exchange` and its
+        partitioning arguments on separate lines, so count headers first
+        (`BroadcastExchange` / `ReusedExchange` are distinct node names
+        and don't match); fall back to the simple-mode single-line form."""
+        n = len(re.findall(r"\(\d+\) Exchange\b", self.text))
+        if n:
+            return n
         return len(
             re.findall(
                 r"Exchange (?:hash|range|SinglePartition|RoundRobin|rebalance)",

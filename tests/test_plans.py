@@ -96,3 +96,12 @@ def test_bitmap_rollup_single_scan(spark, sf_dir):
     r = plans.analyze(QUERIES["bitmap_distinct_rollup"].fn(spark, sf_dir))
     n_event_scans = sum(1 for s in r.scans if "events" in s.location)
     assert n_event_scans <= 2, r.text  # initial plan may not dedup subtrees yet
+
+
+def test_scd2_pipeline_single_exchange(spark, sf_dir):
+    """Change-flag window, run-id window, run agg, and the lead() window
+    all partition by user_id: exactly ONE shuffle for the whole SCD2
+    pipeline (verified non-vacuously: PlanReport.exchanges counts
+    formatted-mode `(n) Exchange` node headers)."""
+    r = plans.analyze(QUERIES["scd2_type_intervals"].fn(spark, sf_dir))
+    assert r.exchanges == 1, r.text
