@@ -2680,3 +2680,130 @@ def scd2_type_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("valid_from").over(w2).alias("valid_to"),
         "n_events",
     )
+
+
+@register(
+    "recursive_cte_hierarchy",
+    oracle="""
+    WITH RECURSIVE anc AS (
+      SELECT doc_id AS start_id, doc_id AS node, 0 AS depth FROM documents
+      UNION ALL
+      SELECT start_id, node // 2 AS node, depth + 1 FROM anc WHERE node > 1
+    )
+    SELECT start_id,
+           CAST(max(depth) AS BIGINT) AS depth_to_root,
+           CAST(sum(node) AS BIGINT) AS path_sum
+    FROM anc GROUP BY start_id
+    """,
+    tags=("sql", "recursive-cte", "hierarchy"),
+)
+def recursive_cte_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4's WITH RECURSIVE): ancestor-chain traversal
+    over the implicit binary-tree hierarchy parent(n) = n DIV 2 — the
+    org-chart / BOM-explosion query shape SQL engines historically needed
+    recursion for. Each iteration is one distributed self-union step;
+    depth is O(log max_id), so the recursion terminates in ~17 rounds
+    regardless of row count. DuckDB runs the same recursion (// integer
+    division) as the oracle."""
+    from ..sources import register_views
+
+    register_views(spark, sf_dir, tables=("documents",))
+    return spark.sql(
+        """
+        WITH RECURSIVE anc(start_id, node, depth) AS (
+          SELECT doc_id, doc_id, 0 FROM documents
+          UNION ALL
+          SELECT start_id, node DIV 2, depth + 1 FROM anc WHERE node > 1
+        )
+        SELECT start_id,
+               CAST(max(depth) AS BIGINT) AS depth_to_root,
+               CAST(sum(node) AS BIGINT) AS path_sum
+        FROM anc GROUP BY start_id
+        """
+    )
+
+
+@register(
+    "xml_parse_extract",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(14,2))), 2) AS DOUBLE)
+             AS total_price
+    FROM orders
+    WHERE o_orderkey % 4 = 1
+    GROUP BY o_orderstatus
+    """,
+    tags=("xml", "semi-structured", "functions"),
+)
+def xml_parse_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingestion surface (from_xml, Spark 4): each order is serialized
+    to an XML fragment and parsed back through a typed schema, and the
+    aggregate runs on the PARSED struct fields — so the oracle (which
+    aggregates the original columns) proves the round trip is lossless.
+    Java's shortest-repr double formatting guarantees value-exact
+    double -> string -> double. The parse is a JVM expression: no UDF,
+    codegen-compatible, the shape for ingesting XML feeds at scale."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 4 == 1)
+    xml = F.concat(
+        F.lit("<order><key>"),
+        F.col("o_orderkey"),
+        F.lit("</key><status>"),
+        F.col("o_orderstatus"),
+        F.lit("</status><price>"),
+        F.col("o_totalprice"),
+        F.lit("</price></order>"),
+    )
+    parsed = o.select(
+        F.from_xml(xml, "key BIGINT, status STRING, price DOUBLE").alias("x")
+    )
+    return (
+        parsed.select(
+            F.col("x.status").alias("o_orderstatus"), F.col("x.price").alias("p")
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            money_sum(dec2(F.col("p"))).alias("total_price"),
+        )
+    )
+
+
+@register(
+    "collation_case_insensitive",
+    oracle="""
+    WITH d AS (
+      SELECT lang,
+             CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END AS src
+      FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+    )
+    SELECT lang,
+           CAST(count(DISTINCT src) AS BIGINT) AS n_binary_distinct,
+           CAST(count(DISTINCT lower(src)) AS BIGINT) AS n_ci_distinct
+    FROM d GROUP BY lang
+    """,
+    tags=("collation", "string", "sql"),
+)
+def collation_case_insensitive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String collations (Spark 4): the same distinct-count under binary
+    vs UTF8_LCASE collation — case variants (half the rows upper-cased
+    here) collapse under the case-insensitive collation but not under
+    binary. Collation is an expression-level property, so the distinct
+    agg runs fully JVM-side; the oracle models UTF8_LCASE with lower(),
+    which coincides with it on this ASCII corpus."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("lang").isNotNull() & F.col("source").isNotNull())
+        .select(
+            "lang",
+            F.when(F.col("doc_id") % 2 == 0, F.upper("source"))
+            .otherwise(F.col("source"))
+            .alias("src"),
+        )
+    )
+    return d.groupBy("lang").agg(
+        F.countDistinct("src").alias("n_binary_distinct"),
+        F.countDistinct(F.collate(F.col("src"), "UTF8_LCASE")).alias(
+            "n_ci_distinct"
+        ),
+    )
