@@ -1521,7 +1521,7 @@ _U_DOC_CUR = (
            CAST(count(DISTINCT source) AS BIGINT) AS n_sources
     FROM split_assigned GROUP BY split, lang
     """,
-    tags=("llm", "pipeline", "flagship"),
+    tags=("llm", "pipeline", "flagship", "bench"),
 )
 def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus curation — the composed pipeline a training-data

@@ -2807,3 +2807,62 @@ def collation_case_insensitive(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_ci_distinct"
         ),
     )
+
+
+@register(
+    "date_function_suite",
+    oracle="""
+    SELECT o_orderkey, o_orderdate,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           CAST(quarter(o_orderdate) AS INTEGER) AS q,
+           CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+           last_day(o_orderdate) AS month_end,
+           CAST(o_orderdate + INTERVAL 2 MONTH AS DATE) AS plus_2m,
+           CAST(date_diff('day', o_orderdate, DATE '1998-12-31') AS INTEGER)
+             AS days_to_ref
+    FROM orders WHERE o_orderkey % 5 = 2
+    """,
+    tags=("functions", "date", "suite"),
+)
+def date_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-function family in one pass: month truncation, quarter,
+    day-of-week (Spark's 1=Sunday convention — the oracle shifts DuckDB's
+    0-based dow), month-end, month arithmetic (both engines clamp
+    Jan 30 + 1m -> Feb 28/29 identically — verified), and day deltas to a
+    fixed reference. All JVM expressions on the scan, no shuffle."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 5 == 2)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        "o_orderdate",
+        F.trunc(d, "MM").alias("month_start"),
+        F.quarter(d).alias("q"),
+        F.dayofweek(d).alias("dow"),
+        F.last_day(d).alias("month_end"),
+        F.add_months(d, 2).alias("plus_2m"),
+        F.datediff(F.lit("1998-12-31").cast("date"), d).alias("days_to_ref"),
+    )
+
+
+@register(
+    "pandas_udf_digit_sum",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(list_sum(list_transform(
+             string_split(CAST(o_orderkey AS VARCHAR), ''),
+             x -> CAST(x AS INT))) AS INTEGER) AS digit_sum
+    FROM orders WHERE o_orderkey % 5 = 3
+    """,
+    tags=("pandas-udf", "scalar", "vectorized"),
+)
+def pandas_udf_digit_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar Pandas UDF surface (Arrow-vectorized Series -> Series): a
+    digit-sum computed with pure numpy integer arithmetic — no per-row
+    python — showing the right way to write the 'escape hatch' when an
+    expression genuinely can't be built from built-ins
+    (functions/pandas_udfs.py). Integer ops are exact, so the DuckDB
+    oracle (char-split + list_sum) must agree bit-for-bit."""
+    from ..functions.pandas_udfs import digit_sum
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 5 == 3)
+    return o.select("o_orderkey", digit_sum(F.col("o_orderkey")).alias("digit_sum"))
