@@ -86,7 +86,14 @@ class PlanReport:
 
     @property
     def codegen_stages(self) -> int:
-        return len(set(re.findall(r"WholeStageCodegen \((\d+)\)", self.text)))
+        """Distinct whole-stage-codegen spans. Formatted explain annotates
+        operators with `[codegen id : N]`; simple mode prints
+        `WholeStageCodegen (N)` — count whichever form is present."""
+        ids = set(re.findall(r"\[codegen id : (\d+)\]", self.text))
+        ids |= set(re.findall(r"WholeStageCodegen \((\d+)\)", self.text))
+        # executedPlan().toString() marks codegen'd operators as `*(n) Op`
+        ids |= set(re.findall(r"\*\((\d+)\) ", self.text))
+        return len(ids)
 
     def scan_for(self, table_substr: str) -> ScanInfo | None:
         for s in self.scans:
@@ -95,9 +102,23 @@ class PlanReport:
         return None
 
 
-def analyze(df: DataFrame) -> PlanReport:
-    """Parse the formatted physical plan into a PlanReport."""
+def executed_plan(df: DataFrame) -> str:
+    """Materialize the query (count) and return the final executed plan —
+    under AQE this is where WholeStageCodegen wrapping and ReusedExchange
+    dedup become visible; the static plan never shows them. Must collect
+    THIS dataframe (count() would execute a derived plan and leave this
+    one isFinalPlan=false)."""
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def analyze(df: DataFrame, execute: bool = False) -> PlanReport:
+    """Parse the formatted physical plan into a PlanReport. With
+    execute=True the query is run and the AQE-final executed plan is
+    appended to the report text (codegen spans, exchange reuse)."""
     text = formatted_plan(df)
+    if execute:
+        text = text + "\n" + executed_plan(df)
     scans: list[ScanInfo] = []
     # formatted explain lists operators with detail blocks; scan blocks
     # carry Location / PushedFilters / ReadSchema lines.
