@@ -1,0 +1,66 @@
+"""Custom Python DataSource (Spark 4 `pyspark.sql.datasource`): a
+deterministic synthetic-document generator, registered as a real
+`spark.read.format(...)` source.
+
+Demonstrates the API surface a connector to a bespoke system would use:
+schema declaration, option handling, and — the part that matters at
+100 TB — an explicit `partitions()` plan so the scan parallelizes across
+executors instead of funneling through one python worker. Rows are a
+pure function of (row id), so any partitioning of the id space yields
+the same table: re-reads, retries, and repartitioned reads agree.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import StructType
+
+
+class _IdRange(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start = start
+        self.end = end
+
+
+def _row(i: int):
+    h = hashlib.md5(f"docgen:{i}".encode()).hexdigest()
+    # 8 deterministic pseudo-words derived from the id hash
+    words = [h[j : j + 4] for j in range(0, 32, 4)]
+    return i, " ".join(words), int(h[:8], 16) % 1000
+
+
+class DocGenReader(DataSourceReader):
+    def __init__(self, options):
+        self.n_rows = int(options.get("rows", 1000))
+        self.n_parts = int(options.get("partitions", 4))
+
+    def partitions(self):
+        step = (self.n_rows + self.n_parts - 1) // self.n_parts
+        return [
+            _IdRange(lo, min(lo + step, self.n_rows))
+            for lo in range(0, self.n_rows, step)
+        ]
+
+    def read(self, partition: _IdRange):
+        for i in range(partition.start, partition.end):
+            yield _row(i)
+
+
+class DocGenSource(DataSource):
+    """`spark.read.format("docgen").option("rows", N).load()`"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "docgen"
+
+    def schema(self) -> str:
+        return "id BIGINT, text STRING, score BIGINT"
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return DocGenReader(self.options)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(DocGenSource)

@@ -137,3 +137,36 @@ def test_csv_multiline_quoted_fields(spark, tmp_path):
     rows = {r["id"]: r["note"] for r in df.collect()}
     assert rows[1] == "line one\nline two"
     assert rows[2] == "plain"
+
+
+def test_custom_python_datasource(spark):
+    """Spark 4 Python DataSource API: registered format, option handling,
+    explicit partition plan (parallel python readers), deterministic
+    content."""
+    from pyspark.sql import functions as F
+
+    from bigdata_googleplaystore_spark.sources import pydatasource
+
+    pydatasource.register(spark)
+    df = (
+        spark.read.format("docgen")
+        .option("rows", 500)
+        .option("partitions", 8)
+        .load()
+    )
+    assert df.count() == 500
+    assert df.select("id").distinct().count() == 500
+    # the scan really fans out over the declared partitions
+    nparts = df.select(F.spark_partition_id().alias("p")).distinct().count()
+    assert nparts == 8
+    # deterministic: same rows on a re-read with different parallelism
+    df2 = (
+        spark.read.format("docgen")
+        .option("rows", 500)
+        .option("partitions", 3)
+        .load()
+    )
+    a = sorted((r["id"], r["text"], r["score"]) for r in df.collect())
+    b = sorted((r["id"], r["text"], r["score"]) for r in df2.collect())
+    assert a == b
+    assert all(len(t.split()) == 8 for _, t, _ in a[:20])
