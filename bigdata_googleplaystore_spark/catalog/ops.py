@@ -2866,3 +2866,71 @@ def pandas_udf_digit_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 5 == 3)
     return o.select("o_orderkey", digit_sum(F.col("o_orderkey")).alias("digit_sum"))
+
+
+@register(
+    "salted_two_stage_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE)
+             AS total_value
+    FROM events WHERE event_type IS NOT NULL
+    GROUP BY event_type
+    """,
+    tags=("skew", "aggregation", "scale"),
+)
+def salted_two_stage_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manual salt-and-merge aggregation for hot keys: stage 1 groups by
+    (key, salt) so a pathological key spreads over 16 reducers; stage 2
+    merges the 16 partials per key. The salt is derived from event_id
+    (pmod — deterministic, not rand()), partial sums stay in exact
+    decimal until the final round, so the result equals the plain
+    one-stage aggregate bit-for-bit (the oracle). Spark's map-side
+    partial agg usually makes this unnecessary for count/sum — the
+    pattern matters for high-cardinality state per key (collect_set,
+    exact distinct) where the partial state itself skews."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
+    salted = e.groupBy(
+        "event_type", F.pmod(F.col("event_id"), F.lit(16)).alias("_salt")
+    ).agg(
+        F.count("*").alias("_n"),
+        F.sum(dec2(F.col("value"))).alias("_v"),
+    )
+    return salted.groupBy("event_type").agg(
+        F.sum("_n").cast("long").alias("n_events"),
+        F.round(F.sum("_v"), 2).cast("double").alias("total_value"),
+    )
+
+
+@register(
+    "argmax_deterministic",
+    oracle="""
+    WITH ranked AS (
+      SELECT lang, doc_id, n_chars,
+             row_number() OVER (
+               PARTITION BY lang ORDER BY n_chars DESC, doc_id DESC
+             ) AS rn
+      FROM documents WHERE lang IS NOT NULL
+    )
+    SELECT lang, doc_id AS top_doc, CAST(n_chars AS BIGINT) AS top_chars
+    FROM ranked WHERE rn = 1
+    """,
+    tags=("aggregation", "argmax", "determinism"),
+)
+def argmax_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic argmax WITHOUT a window: max over a (measure, key)
+    struct is a single hash aggregate — lexicographic struct ordering
+    makes the unique doc_id the tiebreak, so ties can't produce
+    run-to-run flapping the way bare max_by(x, measure) can. One
+    map-side-combinable agg vs the oracle's sort-based row_number — same
+    rows, cheaper plan at scale (no per-group sort)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("lang").isNotNull())
+    top = d.groupBy("lang").agg(
+        F.max(F.struct("n_chars", "doc_id")).alias("m")
+    )
+    return top.select(
+        "lang",
+        F.col("m.doc_id").alias("top_doc"),
+        F.col("m.n_chars").alias("top_chars"),
+    )
