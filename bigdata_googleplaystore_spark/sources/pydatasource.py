@@ -14,7 +14,12 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import StructType
 
 
@@ -61,6 +66,37 @@ class DocGenSource(DataSource):
     def reader(self, schema: StructType) -> DataSourceReader:
         return DocGenReader(self.options)
 
+    def simpleStreamReader(self, schema: StructType):
+        return DocGenStreamReader(self.options)
+
 
 def register(spark) -> None:
     spark.dataSource.register(DocGenSource)
+
+
+class DocGenStreamReader(SimpleDataSourceStreamReader):
+    """SimpleDataSourceStreamReader: each micro-batch emits the next
+    `batch_rows` ids. Offsets are plain dicts checkpointed by the engine,
+    so a restarted query resumes exactly where it stopped — the custom
+    connector inherits Structured Streaming's exactly-once offset
+    tracking for free. Rows are the same pure function of id as the
+    batch reader: stream-drained content == batch content."""
+
+    def __init__(self, options):
+        self.batch_rows = int(options.get("batchRows", 100))
+        self.max_rows = int(options.get("rows", 1000))
+
+    def initialOffset(self):
+        return {"next": 0}
+
+    def read(self, start):
+        lo = start["next"]
+        hi = min(lo + self.batch_rows, self.max_rows)
+        end = {"next": hi}
+        return iter([_row(i) for i in range(lo, hi)]), end
+
+    def readBetweenOffsets(self, start, end):
+        return iter([_row(i) for i in range(start["next"], end["next"])])
+
+    def commit(self, end):
+        pass

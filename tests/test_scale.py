@@ -166,3 +166,45 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
+    """Runtime row-level filtering: when the build side of a shuffle join
+    is selectively filtered, Catalyst injects a bloom filter
+    (bloom_filter_agg on the build side, might_contain on the probe
+    scan) so the 100 TB probe table drops non-joining rows BEFORE the
+    shuffle. Broadcast is disabled to force the shuffle-join shape the
+    optimization exists for."""
+    from pyspark.sql import functions as F
+
+    from bigdata_googleplaystore_spark.plans import formatted_plan
+    from bigdata_googleplaystore_spark.sources import load_table
+
+    overrides = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    prev = {k: spark.conf.get(k, None) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        l = load_table(spark, sf_dir, "lineitem")
+        j = (
+            l.join(o, l.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        t = formatted_plan(j)
+        assert "bloom_filter_agg" in t
+        assert "might_contain" in t
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

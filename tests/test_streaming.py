@@ -224,3 +224,25 @@ def test_stream_static_enrich_matches_batch(spark, sf_dir, event_stream_dir):
     assert _rows(got, cols) == _rows(batch, cols)
     # missing-dim events kept with null tier
     assert got.filter(F.col("tier").isNull()).count() > 0
+
+
+def test_custom_python_datasource_stream(spark, tmp_path):
+    """The docgen source's streaming reader: micro-batched offsets, and
+    the drained stream equals the batch read of the same source."""
+    from bigdata_googleplaystore_spark.sources import pydatasource
+
+    pydatasource.register(spark)
+    opts = {"rows": "250", "batchRows": "60", "partitions": "4"}
+    stream = spark.readStream.format("docgen").options(**opts).load()
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("docgen_stream")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.table("docgen_stream")
+    batch = spark.read.format("docgen").options(**opts).load()
+    cols = ["id", "text", "score"]
+    assert _rows(got, cols) == _rows(batch, cols)
