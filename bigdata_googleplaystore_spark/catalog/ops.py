@@ -2934,3 +2934,41 @@ def argmax_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m.doc_id").alias("top_doc"),
         F.col("m.n_chars").alias("top_chars"),
     )
+
+
+@register(
+    "stream_tumbling_counts",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY date_trunc('hour', ts)
+    """,
+    tags=("streaming", "window", "watermark"),
+)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL Structured Streaming run inside the correctness gate: the
+    events table is re-read as a bounded file stream, aggregated with
+    watermarked 1-hour tumbling windows (streaming.windowed_counts —
+    state evicted behind the watermark), drained through a memory sink,
+    and the drained result must equal the plain batch SQL the oracle
+    runs. Spark's unified model makes this an executable guarantee, not
+    a slogan: the same windowed_counts plan is what tests run in batch.
+    The 10-year watermark keeps every window open to the end of the
+    bounded drain, so complete-mode output == the batch aggregate."""
+    import tempfile
+
+    from .. import streaming
+
+    batch = load_table(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="stream_src_")
+    batch.repartition(4).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    counts = streaming.windowed_counts(stream, "1 hour", watermark="87600 hours")
+    drained = streaming.run_stream_to_memory(
+        counts, "cat_stream_tumbling", "complete"
+    )
+    return drained.select(
+        F.col("w_start").alias("window_start"), "n_events"
+    )

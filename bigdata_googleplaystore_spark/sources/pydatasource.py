@@ -17,8 +17,10 @@ import hashlib
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -69,6 +71,9 @@ class DocGenSource(DataSource):
     def simpleStreamReader(self, schema: StructType):
         return DocGenStreamReader(self.options)
 
+    def writer(self, schema: StructType, overwrite: bool) -> "JsonlWriter":
+        return JsonlWriter(self.options, schema)
+
 
 def register(spark) -> None:
     spark.dataSource.register(DocGenSource)
@@ -100,3 +105,54 @@ class DocGenStreamReader(SimpleDataSourceStreamReader):
 
     def commit(self, end):
         pass
+
+
+class JsonlWriter(DataSourceWriter):
+    """Writer half of the connector API: each task serializes its
+    partition to one JSON-lines file under a temp name, returns the path
+    as its commit message, and the DRIVER-side commit() renames the
+    complete set into place — the two-phase commit every sane distributed
+    sink uses (task retries overwrite their own temp file; a failed job
+    leaves no visible output). `spark.read.json` round-trips the result.
+    """
+
+    def __init__(self, options, schema: StructType):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("docgen writer requires .option('path', ...)")
+        self.fields = [f.name for f in schema.fields]
+
+    def write(self, rows) -> WriterCommitMessage:
+        import json
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f"_tmp-{pid}-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(tmp, "w") as f:
+            for row in rows:
+                f.write(json.dumps(dict(zip(self.fields, row))) + "\n")
+                n += 1
+        msg = WriterCommitMessage()
+        msg.tmp_path = tmp
+        msg.part = pid
+        msg.rows = n
+        return msg
+
+    def commit(self, messages) -> None:
+        import os
+
+        for m in messages:
+            final = os.path.join(self.path, f"part-{m.part:05d}.jsonl")
+            os.replace(m.tmp_path, final)
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m and getattr(m, "tmp_path", None) and os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)

@@ -170,3 +170,24 @@ def test_custom_python_datasource(spark):
     b = sorted((r["id"], r["text"], r["score"]) for r in df2.collect())
     assert a == b
     assert all(len(t.split()) == 8 for _, t, _ in a[:20])
+
+
+def test_custom_python_datasource_writer_round_trip(spark, tmp_path):
+    """Writer half of the docgen connector: per-task temp files + a
+    driver-side two-phase commit rename; content round-trips through
+    spark.read.json."""
+    from bigdata_googleplaystore_spark.sources import pydatasource
+
+    pydatasource.register(spark)
+    df = spark.read.format("docgen").option("rows", 300).option("partitions", 5).load()
+    out = str(tmp_path / "jsonl_out")
+    df.write.format("docgen").option("path", out).mode("append").save()
+    import glob
+
+    files = glob.glob(out + "/part-*.jsonl")
+    assert len(files) == 5  # one committed file per partition
+    assert not glob.glob(out + "/_tmp-*")  # no uncommitted leftovers
+    back = spark.read.json(out)
+    a = sorted((r["id"], r["text"], r["score"]) for r in df.collect())
+    b = sorted((r["id"], r["text"], r["score"]) for r in back.collect())
+    assert a == b
