@@ -2972,3 +2972,145 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drained.select(
         F.col("w_start").alias("window_start"), "n_events"
     )
+
+
+@register(
+    "pivot_multi_agg",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT)
+             AS click_n,
+           CAST(round(sum(CAST(value AS DECIMAL(12,2)))
+                 FILTER (WHERE event_type = 'click'), 2) AS DOUBLE) AS click_v,
+           CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+             AS purchase_n,
+           CAST(round(sum(CAST(value AS DECIMAL(12,2)))
+                 FILTER (WHERE event_type = 'purchase'), 2) AS DOUBLE)
+             AS purchase_v
+    FROM events WHERE user_id IS NOT NULL
+    GROUP BY user_id
+    """,
+    tags=("pivot", "aggregation"),
+)
+def pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with MULTIPLE aggregates per pivoted value (count + decimal
+    sum per event type): Spark suffixes each agg alias per pivot column,
+    compiled into one conditional-aggregation pass — exactly the
+    FILTER-clause form the oracle writes by hand. Explicit values list
+    keeps the plan static (no dictionary-discovery job at scale)."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    p = (
+        e.groupBy("user_id")
+        .pivot("event_type", ["click", "purchase"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(dec2(F.col("value"))), 2).cast("double").alias("v"),
+        )
+    )
+    return p.select(
+        "user_id",
+        F.coalesce(F.col("click_n"), F.lit(0)).cast("long").alias("click_n"),
+        F.col("click_v"),
+        F.coalesce(F.col("purchase_n"), F.lit(0)).cast("long").alias("purchase_n"),
+        F.col("purchase_v"),
+    )
+
+
+@register(
+    "generator_null_semantics",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 0 THEN NULL
+                  WHEN doc_id % 10 = 1 THEN []
+                  ELSE string_split(substr(text, 1, 30), ' ') END AS arr
+      FROM documents WHERE text IS NOT NULL
+    ),
+    inner_rows AS (
+      SELECT doc_id, unnest(arr) AS tok FROM d
+    ),
+    outer_rows AS (
+      SELECT d.doc_id,
+             CASE WHEN len(d.arr) IS NULL OR len(d.arr) = 0 THEN NULL
+                  ELSE u.tok END AS tok
+      FROM d LEFT JOIN inner_rows u USING (doc_id)
+      WHERE u.doc_id IS NOT NULL OR len(d.arr) IS NULL OR len(d.arr) = 0
+    )
+    SELECT 'inner' AS mode, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(tok) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM inner_rows
+    UNION ALL
+    SELECT 'outer', CAST(count(*) AS BIGINT), CAST(count(tok) AS BIGINT),
+           CAST(count(DISTINCT doc_id) AS BIGINT)
+    FROM outer_rows
+    """,
+    tags=("generator", "null-semantics"),
+)
+def generator_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode vs explode_outer on a column that is NULL for some rows
+    and [] for others: plain explode DROPS both (inner-join semantics —
+    silent row loss in pipelines), explode_outer keeps one null-token
+    row per dropped document. The oracle rebuilds both semantics from
+    unnest + left join. Summarized as per-mode row/token/doc counts."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 10 == 0, F.lit(None))
+            .when(F.col("doc_id") % 10 == 1, F.array().cast("array<string>"))
+            .otherwise(F.split(F.substring("text", 1, 30), " "))
+            .alias("arr"),
+        )
+    )
+    inner = d.select("doc_id", F.explode("arr").alias("tok"))
+    outer = d.select("doc_id", F.explode_outer("arr").alias("tok"))
+
+    def summarize(df, mode):
+        return df.agg(
+            F.lit(mode).alias("mode"),
+            F.count("*").alias("n_rows"),
+            F.count("tok").alias("n_tokens"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        ).select("mode", "n_rows", "n_tokens", "n_docs")
+
+    return summarize(inner, "inner").unionAll(summarize(outer, "outer"))
+
+
+@register(
+    "histogram_fixed_buckets",
+    oracle="""
+    WITH b AS (
+      SELECT least(CAST(floor(o_totalprice / 25000.0) AS BIGINT), 9) AS bucket
+      FROM orders WHERE o_totalprice >= 0
+    )
+    SELECT bucket,
+           CAST(bucket * 25000.0 AS DOUBLE) AS lo,
+           CAST((bucket + 1) * 25000.0 AS DOUBLE) AS hi,
+           CAST(count(*) AS BIGINT) AS n
+    FROM b GROUP BY bucket
+    """,
+    tags=("analytics", "histogram"),
+)
+def histogram_fixed_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram as pure arithmetic (floor-divide + clamp) —
+    one map-side-combinable aggregate over the scan; both engines
+    evaluate the identical float expression so boundaries can't drift.
+    The last bucket absorbs the tail (least(…, 9)), the standard
+    open-topped histogram."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 0)
+    bucket = F.least(
+        F.floor(F.col("o_totalprice") / 25000.0).cast("long"), F.lit(9).cast("long")
+    )
+    return (
+        o.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "bucket",
+            (F.col("bucket") * 25000.0).alias("lo"),
+            ((F.col("bucket") + 1) * 25000.0).alias("hi"),
+            "n",
+        )
+    )
