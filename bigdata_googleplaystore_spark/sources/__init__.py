@@ -267,6 +267,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     enabled; we enable it per-read and truncate nanos -> microsecond
     TimestampType JVM-side (integer `div`, matching DuckDB's ns->us
     truncation), so downstream operators see a normal timestamp column.
+
+    Timezone-naive parquet timestamps (isAdjustedToUTC=false, the format
+    round-2 testdata uses) come back as TIMESTAMP_NTZ under Spark 4's
+    default inferTimestampNTZ — a type `unix_micros`, watermarks, and
+    other time operators reject. `_ntz_to_utc_timestamp` casts those
+    columns to session-TZ TimestampType; with the UTC pin above the cast
+    relabels the same wall-clock instant, matching how DuckDB reads the
+    identical file, so oracle comparisons are unchanged.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
@@ -289,8 +297,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         if isinstance(df.schema["ts"].dataType, LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return _ntz_to_utc_timestamp(df)
+    return _ntz_to_utc_timestamp(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+
+
+def _ntz_to_utc_timestamp(df: DataFrame) -> DataFrame:
+    """Cast every TIMESTAMP_NTZ column to TimestampType. Callers pin the
+    session timezone to UTC first, so the cast preserves the stored
+    wall-clock values exactly (no instant shift) — it only restores the
+    type the rest of the engine (unix_micros, watermarks, window()) was
+    built against."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampNTZType
+
+    ntz = [f.name for f in df.schema.fields
+           if isinstance(f.dataType, TimestampNTZType)]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables=TESTDATA_TABLES) -> None:
