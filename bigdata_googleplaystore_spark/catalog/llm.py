@@ -1577,3 +1577,58 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_words").alias("sum_tokens"),
         F.countDistinct("source").alias("n_sources"),
     )
+
+
+@register(
+    "text_dup_ngram_fraction",
+    oracle=rf"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    docfreq AS (SELECT shingle, count(*) AS df FROM ex GROUP BY shingle),
+    per_doc AS (
+      SELECT e.doc_id,
+             CAST(count(*) AS BIGINT) AS n_shingles,
+             CAST(count(*) FILTER (WHERE d.df > 1) AS BIGINT) AS n_dup
+      FROM ex e JOIN docfreq d ON e.shingle = d.shingle
+      GROUP BY e.doc_id
+    )
+    SELECT doc_id, n_shingles, n_dup,
+           round(CAST(n_dup AS DOUBLE) / n_shingles, 6) AS dup_frac
+    FROM per_doc
+    """,
+    tags=("llm", "text", "dedup"),
+)
+def text_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-n-gram fraction: for each doc, the share
+    of its distinct word-3-gram shingles that occur in at least one OTHER
+    document — the corpus-level repetition signal quality filters use
+    (boilerplate, mirrored pages, templated spam), complementing
+    text_top_ngram_fraction (within-doc repetition) and
+    decontaminate_ngram_overlap (overlap vs a held-out set).
+
+    Shape for scale: shingles are distinct-per-doc rows (shingle_exploded,
+    linear staged pipeline), document frequency is one map-side-combinable
+    group-by on the shingle key, and the df verdict rejoins on that same
+    key — two shuffles of the shingle frame total, no pair fan-out
+    anywhere (unlike the O(candidates) near-dup tiers). Hot shingles skew
+    the rejoin; AQE skew-join splits those partitions at runtime. Docs
+    with <3 tokens have no shingles and drop out in both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = dedup.shingle_exploded(d, "doc_id", "text", 3).select("doc", "shingle")
+    docfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    per_doc = (
+        sh.join(docfreq, "shingle")
+        .groupBy("doc")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum((F.col("df") > 1).cast("long")).alias("n_dup"),
+        )
+    )
+    return per_doc.select(
+        F.col("doc").alias("doc_id"),
+        "n_shingles",
+        "n_dup",
+        F.round(F.col("n_dup").cast("double") / F.col("n_shingles"), 6).alias(
+            "dup_frac"
+        ),
+    )

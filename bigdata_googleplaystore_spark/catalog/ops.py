@@ -3114,3 +3114,75 @@ def histogram_fixed_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@register(
+    "graph_bipartite_projection",
+    oracle="""
+    WITH ue AS (
+      SELECT DISTINCT user_id, event_type FROM events
+      WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    ),
+    deg AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_users
+      FROM ue GROUP BY event_type
+    ),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(count(*) AS BIGINT) AS n_common
+      FROM ue a JOIN ue b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b, p.n_common,
+           round(CAST(p.n_common AS DOUBLE)
+                 / (da.n_users + db.n_users - p.n_common), 6) AS jaccard
+    FROM pairs p
+    JOIN deg da ON da.event_type = p.type_a
+    JOIN deg db ON db.event_type = p.type_b
+    """,
+    tags=("graph", "join"),
+)
+def graph_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite-graph projection: project the user<->event_type bipartite
+    graph onto event types, weighting each type pair by co-occurring
+    users and normalizing to Jaccard over the types' user sets — the
+    standard item-item co-occurrence/similarity building block.
+
+    Shape for scale: the per-user self-join fans out k^2/2 pairs for a
+    user with k distinct types, and k is bounded by the (small) type
+    domain, so the join is linear in users. One shuffle on user_id for
+    the pair fan-out, one agg shuffle on the pair key; the per-type
+    degree table is dimension-sized and broadcast, so the big pair frame
+    never reshuffles for the normalization. For unbounded item domains
+    (e.g. SKUs) the standard guard is a per-user degree cap before the
+    self-join — the domain here makes it unnecessary."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    ue = e.select("user_id", "event_type").distinct()
+    deg = ue.groupBy("event_type").agg(F.count("*").alias("n_users"))
+    a = ue.select("user_id", F.col("event_type").alias("type_a"))
+    b = ue.select("user_id", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    da = deg.select(F.col("event_type").alias("type_a"), F.col("n_users").alias("na"))
+    db = deg.select(F.col("event_type").alias("type_b"), F.col("n_users").alias("nb"))
+    return (
+        pairs.join(F.broadcast(da), "type_a")
+        .join(F.broadcast(db), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

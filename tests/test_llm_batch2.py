@@ -134,3 +134,46 @@ def test_decontamination_flags_planted_overlap(spark, sf_dir):
     assert any(r["contaminated"] for r in out), "word-soup corpus must overlap"
     for r in out:
         assert r["contaminated"] == (r["n_overlap"] > 0)
+
+
+def test_dup_ngram_fraction_invariants(spark, sf_dir):
+    """dup_frac is a valid fraction; any doc with an exact text duplicate
+    elsewhere in the corpus must have every shingle duplicated
+    (dup_frac == 1.0) — a cross-operator invariant vs dedup_exact_docs."""
+    out = {r["doc_id"]: r for r in QUERIES["text_dup_ngram_fraction"].fn(spark, sf_dir).collect()}
+    assert len(out) > 0
+    for r in out.values():
+        assert 0 <= r["n_dup"] <= r["n_shingles"]
+        assert abs(r["dup_frac"] - round(r["n_dup"] / r["n_shingles"], 6)) < 1e-12
+    pairs = QUERIES["dedup_ngram_jaccard"].fn(spark, sf_dir).collect()
+    assert pairs, "testdata plants near-duplicates"
+    for p in pairs:
+        # jaccard > 0 means the docs share >= 1 shingle, so both ends must
+        # report at least one corpus-duplicated shingle
+        for doc_id in (p["doc_a"], p["doc_b"]):
+            assert out[doc_id]["dup_frac"] > 0.0
+
+
+def test_bipartite_projection_invariants(spark, sf_dir):
+    """Pair weights are bounded by the smaller endpoint degree; jaccard
+    matches n_common/(na+nb-n_common); pairs are canonical (a < b)."""
+    ue = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("event_type").isNotNull())
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    deg = {
+        r["event_type"]: r["n"]
+        for r in ue.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    out = QUERIES["graph_bipartite_projection"].fn(spark, sf_dir).collect()
+    assert out
+    seen = set()
+    for r in out:
+        assert r["type_a"] < r["type_b"]
+        assert (r["type_a"], r["type_b"]) not in seen
+        seen.add((r["type_a"], r["type_b"]))
+        na, nb = deg[r["type_a"]], deg[r["type_b"]]
+        assert 1 <= r["n_common"] <= min(na, nb)
+        assert abs(r["jaccard"] - round(r["n_common"] / (na + nb - r["n_common"]), 6)) < 1e-12
