@@ -1632,3 +1632,93 @@ def text_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_frac"
         ),
     )
+
+
+@register(
+    "text_char_lm_score",
+    oracle=r"""
+    WITH ch AS (
+      SELECT doc_id, lower(text) AS t FROM documents WHERE text IS NOT NULL
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)),
+                                   i -> substring(t, CAST(i AS INTEGER), 2)))
+               AS bigram
+      FROM ch
+    ),
+    tf AS (
+      SELECT doc_id, bigram, CAST(count(*) AS BIGINT) AS c
+      FROM bg GROUP BY doc_id, bigram
+    ),
+    model AS (
+      SELECT bigram, CAST(sum(c) AS BIGINT) AS gc FROM tf GROUP BY bigram
+    ),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM tf),
+    scored AS (
+      SELECT t.doc_id,
+             CAST(sum(t.c) AS BIGINT) AS n_bigrams,
+             CAST(sum(t.c * m.gc) AS BIGINT) AS dot
+      FROM tf t JOIN model m USING (bigram)
+      GROUP BY t.doc_id
+    )
+    SELECT s.doc_id, s.n_bigrams,
+           round(CAST(s.dot AS DOUBLE)
+                 / (CAST(s.n_bigrams AS DOUBLE) * CAST(tot.total AS DOUBLE)), 9)
+             AS lm_score
+    FROM scored s CROSS JOIN tot
+    """,
+    tags=("llm", "text", "quality"),
+)
+def text_char_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-bigram language-model likelihood proxy: score each doc by the
+    mean corpus probability of its character bigrams — the classic cheap
+    "does this look like natural text" quality signal (gibberish, binary
+    spill, and wrong-charset docs score near zero against the corpus
+    model).
+
+    The broadcast-model pattern: the model is the corpus-wide bigram
+    count table (bounded by |alphabet|^2 rows), built with one map-side
+    combinable group-by and broadcast back onto the per-doc counts — at
+    100 TB the corpus is scanned once, shuffled only on the compact
+    (doc, bigram) count key, and never reshuffled for scoring.
+
+    Hash determinism: the score is assembled from EXACT integer sums
+    (sum(c*gc), n_bigrams, total) with one final double division — no
+    float accumulation anywhere, so partial-agg ordering cannot move the
+    value in either engine (see catalog/_util.py for why decimal-casting
+    double terms is not an option)."""
+    ch = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.lower("text").alias("t"))
+    )
+    bg = ch.select(
+        "doc_id",
+        F.explode_outer(
+            F.when(
+                F.length("t") >= 2,
+                F.expr("transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))"),
+            ).otherwise(F.array())
+        ).alias("bigram"),
+    ).filter(F.col("bigram").isNotNull())
+    tf = bg.groupBy("doc_id", "bigram").agg(F.count("*").alias("c"))
+    model = tf.groupBy("bigram").agg(F.sum("c").alias("gc"))
+    tot = tf.agg(F.sum("c").alias("total"))
+    scored = (
+        tf.join(F.broadcast(model), "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.sum(F.col("c") * F.col("gc")).alias("dot"),
+        )
+    )
+    return scored.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        "n_bigrams",
+        F.round(
+            F.col("dot").cast("double")
+            / (F.col("n_bigrams").cast("double") * F.col("total").cast("double")),
+            9,
+        ).alias("lm_score"),
+    )

@@ -177,3 +177,20 @@ def test_bipartite_projection_invariants(spark, sf_dir):
         na, nb = deg[r["type_a"]], deg[r["type_b"]]
         assert 1 <= r["n_common"] <= min(na, nb)
         assert abs(r["jaccard"] - round(r["n_common"] / (na + nb - r["n_common"]), 6)) < 1e-12
+
+
+def test_char_lm_score_invariants(spark, sf_dir):
+    """n_bigrams is exactly len(text)-1 (every adjacent char pair counted
+    with multiplicity); the mean-probability score is a valid probability
+    and word-soup docs (drawn from a shared vocab) score far above zero."""
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .collect()
+    }
+    out = QUERIES["text_char_lm_score"].fn(spark, sf_dir).collect()
+    assert len(out) == sum(1 for t in texts.values() if len(t) >= 2)
+    for r in out:
+        assert r["n_bigrams"] == len(texts[r["doc_id"]].lower()) - 1
+        assert 0.0 < r["lm_score"] <= 1.0
