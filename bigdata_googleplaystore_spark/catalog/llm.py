@@ -20,8 +20,8 @@ from ..functions.text import (
     STOPWORDS_EN,
     punct_count,
     stopword_count,
+    token_count,
     tokens,
-
 )
 from ..operators import dedup, similarity
 from ..sources import load_table
@@ -1721,4 +1721,90 @@ def text_char_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_bigrams").cast("double") * F.col("total").cast("double")),
             9,
         ).alias("lm_score"),
+    )
+
+
+@register(
+    "regression_per_source",
+    oracle=r"""
+    WITH pts AS (
+      SELECT source,
+             CAST(n_chars AS BIGINT) AS x,
+             CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS y
+      FROM documents
+      WHERE text IS NOT NULL AND source IS NOT NULL AND n_chars IS NOT NULL
+    ),
+    mom AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM pts GROUP BY source
+    )
+    SELECT source, n,
+           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 9)
+             AS slope,
+           round((CAST(sy AS DOUBLE) - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                  / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)) * sx)
+                 / CAST(n AS DOUBLE), 9) AS intercept,
+           round(((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                  * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy))
+                 / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 9)
+             AS r2
+    FROM mom
+    """,
+    tags=("llm", "ml", "agg"),
+)
+def regression_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form per-group OLS: slope/intercept/R² of whitespace token
+    count vs character count, per source — distributed ML as pure
+    aggregation. The five moment sums (Σx, Σy, Σx², Σy², Σxy) are exact
+    integer aggregates that fold map-side, so a 100 TB fit is ONE
+    combinable shuffle of constant-size partials per group; no iterative
+    solver, no driver-side data. The same moment-matrix pattern extends
+    to multivariate normal equations (XᵀX accumulation).
+
+    Hash determinism: integer moments are order-independent; the
+    slope/intercept/R² doubles derive from them through a fixed
+    expression tree evaluated identically in both engines (bigint→double
+    casts round to nearest in both)."""
+    pts = (
+        load_table(spark, sf_dir, "documents")
+        .filter(
+            F.col("text").isNotNull()
+            & F.col("source").isNotNull()
+            & F.col("n_chars").isNotNull()
+        )
+        .select(
+            "source",
+            F.col("n_chars").cast("long").alias("x"),
+            token_count(F.col("text")).cast("long").alias("y"),
+        )
+    )
+    mom = pts.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n_d = F.col("n").cast("double")
+    sx_d = F.col("sx").cast("double")
+    sy_d = F.col("sy").cast("double")
+    cov_n = n_d * F.col("sxy") - sx_d * F.col("sy")
+    var_x_n = n_d * F.col("sxx") - sx_d * F.col("sx")
+    var_y_n = n_d * F.col("syy") - sy_d * F.col("sy")
+    slope = cov_n / var_x_n
+    return mom.select(
+        "source",
+        "n",
+        F.round(slope, 9).alias("slope"),
+        F.round((sy_d - slope * F.col("sx")) / n_d, 9).alias("intercept"),
+        F.round((cov_n * cov_n) / (var_x_n * var_y_n), 9).alias("r2"),
     )

@@ -194,3 +194,29 @@ def test_char_lm_score_invariants(spark, sf_dir):
     for r in out:
         assert r["n_bigrams"] == len(texts[r["doc_id"]].lower()) - 1
         assert 0.0 < r["lm_score"] <= 1.0
+
+
+def test_regression_matches_numpy(spark, sf_dir):
+    """Per-source OLS from exact integer moments must match numpy's
+    least-squares fit; tokens grow with chars (positive slope, high R²)."""
+    pts = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & F.col("source").isNotNull() & F.col("n_chars").isNotNull())
+        .select("source", "n_chars", F.size(F.split(F.trim(F.lower("text")), r"\s+")).alias("y"))
+        .collect()
+    )
+    by_source: dict[str, list] = {}
+    for r in pts:
+        by_source.setdefault(r["source"], []).append((r["n_chars"], r["y"]))
+    out = {r["source"]: r for r in QUERIES["regression_per_source"].fn(spark, sf_dir).collect()}
+    assert set(out) == set(by_source)
+    for source, xy in by_source.items():
+        x = np.array([p[0] for p in xy], dtype=np.float64)
+        y = np.array([p[1] for p in xy], dtype=np.float64)
+        slope, intercept = np.polyfit(x, y, 1)
+        r = out[source]
+        assert r["n"] == len(xy)
+        assert math.isclose(r["slope"], slope, rel_tol=1e-6), source
+        assert math.isclose(r["intercept"], intercept, rel_tol=1e-4, abs_tol=1e-4), source
+        assert 0.0 <= r["r2"] <= 1.0
+        assert r["slope"] > 0, "token count grows with char count"
