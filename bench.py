@@ -75,17 +75,23 @@ def main() -> None:
 
         from bigdata_googleplaystore_spark import playstore
 
-        with tempfile.TemporaryDirectory() as tmp:
-            t0 = time.perf_counter()
-            ps = playstore.read_playstore_csv(spark, ref_csv)
-            df3 = playstore.group_by_app_and_standardize(ps)
-            playstore.generate_best_apps_csv(spark, ps, f"{tmp}/best_apps.csv").count()
-            df1 = df3.select("App").withColumn("Average_Sentiment_Polarity", F.lit(0.0))
-            df4 = playstore.clean_google_play_store_data(spark, df1, df3, f"{tmp}/cleaned.gz")
-            playstore.get_google_play_store_metrics_by_genre(
-                spark, df4, f"{tmp}/metrics.gz"
-            ).count()
-            timings["playstore_parts_2_3_4_5"] = round(time.perf_counter() - t0, 3)
+        # min-of-2 like every other timing (the first pass pays CSV
+        # page-cache and codegen-compile noise this pipeline's unique
+        # plans can't share with the warmup loop above)
+        best = float("inf")
+        for run in range(2):
+            with tempfile.TemporaryDirectory() as tmp:
+                t0 = time.perf_counter()
+                ps = playstore.read_playstore_csv(spark, ref_csv)
+                df3 = playstore.group_by_app_and_standardize(ps)
+                playstore.generate_best_apps_csv(spark, ps, f"{tmp}/best_apps.csv").count()
+                df1 = df3.select("App").withColumn("Average_Sentiment_Polarity", F.lit(0.0))
+                df4 = playstore.clean_google_play_store_data(spark, df1, df3, f"{tmp}/cleaned.gz")
+                playstore.get_google_play_store_metrics_by_genre(
+                    spark, df4, f"{tmp}/metrics.gz"
+                ).count()
+                best = min(best, time.perf_counter() - t0)
+            timings["playstore_parts_2_3_4_5"] = round(best, 3)
             print(
                 f"# playstore_parts_2_3_4_5: {timings['playstore_parts_2_3_4_5']:.3f}s"
                 " (baseline ~90s)",
