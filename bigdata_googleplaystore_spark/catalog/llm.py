@@ -1808,3 +1808,55 @@ def regression_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((sy_d - slope * F.col("sx")) / n_d, 9).alias("intercept"),
         F.round((cov_n * cov_n) / (var_x_n * var_y_n), 9).alias("r2"),
     )
+
+
+@register(
+    "embedding_covariance",
+    oracle=r"""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(trunc(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+               AS q
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    ex AS (
+      SELECT vec_id,
+             CAST(generate_subscripts(q, 1) - 1 AS INTEGER) AS i,
+             unnest(q) AS qv
+      FROM e
+    ),
+    dim AS (
+      SELECT i, CAST(sum(qv) AS DOUBLE) AS sx FROM ex GROUP BY i
+    ),
+    mom AS (
+      SELECT a.i AS i, b.i AS j,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(a.qv * b.qv) AS DOUBLE) AS sxy
+      FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.i <= b.i
+      GROUP BY 1, 2
+    )
+    SELECT m.i, m.j, m.n,
+           round((CAST(m.n AS DOUBLE) * m.sxy - da.sx * db.sx)
+                 / (CAST(m.n AS DOUBLE) * CAST(m.n AS DOUBLE)) * 1e-12, 9) AS cov
+    FROM mom m
+    JOIN dim da ON da.i = m.i
+    JOIN dim db ON db.i = m.j
+    """,
+    tags=("llm", "ml", "embedding"),
+)
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle covariance matrix of the embedding column via
+    operators/similarity.covariance_moments: per-batch numpy int64
+    X^T X partials inside mapInPandas, merged with exact decimal sums —
+    shuffle volume is O(partitions * d^2/2), independent of row count
+    (the oracle's explode + position-self-join form shuffles O(rows*d)
+    and is the small-data cross-check, not the scale path).
+
+    Fixed-point trunc at 1e6 keeps every intermediate an exact integer;
+    the single final double expression is evaluated identically in both
+    engines, so the driver hash is stable. Output: (i, j, n, cov) for
+    i <= j — 2080 rows at d=64."""
+    e = load_table(spark, sf_dir, "embeddings")
+    mom = similarity.covariance_moments(e, "vec_id", "embedding")
+    return mom.select("i", "j", "n", F.round("cov", 9).alias("cov"))

@@ -368,3 +368,76 @@ def lsh_ann_topk(
         .filter(F.col("rn") <= k)
         .select("query_id", "cand_id", "sim", "rn")
     )
+
+
+def covariance_moments(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Exact d x d covariance matrix of a vector column via fixed-point
+    map-side moment partials — the moment-matrix pattern (X^T X
+    accumulation) that underlies distributed PCA/whitening/OLS.
+
+    Scale shape: each Arrow batch is reduced IN the map task to one d x d
+    integer partial (a numpy int64 matmul), so the shuffle carries
+    O(partitions * d^2/2) constant-size rows regardless of row count —
+    the explode + position-self-join alternative shuffles O(rows * d)
+    and fans O(rows * d^2/2). The global merge is a tiny group-by whose
+    decimal sums are exact, making the result independent of partition
+    count and accumulation order (asserted in tests).
+
+    Fixed-point contract: components are widened float->double and
+    truncated (not rounded — trunc is an exact function of the binary
+    double, immune to the shortest-repr-vs-binary rounding divergence
+    documented in catalog/_util.py) at `scale`; covariance is then exact
+    integer arithmetic divided back at the end. int64 partials are safe
+    while batch_rows * (scale * |x|_max)^2 < 2^63 (~9e18): 1e5-row
+    batches of unit-norm vectors at 1e6 sit near 1e17.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    inv = 1.0 / (float(scale) * float(scale))
+
+    def partials(batches):
+        for pdf in batches:
+            vecs = pdf[vec_col].to_numpy()
+            if len(vecs) == 0:
+                continue
+            q = np.trunc(
+                np.stack([np.asarray(v, dtype=np.float64) for v in vecs]) * scale
+            ).astype(np.int64)
+            n, d = q.shape
+            s = q.T @ q  # d x d, exact in int64 within the documented bound
+            sx = q.sum(axis=0)
+            iu, ju = np.triu_indices(d)
+            yield pd.DataFrame(
+                {
+                    "i": iu.astype(np.int32),
+                    "j": ju.astype(np.int32),
+                    "n": np.full(iu.shape, n, dtype=np.int64),
+                    "sxy": s[iu, ju],
+                    "sxi": sx[iu],
+                    "sxj": sx[ju],
+                }
+            )
+
+    part = df.filter(F.col(vec_col).isNotNull()).mapInPandas(
+        partials, "i int, j int, n long, sxy long, sxi long, sxj long"
+    )
+    mom = part.groupBy("i", "j").agg(
+        F.sum("n").alias("n"),
+        F.sum(F.col("sxy").cast("decimal(38,0)")).alias("sxy"),
+        F.sum(F.col("sxi").cast("decimal(38,0)")).alias("sxi"),
+        F.sum(F.col("sxj").cast("decimal(38,0)")).alias("sxj"),
+    )
+    n_d = F.col("n").cast("double")
+    cov = (
+        (n_d * F.col("sxy").cast("double") - F.col("sxi").cast("double") * F.col("sxj").cast("double"))
+        / (n_d * n_d)
+        * F.lit(inv)
+    )
+    return mom.select("i", "j", "n", cov.alias("cov"))

@@ -220,3 +220,31 @@ def test_regression_matches_numpy(spark, sf_dir):
         assert math.isclose(r["intercept"], intercept, rel_tol=1e-4, abs_tol=1e-4), source
         assert 0.0 <= r["r2"] <= 1.0
         assert r["slope"] > 0, "token count grows with char count"
+
+
+def test_covariance_moments_matches_numpy_and_partitioning(spark, sf_dir):
+    """The moment-matrix covariance equals numpy's population covariance
+    of the fixed-point-truncated vectors, and is bit-identical under a
+    different partition count (exact integer merge => order-independent)."""
+    from bigdata_googleplaystore_spark.operators.similarity import covariance_moments
+
+    e = load_table(spark, sf_dir, "embeddings")
+    vecs = np.stack(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in e.collect()]
+    )
+    q = np.trunc(vecs * 1e6)
+    want = np.cov(q, rowvar=False, bias=True) * 1e-12  # population covariance
+    got = {(r["i"], r["j"]): r for r in covariance_moments(e, "vec_id", "embedding").collect()}
+    d = vecs.shape[1]
+    assert len(got) == d * (d + 1) // 2
+    for i in range(d):
+        for j in range(i, d):
+            r = got[(i, j)]
+            assert r["n"] == len(vecs)
+            assert math.isclose(r["cov"], want[i, j], rel_tol=1e-9, abs_tol=1e-15), (i, j)
+
+    again = {
+        (r["i"], r["j"]): r["cov"]
+        for r in covariance_moments(e.repartition(7), "vec_id", "embedding").collect()
+    }
+    assert all(again[k] == got[k]["cov"] for k in got)
