@@ -1858,5 +1858,46 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines, so the driver hash is stable. Output: (i, j, n, cov) for
     i <= j — 2080 rows at d=64."""
     e = load_table(spark, sf_dir, "embeddings")
-    mom = similarity.covariance_moments(e, "vec_id", "embedding")
+    mom = similarity.covariance_moments(e, "embedding")
     return mom.select("i", "j", "n", F.round("cov", 9).alias("cov"))
+
+
+@register(
+    "embedding_pca_label_means",
+    oracle=None,  # eigendecomposition: not SQL-expressible; numpy-verified in tests
+    tags=("llm", "ml", "embedding", "rows-only"),
+)
+def embedding_pca_label_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA end-to-end: exact moment matrix cluster-side
+    (covariance_moments), eigensolve of the d x d model on the driver
+    (the only thing that leaves the cluster), then a broadcast
+    projection of every embedding onto PC1 — per-label mean projection
+    separates the label clusters along the top variance direction.
+
+    The per-label mean uses the fixed-point trick (projection truncated
+    at 1e6 -> exact integer sums -> one final division) so the result is
+    partition-order independent. explained_ratio (PC1's share of total
+    variance) rides along as a constant column. Rows-only: the
+    eigensolve has no SQL form; tests/test_llm_batch2.py verifies the
+    whole pipeline against numpy PCA and asserts partition invariance."""
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & F.col("label").isNotNull()
+    )
+    v, explained = similarity.top_principal_component(e, "embedding")
+    proj = similarity.project_onto(e, "embedding", v)
+    q = proj.select("label", (F.col("proj") * 1e6).cast("long").alias("qp"))
+    return (
+        q.groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("qp").cast("decimal(38,0)")).alias("s"),
+        )
+        .select(
+            "label",
+            "n",
+            F.round(
+                F.col("s").cast("double") / (F.col("n").cast("double") * 1e6), 6
+            ).alias("mean_proj"),
+            F.round(F.lit(explained), 6).alias("explained_ratio"),
+        )
+    )

@@ -372,7 +372,6 @@ def lsh_ann_topk(
 
 def covariance_moments(
     df: DataFrame,
-    id_col: str,
     vec_col: str,
     scale: int = 1_000_000,
 ) -> DataFrame:
@@ -441,3 +440,54 @@ def covariance_moments(
         * F.lit(inv)
     )
     return mom.select("i", "j", "n", cov.alias("cov"))
+
+
+def top_principal_component(df: DataFrame, vec_col: str):
+    """Top principal component of a vector column: the distributed-PCA
+    recipe for data >> model. The exact d x d moment matrix is reduced
+    cluster-side (covariance_moments — one constant-size shuffle), and
+    ONLY that d x d model (2080 floats at d=64) reaches the driver for
+    the eigensolve, the same driver-holds-model contract as the k-means
+    centroid step (kmeans_centroids above).
+
+    Returns (v, explained_ratio): the unit eigenvector with the largest
+    eigenvalue, sign-normalized so its largest-|.| component is positive
+    (eigenvectors are sign-ambiguous; the convention makes results
+    reproducible), and that eigenvalue's share of total variance."""
+    import numpy as np
+
+    rows = covariance_moments(df, vec_col).collect()
+    if not rows:
+        raise ValueError("no vectors to decompose")
+    d = max(r["j"] for r in rows) + 1
+    c = np.zeros((d, d))
+    for r in rows:
+        c[r["i"], r["j"]] = c[r["j"], r["i"]] = r["cov"]
+    w, vecs = np.linalg.eigh(c)
+    v = vecs[:, -1]
+    if v[int(np.argmax(np.abs(v)))] < 0:
+        v = -v
+    return v, float(w[-1] / w.sum())
+
+
+def project_onto(df: DataFrame, vec_col: str, v, out_col: str = "proj") -> DataFrame:
+    """Dot-product projection of every vector onto a (small, broadcast)
+    direction v — a vectorized Arrow-batch matmul, no shuffle: the model
+    ships in the UDF closure, the data never moves."""
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    vv = np.asarray(v, dtype=np.float64)
+
+    def _proj_fn(col):
+        import pandas as pd
+
+        if len(col) == 0:
+            return pd.Series([], dtype="float64")
+        mat = np.stack([np.asarray(x, dtype=np.float64) for x in col.to_numpy()])
+        return pd.Series(mat @ vv)
+
+    _proj = pandas_udf(_proj_fn, DoubleType())
+    return df.withColumn(out_col, _proj(F.col(vec_col)))

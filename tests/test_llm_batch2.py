@@ -234,7 +234,7 @@ def test_covariance_moments_matches_numpy_and_partitioning(spark, sf_dir):
     )
     q = np.trunc(vecs * 1e6)
     want = np.cov(q, rowvar=False, bias=True) * 1e-12  # population covariance
-    got = {(r["i"], r["j"]): r for r in covariance_moments(e, "vec_id", "embedding").collect()}
+    got = {(r["i"], r["j"]): r for r in covariance_moments(e, "embedding").collect()}
     d = vecs.shape[1]
     assert len(got) == d * (d + 1) // 2
     for i in range(d):
@@ -245,6 +245,43 @@ def test_covariance_moments_matches_numpy_and_partitioning(spark, sf_dir):
 
     again = {
         (r["i"], r["j"]): r["cov"]
-        for r in covariance_moments(e.repartition(7), "vec_id", "embedding").collect()
+        for r in covariance_moments(e.repartition(7), "embedding").collect()
     }
     assert all(again[k] == got[k]["cov"] for k in got)
+
+
+def test_pca_pipeline_matches_numpy(spark, sf_dir):
+    """Distributed PCA (moments -> driver eigensolve -> broadcast
+    projection -> fixed-point label means) must agree with plain numpy
+    PCA on the collected vectors, including the sign convention."""
+    from bigdata_googleplaystore_spark.operators.similarity import (
+        top_principal_component,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & F.col("label").isNotNull()
+    )
+    rows = e.collect()
+    vecs = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    labels = np.array([r["label"] for r in rows])
+
+    q = np.trunc(vecs * 1e6) * 1e-6  # the operator's fixed-point grid
+    c = np.cov(q, rowvar=False, bias=True)
+    w, vv = np.linalg.eigh(c)
+    want_v = vv[:, -1]
+    if want_v[int(np.argmax(np.abs(want_v)))] < 0:
+        want_v = -want_v
+
+    v, explained = top_principal_component(e, "embedding")
+    assert np.allclose(v, want_v, atol=1e-9)
+    assert math.isclose(explained, w[-1] / w.sum(), rel_tol=1e-9)
+    assert 0.0 < explained <= 1.0
+
+    out = {r["label"]: r for r in QUERIES["embedding_pca_label_means"].fn(spark, sf_dir).collect()}
+    assert set(out) == set(np.unique(labels).tolist())
+    for label in out:
+        want_mean = np.trunc((vecs[labels == label] @ v) * 1e6).sum() / (
+            (labels == label).sum() * 1e6
+        )
+        assert math.isclose(out[label]["mean_proj"], round(want_mean, 6), abs_tol=2e-6)
+        assert out[label]["n"] == int((labels == label).sum())
