@@ -1901,3 +1901,34 @@ def embedding_pca_label_means(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.lit(explained), 6).alias("explained_ratio"),
         )
     )
+
+
+@register(
+    "heavy_hitter_terms",
+    oracle=r"""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS item
+      FROM documents WHERE text IS NOT NULL
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM toks WHERE item IS NOT NULL),
+    counts AS (
+      SELECT item, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY item
+    )
+    SELECT c.item, c.n, t.n_total
+    FROM counts c CROSS JOIN tot t
+    WHERE c.n * 30 >= t.n_total
+    """,
+    tags=("llm", "text", "sketch"),
+)
+def heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 1/30-heavy-hitter terms via operators/frequency.heavy_hitters:
+    bounded-memory local candidates (Misra-Gries pigeonhole superset) +
+    broadcast exact recount — the scale shape that never shuffles the
+    full vocabulary, vs the oracle's single-pass full group-by that IS
+    correct SQL but shuffles every distinct term. Integer-only threshold
+    arithmetic (n * k >= N) keeps both engines bit-identical."""
+    from ..operators.frequency import heavy_hitters
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = d.select(F.explode(tokens(F.col("text"))).alias("term"))
+    return heavy_hitters(toks, "term", 30)

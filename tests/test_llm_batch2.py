@@ -285,3 +285,33 @@ def test_pca_pipeline_matches_numpy(spark, sf_dir):
         )
         assert math.isclose(out[label]["mean_proj"], round(want_mean, 6), abs_tol=2e-6)
         assert out[label]["n"] == int((labels == label).sum())
+
+
+def test_heavy_hitters_exact_under_partitioning(spark, sf_dir):
+    """Two-phase heavy hitters must equal the brute-force group-by for
+    every partitioning (candidate union is a superset by pigeonhole; the
+    recount makes counts exact), including on a long-tail corpus where
+    the vocabulary is much larger than k."""
+    from bigdata_googleplaystore_spark.operators.frequency import heavy_hitters
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = d.select(F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term"))
+    brute = {
+        r["term"]: r["n"]
+        for r in toks.groupBy("term").agg(F.count("*").alias("n")).collect()
+    }
+    n_total = sum(brute.values())
+    want = {t: c for t, c in brute.items() if c * 30 >= n_total}
+    for parts in (1, 7):
+        got = {
+            r["item"]: r
+            for r in heavy_hitters(toks.repartition(parts), "term", 30).collect()
+        }
+        assert {t: r["n"] for t, r in got.items()} == want
+        assert all(r["n_total"] == n_total for r in got.values())
+
+    # adversarial long tail: 3 heavy ids + 10k singletons, k=100
+    rows = [(f"hot{i % 3}",) for i in range(3000)] + [(f"tail{i}",) for i in range(10000)]
+    df = spark.createDataFrame(rows, "term string").repartition(13)
+    got = {r["item"]: r["n"] for r in heavy_hitters(df, "term", 100).collect()}
+    assert got == {"hot0": 1000, "hot1": 1000, "hot2": 1000}
