@@ -1692,6 +1692,10 @@ def text_char_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
         .filter(F.col("text").isNotNull())
         .select("doc_id", F.lower("text").alias("t"))
+        # spread the char fan-out: a small corpus arrives as one input
+        # split and the explode would run single-task (see
+        # dedup.shingle_exploded for the same hazard)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
     bg = ch.select(
         "doc_id",
@@ -1843,7 +1847,7 @@ def regression_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN dim da ON da.i = m.i
     JOIN dim db ON db.i = m.j
     """,
-    tags=("llm", "ml", "embedding"),
+    tags=("llm", "ml", "embedding", "bench"),
 )
 def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Upper-triangle covariance matrix of the embedding column via
@@ -1918,7 +1922,7 @@ def embedding_pca_label_means(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM counts c CROSS JOIN tot t
     WHERE c.n * 30 >= t.n_total
     """,
-    tags=("llm", "text", "sketch"),
+    tags=("llm", "text", "sketch", "bench"),
 )
 def heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 1/30-heavy-hitter terms via operators/frequency.heavy_hitters:
@@ -1929,6 +1933,12 @@ def heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic (n * k >= N) keeps both engines bit-identical."""
     from ..operators.frequency import heavy_hitters
 
-    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        # spread the tokenize/explode across cores: a small corpus is one
+        # input split (see dedup.shingle_exploded for the same hazard)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
     toks = d.select(F.explode(tokens(F.col("text"))).alias("term"))
     return heavy_hitters(toks, "term", 30)
