@@ -17,7 +17,7 @@ of the checkpoint — size it up front on a real deployment.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
@@ -295,3 +295,108 @@ def enrich_stream_static(
     events whose key is missing from the dimension (late-arriving dims)."""
     cols = [F.col(key)] + [F.col(c) for c in dim_cols]
     return events_stream.join(F.broadcast(dim.select(*cols)), key, "left")
+
+
+try:  # transformWithState ships with pyspark; subclassing needs no extras
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+except ImportError:  # pragma: no cover - pyspark always has it; belt-and-braces
+    StatefulProcessor = object  # type: ignore[assignment,misc]
+    StatefulProcessorHandle = object  # type: ignore[assignment,misc]
+
+
+class TopTypesProcessor(StatefulProcessor):
+    """State-API-v2 processor: per-key MapState of category -> count,
+    emitting the refreshed top-k snapshot each micro-batch. Logic is
+    plain pandas over the state primitives, so it is unit-testable with
+    a fake handle (no streaming runtime needed)."""
+
+    def __init__(self, k: int, key_col: str, type_col: str) -> None:
+        self._k = k
+        self._key_col = key_col
+        self._type_col = type_col
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._counts = handle.getMapState("type_counts", "t string", "c bigint")
+
+    def handleInputRows(self, key, rows, timer_values):
+        import pandas as pd
+
+        for pdf in rows:
+            for t, c in pdf[self._type_col].dropna().value_counts().items():
+                cur = self._counts.getValue((t,))
+                self._counts.updateValue((t,), (int(c) + (cur[0] if cur else 0),))
+        items = sorted(
+            ((kk[0], vv[0]) for kk, vv in self._counts.iterator()),
+            key=lambda x: (-x[1], x[0]),
+        )
+        total = sum(c for _, c in items)
+        top = items[: self._k]
+        yield pd.DataFrame(
+            {
+                self._key_col: [key[0]] * len(top),
+                self._type_col: [t for t, _ in top],
+                "n": [c for _, c in top],
+                "rk": list(range(1, len(top) + 1)),
+                "total_seen": [total] * len(top),
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def user_top_types_batch(
+    events: DataFrame, k: int = 3, key_col: str = "user_id", type_col: str = "event_type"
+) -> DataFrame:
+    """Batch form of the per-key top-k categorical counts: group-by +
+    window rank + per-key totals."""
+    ev = events.filter(F.col(key_col).isNotNull() & F.col(type_col).isNotNull())
+    counts = ev.groupBy(key_col, type_col).agg(F.count("*").alias("n"))
+    totals = ev.groupBy(key_col).agg(F.count("*").alias("total_seen"))
+    w = Window.partitionBy(key_col).orderBy(F.desc("n"), F.asc(type_col))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .join(totals, key_col)
+        .select(key_col, type_col, "n", F.col("rk").cast("int").alias("rk"), "total_seen")
+    )
+
+
+def user_top_types_stream(
+    events: DataFrame, k: int = 3, key_col: str = "user_id", type_col: str = "event_type"
+) -> DataFrame:
+    """Per-key top-k categorical counts via `transformWithStateInPandas` —
+    the Spark 4 arbitrary-state API (state API v2): a typed MapState per
+    key carries the per-category counts across micro-batches, and each
+    batch emits the key's refreshed top-k snapshot (plus `total_seen`, so
+    downstream consumers — and the batch-equivalence test — can keep the
+    latest snapshot per key).
+
+    vs `applyInPandasWithState` (user_running_totals_stream above): the
+    v2 API gives *composable typed state primitives* (Value/List/Map
+    state, TTL, timers) instead of one opaque state tuple — MapState here
+    updates only the touched categories per batch rather than
+    deserializing the whole per-key blob. State size is O(keys x
+    categories); pass a `ttlDurationMs` on the state for unbounded key
+    spaces.
+
+    Environment gates: transformWithState needs (a) the RocksDB state
+    store provider (`spark.sql.streaming.stateStore.providerClass = org.
+    apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider`
+    — also the provider you want at scale: incremental checkpoints,
+    state larger than heap) and (b) the `protobuf` package for its
+    state-server wire protocol. The processor logic itself is
+    dependency-free and unit-tested against a fake state handle
+    (tests/test_streaming.py); the end-to-end stream test skips where
+    protobuf is absent."""
+    key_type = events.schema[key_col].dataType.simpleString()
+    out_schema = (
+        f"{key_col} {key_type}, {type_col} string, n bigint, rk int, total_seen bigint"
+    )
+    ev = events.filter(F.col(key_col).isNotNull() & F.col(type_col).isNotNull())
+    return ev.groupBy(key_col).transformWithStateInPandas(
+        TopTypesProcessor(k, key_col, type_col), out_schema, "Update", "None"
+    )

@@ -246,3 +246,98 @@ def test_custom_python_datasource_stream(spark, tmp_path):
     batch = spark.read.format("docgen").options(**opts).load()
     cols = ["id", "text", "score"]
     assert _rows(got, cols) == _rows(batch, cols)
+
+
+def test_top_types_processor_logic_with_fake_state(spark, sf_dir):
+    """Unit-test the state-API-v2 processor against a fake MapState: the
+    snapshot after replaying the same rows in two chunks must equal the
+    batch group-by + rank (state carries across handleInputRows calls)."""
+    from pyspark.sql import functions as F
+
+    class FakeMapState:
+        def __init__(self):
+            self.d = {}
+
+        def getValue(self, key):
+            return self.d.get(key)
+
+        def updateValue(self, key, value):
+            self.d[key] = value
+
+        def iterator(self):
+            return iter(self.d.items())
+
+    class FakeHandle:
+        def __init__(self):
+            self.state = FakeMapState()
+
+        def getMapState(self, name, key_schema, value_schema, ttlDurationMs=None):
+            return self.state
+
+    proc = streaming.TopTypesProcessor(3, "user_id", "event_type")
+    proc.init(FakeHandle())
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("event_type").isNotNull())
+        .select("user_id", "event_type")
+        .toPandas()
+    )
+    user = ev["user_id"].iloc[0]
+    rows = ev[ev["user_id"] == user]
+    half = len(rows) // 2
+    # replay in two chunks: second snapshot must reflect ALL rows
+    list(proc.handleInputRows((user,), iter([rows.iloc[:half]]), None))
+    out = list(proc.handleInputRows((user,), iter([rows.iloc[half:]]), None))[0]
+
+    want = streaming.user_top_types_batch(
+        load_table(spark, sf_dir, "events")
+    ).filter(F.col("user_id") == int(user)).collect()
+    want_rows = sorted((r["event_type"], r["n"], r["rk"], r["total_seen"]) for r in want)
+    got_rows = sorted(
+        zip(out["event_type"], out["n"].astype(int), out["rk"], out["total_seen"].astype(int))
+    )
+    assert got_rows == want_rows
+
+
+def test_transform_with_state_top_types_match_batch(spark, sf_dir, event_stream_dir):
+    """End-to-end transformWithStateInPandas: across 4 forced
+    micro-batches the latest per-user snapshot must equal the batch
+    computation. Skips where the protobuf package (required by the v2
+    state-server wire protocol) is not installed."""
+    pytest.importorskip("google.protobuf")
+    from pyspark.sql import Window
+
+    batch = streaming.user_top_types_batch(load_table(spark, sf_dir, "events"))
+    schema = spark.read.parquet(event_stream_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(event_stream_dir)
+    )
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(conf_key, None)
+    spark.conf.set(
+        conf_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        updates = streaming.run_stream_to_memory(
+            streaming.user_top_types_stream(stream),
+            "top_types",
+            output_mode="update",
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
+    final = (
+        updates.withColumn(
+            "mx", F.max("total_seen").over(Window.partitionBy("user_id"))
+        )
+        .filter(F.col("total_seen") == F.col("mx"))
+        .select("user_id", "event_type", "n", "rk", "total_seen")
+    )
+    cols = ["user_id", "event_type", "n", "rk", "total_seen"]
+    assert _rows(final, cols) == _rows(batch, cols)
