@@ -105,3 +105,37 @@ def test_scd2_pipeline_single_exchange(spark, sf_dir):
     formatted-mode `(n) Exchange` node headers)."""
     r = plans.analyze(QUERIES["scd2_type_intervals"].fn(spark, sf_dir))
     assert r.exchanges == 1, r.text
+
+
+def test_heavy_hitters_recount_broadcasts_candidates(spark, sf_dir):
+    """The exact-recount join must broadcast the (tiny) candidate union —
+    a sort-merge join here would shuffle the full token stream by term,
+    which is exactly what the two-phase shape exists to avoid."""
+    r = plans.analyze(QUERIES["heavy_hitter_terms"].fn(spark, sf_dir))
+    assert r.broadcast_joins >= 2  # candidates + the 1-row total
+    assert r.sort_merge_joins == 0
+
+
+def test_covariance_shuffle_is_model_sized(spark, sf_dir):
+    """The moment-matrix shuffle carries only per-batch partials: one
+    exchange for the (i, j) merge (plus AQE bookkeeping), never a
+    rows x d explode or a position self-join."""
+    r = plans.analyze(QUERIES["embedding_covariance"].fn(spark, sf_dir))
+    assert r.exchanges <= 2
+    assert r.sort_merge_joins == 0
+
+
+def test_char_lm_model_join_broadcasts(spark, sf_dir):
+    """Scoring joins the alphabet^2-row model back onto per-doc counts:
+    the model side must broadcast (the corpus-count frame never
+    reshuffles for the join)."""
+    r = plans.analyze(QUERIES["text_char_lm_score"].fn(spark, sf_dir))
+    assert r.broadcast_joins >= 2  # model + the 1-row total
+    assert r.sort_merge_joins == 0
+
+
+def test_bipartite_projection_broadcasts_degrees(spark, sf_dir):
+    """The Jaccard normalization joins two dimension-sized degree tables:
+    both must broadcast; only the user self-join + pair agg shuffle."""
+    r = plans.analyze(QUERIES["graph_bipartite_projection"].fn(spark, sf_dir))
+    assert r.broadcast_joins >= 2
