@@ -341,3 +341,74 @@ def test_transform_with_state_top_types_match_batch(spark, sf_dir, event_stream_
     )
     cols = ["user_id", "event_type", "n", "rk", "total_seen"]
     assert _rows(final, cols) == _rows(batch, cols)
+
+
+def test_stream_incremental_agg_crash_recovery(spark, sf_dir, event_stream_dir, tmp_path):
+    """Exactly-once under a mid-flight crash: batch 1's partition is
+    WRITTEN but the injected failure prevents the checkpoint commit — the
+    worst-case double-write window. On restart the batch is reprocessed
+    and dynamic partition overwrite rewrites the same partition, so the
+    folded view still equals the batch aggregate and no batch appears
+    twice."""
+    from pyspark.sql import functions as F
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from bigdata_googleplaystore_spark.operators import incremental
+
+    schema = spark.read.parquet(event_stream_dir).schema
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_batch_then_crash(batch_df, batch_id):
+        (
+            incremental.partial_agg(batch_df, ["event_type"], "value")
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(state)
+        )
+        if batch_id == 1:
+            raise RuntimeError("injected crash: partition written, commit pending")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(event_stream_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(write_batch_then_crash)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    with pytest.raises(StreamingQueryException, match="injected crash"):
+        q.awaitTermination()
+    q.stop()
+    # batch 1's orphan partition exists before recovery
+    assert spark.read.parquet(state).filter(F.col("_batch_id") == 1).count() > 0
+
+    restart = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(event_stream_dir)
+    )
+    streaming.run_stream_incremental_agg(restart, ["event_type"], "value", state, ckpt)
+
+    got = streaming.read_incremental_state(spark, state)
+    want = incremental.finalize(
+        incremental.partial_agg(
+            load_table(spark, sf_dir, "events"), ["event_type"], "value"
+        )
+    )
+    cols = ["event_type", "n_rows", "vmin", "vmax"]
+    assert _rows(got, cols) == _rows(want, cols)
+    w = {r["event_type"]: r for r in want.collect()}
+    for r in got.collect():
+        assert abs(r["total"] - w[r["event_type"]]["total"]) < 1e-6
+    # every source file became exactly one state partition — batch 1 was
+    # reprocessed in place, not duplicated
+    batch_ids = [
+        r["_batch_id"]
+        for r in spark.read.parquet(state).select("_batch_id").distinct().collect()
+    ]
+    assert sorted(batch_ids) == [0, 1, 2, 3]
