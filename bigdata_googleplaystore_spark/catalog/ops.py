@@ -3186,3 +3186,56 @@ def graph_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+@register(
+    "mad_robust_stats",
+    oracle="""
+    WITH cents AS (
+      SELECT o_orderstatus AS s,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+      FROM orders
+    ),
+    med AS (SELECT s, median(c) AS m FROM cents GROUP BY s)
+    SELECT c.s AS o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(m.m) / 100.0, 4) AS median_price,
+           round(median(abs(c.c - m.m)) / 100.0, 4) AS mad_price
+    FROM cents c JOIN med m ON c.s = m.s
+    GROUP BY c.s
+    """,
+    tags=("analytics", "robust", "agg"),
+)
+def mad_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per group — the robust dispersion
+    statistic (outlier-insensitive, unlike stddev): a two-phase nested
+    median, i.e. median(|x - median(x)|).
+
+    Exactness scheme: prices become integer cents through DECIMAL (both
+    engines produce the identical integer), so the interpolated medians
+    are exact half-integer doubles no matter how each engine phrases
+    (a+b)/2 — no float-accumulation or rounding-boundary hazard anywhere.
+
+    Scale shape: two shuffles on the group key (one per median — exact
+    medians need a per-group sort or quantile pass by nature) plus a
+    broadcast of the group-median dimension back onto the fact rows; for
+    100 TB relaxations, approx_percentile gives a one-pass mergeable
+    sketch at bounded error (see percentiles_approx)."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = o.select(
+        F.col("o_orderstatus").alias("s"),
+        (dec2(F.col("o_totalprice")) * 100).cast("long").alias("c"),
+    )
+    med = cents.groupBy("s").agg(F.median("c").alias("m"))
+    return (
+        cents.join(F.broadcast(med), "s")
+        .groupBy("s")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("m") / 100.0, 4).alias("median_price"),
+            F.round(F.median(F.abs(F.col("c") - F.col("m"))) / 100.0, 4).alias(
+                "mad_price"
+            ),
+        )
+        .select(F.col("s").alias("o_orderstatus"), "n", "median_price", "mad_price")
+    )

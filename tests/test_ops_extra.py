@@ -125,3 +125,29 @@ def test_quality_checks_catch_planted_violations(spark):
     row = quality.expect_fk(child, "k", parent, "k", "child.k_fk").collect()[0]
     # null FK values are not orphans; 9 is
     assert (row["n_bad"], row["n_total"], row["ok"]) == (1, 3, False)
+
+
+def test_mad_matches_numpy(spark, sf_dir):
+    """Nested-median MAD must equal numpy's median-of-absolute-deviations
+    on exact integer cents."""
+    import numpy as np
+
+    from bigdata_googleplaystore_spark.sources import load_table
+
+    rows = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_totalprice"
+    ).collect()
+    by_s: dict[str, list] = {}
+    for r in rows:
+        by_s.setdefault(r["o_orderstatus"], []).append(
+            int(round(r["o_totalprice"] * 100))
+        )
+    got = {r["o_orderstatus"]: r for r in QUERIES["mad_robust_stats"].fn(spark, sf_dir).collect()}
+    assert set(got) == set(by_s)
+    for s, cents in by_s.items():
+        a = np.array(cents, dtype=np.float64)
+        med = np.median(a)
+        mad = np.median(np.abs(a - med))
+        assert got[s]["n"] == len(cents)
+        assert got[s]["median_price"] == round(med / 100.0, 4)
+        assert got[s]["mad_price"] == round(mad / 100.0, 4)
