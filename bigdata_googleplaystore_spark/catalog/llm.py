@@ -1942,3 +1942,24 @@ def heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     toks = d.select(F.explode(tokens(F.col("text"))).alias("term"))
     return heavy_hitters(toks, "term", 30)
+
+
+@register(
+    "dedup_semantic",
+    oracle=None,  # k-means assignment is iterative — no SQL form; see tests
+    tags=("llm", "dedup", "embedding", "rows-only"),
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) semantic dedup over the embeddings
+    table: cluster with deterministic k-means, verify exact cosine >= 0.45
+    within cells only (0.45 = the corpus's planted-near-dup similarity
+    level, same threshold as dedup_embedding_cosine), drop the higher id
+    of each duplicate pair
+    (operators/similarity.semantic_dedup). Precision 1.0 (exact
+    verification); recall bounded by the clustering — the quadratic
+    search is confined to sum-of-cell^2, which is what makes
+    embedding-level dedup run at web scale. Rows-only: tests assert
+    precision against the brute-force pair set and repartition
+    determinism."""
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    return similarity.semantic_dedup(e, "vec_id", "embedding", threshold=0.45)

@@ -491,3 +491,54 @@ def project_onto(df: DataFrame, vec_col: str, v, out_col: str = "proj") -> DataF
 
     _proj = pandas_udf(_proj_fn, DoubleType())
     return df.withColumn(out_col, _proj(F.col(vec_col)))
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_cells: int = 16,
+    iters: int = 2,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means-cluster the
+    embedding space, then search for near-duplicate pairs (cosine >=
+    threshold) only WITHIN each cluster, dropping every item that has a
+    lower-id duplicate. The clustering confines the quadratic pair
+    search to cells — sum of |cell|^2 instead of N^2 — which is the whole
+    trick that makes embedding-level dedup tractable on web-scale
+    corpora (the paper runs it on LAION/C4 scale for exactly this
+    reason). Recall is bounded by the clustering (a duplicate pair split
+    across cells is missed — the documented trade); precision is 1.0
+    because every candidate pair is verified with the exact cosine.
+
+    Production notes baked into the shape: the assign step is a
+    broadcast argmin (centroids ride as an expression literal, no join,
+    no shuffle of the corpus); the pair join shuffles on cid, so a
+    pathological hot cell re-introduces the quadratic — cap cell
+    population (re-split big cells) when the embedding space collapses.
+
+    Returns dropped rows: (id, dup_of = lowest-id in-cell duplicate,
+    sim = cosine to it), deterministic via the (sim, -id) argmax order.
+    """
+    centroids = kmeans_centroids(df, id_col, vec_col, k=n_cells, iters=iters)
+    assigned = assign_to_centroids(df, centroids, id_col, vec_col)
+    a = assigned.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "cid")
+    b = assigned.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "cid")
+    pairs = (
+        a.join(b, "cid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            # round(…, 4) matches cosine_near_pairs exactly, so the two
+            # tiers agree on threshold-boundary pairs
+            F.round(cosine_similarity(F.col("va"), F.col("vb")), 4).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+    return (
+        pairs.groupBy("id_b")
+        .agg(F.min("id_a").alias("dup_of"), F.max("sim").alias("sim"))
+        .select(F.col("id_b").alias(id_col), "dup_of", "sim")
+    )

@@ -315,3 +315,36 @@ def test_heavy_hitters_exact_under_partitioning(spark, sf_dir):
     df = spark.createDataFrame(rows, "term string").repartition(13)
     got = {r["item"]: r["n"] for r in heavy_hitters(df, "term", 100).collect()}
     assert got == {"hot0": 1000, "hot1": 1000, "hot2": 1000}
+
+
+def test_semantic_dedup_precision_and_determinism(spark, sf_dir):
+    """SemDeDup drops are exactly the brute-force near-dup pairs whose
+    endpoints co-cluster (precision 1.0 by exact verification; recall
+    bounded by the clustering — both directions asserted), and the result
+    is identical under repartitioning (deterministic seeding)."""
+    from bigdata_googleplaystore_spark.operators import similarity
+
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.cosine_near_pairs(e, threshold=0.45).collect()
+    }
+    cents = similarity.kmeans_centroids(e, k=16, iters=2)
+    cid = {
+        r["vec_id"]: r["cid"]
+        for r in similarity.assign_to_centroids(e, cents).select("vec_id", "cid").collect()
+    }
+    want_dropped = {b for a, b in brute if cid[a] == cid[b]}
+
+    got = {r["vec_id"]: r for r in QUERIES["dedup_semantic"].fn(spark, sf_dir).collect()}
+    assert set(got) == want_dropped
+    assert len(got) > 0, "corpus plants co-clustered near-dups"
+    for r in got.values():
+        assert r["dup_of"] < r["vec_id"]
+        assert cid[r["dup_of"]] == cid[r["vec_id"]]
+
+    again = {
+        r["vec_id"]: (r["dup_of"], r["sim"])
+        for r in similarity.semantic_dedup(e.repartition(9), threshold=0.45).collect()
+    }
+    assert again == {k: (r["dup_of"], r["sim"]) for k, r in got.items()}
