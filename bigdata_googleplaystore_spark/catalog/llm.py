@@ -1963,3 +1963,45 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     determinism."""
     e = load_table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
     return similarity.semantic_dedup(e, "vec_id", "embedding", threshold=0.45)
+
+
+@register(
+    "dedup_incremental_fingerprints",
+    oracle="""
+    WITH hist AS (
+      SELECT DISTINCT md5(trim(lower(text))) AS fp
+      FROM documents WHERE source <> 'src9' AND text IS NOT NULL
+    ),
+    batch AS (
+      SELECT doc_id, md5(trim(lower(text))) AS fp
+      FROM documents WHERE source = 'src9' AND text IS NOT NULL
+    )
+    SELECT b.doc_id,
+           (h.fp IS NOT NULL) AS known_dup
+    FROM batch b LEFT JOIN hist h ON b.fp = h.fp
+    """,
+    tags=("llm", "dedup", "incremental"),
+)
+def dedup_incremental_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (index-based) dedup — the production shape: a new
+    batch (source src9 stands in for today's crawl) is checked against
+    the HISTORICAL fingerprint index (every other source), not against
+    the whole corpus re-shuffled from scratch. Each new doc is flagged
+    known_dup if its content fingerprint already exists in history.
+
+    At 100 TB the index is a compact fingerprint table maintained across
+    runs (16-byte digests, bucketed/partitioned by fp prefix); the daily
+    batch joins against it — batch-sized shuffle, history only scanned —
+    and the batch's novel fingerprints are unioned back in as the new
+    index (exactly fingerprint_dedup's digest, so the index composes
+    with the batch tier). The join key is the digest, so skew is
+    impossible by construction (uniform hash)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    fp = F.md5(F.encode(F.trim(F.lower(F.col("text"))), "UTF-8"))
+    hist = (
+        d.filter(F.col("source") != "src9").select(fp.alias("fp")).distinct()
+    )
+    batch = d.filter(F.col("source") == "src9").select("doc_id", fp.alias("fp"))
+    return batch.join(
+        hist.withColumn("known", F.lit(True)), "fp", "left"
+    ).select("doc_id", F.coalesce(F.col("known"), F.lit(False)).alias("known_dup"))

@@ -191,3 +191,27 @@ def test_custom_python_datasource_writer_round_trip(spark, tmp_path):
     a = sorted((r["id"], r["text"], r["score"]) for r in df.collect())
     b = sorted((r["id"], r["text"], r["score"]) for r in back.collect())
     assert a == b
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Lake-style schema evolution: a later batch adds a column; reading
+    with mergeSchema unions the schemas and backfills nulls for the old
+    batch, while the default read keeps serving the footer-sampled schema
+    (both behaviors are contracts worth pinning)."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "evolving")
+    spark.range(5).select(F.col("id"), F.lit("a").alias("v1")).write.parquet(
+        f"{out}/batch=0"
+    )
+    spark.range(5, 8).select(
+        F.col("id"), F.lit("b").alias("v1"), F.lit(1.5).alias("v2")
+    ).write.parquet(f"{out}/batch=1")
+
+    merged = spark.read.option("mergeSchema", True).parquet(out)
+    assert set(merged.columns) == {"id", "v1", "v2", "batch"}
+    assert merged.count() == 8
+    old = merged.filter(F.col("batch") == 0)
+    assert old.filter(F.col("v2").isNull()).count() == 5  # backfilled nulls
+    new = merged.filter(F.col("batch") == 1)
+    assert new.filter(F.col("v2") == 1.5).count() == 3
