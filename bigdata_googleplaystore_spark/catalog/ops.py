@@ -3239,3 +3239,36 @@ def mad_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("s").alias("o_orderstatus"), "n", "median_price", "mad_price")
     )
+
+
+@register(
+    "sliding_distinct_users",
+    oracle="""
+    SELECT w_start, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM (
+      SELECT user_id,
+             unnest(list_transform(range(0, 4),
+                    i -> time_bucket(INTERVAL 15 MINUTE, ts)
+                         - i * INTERVAL 15 MINUTE)) AS w_start
+      FROM events WHERE user_id IS NOT NULL
+    )
+    GROUP BY w_start
+    """,
+    tags=("time-window", "distinct", "agg"),
+)
+def sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per sliding window (1 h window, 15 min slide) — the
+    live-audience metric. DISTINCT inside overlapping windows is the
+    expensive version of sliding counts: each event fans into
+    window/slide = 4 membership rows and the per-window distinct forces
+    a (window, user) dedup shuffle before the count. Spark's exact
+    count_distinct rewrites to exactly that two-phase expand+dedup plan;
+    at 100 TB swap in approx_count_distinct (HLL, mergeable, no second
+    shuffle) once ±2% error is acceptable — see agg_approx_distinct for
+    the error-bound harness."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .select(F.col("w.start").alias("w_start"), "n_users")
+    )
