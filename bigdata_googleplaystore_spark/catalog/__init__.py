@@ -77,6 +77,20 @@ _PRIORITY: list[str] = [
     "text_quality_rules",
     "decontaminate_ngram_overlap",
     "sample_token_budget_per_source",
+    # round-2 late additions — next in line if the window extends, and the
+    # head of the round-3 rotation otherwise
+    "graph_bipartite_projection",
+    "text_dup_ngram_fraction",
+    "text_char_lm_score",
+    "regression_per_source",
+    "embedding_covariance",
+    "embedding_pca_label_means",
+    "heavy_hitter_terms",
+    "mad_robust_stats",
+    "dedup_semantic",
+    "dedup_incremental_fingerprints",
+    "sliding_distinct_users",
+    "markov_transition_matrix",
 ]
 
 

@@ -3272,3 +3272,52 @@ def sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("user_id").alias("n_users"))
         .select(F.col("w.start").alias("w_start"), "n_users")
     )
+
+
+@register(
+    "markov_transition_matrix",
+    oracle="""
+    WITH steps AS (
+      SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS src,
+             event_type AS dst
+      FROM events
+      WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    ),
+    edges AS (
+      SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+      FROM steps WHERE src IS NOT NULL GROUP BY src, dst
+    ),
+    deg AS (SELECT src, CAST(sum(n) AS BIGINT) AS out_n FROM edges GROUP BY src)
+    SELECT e.src, e.dst, e.n,
+           round(CAST(e.n AS DOUBLE) / d.out_n, 9) AS p
+    FROM edges e JOIN deg d ON d.src = e.src
+    """,
+    tags=("graph", "ml", "agg"),
+)
+def markov_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event timelines
+    (the same consecutive-step edges pagerank_event_transitions walks,
+    here as the estimated transition probabilities): row-normalized
+    counts P(dst | src) = n(src,dst) / n(src,*).
+
+    Exactness: counts are integers; each probability is ONE double
+    division (no float accumulation), so the driver hash is stable.
+    Scale: lag() shuffles once on user_id; the edge aggregation is
+    map-side combinable to a |types|^2 frame; normalization joins the
+    |types|-row degree dim broadcast — the fact table never reshuffles."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = e.select(
+        F.lag("event_type").over(w).alias("src"), F.col("event_type").alias("dst")
+    ).filter(F.col("src").isNotNull())
+    edges = steps.groupBy("src", "dst").agg(F.count("*").alias("n"))
+    deg = edges.groupBy("src").agg(F.sum("n").alias("out_n"))
+    return edges.join(F.broadcast(deg), "src").select(
+        "src",
+        "dst",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("out_n"), 9).alias("p"),
+    )

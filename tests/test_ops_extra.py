@@ -151,3 +151,16 @@ def test_mad_matches_numpy(spark, sf_dir):
         assert got[s]["n"] == len(cents)
         assert got[s]["median_price"] == round(med / 100.0, 4)
         assert got[s]["mad_price"] == round(mad / 100.0, 4)
+
+
+def test_markov_rows_are_distributions(spark, sf_dir):
+    """Each source row of the transition matrix is a probability
+    distribution: p > 0 and sums to 1 within rounding."""
+    out = QUERIES["markov_transition_matrix"].fn(spark, sf_dir).collect()
+    assert out
+    by_src: dict[str, list] = {}
+    for r in out:
+        assert 0 < r["p"] <= 1
+        by_src.setdefault(r["src"], []).append(r["p"])
+    for src, ps in by_src.items():
+        assert abs(sum(ps) - 1.0) < 1e-6, src
