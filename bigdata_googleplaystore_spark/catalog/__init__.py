@@ -91,6 +91,7 @@ _PRIORITY: list[str] = [
     "dedup_incremental_fingerprints",
     "sliding_distinct_users",
     "markov_transition_matrix",
+    "source_share_gini",
 ]
 
 

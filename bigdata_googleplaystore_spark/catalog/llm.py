@@ -2005,3 +2005,67 @@ def dedup_incremental_fingerprints(spark: SparkSession, sf_dir: str) -> DataFram
     return batch.join(
         hist.withColumn("known", F.lit(True)), "fp", "left"
     ).select("doc_id", F.coalesce(F.col("known"), F.lit(False)).alias("known_dup"))
+
+
+@register(
+    "source_share_gini",
+    oracle=r"""
+    WITH src AS (
+      SELECT source,
+             CAST(sum(len(string_split_regex(trim(lower(text)), '\s+')))
+                  AS BIGINT) AS toks
+      FROM documents
+      WHERE text IS NOT NULL AND source IS NOT NULL
+      GROUP BY source
+    ),
+    ranked AS (
+      SELECT toks, row_number() OVER (ORDER BY toks, source) AS i FROM src
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(toks) AS BIGINT) AS tot,
+             CAST(sum(i * toks) AS BIGINT) AS s
+      FROM ranked
+    )
+    SELECT n AS n_sources, tot AS total_tokens,
+           round((2.0 * s) / (n * tot) - (n + 1.0) / n, 9) AS gini
+    FROM agg
+    """,
+    tags=("llm", "diagnostics", "agg"),
+)
+def source_share_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of token share across sources — the domain-mixing
+    imbalance diagnostic for a training corpus (0 = every source
+    contributes equally, →1 = one source dominates), via the discrete
+    Lorenz formula G = 2·Σ(i·x_(i)) / (n·Σx) − (n+1)/n over rank-sorted
+    source totals.
+
+    Scale: the fact scan reduces map-side to one row per source; the
+    rank window runs on that dimension-sized frame (single-task by
+    nature, |sources| rows — not a data-volume window). All sums are
+    exact integers; the Gini is one fixed double expression, so the
+    hash is stable."""
+    src = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & F.col("source").isNotNull())
+        .groupBy("source")
+        .agg(F.sum(F.size(tokens(F.col("text")))).alias("toks"))
+    )
+    ranked = src.select(
+        "toks",
+        F.row_number().over(Window.orderBy("toks", "source")).alias("i"),
+    )
+    agg = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("toks").alias("tot"),
+        F.sum(F.col("i") * F.col("toks")).alias("s"),
+    )
+    return agg.select(
+        F.col("n").alias("n_sources"),
+        F.col("tot").alias("total_tokens"),
+        F.round(
+            (2.0 * F.col("s")) / (F.col("n") * F.col("tot"))
+            - (F.col("n") + 1.0) / F.col("n"),
+            9,
+        ).alias("gini"),
+    )

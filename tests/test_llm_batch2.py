@@ -348,3 +348,23 @@ def test_semantic_dedup_precision_and_determinism(spark, sf_dir):
         for r in similarity.semantic_dedup(e.repartition(9), threshold=0.45).collect()
     }
     assert again == {k: (r["dup_of"], r["sim"]) for k, r in got.items()}
+
+
+def test_gini_matches_numpy(spark, sf_dir):
+    """The Lorenz-formula Gini must equal a direct numpy computation on
+    the per-source token totals and sit in [0, 1)."""
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & F.col("source").isNotNull())
+        .groupBy("source")
+        .agg(F.sum(F.size(F.split(F.trim(F.lower("text")), r"\s+"))).alias("t"))
+        .collect()
+    )
+    x = np.sort(np.array([r["t"] for r in toks], dtype=np.float64))
+    n = len(x)
+    want = 2 * np.sum(np.arange(1, n + 1) * x) / (n * x.sum()) - (n + 1) / n
+    r = QUERIES["source_share_gini"].fn(spark, sf_dir).collect()[0]
+    assert r["n_sources"] == n
+    assert r["total_tokens"] == int(x.sum())
+    assert math.isclose(r["gini"], want, abs_tol=1e-9)
+    assert 0.0 <= r["gini"] < 1.0
