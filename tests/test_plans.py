@@ -139,3 +139,44 @@ def test_bipartite_projection_broadcasts_degrees(spark, sf_dir):
     both must broadcast; only the user self-join + pair agg shuffle."""
     r = plans.analyze(QUERIES["graph_bipartite_projection"].fn(spark, sf_dir))
     assert r.broadcast_joins >= 2
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
+    """Dynamic partition pruning: joining a fact table PARTITIONED on the
+    join key with a selectively-filtered dim must inject a runtime
+    partition filter into the fact scan (DynamicPruningExpression) —
+    at 100 TB this is what turns a full-fact scan into reading only the
+    partitions the dim survives. Result equality vs the static-filter
+    form is asserted alongside the plan shape."""
+    from pyspark.sql import functions as F
+
+    from bigdata_googleplaystore_spark.sources import load_table
+
+    fact_dir = str(tmp_path / "events_by_type")
+    ev = load_table(spark, sf_dir, "events")
+    ev.write.partitionBy("event_type").parquet(fact_dir)
+    fact = spark.read.parquet(fact_dir)
+
+    dim = (
+        ev.select("event_type").distinct()
+        .withColumn("keep", F.length("event_type") >= 5)
+        .filter(F.col("keep"))
+    )
+    joined = fact.join(dim, "event_type").groupBy("event_type").agg(
+        F.count("*").alias("n")
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString().lower()
+    explained = joined._sc._jvm.PythonSQLUtils.explainString(
+        joined._jdf.queryExecution(), "formatted"
+    ).lower() if hasattr(joined._sc._jvm, "PythonSQLUtils") else plan
+    assert "dynamicpruning" in plan or "dynamicpruning" in explained
+
+    want = {
+        r["event_type"]: r["n"]
+        for r in ev.join(dim, "event_type")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    got = {r["event_type"]: r["n"] for r in joined.collect()}
+    assert got == want and len(got) > 0
