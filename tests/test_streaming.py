@@ -412,3 +412,47 @@ def test_stream_incremental_agg_crash_recovery(spark, sf_dir, event_stream_dir, 
         for r in spark.read.parquet(state).select("_batch_id").distinct().collect()
     ]
     assert sorted(batch_ids) == [0, 1, 2, 3]
+
+
+def test_available_now_trigger_drains_and_stops(spark, sf_dir, event_stream_dir, tmp_path):
+    """Trigger.AvailableNow — the cron-style incremental pattern: the
+    query processes everything available in bounded batches, commits the
+    checkpoint, and terminates ON ITS OWN (no processAllAvailable babysitting).
+    A second invocation finds no new data and writes nothing."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    schema = spark.read.parquet(event_stream_dir).schema
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(event_stream_dir)
+        )
+        counts = stream.groupBy("event_type").agg(F.count("*").alias("n"))
+        q = (
+            counts.writeStream.format("memory")
+            .queryName("avail_now")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120), "availableNow must self-terminate"
+        return sum(p["numInputRows"] for p in (q.recentProgress or []))
+
+    n_first = run_once()
+    got = {r["event_type"]: r["n"] for r in spark.table("avail_now").collect()}
+    want = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
+    assert n_first == sum(want.values())
+    # second invocation: offsets committed, nothing new to read
+    assert run_once() == 0
