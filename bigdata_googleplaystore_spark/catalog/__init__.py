@@ -92,6 +92,7 @@ _PRIORITY: list[str] = [
     "sliding_distinct_users",
     "markov_transition_matrix",
     "source_share_gini",
+    "knn_label_accuracy",
 ]
 
 

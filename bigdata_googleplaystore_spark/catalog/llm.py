@@ -23,6 +23,7 @@ from ..functions.text import (
     token_count,
     tokens,
 )
+from ..functions.vectors import cosine_similarity
 from ..operators import dedup, similarity
 from ..sources import load_table
 from .registry import register
@@ -2068,4 +2069,102 @@ def source_share_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (F.col("n") + 1.0) / F.col("n"),
             9,
         ).alias("gini"),
+    )
+
+
+@register(
+    "knn_label_accuracy",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+      FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL
+    ),
+    sims AS (
+      SELECT a.vec_id AS qid, a.label AS true_label,
+             b.vec_id AS cid, b.label AS cand_label,
+             round(list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(b.v, b.v))), 4) AS sim
+      FROM e a JOIN e b ON a.vec_id <> b.vec_id
+    ),
+    nn AS (
+      SELECT qid, true_label, cand_label,
+             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rk
+      FROM sims
+    ),
+    votes AS (
+      SELECT qid, true_label, cand_label, CAST(count(*) AS BIGINT) AS c
+      FROM nn WHERE rk <= 5 GROUP BY qid, true_label, cand_label
+    ),
+    pred AS (
+      SELECT qid, true_label, cand_label AS pred_label,
+             row_number() OVER (PARTITION BY qid ORDER BY c DESC, cand_label) AS pr
+      FROM votes
+    )
+    SELECT true_label AS label,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) FILTER (WHERE pred_label = true_label) AS BIGINT)
+             AS n_correct,
+           round(CAST(count(*) FILTER (WHERE pred_label = true_label) AS DOUBLE)
+                 / count(*), 6) AS accuracy
+    FROM pred WHERE pr = 1
+    GROUP BY true_label
+    """,
+    tags=("llm", "ml", "embedding"),
+)
+def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out k-NN (k=5, cosine) label prediction with per-label
+    accuracy — the standard embedding-quality eval harness (is the space
+    clustered by label?). Majority vote with deterministic tiebreaks:
+    neighbors rank by (sim@4dp desc, cand id), votes by (count desc,
+    label asc).
+
+    Scale honesty: this EXACT form cross-joins the eval sample (O(N²) —
+    the deliberate, oracle-checkable harness shape for a bounded sample).
+    For corpus-scale prediction the same vote/rank tail composes with
+    ANN candidate generation (sim_ann_lsh / sim_ann_ivf) instead of the
+    cross join."""
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull() & F.col("label").isNotNull())
+    )
+    a = e.select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("true_label"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cv"),
+        F.col("label").alias("cand_label"),
+    )
+    sims = (
+        F.broadcast(a)
+        .join(b, F.col("qid") != F.col("cid"))
+        .select(
+            "qid",
+            "true_label",
+            "cid",
+            "cand_label",
+            F.round(cosine_similarity(F.col("qv"), F.col("cv")), 4).alias("sim"),
+        )
+    )
+    w_nn = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("cid"))
+    votes = (
+        sims.withColumn("rk", F.row_number().over(w_nn))
+        .filter(F.col("rk") <= 5)
+        .groupBy("qid", "true_label", "cand_label")
+        .agg(F.count("*").alias("c"))
+    )
+    w_vote = Window.partitionBy("qid").orderBy(F.desc("c"), F.asc("cand_label"))
+    pred = (
+        votes.withColumn("pr", F.row_number().over(w_vote))
+        .filter(F.col("pr") == 1)
+        .select("qid", "true_label", F.col("cand_label").alias("pred_label"))
+    )
+    correct = (F.col("pred_label") == F.col("true_label")).cast("long")
+    return pred.groupBy(F.col("true_label").alias("label")).agg(
+        F.count("*").alias("n"),
+        F.sum(correct).alias("n_correct"),
+        F.round(F.sum(correct).cast("double") / F.count("*"), 6).alias("accuracy"),
     )

@@ -368,3 +368,37 @@ def test_gini_matches_numpy(spark, sf_dir):
     assert r["total_tokens"] == int(x.sum())
     assert math.isclose(r["gini"], want, abs_tol=1e-9)
     assert 0.0 <= r["gini"] < 1.0
+
+
+def test_knn_accuracy_matches_numpy(spark, sf_dir):
+    """The distributed leave-one-out 5-NN vote must agree with a numpy
+    reimplementation (identical rounding and tiebreaks)."""
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull() & F.col("label").isNotNull())
+        .collect()
+    )
+    ids = np.array([r["vec_id"] for r in rows])
+    labels = np.array([r["label"] for r in rows])
+    mat = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    norms = np.linalg.norm(mat, axis=1)
+    sims = np.round((mat @ mat.T) / np.outer(norms, norms), 4)
+
+    correct: dict[int, list] = {}
+    for i in range(len(rows)):
+        order = sorted(
+            (j for j in range(len(rows)) if ids[j] != ids[i]),
+            key=lambda j: (-sims[i, j], ids[j]),
+        )[:5]
+        vote_counts: dict[int, int] = {}
+        for j in order:
+            vote_counts[labels[j]] = vote_counts.get(labels[j], 0) + 1
+        pred = sorted(vote_counts.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        correct.setdefault(labels[i], []).append(pred == labels[i])
+
+    got = {r["label"]: r for r in QUERIES["knn_label_accuracy"].fn(spark, sf_dir).collect()}
+    assert set(got) == set(correct)
+    for label, hits in correct.items():
+        assert got[label]["n"] == len(hits)
+        assert got[label]["n_correct"] == sum(hits)
+        assert got[label]["accuracy"] == round(sum(hits) / len(hits), 6)
