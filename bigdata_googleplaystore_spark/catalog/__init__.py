@@ -93,6 +93,7 @@ _PRIORITY: list[str] = [
     "markov_transition_matrix",
     "source_share_gini",
     "knn_label_accuracy",
+    "chi2_contingency_assoc",
 ]
 
 

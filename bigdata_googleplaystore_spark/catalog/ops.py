@@ -3321,3 +3321,73 @@ def markov_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n").cast("double") / F.col("out_n"), 9).alias("p"),
     )
+
+
+@register(
+    "chi2_contingency_assoc",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type AS a,
+             CASE WHEN value >= 50 THEN 'high' ELSE 'low' END AS b,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    ra AS (SELECT a, CAST(sum(n) AS BIGINT) AS na FROM obs GROUP BY a),
+    rb AS (SELECT b, CAST(sum(n) AS BIGINT) AS nb FROM obs GROUP BY b),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM obs),
+    cells AS (
+      SELECT o.a, o.b, o.n,
+             CAST(ra.na AS DOUBLE) * rb.nb / tot.nt AS expected
+      FROM obs o
+      JOIN ra ON ra.a = o.a
+      JOIN rb ON rb.b = o.b
+      CROSS JOIN tot
+    )
+    SELECT a AS event_type, b AS value_band, n,
+           round(expected, 6) AS expected,
+           round((n - expected) * (n - expected) / expected, 6) AS chi2_term
+    FROM cells
+    """,
+    tags=("analytics", "stats", "agg"),
+)
+def chi2_contingency_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square contingency cells for event_type x value-band — the
+    feature/label association screen (sum of chi2_term over cells is the
+    X² statistic; large terms flag the associated cells).
+
+    All inputs to each cell are exact integer marginals (one
+    map-side-combinable group-by; the |types|- and 2-row marginal dims
+    broadcast back), and each output is a fixed double expression of
+    those integers — no float accumulation, stable hash. At 100 TB the
+    contingency table itself is types x bands cells regardless of row
+    count; only the first group-by touches the fact table."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("value").isNotNull()
+    )
+    obs = (
+        e.select(
+            F.col("event_type").alias("a"),
+            F.when(F.col("value") >= 50, "high").otherwise("low").alias("b"),
+        )
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n"))
+    )
+    ra = obs.groupBy("a").agg(F.sum("n").alias("na"))
+    rb = obs.groupBy("b").agg(F.sum("n").alias("nb"))
+    tot = obs.agg(F.sum("n").alias("nt"))
+    expected = F.col("na").cast("double") * F.col("nb") / F.col("nt")
+    return (
+        obs.join(F.broadcast(ra), "a")
+        .join(F.broadcast(rb), "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("a").alias("event_type"),
+            F.col("b").alias("value_band"),
+            "n",
+            F.round(expected, 6).alias("expected"),
+            F.round(
+                (F.col("n") - expected) * (F.col("n") - expected) / expected, 6
+            ).alias("chi2_term"),
+        )
+    )

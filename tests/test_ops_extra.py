@@ -164,3 +164,44 @@ def test_markov_rows_are_distributions(spark, sf_dir):
         by_src.setdefault(r["src"], []).append(r["p"])
     for src, ps in by_src.items():
         assert abs(sum(ps) - 1.0) < 1e-6, src
+
+
+def test_chi2_matches_scipy_free_numpy(spark, sf_dir):
+    """Contingency cells must reproduce the classic X² computation on the
+    exact observed table (expected = row·col/total; terms sum to X²)."""
+    import numpy as np
+
+    from bigdata_googleplaystore_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isNotNull() & F.col("value").isNotNull())
+        .select("event_type", (F.col("value") >= 50).alias("hi"))
+        .collect()
+    )
+    obs: dict[tuple, int] = {}
+    for r in e:
+        k = (r["event_type"], "high" if r["hi"] else "low")
+        obs[k] = obs.get(k, 0) + 1
+    na: dict[str, int] = {}
+    nb: dict[str, int] = {}
+    for (a, b), n in obs.items():
+        na[a] = na.get(a, 0) + n
+        nb[b] = nb.get(b, 0) + n
+    nt = sum(obs.values())
+
+    got = {
+        (r["event_type"], r["value_band"]): r
+        for r in QUERIES["chi2_contingency_assoc"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(obs)
+    chi2 = 0.0
+    for k, r in got.items():
+        a, b = k
+        exp = na[a] * nb[b] / nt
+        assert r["n"] == obs[k]
+        assert abs(r["expected"] - exp) < 1e-4
+        assert abs(r["chi2_term"] - (obs[k] - exp) ** 2 / exp) < 1e-4
+        chi2 += r["chi2_term"]
+    assert chi2 >= 0
