@@ -456,3 +456,70 @@ def test_available_now_trigger_drains_and_stops(spark, sf_dir, event_stream_dir,
     assert n_first == sum(want.values())
     # second invocation: offsets committed, nothing new to read
     assert run_once() == 0
+
+
+def test_watermark_late_data_semantics_append_mode(spark, tmp_path):
+    """Pin the engine's watermark semantics end-to-end (file source,
+    append mode, 1 h watermark), which matter for any late-data SLA:
+
+    - a window is emitted AT MOST ONCE, when the (previous-batch)
+      watermark passes its end;
+    - a late row whose window is STILL IN STATE is folded in before
+      emission (Spark's effective allowed-lateness runs until eviction,
+      which uses the pre-batch watermark — one batch of grace);
+    - a late row whose window is GONE is dropped, counted in
+      numRowsDroppedByWatermark, and never re-opens the window;
+    - still-open windows are not emitted when the bounded stream drains.
+    """
+    import datetime as dt
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "wm_stream")
+    os.makedirs(d)
+
+    def write(name, hours, mtime):
+        tbl = pa.table(
+            {
+                "ts": pa.array(
+                    [dt.datetime(2024, 1, 1, h, 30) for h in hours],
+                    type=pa.timestamp("us"),
+                )
+            }
+        )
+        path = f"{d}/{name}"
+        pq.write_table(tbl, path)
+        os.utime(path, (mtime, mtime))
+
+    t0 = 1_700_000_000
+    write("a.parquet", [10, 10, 10], t0)  # hour-10 window opens
+    write("b.parquet", [20], t0 + 100)    # watermark -> 19:30 after this batch
+    write("c.parquet", [10, 2], t0 + 200)  # two stragglers: in-state vs evicted-window
+
+    stream = (
+        spark.readStream.schema("ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    q = (
+        streaming.windowed_counts(stream, "1 hour", watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("wm_semantics")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    dropped = sum(
+        so["numRowsDroppedByWatermark"]
+        for p in q.recentProgress
+        for so in p["stateOperators"]
+    )
+    q.stop()
+
+    rows = {r["w_start"]: r["n_events"] for r in spark.table("wm_semantics").collect()}
+    # hour-10 emitted exactly once, WITH the in-state straggler folded in;
+    # the hour-2 straggler dropped (window long past); hour-20 still open
+    assert rows == {dt.datetime(2024, 1, 1, 10, 0): 4}, rows
+    assert dropped == 1
