@@ -94,6 +94,7 @@ _PRIORITY: list[str] = [
     "source_share_gini",
     "knn_label_accuracy",
     "chi2_contingency_assoc",
+    "multimodal_audio_rms",
 ]
 
 

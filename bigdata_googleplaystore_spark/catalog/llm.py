@@ -2168,3 +2168,25 @@ def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(correct).alias("n_correct"),
         F.round(F.sum(correct).cast("double") / F.count("*"), 6).alias("accuracy"),
     )
+
+
+@register(
+    "multimodal_audio_rms",
+    oracle=None,  # int16 sample parsing has no SQL form; numpy-verified in tests
+    tags=("llm", "multimodal", "rows-only"),
+)
+def multimodal_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-shaped multimodal pipeline: document text bytes stand in
+    for 16-bit PCM payloads (codec = the documented stub; the Arrow
+    batch plumbing, window reduction, and typed schema are real), per-
+    256-sample window RMS + peak via operators/multimodal.audio_window_rms.
+    Rows-only: the sample parse has no SQL form; a numpy reimplementation
+    verifies values and the window fan-out in tests."""
+    from ..operators import multimodal
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    media = multimodal.attach_binary_payload(d, "text", "doc_id")
+    out = multimodal.audio_window_rms(media)
+    return out.select(
+        "media_id", "window_idx", "n_samples", F.round("rms", 6).alias("rms"), "peak"
+    )

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -200,3 +201,59 @@ def payload_stats_arrow(media: DataFrame) -> DataFrame:
     return media.mapInArrow(
         stats, "media_id long, n_bytes long, payload_missing boolean"
     )
+
+
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("window_idx", LongType(), False),
+        StructField("n_samples", LongType(), True),
+        StructField("rms", DoubleType(), True),
+        StructField("peak", LongType(), True),
+    ]
+)
+
+
+def audio_window_rms(media: DataFrame, window_samples: int = 256) -> DataFrame:
+    """Audio branch of the multimodal suite: interpret each payload as
+    16-bit little-endian PCM and emit per-window RMS energy + peak — the
+    silence-detection / loudness-normalization primitive of an audio
+    curation pipeline.
+
+    Like the image ops above, the CODEC is the stand-in (real containers
+    need ffmpeg/soundfile, absent here — payload bytes are read as raw
+    samples), while the Spark plumbing is real and tested: Arrow batches
+    executor-side, numpy frombuffer + vectorized window reduction, typed
+    output schema, ceil(samples/window) rows per clip. An odd trailing
+    byte is truncated the way a real PCM reader would."""
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            out = {
+                "media_id": [],
+                "window_idx": [],
+                "n_samples": [],
+                "rms": [],
+                "peak": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                b = bytes(payload)
+                b = b[: len(b) // 2 * 2]
+                x = np.frombuffer(b, dtype="<i2").astype(np.int64)
+                for wi in range(0, x.size, window_samples):
+                    w = x[wi : wi + window_samples]
+                    out["media_id"].append(mid)
+                    out["window_idx"].append(wi // window_samples)
+                    out["n_samples"].append(int(w.size))
+                    out["rms"].append(
+                        float(np.sqrt(np.mean(w.astype(np.float64) ** 2)))
+                    )
+                    out["peak"].append(int(np.abs(w).max()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, AUDIO_SCHEMA)

@@ -95,3 +95,39 @@ def test_observe_metrics_no_extra_scan(spark, sf_dir):
     assert m["n_rows"] == d.count()  # observed BEFORE the filter
     assert m["null_text"] == d.filter(F.col("text").isNull()).count()
     assert kept <= m["n_rows"]
+
+
+def test_audio_window_rms_matches_numpy(spark, sf_dir):
+    """Windowed PCM RMS/peak must equal a numpy reimplementation over the
+    same payload bytes, with the exact ceil(samples/256) fan-out."""
+    import numpy as np
+
+    from bigdata_googleplaystore_spark.catalog import QUERIES
+    from bigdata_googleplaystore_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .collect()
+    }
+    got: dict = {}
+    for r in QUERIES["multimodal_audio_rms"].fn(spark, sf_dir).collect():
+        got[(r["media_id"], r["window_idx"])] = r
+    seen_media = {k[0] for k in got}
+    for doc_id, text in texts.items():
+        b = text.encode("utf-8")
+        b = b[: len(b) // 2 * 2]
+        x = np.frombuffer(b, dtype="<i2").astype(np.int64)
+        n_win = (x.size + 255) // 256
+        if x.size == 0:
+            assert doc_id not in seen_media
+            continue
+        for wi in range(n_win):
+            w = x[wi * 256 : (wi + 1) * 256]
+            r = got[(doc_id, wi)]
+            assert r["n_samples"] == w.size
+            assert r["peak"] == int(np.abs(w).max())
+            assert abs(r["rms"] - round(float(np.sqrt(np.mean(w.astype(np.float64) ** 2))), 6)) < 1e-9
+        assert (doc_id, n_win) not in got  # no extra windows
