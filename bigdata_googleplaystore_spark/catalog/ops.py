@@ -806,7 +806,7 @@ def session_window_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM errors e
     ASOF LEFT JOIN clicks c ON e.user_id = c.user_id AND e.ts >= c.ts
     """,
-    tags=("join", "asof", "time"),
+    tags=("join", "asof", "time", "bench"),
 )
 def asof_join_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operators/asof.py): each error event picks up the most
@@ -1129,7 +1129,7 @@ def percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS nearby_total
     FROM orders
     """,
-    tags=("window", "frame"),
+    tags=("window", "frame", "bench"),
 )
 def window_range_frame_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE frame (value-based, not row-based): per customer, the sum of
