@@ -95,6 +95,7 @@ _PRIORITY: list[str] = [
     "knn_label_accuracy",
     "chi2_contingency_assoc",
     "multimodal_audio_rms",
+    "percentiles_disc",
 ]
 
 

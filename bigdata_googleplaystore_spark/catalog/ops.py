@@ -3391,3 +3391,47 @@ def chi2_contingency_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chi2_term"),
         )
     )
+
+
+@register(
+    "percentiles_disc",
+    oracle="""
+    WITH cents AS (
+      SELECT o_orderstatus AS s,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+      FROM orders
+    )
+    SELECT s AS o_orderstatus,
+           CAST(quantile_disc(c, 0.5) AS BIGINT) AS p50_cents,
+           CAST(quantile_disc(c, 0.9) AS BIGINT) AS p90_cents,
+           CAST(quantile_disc(c, 0.99) AS BIGINT) AS p99_cents
+    FROM cents GROUP BY s
+    """,
+    tags=("agg", "percentile"),
+)
+def percentiles_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete percentiles — the ACTUAL-ELEMENT quantile (smallest value
+    whose cumulative distribution reaches q; Spark `percentile_disc` and
+    DuckDB `quantile_disc` share the definition, verified here on exact
+    integer cents so no interpolation arithmetic exists to drift).
+    Complements percentiles_exact (interpolated) and percentiles_approx
+    (t-digest sketch): disc is what you want when the answer must be a
+    value that occurred (a real latency, a real price)."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = o.select(
+        F.col("o_orderstatus").alias("s"),
+        (dec2(F.col("o_totalprice")) * 100).cast("long").alias("c"),
+    )
+    cents.createOrReplaceTempView("_cents_disc")
+    return spark.sql(
+        """
+        SELECT s AS o_orderstatus,
+               CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY c) AS BIGINT)
+                 AS p50_cents,
+               CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY c) AS BIGINT)
+                 AS p90_cents,
+               CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY c) AS BIGINT)
+                 AS p99_cents
+        FROM _cents_disc GROUP BY s
+        """
+    )

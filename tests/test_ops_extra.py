@@ -205,3 +205,29 @@ def test_chi2_matches_scipy_free_numpy(spark, sf_dir):
         assert abs(r["chi2_term"] - (obs[k] - exp) ** 2 / exp) < 1e-4
         chi2 += r["chi2_term"]
     assert chi2 >= 0
+
+
+def test_percentile_disc_returns_occurring_values(spark, sf_dir):
+    """Discrete percentiles must be values that actually occur, at the
+    smallest-cume_dist>=q position of the sorted group."""
+    from bigdata_googleplaystore_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    rows = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_totalprice"
+    ).collect()
+    by_s: dict[str, list] = {}
+    for r in rows:
+        by_s.setdefault(r["o_orderstatus"], []).append(
+            int(round(r["o_totalprice"] * 100))
+        )
+    got = {r["o_orderstatus"]: r for r in QUERIES["percentiles_disc"].fn(spark, sf_dir).collect()}
+    import math
+
+    for s, cents in by_s.items():
+        cents.sort()
+        n = len(cents)
+        for q, col in ((0.5, "p50_cents"), (0.9, "p90_cents"), (0.99, "p99_cents")):
+            want = cents[max(0, math.ceil(q * n) - 1)]
+            assert got[s][col] == want, (s, col)
+            assert got[s][col] in cents
