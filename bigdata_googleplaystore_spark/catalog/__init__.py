@@ -96,6 +96,7 @@ _PRIORITY: list[str] = [
     "chi2_contingency_assoc",
     "multimodal_audio_rms",
     "percentiles_disc",
+    "running_distinct_types",
 ]
 
 

@@ -3435,3 +3435,60 @@ def percentiles_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM _cents_disc GROUP BY s
         """
     )
+
+
+@register(
+    "running_distinct_types",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+                                          ORDER BY ts, event_id) = 1
+                  THEN 1 ELSE 0 END AS is_first
+      FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    )
+    SELECT user_id, ts, event_id,
+           CAST(sum(is_first) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS n_distinct_types_so_far
+    FROM flagged
+    """,
+    tags=("window", "distinct"),
+)
+def running_distinct_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) — not expressible as a native window
+    aggregate (no engine supports DISTINCT in a running frame) — via the
+    first-occurrence-flag decomposition: rank within (user, type) marks
+    each type's first sighting, then a plain running SUM of the flags
+    counts distinct types seen so far.
+
+    Shuffle discipline: left alone, Catalyst inserts hash(user, type)
+    for the rank and a SECOND hash(user) exchange for the running sum.
+    An explicit user_id repartition satisfies BOTH windows' clustering
+    requirements (hash(user) ⊆ both key sets), so the whole pipeline
+    runs in ONE exchange — plan-asserted. Exact integers throughout."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("event_type").isNotNull())
+        .repartition(
+            spark.sparkContext.defaultParallelism, "user_id"
+        )
+    )
+    w_first = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.row_number().over(w_first) == 1).cast("int").alias("is_first"),
+    )
+    return flagged.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum("is_first").over(w_run).alias("n_distinct_types_so_far"),
+    )

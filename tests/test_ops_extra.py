@@ -231,3 +231,33 @@ def test_percentile_disc_returns_occurring_values(spark, sf_dir):
             want = cents[max(0, math.ceil(q * n) - 1)]
             assert got[s][col] == want, (s, col)
             assert got[s][col] in cents
+
+
+def test_running_distinct_monotone_and_final(spark, sf_dir):
+    """The running distinct count is non-decreasing per user, steps by at
+    most 1, and its final value equals the user's true distinct-type
+    count."""
+    from bigdata_googleplaystore_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    out = QUERIES["running_distinct_types"].fn(spark, sf_dir).collect()
+    per_user: dict[int, list] = {}
+    for r in out:
+        per_user.setdefault(r["user_id"], []).append(
+            (r["ts"], r["event_id"], r["n_distinct_types_so_far"])
+        )
+    truth = {
+        r["user_id"]: r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("event_type").isNotNull())
+        .groupBy("user_id")
+        .agg(F.countDistinct("event_type").alias("n"))
+        .collect()
+    }
+    for user, rows in per_user.items():
+        rows.sort()
+        counts = [c for _, _, c in rows]
+        assert counts[0] == 1
+        for a, b in zip(counts, counts[1:]):
+            assert a <= b <= a + 1
+        assert counts[-1] == truth[user]

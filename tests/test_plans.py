@@ -180,3 +180,11 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
     }
     got = {r["event_type"]: r["n"] for r in joined.collect()}
     assert got == want and len(got) > 0
+
+
+def test_running_distinct_single_exchange(spark, sf_dir):
+    """Both windows partition by user_id, so the (user, type) rank is a
+    sub-partitioning of the user shuffle: the whole pipeline must plan
+    exactly one exchange."""
+    r = plans.analyze(QUERIES["running_distinct_types"].fn(spark, sf_dir))
+    assert r.exchanges == 1
