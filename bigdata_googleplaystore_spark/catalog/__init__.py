@@ -97,6 +97,7 @@ _PRIORITY: list[str] = [
     "multimodal_audio_rms",
     "percentiles_disc",
     "running_distinct_types",
+    "grouped_agg_pandas_weighted_avg",
 ]
 
 

@@ -3492,3 +3492,58 @@ def running_distinct_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.sum("is_first").over(w_run).alias("n_distinct_types_so_far"),
     )
+
+
+@register(
+    "grouped_agg_pandas_weighted_avg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                          * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+                 / CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / 100.0,
+                 6) AS wavg_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "pandas-udf"),
+)
+def grouped_agg_pandas_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted average price per returnflag via a GROUPED_AGG
+    pandas UDF — the series-to-scalar eval type that plugs a vectorized
+    numpy reduction straight into groupBy().agg() (and into window
+    frames), completing the repo's UDF taxonomy next to scalar
+    pandas_udf, applyInPandas, mapInPandas/mapInArrow, cogroup, and UDTF.
+
+    Determinism inside the UDF: prices quantize to exact integer cents
+    and the weighted dot is an int64 numpy sum — no float accumulation,
+    so partition/batch order can't move the hash (same contract as the
+    JVM-side decimal scheme in catalog/_util.py). GROUPED_AGG ships each
+    group's full series to one worker: fine for bounded groups; for
+    unbounded keys prefer the map-side-combinable decimal aggregates the
+    TPC-H queries use."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    def _wavg_fn(price, qty):
+        import numpy as np
+
+        cents = np.round(price.to_numpy(dtype=np.float64) * 100).astype(np.int64)
+        q = qty.to_numpy(dtype=np.int64)
+        return float(np.round((cents * q).sum() / q.sum() / 100.0, 6))
+
+    def _count_fn(price):
+        return len(price)
+
+    wavg = pandas_udf(_wavg_fn, "double", PandasUDFType.GROUPED_AGG)
+    # grouped-agg UDFs can't mix with JVM aggregates in one agg() —
+    # count rides as a second pandas aggregate
+    pcount = pandas_udf(_count_fn, "long", PandasUDFType.GROUPED_AGG)
+
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.col("l_quantity").cast("long").alias("l_qty"),
+    )
+    return l.groupBy("l_returnflag").agg(
+        pcount(F.col("l_extendedprice")).alias("n"),
+        wavg(F.col("l_extendedprice"), F.col("l_qty")).alias("wavg_price"),
+    )

@@ -261,3 +261,31 @@ def test_running_distinct_monotone_and_final(spark, sf_dir):
         for a, b in zip(counts, counts[1:]):
             assert a <= b <= a + 1
         assert counts[-1] == truth[user]
+
+
+def test_grouped_agg_weighted_avg_matches_numpy(spark, sf_dir):
+    """The GROUPED_AGG pandas UDF weighted average must equal a direct
+    numpy computation on exact integer cents."""
+    import numpy as np
+
+    from bigdata_googleplaystore_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    rows = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", F.col("l_quantity").cast("long").alias("q")
+    ).collect()
+    by_f: dict[str, list] = {}
+    for r in rows:
+        by_f.setdefault(r["l_returnflag"], []).append(
+            (int(round(r["l_extendedprice"] * 100)), r["q"])
+        )
+    got = {
+        r["l_returnflag"]: r
+        for r in QUERIES["grouped_agg_pandas_weighted_avg"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(by_f)
+    for flag, pairs in by_f.items():
+        c = np.array([p[0] for p in pairs], dtype=np.int64)
+        q = np.array([p[1] for p in pairs], dtype=np.int64)
+        assert got[flag]["n"] == len(pairs)
+        assert got[flag]["wavg_price"] == round(float((c * q).sum() / q.sum() / 100.0), 6)
