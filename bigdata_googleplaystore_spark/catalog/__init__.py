@@ -98,6 +98,8 @@ _PRIORITY: list[str] = [
     "percentiles_disc",
     "running_distinct_types",
     "grouped_agg_pandas_weighted_avg",
+    "kfold_assignment",
+    "text_linear_classifier_scores",
 ]
 
 

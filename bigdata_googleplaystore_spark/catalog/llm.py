@@ -2190,3 +2190,90 @@ def multimodal_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "media_id", "window_idx", "n_samples", F.round("rms", 6).alias("rms"), "peak"
     )
+
+
+@register(
+    "kfold_assignment",
+    oracle=r"""
+    WITH f AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'cv'), 1, 8))::UBIGINT
+                  % 5 AS BIGINT) AS fold,
+             CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT)
+               AS toks
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT fold,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(toks) AS BIGINT) AS sum_tokens,
+           min(doc_id) AS min_id, max(doc_id) AS max_id
+    FROM f GROUP BY fold
+    """,
+    tags=("llm", "sampling", "split"),
+)
+def kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-fold cross-validation assignment by salted md5 of the id — like
+    split_train_test, a pure per-row function: folds are stable across
+    runs, partitionings, engines, and INSERTS (new rows never move old
+    rows between folds, unlike ntile/row_number-based folding). Integer
+    modulo on the hash prefix, so there is no float boundary at all."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    fold = (
+        F.conv(F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("cv"))), 1, 8), 16, 10)
+        .cast("long") % 5
+    )
+    return (
+        d.select("doc_id", fold.alias("fold"), F.size(tokens(F.col("text"))).alias("toks"))
+        .groupBy("fold")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("toks").alias("sum_tokens"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+    )
+
+
+@register(
+    "text_linear_classifier_scores",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(3 * len(string_split_regex(trim(lower(text)), '\s+'))
+                - 2 * len(regexp_replace(text, '[^0-9]', '', 'g'))
+                + len(text) AS BIGINT) AS score
+    FROM documents WHERE text IS NOT NULL
+    """,
+    tags=("llm", "ml", "pandas-udf"),
+)
+def text_linear_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-scoring shape: score every document with a linear classifier
+    whose weights load ONCE per executor via a SCALAR_ITER pandas UDF —
+    the iterator-of-batches eval type exists exactly so per-worker model
+    initialization (here a stub weight vector; in production a tokenizer
+    + ONNX/torch session) amortizes across all of a task's Arrow batches
+    instead of re-running per batch or per row.
+
+    The stub model is integer-linear (w = [3, -2, 1] over token / digit /
+    char counts), so scores are exact integers and the oracle reproduces
+    them in SQL — the plumbing under test is the iterator UDF + scoring
+    scan, not the model. At 100 TB this is one map-only pass: no
+    shuffle, model never leaves the workers."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    def _score_iter(batches):
+        # expensive init would go here (once per task/iterator, NOT per
+        # batch): load weights, tokenizer, inference session...
+        weights = {"tokens": 3, "digits": -2, "chars": 1}
+        for texts in batches:
+            toks = texts.str.strip().str.lower().str.split(r"\s+").str.len()
+            digits = texts.str.count(r"[0-9]")
+            chars = texts.str.len()
+            yield (
+                weights["tokens"] * toks
+                + weights["digits"] * digits
+                + weights["chars"] * chars
+            ).astype("int64")
+
+    score = pandas_udf(_score_iter, "long", PandasUDFType.SCALAR_ITER)
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return d.select("doc_id", score(F.col("text")).alias("score"))

@@ -402,3 +402,45 @@ def test_knn_accuracy_matches_numpy(spark, sf_dir):
         assert got[label]["n"] == len(hits)
         assert got[label]["n_correct"] == sum(hits)
         assert got[label]["accuracy"] == round(sum(hits) / len(hits), 6)
+
+
+def test_kfold_is_balanced_and_stable(spark, sf_dir):
+    """Hash-based folds are roughly balanced (within 25% of ideal at
+    n=500) and assignment is a pure function: re-running returns the
+    identical fold table."""
+    out1 = sorted(
+        (r["fold"], r["n_docs"], r["sum_tokens"])
+        for r in QUERIES["kfold_assignment"].fn(spark, sf_dir).collect()
+    )
+    n_total = sum(n for _, n, _ in out1)
+    assert [f for f, _, _ in out1] == [0, 1, 2, 3, 4]
+    for _, n, _ in out1:
+        assert abs(n - n_total / 5) < 0.25 * n_total / 5
+    out2 = sorted(
+        (r["fold"], r["n_docs"], r["sum_tokens"])
+        for r in QUERIES["kfold_assignment"].fn(spark, sf_dir).collect()
+    )
+    assert out1 == out2
+
+
+def test_classifier_scores_match_python(spark, sf_dir):
+    """SCALAR_ITER scoring must equal a plain-python reimplementation of
+    the stub linear model."""
+    import re
+
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .collect()
+    }
+    got = {
+        r["doc_id"]: r["score"]
+        for r in QUERIES["text_linear_classifier_scores"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(texts)
+    for doc_id, text in texts.items():
+        toks = len(re.split(r"\s+", text.strip().lower()))
+        digits = len(re.findall(r"[0-9]", text))
+        want = 3 * toks - 2 * digits + len(text)
+        assert got[doc_id] == want, doc_id
