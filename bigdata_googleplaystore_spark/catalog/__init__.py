@@ -100,6 +100,7 @@ _PRIORITY: list[str] = [
     "grouped_agg_pandas_weighted_avg",
     "kfold_assignment",
     "text_linear_classifier_scores",
+    "sql_lateral_topk",
 ]
 
 

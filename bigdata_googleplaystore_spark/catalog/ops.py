@@ -3547,3 +3547,46 @@ def grouped_agg_pandas_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFra
         pcount(F.col("l_extendedprice")).alias("n"),
         wavg(F.col("l_extendedprice"), F.col("l_qty")).alias("wavg_price"),
     )
+
+
+@register(
+    "sql_lateral_topk",
+    oracle="""
+    SELECT r.r_name, t.n_name, t.n_customers
+    FROM region r,
+    LATERAL (
+      SELECT n.n_name, CAST(count(c.c_custkey) AS BIGINT) AS n_customers
+      FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+      WHERE n.n_regionkey = r.r_regionkey
+      GROUP BY n.n_name
+      ORDER BY n_customers DESC, n_name
+      LIMIT 2
+    ) t
+    """,
+    tags=("sql", "join", "lateral"),
+)
+def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY + LIMIT — the SQL-native
+    top-N-per-group formulation (both engines run the identical text).
+    Catalyst decorrelates the lateral into a join + per-group rank
+    rather than re-executing the subquery per outer row — the same
+    physical shape as the window-function form (window_rank_per_group),
+    reached from the other SQL surface. Deterministic via the
+    (count desc, name) total order."""
+    from ..sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT r.r_name, t.n_name, t.n_customers
+        FROM region r,
+        LATERAL (
+          SELECT n.n_name, count(c.c_custkey) AS n_customers
+          FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+          WHERE n.n_regionkey = r.r_regionkey
+          GROUP BY n.n_name
+          ORDER BY n_customers DESC, n_name
+          LIMIT 2
+        ) t
+        """
+    )

@@ -289,3 +289,33 @@ def test_grouped_agg_weighted_avg_matches_numpy(spark, sf_dir):
         q = np.array([p[1] for p in pairs], dtype=np.int64)
         assert got[flag]["n"] == len(pairs)
         assert got[flag]["wavg_price"] == round(float((c * q).sum() / q.sum() / 100.0), 6)
+
+
+def test_lateral_topk_equals_window_form(spark, sf_dir):
+    """The LATERAL formulation must produce exactly the window-rank
+    top-2-per-region result (same semantics, different SQL surface)."""
+    from bigdata_googleplaystore_spark.sources import load_table
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    out = sorted(
+        (r["r_name"], r["n_name"], r["n_customers"])
+        for r in QUERIES["sql_lateral_topk"].fn(spark, sf_dir).collect()
+    )
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    counts = (
+        customer.join(nation, customer.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.count("*").alias("n_customers"))
+    )
+    w = Window.partitionBy("r_name").orderBy(F.desc("n_customers"), F.asc("n_name"))
+    want = sorted(
+        (r["r_name"], r["n_name"], r["n_customers"])
+        for r in counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 2)
+        .collect()
+    )
+    assert out == want and len(out) == 10
