@@ -188,3 +188,27 @@ def test_running_distinct_single_exchange(spark, sf_dir):
     exactly one exchange."""
     r = plans.analyze(QUERIES["running_distinct_types"].fn(spark, sf_dir))
     assert r.exchanges == 1
+
+
+def test_join_strategy_hints_are_honored(spark, sf_dir):
+    """The three join-strategy hints must each produce their physical
+    join: broadcast -> BroadcastHashJoin, shuffle_hash -> ShuffledHashJoin,
+    merge -> SortMergeJoin — the manual override surface for when a
+    statistics misestimate picks the wrong strategy at scale."""
+    from bigdata_googleplaystore_spark.sources import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+
+    def joined(hint):
+        return orders.join(
+            customer.hint(hint), orders.o_custkey == customer.c_custkey
+        )
+
+    for hint, marker in (
+        ("broadcast", "BroadcastHashJoin"),
+        ("shuffle_hash", "ShuffledHashJoin"),
+        ("merge", "SortMergeJoin"),
+    ):
+        plan = joined(hint)._jdf.queryExecution().executedPlan().toString()
+        assert marker in plan, (hint, marker)
