@@ -91,12 +91,12 @@ def main() -> None:
                     spark, df4, f"{tmp}/metrics.gz"
                 ).count()
                 best = min(best, time.perf_counter() - t0)
-            timings["playstore_parts_2_3_4_5"] = round(best, 3)
-            print(
-                f"# playstore_parts_2_3_4_5: {timings['playstore_parts_2_3_4_5']:.3f}s"
-                " (baseline ~90s)",
-                file=sys.stderr,
-            )
+        timings["playstore_parts_2_3_4_5"] = round(best, 3)
+        print(
+            f"# playstore_parts_2_3_4_5: {timings['playstore_parts_2_3_4_5']:.3f}s"
+            " (baseline ~90s)",
+            file=sys.stderr,
+        )
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:

@@ -10,14 +10,119 @@ from . import llm, ops, tpch  # noqa: E402,F401
 from .tpch import flagship  # noqa: E402,F401
 
 
-# The round-1 driver recorded CORRECTNESS rows for only the first 50 entries
-# of queries(), so dict order decides which queries get the hard signal.
-# Round-2 ordering: queries with no green round-1 row yet come first — the 39
-# that fell past the cutoff (all TPC-H shapes, window functions,
-# pivot/unpivot/cube, percentiles, as-of/interval joins, time windows, string
-# suite), then the round-1 reds that were fixed this round, then any queries
-# new this round — followed by the already-driver-verified round-1 greens.
+# The driver records CORRECTNESS rows for only the first ~50 entries of
+# queries(), so dict order decides which queries get the hard signal.
+#
+# ROTATION POLICY (round 3+): each round the window head is
+#   (a) never-driver-checked queries, judge-flagged / bench-headline /
+#       scale-shape ones first;
+#   (b) any query whose semantics or implementation changed this round
+#       (it needs a fresh row regardless of past greens);
+#   (c) ~5 STALE-GREEN RECHECK slots — previously-green queries, oldest
+#       evidence first, so no §2 row ever rides a >2-round-old signal
+#       (VERDICT r02 item 6);
+# then the remaining never-checked (the next round's rotation head), then
+# the rest of the previously-green set, oldest evidence first.
+#
+# Round-3 window: 44 never-checked (cohort/funnel lead — their broadcast
+# fix needs a fresh row), agg_approx_distinct (newly oracled, was
+# no_oracle in r02), and 5 r01-era greens backing the most SURVEY §2
+# rows (scan_project_prune, filter_null_nan_threshold, case_when_buckets,
+# regexp_extract_number, max_string_and_date).
 _PRIORITY: list[str] = [
+    # --- (a) never-driver-checked: judge-named bench/scale shapes first
+    "heavy_hitter_terms",
+    "corpus_curation_pipeline",
+    "embedding_covariance",
+    "cohort_retention",        # (b) broadcast hint removed this round
+    "funnel_conversion",       # (b) broadcast hints removed this round
+    "sessionize_gap_cumsum",
+    "scd2_type_intervals",
+    "hll_distinct_accuracy",
+    "bitmap_distinct_rollup",
+    "pandas_group_gap_stats",
+    "cogroup_order_reconciliation",
+    "udtf_word_bigrams",
+    "grouped_agg_pandas_weighted_avg",
+    "pandas_udf_digit_sum",
+    "sql_lateral_topk",
+    "percentiles_disc",
+    "running_distinct_types",
+    "kfold_assignment",
+    "text_linear_classifier_scores",
+    # --- never-checked: LLM-pipeline and analytics family
+    "decontaminate_ngram_overlap",
+    "sample_token_budget_per_source",
+    "text_top_ngram_fraction",
+    "tfidf_top_terms",
+    "embedding_quantize_int8",
+    "embedding_label_centroids",
+    "chunk_documents_overlap",
+    "mixture_weighted_resample",
+    "boilerplate_token_prune",
+    "multimodal_arrow_stats",
+    "text_dup_ngram_fraction",
+    "text_char_lm_score",
+    "regression_per_source",
+    "dedup_incremental_fingerprints",
+    "source_share_gini",
+    "knn_label_accuracy",
+    # --- never-checked: SQL/relational surface
+    "grouping_sets_id",
+    "window_first_last_nth",
+    "timeseries_gapfill_ffill",
+    "corr_covar_exact",
+    "window_time_range_rolling",
+    "salted_two_stage_agg",
+    "merge_upsert_orders",
+    "recursive_cte_hierarchy",
+    # --- newly oracle-bound this round (r02 row was no_oracle)
+    "agg_approx_distinct",
+    # --- (c) stale-green recheck slots: r01-era greens carrying the most
+    #     SURVEY §2 rows (P1, P4-P7, P8, F1, A3 ride these)
+    "scan_project_prune",
+    "filter_null_nan_threshold",
+    "case_when_buckets",
+    "regexp_extract_number",
+    "max_string_and_date",
+    # ===== window cutoff (~50) — entries below are the r04 rotation head
+    # --- never-checked overflow (oracle-bearing)
+    "curriculum_length_buckets",
+    "posexplode_ordinality",
+    "incremental_agg_merge",
+    "zorder_bucket_histogram",
+    "variant_shred_props",
+    "map_functions_suite",
+    "try_arithmetic_suite",
+    "regexp_extract_all_tokens",
+    "listagg_distinct_sources",
+    "fuzzy_name_match_blocked",
+    "data_quality_audit",
+    "global_row_number_shards",
+    "xml_parse_extract",
+    "collation_case_insensitive",
+    "date_function_suite",
+    "stream_tumbling_counts",
+    "pivot_multi_agg",
+    "generator_null_semantics",
+    "histogram_fixed_buckets",
+    "graph_bipartite_projection",
+    "mad_robust_stats",
+    "sliding_distinct_users",
+    "markov_transition_matrix",
+    "chi2_contingency_assoc",
+    # --- never-checked overflow (rows-only by design)
+    "embedding_pca_label_means",
+    "dedup_semantic",          # (b) sim/dup_of coupling fixed this round
+    "multimodal_audio_rms",
+    "percentiles_approx",
+    "pagerank_event_transitions",
+]
+
+# Pre-rotation (round-2) window order, kept for the record of what r02
+# checked; everything here already has a green r01/r02 row and sorts
+# after the block above via _ordered()'s registry-order fallback.
+_R02_WINDOW: list[str] = [
     # TPC-H shapes (never driver-checked in round 1)
     "q1_pricing_summary",
     "q3_shipping_priority",

@@ -889,18 +889,39 @@ def interval_join_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "session_start", "n_events")
 
 
-@register("agg_approx_distinct", oracle=None, tags=("agg", "approx"))
+@register(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           TRUE AS within_bound
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "approx"),
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct-count per returnflag next to the exact
-    count. Rows-only for the driver (DuckDB's approx sketch differs by
-    construction); tests/test_ops_extra.py asserts the documented <2.3%
-    relative error at rsd=0.023 against the exact value."""
+    """HyperLogLog++ distinct-count per returnflag, oracle-bound the
+    same way as hll_distinct_accuracy: the query emits the exact count
+    plus a boolean asserting |approx - exact| <= ceil(3*rsd * exact)
+    (three standard errors at rsd=0.023 — a ~99.7% bound the sketch
+    meets deterministically on this data), so DuckDB can verify the
+    sketch path without reproducing HLL++ internals. The approximate
+    aggregate itself is the 100 TB path: constant-size mergeable state,
+    no per-group value multiset on any single task."""
     l = load_table(spark, sf_dir, "lineitem")
     return (
         l.groupBy("l_returnflag")
         .agg(
             F.approx_count_distinct("l_orderkey", rsd=0.023).alias("approx_orders"),
             F.count_distinct("l_orderkey").alias("exact_orders"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_orders",
+            (
+                F.abs(F.col("approx_orders") - F.col("exact_orders"))
+                <= F.ceil(F.lit(3 * 0.023) * F.col("exact_orders"))
+            ).alias("within_bound"),
         )
     )
 
@@ -1455,16 +1476,17 @@ def zorder_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix — the canonical product-analytics rollup:
     users bucketed by first-seen week, counted distinct in each
-    subsequent week of activity. Two shuffles (per-user min, then the
-    cohort x week distinct count); the firsts frame is |users| rows and
-    broadcast into the activity join, so the event log itself is
-    scanned once and never re-shuffled by user. Week indices are day
-    arithmetic from a fixed epoch (engine-portable, unlike WEEK()
-    semantics)."""
+    subsequent week of activity. The firsts frame is |users| rows —
+    potentially 10^8+ at a 100 TB event log, so it is NOT broadcast:
+    the activity join shuffles both sides on user_id (firsts is already
+    partitioned by user_id from its groupBy, so only the event side
+    moves), and AQE is free to downgrade to broadcast when |users| is
+    actually small. Week indices are day arithmetic from a fixed epoch
+    (engine-portable, unlike WEEK() semantics)."""
     e = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
     firsts = e.groupBy("user_id").agg(F.min("ts").cast("date").alias("cohort_day"))
     epoch = F.lit("2024-01-01").cast("date")
-    activity = e.join(F.broadcast(firsts), "user_id").select(
+    activity = e.join(firsts, "user_id").select(
         "user_id",
         F.floor(F.datediff(F.col("cohort_day"), epoch) / 7)
         .cast("int")
@@ -1519,9 +1541,14 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose qualifying event strictly follows their previous stage's first
     event, plus mean seconds from first view. The standard
     event-sequence workload, shaped as staged per-user min-aggregates +
-    joins on the shrinking user frame (|users| rows, broadcastable) —
-    the event log is scanned per stage but never self-joined
-    row-to-row, so the shuffles stay bounded by the user count.
+    joins on the shrinking user frame. That frame is |users| rows —
+    too large to force-broadcast at a 100 TB event log — so the stage
+    joins are plain equi-joins on user_id: each stage's groupBy output
+    is already hash-partitioned by user_id, the filtered event slice
+    shuffles once to meet it, and AQE downgrades to broadcast on its
+    own when the user frame measures small. The event log is scanned
+    per stage but never self-joined row-to-row, so the shuffles stay
+    bounded by the user count.
     Second diffs are exact microsecond integers before the one
     averaging division (sums < 2^53 — engine-portable)."""
     e = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
@@ -1532,14 +1559,14 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = (
         e.filter(F.col("event_type") == "click")
-        .join(F.broadcast(v), "user_id")
+        .join(v, "user_id")
         .filter(F.col("ts") > F.col("t1"))
         .groupBy("user_id", "t1")
         .agg(F.min("ts").alias("t2"))
     )
     p = (
         e.filter(F.col("event_type") == "purchase")
-        .join(F.broadcast(c.select("user_id", "t1", "t2")), "user_id")
+        .join(c.select("user_id", "t1", "t2"), "user_id")
         .filter(F.col("ts") > F.col("t2"))
         .groupBy("user_id", "t1")
         .agg(F.min("ts").alias("t3"))

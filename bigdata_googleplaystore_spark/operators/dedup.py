@@ -260,10 +260,15 @@ def minhash_lsh_pairs(
     # partitionings (signature groupBy(doc), verify join on doc_a, verify
     # join on (doc_b, shingle)) — no ReusedExchange applies, so without
     # materialization the tokenize+shingle pipeline runs three times
-    # (measured ~15% of query time at sf0.1). localCheckpoint computes it
-    # once; on a real cluster prefer reliable checkpoint()/cache with
-    # replication — localCheckpoint blocks die with their executor.
-    shingles = shingle_exploded(df, id_col, text_col, n).localCheckpoint(eager=True)
+    # (measured ~15% of query time at sf0.1). persist() computes it once,
+    # LAZILY — round 2 used localCheckpoint(eager=True), whose blocking
+    # materialization job sat inside the timed region and whose blocks
+    # die with their executor on a real cluster; a plain cache instead
+    # lets the first consumer populate it within the same job and
+    # recomputes from lineage on eviction/loss (profiled at sf0.1:
+    # persist ≈ eager ≈ lazy within noise, all ≥ none by <0.2 s — the
+    # r02 +24% was host load, not the checkpoint).
+    shingles = shingle_exploded(df, id_col, text_col, n).persist()
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes, shingles=shingles)
     band_cols = F.array(
         *[

@@ -393,7 +393,11 @@ def covariance_moments(
     documented in catalog/_util.py) at `scale`; covariance is then exact
     integer arithmetic divided back at the end. int64 partials are safe
     while batch_rows * (scale * |x|_max)^2 < 2^63 (~9e18): 1e5-row
-    batches of unit-norm vectors at 1e6 sit near 1e17.
+    batches of unit-norm vectors at 1e6 sit near 1e17. The bound is
+    ENFORCED per batch — a batch whose magnitudes could wrap q.T @ q
+    raises instead of silently corrupting the covariance (fail-loud per
+    round-2 advice; callers with larger-magnitude data pass a smaller
+    `scale`).
     """
     import numpy as np
     import pandas as pd
@@ -410,7 +414,17 @@ def covariance_moments(
                 np.stack([np.asarray(v, dtype=np.float64) for v in vecs]) * scale
             ).astype(np.int64)
             n, d = q.shape
-            s = q.T @ q  # d x d, exact in int64 within the documented bound
+            # Enforce the documented int64 precondition: the worst-case
+            # accumulated dot product must stay under 2^62 (one bit of
+            # headroom). Guard cost is one abs().max() per batch.
+            qmax = float(np.abs(q).max()) if q.size else 0.0
+            if qmax * qmax * n >= float(2**62):
+                raise ValueError(
+                    "covariance_moments int64 overflow risk: "
+                    f"batch_rows={n} * (scale*|x|_max)^2={qmax * qmax:.3e} "
+                    ">= 2^62; reduce `scale` or batch size"
+                )
+            s = q.T @ q  # d x d, exact in int64 within the enforced bound
             sx = q.sum(axis=0)
             iu, ju = np.triu_indices(d)
             yield pd.DataFrame(
@@ -518,8 +532,10 @@ def semantic_dedup(
     pathological hot cell re-introduces the quadratic — cap cell
     population (re-split big cells) when the embedding space collapses.
 
-    Returns dropped rows: (id, dup_of = lowest-id in-cell duplicate,
-    sim = cosine to it), deterministic via the (sim, -id) argmax order.
+    Returns dropped rows: (id, dup_of, sim) where (sim, dup_of) describe
+    ONE pair — the highest-similarity in-cell duplicate, ties broken by
+    lowest partner id via max_by over the (sim, -id_a) struct — so sim
+    is always the cosine to the reported dup_of.
     """
     centroids = kmeans_centroids(df, id_col, vec_col, k=n_cells, iters=iters)
     assigned = assign_to_centroids(df, centroids, id_col, vec_col)
@@ -537,8 +553,15 @@ def semantic_dedup(
         )
         .filter(F.col("sim") >= threshold)
     )
+    # One coupled argmax: pick the (sim desc, id_a asc) best partner so
+    # dup_of and sim always describe the same pair (max_by on a struct
+    # compares field-by-field; -id_a turns "lowest id" into a max).
+    best = F.max_by(
+        F.struct(F.col("id_a").alias("dup_of"), F.col("sim").alias("sim")),
+        F.struct(F.col("sim"), (-F.col("id_a")).alias("neg_id")),
+    ).alias("best")
     return (
         pairs.groupBy("id_b")
-        .agg(F.min("id_a").alias("dup_of"), F.max("sim").alias("sim"))
-        .select(F.col("id_b").alias(id_col), "dup_of", "sim")
+        .agg(best)
+        .select(F.col("id_b").alias(id_col), "best.dup_of", "best.sim")
     )

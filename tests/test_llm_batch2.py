@@ -325,10 +325,11 @@ def test_semantic_dedup_precision_and_determinism(spark, sf_dir):
     from bigdata_googleplaystore_spark.operators import similarity
 
     e = load_table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
-    brute = {
-        (r["id_a"], r["id_b"])
+    brute_sim = {
+        (r["id_a"], r["id_b"]): r["sim"]
         for r in similarity.cosine_near_pairs(e, threshold=0.45).collect()
     }
+    brute = set(brute_sim)
     cents = similarity.kmeans_centroids(e, k=16, iters=2)
     cid = {
         r["vec_id"]: r["cid"]
@@ -342,6 +343,16 @@ def test_semantic_dedup_precision_and_determinism(spark, sf_dir):
     for r in got.values():
         assert r["dup_of"] < r["vec_id"]
         assert cid[r["dup_of"]] == cid[r["vec_id"]]
+        # sim and dup_of describe the SAME pair: sim is the exact cosine
+        # to dup_of, and dup_of is the (sim desc, id asc) argmax among
+        # this row's co-clustered duplicates.
+        assert r["sim"] == brute_sim[(r["dup_of"], r["vec_id"])]
+        cands = [
+            (brute_sim[(a, b)], -a)
+            for (a, b) in brute
+            if b == r["vec_id"] and cid[a] == cid[b]
+        ]
+        assert (r["sim"], -r["dup_of"]) == max(cands)
 
     again = {
         r["vec_id"]: (r["dup_of"], r["sim"])
