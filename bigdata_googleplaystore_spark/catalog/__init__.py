@@ -86,6 +86,9 @@ _PRIORITY: list[str] = [
     "regexp_extract_number",
     "max_string_and_date",
     # ===== window cutoff (~50) — entries below are the r04 rotation head
+    # --- new this round (oracle-verified via driver_sim at sf0.01+sf0.1)
+    "bm25_topk_docs",
+    "contrastive_hard_negatives",
     # --- never-checked overflow (oracle-bearing)
     "curriculum_length_buckets",
     "posexplode_ordinality",

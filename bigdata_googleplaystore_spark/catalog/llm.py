@@ -2277,3 +2277,207 @@ def text_linear_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame
     score = pandas_udf(_score_iter, "long", PandasUDFType.SCALAR_ITER)
     d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     return d.select("doc_id", score(F.col("text")).alias("score"))
+
+
+@register(
+    "bm25_topk_docs",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+      FROM documents WHERE text IS NOT NULL
+    ),
+    per AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS dl,
+             CAST(len(list_filter(toks, t -> t = 'vector')) AS BIGINT) AS tf_vector,
+             CAST(len(list_filter(toks, t -> t = 'spark')) AS BIGINT) AS tf_spark,
+             CAST(len(list_filter(toks, t -> t = 'customer')) AS BIGINT) AS tf_customer
+      FROM d
+    ),
+    g AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS BIGINT) AS sum_dl,
+             CAST(sum(CASE WHEN tf_vector > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_vector,
+             CAST(sum(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_spark,
+             CAST(sum(CASE WHEN tf_customer > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_customer
+      FROM per
+    )
+    SELECT doc_id, dl, tf_vector, tf_spark, tf_customer,
+           round(
+             ln(1 + (CAST(n_docs AS DOUBLE) - CAST(df_vector AS DOUBLE) + 0.5)
+                    / (CAST(df_vector AS DOUBLE) + 0.5))
+               * (CAST(tf_vector AS DOUBLE) * 2.2)
+               / (CAST(tf_vector AS DOUBLE)
+                  + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE)
+                                  / CAST(sum_dl AS DOUBLE)))
+           + ln(1 + (CAST(n_docs AS DOUBLE) - CAST(df_spark AS DOUBLE) + 0.5)
+                    / (CAST(df_spark AS DOUBLE) + 0.5))
+               * (CAST(tf_spark AS DOUBLE) * 2.2)
+               / (CAST(tf_spark AS DOUBLE)
+                  + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE)
+                                  / CAST(sum_dl AS DOUBLE)))
+           + ln(1 + (CAST(n_docs AS DOUBLE) - CAST(df_customer AS DOUBLE) + 0.5)
+                    / (CAST(df_customer AS DOUBLE) + 0.5))
+               * (CAST(tf_customer AS DOUBLE) * 2.2)
+               / (CAST(tf_customer AS DOUBLE)
+                  + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE)
+                                  / CAST(sum_dl AS DOUBLE)))
+           , 6) AS bm25
+    FROM per CROSS JOIN g
+    ORDER BY bm25 DESC, doc_id ASC
+    LIMIT 20
+    """,
+    tags=("llm", "retrieval", "ranking"),
+)
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (Robertson-Sparck Jones, k1=1.2 b=0.75) top-20 documents for
+    a fixed 3-term query — the retrieval-scoring pass a training-data
+    pipeline runs for decontamination lookups and quality-weighted
+    sampling.
+
+    Scale shape: ONE pass over the corpus computes per-doc term
+    frequencies (JVM `filter(size)` over the token array — no explode,
+    no per-token shuffle), a second constant-size global aggregate
+    yields (N, sum_dl, df_t) which broadcasts back as a 1-row frame, and
+    the final ranking is orderBy+limit — TakeOrderedAndProject, per-
+    partition heaps, no full sort. Nothing in the plan grows with query
+    count except the tf columns (one int per term).
+
+    Determinism contract (driver hash): every BM25 input (tf, dl, df, N,
+    sum_dl) is an exact BIGINT in both engines; the score is ONE double
+    expression evaluated in identical textual order in Spark and DuckDB,
+    so the doubles agree bit-for-bit (same IEEE ops; ln() verified
+    engine-identical on these inputs) before the final round(6)."""
+    terms = ["vector", "spark", "customer"]
+    k1, b = 1.2, 0.75
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = tokens(F.col("text"))
+
+    def _tf(term):
+        # NB: the filter lambda must be unary — PySpark treats a 2-arg
+        # lambda as (element, index).
+        return F.size(F.filter(toks, lambda t: t == F.lit(term))).cast("long")
+
+    per = d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("dl"),
+        *[_tf(term).alias(f"tf_{term}") for term in terms],
+    )
+    g = per.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf_{term}") > 0).cast("long")).alias(f"df_{term}")
+            for term in terms
+        ],
+    )
+
+    def contrib(term: str):
+        idf = F.log(
+            1
+            + (
+                F.col("n_docs").cast("double")
+                - F.col(f"df_{term}").cast("double")
+                + 0.5
+            )
+            / (F.col(f"df_{term}").cast("double") + 0.5)
+        )
+        tf = F.col(f"tf_{term}").cast("double")
+        norm = F.lit(k1) * (
+            F.lit(1 - b)
+            + F.lit(b)
+            * F.col("dl").cast("double")
+            * F.col("n_docs").cast("double")
+            / F.col("sum_dl").cast("double")
+        )
+        return idf * (tf * F.lit(k1 + 1)) / (tf + norm)
+
+    scored = per.crossJoin(F.broadcast(g)).select(
+        "doc_id",
+        "dl",
+        *[f"tf_{term}" for term in terms],
+        F.round(contrib(terms[0]) + contrib(terms[1]) + contrib(terms[2]), 6).alias(
+            "bm25"
+        ),
+    )
+    return scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(20)
+
+
+@register(
+    "contrastive_hard_negatives",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL
+    ),
+    anchors AS (SELECT * FROM v WHERE vec_id % 40 = 0),
+    sims AS (
+      SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+             c.vec_id AS cand_id, c.label AS cand_label,
+             round(list_dot_product(a.e, c.e)
+                   / (sqrt(list_dot_product(a.e, a.e))
+                      * sqrt(list_dot_product(c.e, c.e))), 4) AS sim
+      FROM anchors a JOIN v c
+        ON c.vec_id <> a.vec_id AND c.label <> a.label
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY anchor_id ORDER BY sim DESC, cand_id ASC) AS rn
+      FROM sims
+    )
+    SELECT anchor_id, anchor_label, cand_id, cand_label, sim,
+           CAST(rn AS INTEGER) AS rn
+    FROM ranked WHERE rn <= 3
+    """,
+    tags=("llm", "similarity", "contrastive"),
+)
+def contrastive_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor
+    vector, the top-3 most-cosine-similar vectors with a DIFFERENT label
+    — the pairs that teach a metric model the most (semi-hard/hard
+    negatives a la FaceNet; the standard batch-mining step run offline
+    at corpus scale).
+
+    Scale shape: the anchor set (a mining batch — small by construction,
+    vec_id % 40 here) broadcasts; candidates stream map-side through the
+    JVM dot product, and the per-anchor top-3 is a rank window over
+    |anchors| x |corpus| sims. At 100 TB the corpus side stays
+    partition-parallel with no shuffle of the embedding column at all
+    (the window shuffles |anchors| x |corpus| sim ROWS, not vectors; an
+    ANN prefilter — sim_ann_lsh/ivf — caps that fan-in when the corpus
+    side explodes). Ties broken (sim desc, cand_id asc) for a total
+    order; sims rounded to 4 decimals like every cosine in the engine."""
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & F.col("label").isNotNull()
+    )
+    anchors = e.filter(F.col("vec_id") % 40 == 0).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("embedding").alias("av"),
+    )
+    cands = e.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("cand_label"),
+        F.col("embedding").alias("cv"),
+    )
+    sims = (
+        F.broadcast(anchors)
+        .crossJoin(cands)
+        .filter(
+            (F.col("cand_id") != F.col("anchor_id"))
+            & (F.col("cand_label") != F.col("anchor_label"))
+        )
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "cand_id",
+            "cand_label",
+            F.round(cosine_similarity(F.col("av"), F.col("cv")), 4).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("sim"), F.asc("cand_id"))
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("anchor_id", "anchor_label", "cand_id", "cand_label", "sim", "rn")
+    )

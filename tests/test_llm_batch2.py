@@ -455,3 +455,72 @@ def test_classifier_scores_match_python(spark, sf_dir):
         digits = len(re.findall(r"[0-9]", text))
         want = 3 * toks - 2 * digits + len(text)
         assert got[doc_id] == want, doc_id
+
+
+def test_bm25_ranking_properties(spark, sf_dir_mid):
+    """BM25 invariants on the top-20: scores are non-increasing, every
+    scored doc contains at least one query term, and a hand-computed
+    BM25 from the frame's own integer inputs reproduces the score."""
+    import math
+
+    rows = QUERIES["bm25_topk_docs"].fn(spark, sf_dir_mid).collect()
+    assert len(rows) == 20
+    scores = [r["bm25"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # recompute from the emitted integer inputs (same stats the query
+    # derived; N/sum_dl/df re-derived independently below)
+    d = load_table(spark, sf_dir_mid, "documents").filter(F.col("text").isNotNull())
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    stats = d.select(
+        F.size(toks).cast("long").alias("dl"),
+        *[
+            F.array_contains(toks, t).cast("long").alias(f"has_{t}")
+            for t in ("vector", "spark", "customer")
+        ],
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("dl").alias("sum_dl"),
+        *[F.sum(f"has_{t}").alias(f"df_{t}") for t in ("vector", "spark", "customer")],
+    ).collect()[0]
+    k1, b = 1.2, 0.75
+    for r in rows:
+        want = 0.0
+        for t in ("vector", "spark", "customer"):
+            tf, df = r[f"tf_{t}"], stats[f"df_{t}"]
+            idf = math.log(1 + (stats["n"] - df + 0.5) / (df + 0.5))
+            norm = k1 * (1 - b + b * r["dl"] * stats["n"] / stats["sum_dl"])
+            want += idf * (tf * (k1 + 1)) / (tf + norm)
+        assert abs(r["bm25"] - round(want, 6)) < 1e-9, (r["doc_id"], want)
+        assert r["tf_vector"] + r["tf_spark"] + r["tf_customer"] > 0
+
+
+def test_contrastive_hard_negatives_vs_brute_force(spark, sf_dir_mid):
+    """Each anchor's mined negatives are exactly the 3 most-similar
+    different-label vectors by the brute-force rounded cosine, in
+    (sim desc, cand_id asc) order, and never share the anchor's label."""
+    import numpy as np
+
+    rows = QUERIES["contrastive_hard_negatives"].fn(spark, sf_dir_mid).collect()
+    assert rows
+    e = {
+        r["vec_id"]: (np.asarray(r["embedding"], dtype=np.float64), r["label"])
+        for r in load_table(spark, sf_dir_mid, "embeddings")
+        .filter(F.col("embedding").isNotNull() & F.col("label").isNotNull())
+        .collect()
+    }
+    by_anchor: dict[int, list] = {}
+    for r in sorted(rows, key=lambda r: (r["anchor_id"], r["rn"])):
+        by_anchor.setdefault(r["anchor_id"], []).append(r)
+    assert set(by_anchor) == {i for i in e if i % 40 == 0}
+    for aid, got in by_anchor.items():
+        av, albl = e[aid]
+        cands = []
+        for cid, (cv, clbl) in e.items():
+            if cid == aid or clbl == albl:
+                continue
+            sim = float(av @ cv / (np.linalg.norm(av) * np.linalg.norm(cv)))
+            cands.append((round(sim, 4), cid))
+        cands.sort(key=lambda x: (-x[0], x[1]))
+        assert [(r["sim"], r["cand_id"]) for r in got] == cands[:3]
+        for r in got:
+            assert r["cand_label"] != r["anchor_label"] == albl
