@@ -89,6 +89,7 @@ _PRIORITY: list[str] = [
     # --- new this round (oracle-verified via driver_sim at sf0.01+sf0.1)
     "bm25_topk_docs",
     "contrastive_hard_negatives",
+    "skew_salted_join",
     # --- never-checked overflow (oracle-bearing)
     "curriculum_length_buckets",
     "posexplode_ordinality",

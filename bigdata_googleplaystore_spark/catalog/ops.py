@@ -2931,6 +2931,67 @@ def salted_two_stage_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "skew_salted_join",
+    oracle="""
+    WITH totals AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS user_total
+      FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(t.user_total) AS BIGINT) AS sum_user_totals,
+           CAST(max(t.user_total) AS BIGINT) AS max_user_total
+    FROM events e JOIN totals t USING (user_id)
+    WHERE e.event_type IS NOT NULL
+    GROUP BY e.event_type
+    """,
+    tags=("skew", "join", "scale"),
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-join for a skewed fact key — the manual form of what
+    AQE's skewJoin does, for engines/planners that can't: the dim side
+    (per-user totals) is replicated once per salt bucket (R=8, an
+    explode of a literal array — 8x a |users|-row frame, cheap), the
+    fact side derives a DETERMINISTIC salt from event_id (pmod of
+    xxhash64 — not rand(), so retries/speculative tasks agree), and the
+    join key becomes (user_id, salt): a hot user's rows now spread over
+    8 reducers instead of melting one. Equality with the unsalted join
+    is exact (the oracle IS the plain join) because salting only
+    re-partitions work. All-integer outputs — no float drift.
+
+    At 100 TB: salting beats AQE skew-split when the skew is in the
+    JOIN-BUILD state (AQE splits oversized shuffle FILES, not oversized
+    hash tables), and composes with it otherwise. R trades dim
+    duplication for fan-out; pick R ~ (hot-key rows / target partition
+    rows)."""
+    R = 8
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    totals = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count("*").alias("user_total"))
+    )
+    dim = totals.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(R)]))
+    )
+    fact = e.withColumn("_salt", F.pmod(F.xxhash64("event_id"), F.lit(R)).cast("int"))
+    # shuffle_hash hint: salting only exists for the shuffle-join regime
+    # (a broadcastable dim has no skew problem — Spark would broadcast
+    # the small test-SF dim and the salted exchange this query
+    # demonstrates would never plan). Hash over sort-merge because the
+    # replicated dim is still small per bucket.
+    joined = fact.join(dim.hint("shuffle_hash"), ["user_id", "_salt"])
+    return joined.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("user_total").alias("sum_user_totals"),
+        F.max("user_total").alias("max_user_total"),
+    )
+
+
+@register(
     "argmax_deterministic",
     oracle="""
     WITH ranked AS (

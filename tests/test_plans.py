@@ -212,3 +212,39 @@ def test_join_strategy_hints_are_honored(spark, sf_dir):
     ):
         plan = joined(hint)._jdf.queryExecution().executedPlan().toString()
         assert marker in plan, (hint, marker)
+
+
+def test_skew_salted_join_partitions_on_salted_key(spark, sf_dir):
+    """The salted join must shuffle on (user_id, _salt) — the whole point
+    is that a hot user's rows land on R different reducers — and its
+    result must equal the plain unsalted join exactly."""
+    df = QUERIES["skew_salted_join"].fn(spark, sf_dir)
+    text = plans.formatted_plan(df)
+    assert "_salt" in text
+    import re
+
+    parts = re.findall(r"hashpartitioning\(([^)]*)\)", text)
+    assert any("user_id" in p and "_salt" in p for p in parts), parts
+
+    from bigdata_googleplaystore_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    totals = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count("*").alias("user_total"))
+    )
+    plain = (
+        e.join(totals, "user_id")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("user_total").alias("sum_user_totals"),
+            F.max("user_total").alias("max_user_total"),
+        )
+    )
+    assert sorted(map(tuple, df.collect())) == sorted(map(tuple, plain.collect()))
