@@ -90,6 +90,8 @@ _PRIORITY: list[str] = [
     "bm25_topk_docs",
     "contrastive_hard_negatives",
     "skew_salted_join",
+    "embedding_random_projection",
+    "zscore_normalize_features",
     # --- never-checked overflow (oracle-bearing)
     "curriculum_length_buckets",
     "posexplode_ordinality",

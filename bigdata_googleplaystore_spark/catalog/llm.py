@@ -2481,3 +2481,155 @@ def contrastive_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("anchor_id", "anchor_label", "cand_id", "cand_label", "sim", "rn")
     )
+
+
+# JL projection matrix: dense ±1 with seeded-PRNG signs (Achlioptas 2003
+# shows Rademacher ±1 matrices give the JL guarantee). Deterministic by
+# seed; the INTEGER LITERALS are inlined into both the Spark UDF and the
+# generated DuckDB oracle, so both engines multiply identical matrices —
+# no cross-engine RNG contract needed. (A structured arithmetic pattern
+# like (a*k+b*j) mod m is NOT a JL matrix — its rows are near-collinear
+# and measurably scramble pairwise distances; tested.)
+_JL_K, _JL_D, _JL_SCALE = 8, 64, 1_000_000
+
+
+def _jl_matrix():
+    import random
+
+    rng = random.Random(42)
+    return [
+        [rng.choice((-1, 1)) for _ in range(_JL_D)] for _ in range(_JL_K)
+    ]
+
+
+def _jl_oracle() -> str:
+    cols = []
+    for k, row in enumerate(_jl_matrix()):
+        terms = " + ".join(
+            f"q[{j + 1}] * ({m})" for j, m in enumerate(row) if m != 0
+        )
+        cols.append(
+            f"round(CAST(({terms}) AS DOUBLE) / {_JL_SCALE}.0, 6) AS p{k}"
+        )
+    col_sql = ",\n           ".join(cols)
+    return f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(trunc(x * {_JL_SCALE}) AS BIGINT)) AS q
+      FROM embeddings WHERE embedding IS NOT NULL
+    )
+    SELECT vec_id,
+           {col_sql}
+    FROM q
+    """
+
+
+@register(
+    "embedding_random_projection",
+    oracle=_jl_oracle(),
+    tags=("llm", "similarity", "dimred", "pandas-udf"),
+)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss-style random projection 64 -> 8 dims — the
+    dimensionality-reduction pass that runs before LSH/IVF indexing at
+    corpus scale (project once, index the short vectors). The projection
+    matrix is a deterministic small-integer matrix (a discrete sparse-JL
+    surrogate; Achlioptas 2003 shows +-1/0 matrices preserve distances
+    like Gaussian ones), shared verbatim with the oracle.
+
+    Scale shape: map-only — one Arrow-batched pandas UDF does ONE numpy
+    int64 matmul per batch (vectorized across the whole batch, model
+    never leaves the workers, no shuffle at all). Exactness contract:
+    components are fixed-point-truncated to int64 first, so the matmul
+    is exact integer arithmetic — immune to summation-order float drift
+    between numpy's SIMD accumulation and DuckDB's sequential
+    list_dot_product — and the single final division is the only double
+    op (identical IEEE bits in both engines).
+    """
+    import numpy as np
+    import pandas as pd
+
+    M = np.array(_jl_matrix(), dtype=np.int64)  # k x d
+    out_schema = "vec_id long, " + ", ".join(f"p{k} double" for k in range(_JL_K))
+
+    def project(batches):
+        for pdf in batches:
+            vecs = pdf["embedding"].to_numpy()
+            if len(vecs) == 0:
+                continue
+            q = np.trunc(
+                np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+                * _JL_SCALE
+            ).astype(np.int64)  # n x d, exact
+            proj = q @ M.T  # n x k, exact int64 (|q|<=3e6 * 64 terms << 2^63)
+            out = {"vec_id": pdf["vec_id"].astype("int64")}
+            for k in range(_JL_K):
+                out[f"p{k}"] = np.round(proj[:, k] / float(_JL_SCALE), 6)
+            yield pd.DataFrame(out)
+
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    return e.select("vec_id", "embedding").mapInPandas(project, out_schema)
+
+
+@register(
+    "zscore_normalize_features",
+    oracle="""
+    WITH g AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(n_chars) AS BIGINT) AS s,
+             CAST(sum(n_chars * n_chars) AS BIGINT) AS ss
+      FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL
+      GROUP BY source
+    )
+    SELECT d.doc_id, d.source, CAST(d.n_chars AS BIGINT) AS n_chars,
+           CASE WHEN g.n * g.ss - g.s * g.s = 0 THEN 0.0
+                ELSE round(
+                  (CAST(g.n AS DOUBLE) * CAST(d.n_chars AS DOUBLE)
+                   - CAST(g.s AS DOUBLE))
+                  / sqrt(CAST(g.n AS DOUBLE) * CAST(g.ss AS DOUBLE)
+                         - CAST(g.s AS DOUBLE) * CAST(g.s AS DOUBLE)), 6)
+           END AS z
+    FROM documents d JOIN g USING (source)
+    WHERE d.source IS NOT NULL AND d.n_chars IS NOT NULL
+    """,
+    tags=("llm", "ml", "normalize"),
+)
+def zscore_normalize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score feature normalization (the standardize step of
+    any tabular/feature pipeline), in the algebraic form that is exact
+    and engine-portable: z = (n*x - sum) / sqrt(n*sumsq - sum^2) — an
+    identity for (x - mean)/std_pop — keeps EVERY aggregate an exact
+    BIGINT (n, sum, sum-of-squares are integer sums of integers) and
+    spends doubles only in the one final expression, evaluated in the
+    same textual order in both engines. Zero-variance groups map to 0.
+
+    Scale shape: one shuffle for the per-source moments (3 longs per
+    group — mergeable, map-side combined), broadcast back into a
+    map-side join; no window, no second shuffle of the fact."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isNotNull() & F.col("n_chars").isNotNull()
+    )
+    g = d.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum("n_chars").alias("s"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("ss"),
+    )
+    var_term = (
+        F.col("n").cast("double") * F.col("ss").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double")
+    )
+    z = F.when(F.col("n") * F.col("ss") - F.col("s") * F.col("s") == 0, F.lit(0.0)).otherwise(
+        F.round(
+            (
+                F.col("n").cast("double") * F.col("n_chars").cast("double")
+                - F.col("s").cast("double")
+            )
+            / F.sqrt(var_term),
+            6,
+        )
+    )
+    return d.join(F.broadcast(g), "source").select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars"), z.alias("z")
+    )

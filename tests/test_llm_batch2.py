@@ -524,3 +524,56 @@ def test_contrastive_hard_negatives_vs_brute_force(spark, sf_dir_mid):
         assert [(r["sim"], r["cand_id"]) for r in got] == cands[:3]
         for r in got:
             assert r["cand_label"] != r["anchor_label"] == albl
+
+
+def test_random_projection_preserves_structure(spark, sf_dir_mid):
+    """The projection must (a) equal an exact numpy reimplementation
+    bit-for-bit (fixed-point contract), and (b) roughly preserve
+    relative distances: over sampled pairs, the Spearman-style rank
+    agreement between 64-dim and 8-dim distances is clearly positive
+    (JL guarantee at this k is loose — assert direction, not epsilon)."""
+    from bigdata_googleplaystore_spark.catalog.llm import _jl_matrix, _JL_SCALE
+
+    rows = QUERIES["embedding_random_projection"].fn(spark, sf_dir_mid).collect()
+    vecs = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, sf_dir_mid, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .collect()
+    }
+    M = np.array(_jl_matrix(), dtype=np.int64)
+    got_proj = {}
+    for r in rows:
+        q = np.trunc(vecs[r["vec_id"]] * _JL_SCALE).astype(np.int64)
+        want = np.round((q @ M.T) / float(_JL_SCALE), 6)
+        got = np.array([r[f"p{k}"] for k in range(8)])
+        assert np.array_equal(got, want), r["vec_id"]
+        got_proj[r["vec_id"]] = got
+    ids = sorted(got_proj)[:60]
+    hi, lo = [], []
+    for i in range(0, len(ids) - 1, 2):
+        a, b = ids[i], ids[i + 1]
+        hi.append(float(np.linalg.norm(vecs[a] - vecs[b])))
+        lo.append(float(np.linalg.norm(got_proj[a] - got_proj[b])))
+    corr = np.corrcoef(np.argsort(np.argsort(hi)), np.argsort(np.argsort(lo)))[0, 1]
+    assert corr > 0.3, corr
+
+
+def test_zscore_group_moments(spark, sf_dir_mid):
+    """Within every source, the z column must have mean ~0 and population
+    std ~1 (up to the round(6) quantization), and z must be monotone in
+    the raw feature."""
+    rows = QUERIES["zscore_normalize_features"].fn(spark, sf_dir_mid).collect()
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    assert by_src
+    for source, rs in by_src.items():
+        z = np.array([r["z"] for r in rs])
+        if len(rs) < 2 or z.std() == 0:
+            continue
+        assert abs(z.mean()) < 1e-4, source
+        assert abs(z.std() - 1.0) < 1e-3, source
+        order_raw = sorted(rs, key=lambda r: (r["n_chars"], r["doc_id"]))
+        zs = [r["z"] for r in order_raw]
+        assert all(a <= b + 1e-12 for a, b in zip(zs, zs[1:])), source
