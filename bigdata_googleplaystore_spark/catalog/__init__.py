@@ -92,6 +92,7 @@ _PRIORITY: list[str] = [
     "skew_salted_join",
     "embedding_random_projection",
     "zscore_normalize_features",
+    "tokenize_to_vocab_ids",
     # --- never-checked overflow (oracle-bearing)
     "curriculum_length_buckets",
     "posexplode_ordinality",

@@ -2633,3 +2633,89 @@ def zscore_normalize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.join(F.broadcast(g), "source").select(
         "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars"), z.alias("z")
     )
+
+
+@register(
+    "tokenize_to_vocab_ids",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, len(string_split_regex(trim(lower(text)), '\s+')) + 1),
+               i -> {'pos': i,
+                     'tok': string_split_regex(trim(lower(text)), '\s+')[i]}
+             )) AS pt
+      FROM documents WHERE text IS NOT NULL
+    ),
+    flat AS (SELECT doc_id, pt.pos AS pos, pt.tok AS tok FROM tok),
+    vocab AS (
+      SELECT tok, CAST(row_number() OVER (ORDER BY count(*) DESC, tok ASC)
+                       AS BIGINT) AS id
+      FROM flat GROUP BY tok
+      ORDER BY count(*) DESC, tok ASC LIMIT 1000
+    ),
+    enc AS (
+      SELECT f.doc_id, f.pos, COALESCE(v.id, 0) AS id
+      FROM flat f LEFT JOIN vocab v USING (tok)
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           array_to_string(list_slice(list(id ORDER BY pos ASC), 1, 50), ',')
+             AS ids_csv
+    FROM enc GROUP BY doc_id
+    """,
+    tags=("llm", "tokenize", "vocab"),
+)
+def tokenize_to_vocab_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary-encode every document against a corpus-derived
+    vocabulary — the tokenize-to-ids step that precedes any training
+    run: top-1000 tokens by frequency (ties broken lexicographically so
+    ids are deterministic), OOV -> 0, per-doc id sequence reassembled in
+    token order (first 50 ids emitted as csv; arrays stringified per the
+    driver-hash contract).
+
+    Scale shape: the vocabulary is BOUNDED (top-N via one token-count
+    shuffle + TakeOrderedAndProject), so the encode join broadcasts it —
+    the token stream itself is never shuffled for the lookup. The only
+    data-sized shuffle is the per-doc regroup, inherent to emitting
+    sequences. (When even that matters, collect the bounded vocab to a
+    map literal and encode map-only in one pass — the kmeans-centroid
+    pattern; the join form is kept here because it also exercises
+    posexplode + broadcast-left-join + ordered reassembly.)"""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    flat = d.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
+    )
+    # Distributed top-k FIRST (TakeOrderedAndProject — per-partition
+    # heaps), then the id-assigning global window runs on only the 1000
+    # survivors; ranking the full vocabulary through one window task
+    # would bottleneck at a web-scale token distribution.
+    top = (
+        flat.groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(1000)
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("tok"))
+    vocab = top.withColumn("id", F.row_number().over(w).cast("long")).select(
+        "tok", "id"
+    )
+    enc = flat.join(F.broadcast(vocab), "tok", "left").select(
+        "doc_id", "pos", F.coalesce(F.col("id"), F.lit(0)).alias("id")
+    )
+    return enc.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum((F.col("id") == 0).cast("long")).alias("n_oov"),
+        F.array_join(
+            F.slice(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "id"))),
+                    lambda s: s["id"],
+                ),
+                1,
+                50,
+            ),
+            ",",
+        ).alias("ids_csv"),
+    )

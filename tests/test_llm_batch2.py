@@ -577,3 +577,28 @@ def test_zscore_group_moments(spark, sf_dir_mid):
         order_raw = sorted(rs, key=lambda r: (r["n_chars"], r["doc_id"]))
         zs = [r["z"] for r in order_raw]
         assert all(a <= b + 1e-12 for a, b in zip(zs, zs[1:])), source
+
+
+def test_tokenize_vocab_ids_roundtrip(spark, sf_dir):
+    """Vocabulary ids must be 1..1000 dense by (freq desc, tok asc); a
+    python reimplementation over the collected corpus must reproduce
+    every doc's id prefix, token count, and OOV count."""
+    from collections import Counter
+
+    docs = {
+        r["doc_id"]: r["text"].strip().lower().split()
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .collect()
+    }
+    counts = Counter(t for toks in docs.values() for t in toks)
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:1000]
+    vocab = {tok: i + 1 for i, (tok, _) in enumerate(ranked)}
+    got = {r["doc_id"]: r for r in QUERIES["tokenize_to_vocab_ids"].fn(spark, sf_dir).collect()}
+    assert set(got) == set(docs)
+    for doc_id, toks in docs.items():
+        ids = [vocab.get(t, 0) for t in toks]
+        r = got[doc_id]
+        assert r["n_tokens"] == len(toks)
+        assert r["n_oov"] == sum(1 for i in ids if i == 0)
+        assert r["ids_csv"] == ",".join(str(i) for i in ids[:50])
