@@ -93,6 +93,7 @@ _PRIORITY: list[str] = [
     "embedding_random_projection",
     "zscore_normalize_features",
     "tokenize_to_vocab_ids",
+    "stream_session_counts",
     # --- never-checked overflow (oracle-bearing)
     "curriculum_length_buckets",
     "posexplode_ordinality",

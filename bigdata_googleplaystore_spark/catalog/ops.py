@@ -790,6 +790,55 @@ def session_window_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionized(e, gap="10 minutes")
 
 
+@register(
+    "stream_session_counts",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events WHERE user_id IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) AS last_event,
+           count(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+    tags=("streaming", "session", "watermark"),
+)
+def stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows inside the correctness gate: the events
+    table replays as a bounded file stream, gap-sessionizes with a
+    watermark (streaming.sessionized — per-key session state merged
+    incrementally, closed sessions emitted in append mode as the
+    watermark passes them), and the drained output must equal the batch
+    gaps-and-islands SQL the oracle runs. This is the stateful-streaming
+    counterpart of session_window_gap (same helper, same semantics,
+    different execution mode) — the unified-model guarantee made
+    checkable by the driver."""
+    import tempfile
+
+    from .. import streaming
+
+    batch = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    src = tempfile.mkdtemp(prefix="stream_sess_src_")
+    batch.repartition(4).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    sessions = streaming.sessionized(stream, "10 minutes", watermark="1 hour")
+    return streaming.run_stream_to_memory(sessions, "cat_stream_sessions")
+
+
 # --------------------------------------------------------------------------
 # Approximate aggregation + SQL interface (SURVEY §2.7 extensions)
 # --------------------------------------------------------------------------
