@@ -94,6 +94,8 @@ _PRIORITY: list[str] = [
     "zscore_normalize_features",
     "tokenize_to_vocab_ids",
     "stream_session_counts",
+    "group_holdout_split",
+    "temporal_split_leakage",
     # --- never-checked overflow (oracle-bearing)
     "curriculum_length_buckets",
     "posexplode_ordinality",

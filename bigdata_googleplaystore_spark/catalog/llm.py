@@ -2719,3 +2719,101 @@ def tokenize_to_vocab_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("ids_csv"),
     )
+
+
+@register(
+    "group_holdout_split",
+    oracle=r"""
+    WITH tagged AS (
+      SELECT source, doc_id, n_chars,
+             CASE WHEN CAST(('0x' || substr(md5(source || 'holdout'), 1, 8))::UBIGINT
+                       % 10 AS BIGINT) < 8
+                  THEN 'train' ELSE 'heldout' END AS split
+      FROM documents WHERE source IS NOT NULL
+    )
+    SELECT split, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM tagged GROUP BY split, source
+    """,
+    tags=("llm", "split", "leakage"),
+)
+def group_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-aware holdout split: the split key is the SOURCE, not the
+    document, so every document of a source lands on the same side —
+    the standard defense against train/test leakage through near-
+    duplicate documents within a source (doc-level random splits leak;
+    GroupKFold semantics). Assignment is md5-hash-based: deterministic,
+    partition-invariant, reproducible across engines and runs, ~80/20
+    by source.
+
+    Scale shape: the split tag is a map-side expression (no lookup
+    table, no shuffle to assign); the only shuffle is the reporting
+    aggregate."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("source").isNotNull())
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.col("source"), F.lit("holdout"))), 1, 8), 16, 10)
+        .cast("long") % 10
+    )
+    tagged = d.select(
+        "source",
+        "n_chars",
+        F.when(bucket < 8, F.lit("train")).otherwise(F.lit("heldout")).alias("split"),
+    )
+    return tagged.groupBy("split", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+@register(
+    "temporal_split_leakage",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id,
+             CASE WHEN ts < TIMESTAMP '2024-01-20 00:00:00'
+                  THEN 'train' ELSE 'future' END AS split
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    per AS (
+      SELECT split,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM tagged GROUP BY split
+    ),
+    overlap AS (
+      SELECT CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT user_id FROM tagged WHERE split = 'train'
+            INTERSECT
+            SELECT user_id FROM tagged WHERE split = 'future')
+    )
+    SELECT p.split, p.n_events, p.n_users, o.n AS n_overlap_users
+    FROM per p CROSS JOIN overlap o
+    """,
+    tags=("llm", "split", "temporal"),
+)
+def temporal_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal train/eval split with an explicit leakage audit: events
+    before the cutoff are 'train', at/after are 'future', and the query
+    reports — next to each split's size — how many USERS appear on both
+    sides (the entity-overlap statistic that tells you whether a
+    per-user model evaluated on 'future' has seen its users in
+    training). Pure event-time split: a map-side tag, one aggregate per
+    split, one distinct-intersection whose operands are user-id sets
+    (already far smaller than the event log)."""
+    cutoff = F.lit("2024-01-20 00:00:00").cast("timestamp")
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    tagged = e.select(
+        "user_id",
+        F.when(F.col("ts") < cutoff, F.lit("train"))
+        .otherwise(F.lit("future"))
+        .alias("split"),
+    )
+    per = tagged.groupBy("split").agg(
+        F.count("*").alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+    train_u = tagged.filter(F.col("split") == "train").select("user_id").distinct()
+    future_u = tagged.filter(F.col("split") == "future").select("user_id").distinct()
+    overlap = train_u.intersect(future_u).agg(F.count("*").alias("n_overlap_users"))
+    return per.crossJoin(F.broadcast(overlap))

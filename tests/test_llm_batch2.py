@@ -602,3 +602,32 @@ def test_tokenize_vocab_ids_roundtrip(spark, sf_dir):
         assert r["n_tokens"] == len(toks)
         assert r["n_oov"] == sum(1 for i in ids if i == 0)
         assert r["ids_csv"] == ",".join(str(i) for i in ids[:50])
+
+
+def test_group_holdout_no_source_straddles_splits(spark, sf_dir):
+    """Leakage contract: no source appears in both splits, every doc is
+    covered exactly once, and assignment is repartition-invariant."""
+    rows = QUERIES["group_holdout_split"].fn(spark, sf_dir).collect()
+    sides: dict[str, set] = {"train": set(), "heldout": set()}
+    for r in rows:
+        sides[r["split"]].add(r["source"])
+    assert not (sides["train"] & sides["heldout"])
+    d = load_table(spark, sf_dir, "documents").filter(F.col("source").isNotNull())
+    assert sum(r["n_docs"] for r in rows) == d.count()
+    again = QUERIES["group_holdout_split"].fn(spark, sf_dir).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+
+
+def test_temporal_split_counts_and_overlap(spark, sf_dir):
+    """Split sizes must sum to the event count; the overlap statistic
+    must equal the true |train_users ∩ future_users|."""
+    rows = {r["split"]: r for r in QUERIES["temporal_split_leakage"].fn(spark, sf_dir).collect()}
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    cutoff = "2024-01-20 00:00:00"
+    tr = {r["user_id"] for r in e.filter(F.col("ts") < cutoff).select("user_id").distinct().collect()}
+    fu = {r["user_id"] for r in e.filter(F.col("ts") >= cutoff).select("user_id").distinct().collect()}
+    assert rows["train"]["n_users"] == len(tr)
+    assert rows["future"]["n_users"] == len(fu)
+    for r in rows.values():
+        assert r["n_overlap_users"] == len(tr & fu)
+    assert rows["train"]["n_events"] + rows["future"]["n_events"] == e.count()
