@@ -70,8 +70,8 @@ def _par(df: DataFrame) -> int:
     return df.sparkSession.sparkContext.defaultParallelism
 
 
-def shingle_exploded(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """(id, shingle) rows, distinct shingles per doc, plus per-doc set size.
+def shingle_arrays(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(doc, set_size, shingles:array) — the pre-explode shingle stage.
 
     Staged on purpose — two properties a single fused expression loses:
 
@@ -89,6 +89,14 @@ def shingle_exploded(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> D
         F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("toks")
     ).repartition(_par(df), "doc")
     sh = toks.select("doc", shingles_from_tokens(F.col("toks"), n).alias("shingles"))
+    return sh.select("doc", F.size("shingles").alias("set_size"), "shingles")
+
+
+def shingle_exploded(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) rows, distinct shingles per doc, plus per-doc set size.
+    Built on shingle_arrays; see its docstring for why the pipeline is
+    staged."""
+    sh = shingle_arrays(df, id_col, text_col, n)
     # explode_outer, NOT explode: for plain explode, InferFiltersFromGenerate
     # adds `size(shingles)>0` and predicate pushdown substitutes the whole
     # fused shingle expression through the exchange into the single-split
@@ -97,7 +105,7 @@ def shingle_exploded(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> D
     # restores explode's drop-empty semantics and cannot be pushed below
     # the Generate.
     return sh.select(
-        "doc", F.size("shingles").alias("set_size"),
+        "doc", "set_size",
         F.explode_outer("shingles").alias("shingle"),
     ).filter(F.col("shingle").isNotNull())
 
@@ -202,22 +210,50 @@ def minhash_signatures(
     n: int = 3,
     num_hashes: int = 64,
     shingles: DataFrame | None = None,
+    shingle_arrs: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signature per doc: sig[i] = min over shingles of
-    xxhash64(i, shingle). One shuffle (group-by doc); the 64 mins fold
-    map-side. Docs with no shingles are dropped (no signature defined).
-    Pass `shingles` (a shingle_exploded frame) to share the shingling
-    pipeline with a verification stage."""
-    s = shingles if shingles is not None else shingle_exploded(df, id_col, text_col, n)
-    mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    sig = s.groupBy("doc", "set_size").agg(*mins)
-    return sig.select(
+    xxhash64(i, shingle).
+
+    Two paths, same values:
+    - array path (default / `shingle_arrs`): sig[i] =
+      array_min(transform(shingles, s -> xxhash64(i, s))) — MAP-ONLY.
+      Each doc's shingle set is already one array row, so no explode and
+      no shuffle exist at all; this is the scale winner (the signature
+      stage used to be a full shuffle of the exploded shingle stream
+      into a 64-way min aggregate).
+    - exploded path (`shingles`, a shingle_exploded frame): group-by doc
+      with 64 map-side-folding mins — kept for callers that already
+      materialized the exploded form.
+    Docs with no shingles are dropped (no signature defined)."""
+    if shingles is not None:
+        mins = [
+            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+        sig = shingles.groupBy("doc", "set_size").agg(*mins)
+        return sig.select(
+            "doc",
+            "set_size",
+            F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature"),
+        )
+    s = (
+        shingle_arrs
+        if shingle_arrs is not None
+        else shingle_arrays(df, id_col, text_col, n)
+    )
+
+    def _minhash(i: int):
+        # closure factory, NOT a defaulted lambda arg — a 2-param lambda
+        # would be treated as (element, index) by transform()
+        return F.array_min(
+            F.transform(F.col("shingles"), lambda sh: F.xxhash64(F.lit(i), sh))
+        )
+
+    return s.filter(F.col("set_size") > 0).select(
         "doc",
         "set_size",
-        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature"),
+        F.array(*[_minhash(i) for i in range(num_hashes)]).alias("signature"),
     )
 
 
@@ -256,20 +292,24 @@ def minhash_lsh_pairs(
             "candidate blowup) and a remainder would silently drop hashes"
         )
     rows_per_band = num_hashes // bands
-    # The shingle frame feeds three consumers with DIFFERENT downstream
-    # partitionings (signature groupBy(doc), verify join on doc_a, verify
-    # join on (doc_b, shingle)) — no ReusedExchange applies, so without
-    # materialization the tokenize+shingle pipeline runs three times
-    # (measured ~15% of query time at sf0.1). persist() computes it once,
-    # LAZILY — round 2 used localCheckpoint(eager=True), whose blocking
-    # materialization job sat inside the timed region and whose blocks
-    # die with their executor on a real cluster; a plain cache instead
+    # The ARRAY-stage shingle frame feeds three consumers (map-side
+    # signatures, verify join on doc_a, verify join on (doc_b, shingle))
+    # with different downstream shapes — no ReusedExchange applies, so
+    # without materialization the tokenize+shingle pipeline runs three
+    # times (measured ~15% of query time at sf0.1). persist() computes
+    # it once, LAZILY — round 2 used localCheckpoint(eager=True), whose
+    # blocking materialization job sat inside the timed region and whose
+    # blocks die with their executor on a real cluster; a plain cache
     # lets the first consumer populate it within the same job and
-    # recomputes from lineage on eviction/loss (profiled at sf0.1:
-    # persist ≈ eager ≈ lazy within noise, all ≥ none by <0.2 s — the
-    # r02 +24% was host load, not the checkpoint).
-    shingles = shingle_exploded(df, id_col, text_col, n).persist()
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes, shingles=shingles)
+    # recomputes from lineage on eviction/loss. Caching the array form
+    # (one row per doc) instead of the exploded form also shrinks the
+    # cached footprint and lets the signature stage skip the explode
+    # entirely (map-only array_min/transform — no signature shuffle).
+    arrs = shingle_arrays(df, id_col, text_col, n).persist()
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes, shingle_arrs=arrs)
+    shingles = arrs.select(
+        "doc", "set_size", F.explode_outer("shingles").alias("shingle")
+    ).filter(F.col("shingle").isNotNull())
     band_cols = F.array(
         *[
             F.struct(
