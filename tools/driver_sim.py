@@ -92,6 +92,11 @@ for name, fn in qs.items():
         print(f"  {name}: SPARK ERROR {type(e).__name__}: {e}")
         fails += 1
         continue
+    finally:
+        # operators that persist() shared frames leak cache entries in a
+        # one-session 170-query sweep; accumulated entries cause
+        # multi-second eviction/GC spikes (see bench.py note)
+        spark.catalog.clearCache()
     if name not in oracles:
         print(f"  {name}: rows-only, {len(spdf)} rows OK")
         continue
