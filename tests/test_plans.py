@@ -248,3 +248,12 @@ def test_skew_salted_join_partitions_on_salted_key(spark, sf_dir):
         )
     )
     assert sorted(map(tuple, df.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_minhash_signature_stage_is_map_side(spark, sf_dir):
+    """The LSH pipeline must plan exactly 2 exchanges (bucket self-join +
+    verify aggregate): the signature stage computes array_min(transform)
+    map-side on the cached shingle arrays — re-introducing a signature
+    groupBy would show up as a third exchange."""
+    r = plans.analyze(QUERIES["dedup_minhash_lsh"].fn(spark, sf_dir))
+    assert r.exchanges <= 2, r.exchanges
