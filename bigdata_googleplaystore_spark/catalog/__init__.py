@@ -96,6 +96,7 @@ _PRIORITY: list[str] = [
     "stream_session_counts",
     "group_holdout_split",
     "temporal_split_leakage",
+    "sim_ann_recall_eval",
     # --- never-checked overflow (oracle-bearing)
     "curriculum_length_buckets",
     "posexplode_ordinality",

@@ -2817,3 +2817,62 @@ def temporal_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     future_u = tagged.filter(F.col("split") == "future").select("user_id").distinct()
     overlap = train_u.intersect(future_u).agg(F.count("*").alias("n_overlap_users"))
     return per.crossJoin(F.broadcast(overlap))
+
+
+@register(
+    "sim_ann_recall_eval",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings WHERE embedding IS NOT NULL),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+      WHERE round(list_dot_product(a.e, b.e)
+                  / (sqrt(list_dot_product(a.e, a.e))
+                     * sqrt(list_dot_product(b.e, b.e))), 4) >= 0.45
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_truth,
+           TRUE AS precision_ok,
+           TRUE AS recall_ok
+    FROM pairs
+    """,
+    tags=("llm", "similarity", "ann", "eval"),
+)
+def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-backed ANN quality gate, aggregate form: the exact
+    near-dup pair count (cosine >= 0.45, where this corpus plants its
+    dups) is re-derived by the oracle in exact SQL math; Spark runs the
+    multi-table hyperplane-LSH index (embedding_near_pairs_ann, 8
+    tables x 4 planes) against that truth and asserts BOTH directions
+    of index quality as booleans the oracle can check:
+    - precision_ok: every ANN pair is a truth pair (must be exactly
+      true — candidates are verified with the exact cosine, so a false
+      positive means the verifier broke);
+    - recall_ok: |found| / |truth| >= 0.6. Measured recall of the
+      8-table index on this corpus: 10/14 at sf0.01, 114/144 at sf0.1
+      (the planted pairs sit barely above the 0.45 threshold, where the
+      s-curve is mid-slope — by design; raising tables/planes trades
+      candidate cost for recall). The 0.6 margin sits safely under the
+      measured 0.71/0.79 but far above what any real signature,
+      bucketing, or verification regression produces (those crash
+      recall toward 0).
+    xxhash-seeded hyperplanes are deterministic, so both flags are
+    fixed properties of the corpus (verified at sf0.01 and sf0.1).
+
+    Scale: the exact all-pairs truth scan is the once-per-index-build
+    eval cost (bounded eval sample in production); the ANN under test
+    is the linear-cost production path."""
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    truth = similarity.cosine_near_pairs(e, threshold=0.45).select("id_a", "id_b")
+    ann = similarity.embedding_near_pairs_ann(e, threshold=0.45).select("id_a", "id_b")
+    t = truth.withColumn("in_truth", F.lit(1))
+    a = ann.withColumn("in_ann", F.lit(1))
+    j = t.join(a, ["id_a", "id_b"], "full_outer")
+    return j.agg(
+        F.sum(F.coalesce("in_truth", F.lit(0))).alias("n_truth"),
+        (F.sum(F.when(F.col("in_ann").isNotNull() & F.col("in_truth").isNull(), 1).otherwise(0)) == 0).alias("precision_ok"),
+        (
+            F.sum(F.when(F.col("in_ann").isNotNull() & F.col("in_truth").isNotNull(), 1).otherwise(0))
+            >= F.ceil(F.sum(F.coalesce("in_truth", F.lit(0))) * 0.6)
+        ).alias("recall_ok"),
+    )
