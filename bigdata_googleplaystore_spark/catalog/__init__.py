@@ -97,6 +97,9 @@ _PRIORITY: list[str] = [
     "group_holdout_split",
     "temporal_split_leakage",
     "sim_ann_recall_eval",
+    "pagerank_invariants",
+    # percentiles_approx gained a GK-bound oracle this round; it already
+    # sits in the never-checked overflow above
     # --- never-checked overflow (oracle-bearing)
     "curriculum_length_buckets",
     "posexplode_ordinality",

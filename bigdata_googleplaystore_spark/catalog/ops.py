@@ -1642,8 +1642,12 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "percentiles_approx",
-    oracle=None,  # sketch-based: Spark's GK algorithm has no DuckDB twin;
-    # bounded-error vs percentiles_exact asserted in tests/test_ops_extra.py
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p90_ok
+    FROM orders GROUP BY o_orderstatus
+    """,
     tags=("agg", "approx", "percentile", "sketch"),
 )
 def percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1652,9 +1656,19 @@ def percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a constant-size mergeable summary computed map-side, so the
     shuffle carries sketches instead of every value (exact percentile
     must materialize each group's full value multiset on one task).
-    accuracy=10000 bounds rank error at n/10000."""
+
+    Oracle-bound via GK's own guarantee (the hll_distinct_accuracy
+    pattern): accuracy=10000 bounds the RANK error of each reported
+    value at n/10000, so a second pass computes each group's true rank
+    interval for the sketch value — [count(x < v), count(x <= v)] —
+    and asserts it covers q*n within the n/10000 slack. The booleans
+    hold for ANY valid GK merge order (the guarantee is worst-case),
+    so the oracle is deterministic even though the estimate itself may
+    shift with partitioning. Estimates themselves are rows-only by
+    nature; tests/test_ops_extra.py additionally checks them against
+    percentiles_exact."""
     o = load_table(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
+    appr = o.groupBy("o_orderstatus").agg(
         F.percentile_approx(
             "o_totalprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.9)), 10000
         ).alias("pcts")
@@ -1663,6 +1677,26 @@ def percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pcts")[0].alias("p25"),
         F.col("pcts")[1].alias("p50"),
         F.col("pcts")[2].alias("p90"),
+    )
+    joined = o.join(F.broadcast(appr), "o_orderstatus")
+    eps = 1.0 / 10000
+
+    def rank_cols(q: float, col: str):
+        below = F.sum((F.col("o_totalprice") < F.col(col)).cast("long"))
+        atmost = F.sum((F.col("o_totalprice") <= F.col(col)).cast("long"))
+        n = F.count("*")
+        qn = F.lit(q) * n
+        # +1 rank absorbs the discrete target-rank definition offset
+        # (ceil vs floor of q*n); the epsilon*n term is the GK bound and
+        # dominates at scale (1e6 ranks at n=1e10)
+        slack = F.lit(eps) * n + F.lit(1.0)
+        return ((below <= qn + slack) & (atmost >= qn - slack)).alias(f"{col}_ok")
+
+    return joined.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        rank_cols(0.25, "p25"),
+        rank_cols(0.5, "p50"),
+        rank_cols(0.9, "p90"),
     )
 
 
@@ -3727,3 +3761,57 @@ def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) t
         """
     )
+
+
+@register(
+    "pagerank_invariants",
+    oracle="""
+    WITH steps AS (
+      SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS src,
+             event_type AS dst
+      FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    ),
+    edges AS (SELECT src, dst FROM steps WHERE src IS NOT NULL),
+    nodes AS (
+      SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    )
+    SELECT node, TRUE AS rank_ok FROM nodes
+    UNION ALL
+    SELECT 'ALL', TRUE
+    """,
+    tags=("graph", "iterative", "eval"),
+)
+def pagerank_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-backed invariants for the iterative PageRank operator —
+    the checkable face of a fixpoint no single SQL query can express:
+    - the rank vector's SUPPORT is exactly the transition graph's node
+      set (the oracle re-derives that set with the same lag construction
+      in SQL);
+    - every rank is positive (damping guarantees >= 1-d in the
+      sum-to-N convention this operator uses);
+    - total mass sums to N (one unit per node — the classic PageRank
+      normalization) within 1e-6*N (the 'ALL' row) — the conserved
+      quantity a broken dangling-node or normalization step destroys.
+    The per-rank VALUES stay rows-only (pagerank_event_transitions),
+    numerically verified against a reference implementation in
+    tests/test_graph.py."""
+    from ..operators.graph import pagerank
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = e.select(
+        F.lag("event_type").over(w).alias("src"), F.col("event_type").alias("dst")
+    ).filter(F.col("src").isNotNull())
+    edges = steps.groupBy("src", "dst").agg(F.count("*").cast("double").alias("w"))
+    ranks = pagerank(edges, iterations=10, weight="w")
+    per_node = ranks.select("node", (F.col("rank") > 0).alias("rank_ok"))
+    mass = ranks.agg(
+        F.lit("ALL").alias("node"),
+        (F.abs(F.sum("rank") - F.count("*")) <= F.lit(1e-6) * F.count("*")).alias(
+            "rank_ok"
+        ),
+    )
+    return per_node.unionByName(mass)
