@@ -3815,3 +3815,86 @@ def pagerank_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return per_node.unionByName(mass)
+
+
+@register(
+    "anomaly_rolling_zscore",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, event_id, CAST(value AS DECIMAL(12,2)) AS dv, value
+      FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+    ),
+    roll AS (
+      SELECT user_id, event_id, value,
+             count(dv) OVER w AS n,
+             sum(dv)   OVER w AS s,
+             sum(dv*dv) OVER w AS s2
+      FROM v
+      WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    ),
+    scored AS (
+      SELECT user_id, event_id, value,
+             CAST(s AS DOUBLE) / n AS mean,
+             (CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+               / (n - 1) AS var
+      FROM roll WHERE n >= 10
+    )
+    SELECT user_id, event_id, value,
+           round((value - mean) / sqrt(var), 4) AS zscore
+    FROM scored
+    WHERE var > 1e-12 AND abs((value - mean) / sqrt(var)) > 3.0
+    """,
+    tags=("window", "anomaly", "analytics"),
+)
+def anomaly_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: each event's `value` is scored
+    against the mean/stddev of that user's 20 PRECEDING events (frame
+    excludes the current row — the score is out-of-sample), and events
+    with |z| > 3 are flagged. The streaming-monitoring shape (per-entity
+    online outlier detection) expressed as one batch window.
+
+    Determinism across engines: rolling mean/variance are derived from
+    exact-decimal rolling sums (sum(v), sum(v*v) over the frame —
+    `value` is a clean 2-decimal column), so the frame aggregation is
+    exact and associative in both engines; DuckDB's segment-tree frame
+    evaluation and Spark's per-frame re-scan then produce bit-identical
+    doubles for mean/var, and z rounds identically at 4dp. A
+    double-typed rolling sum would NOT survive this comparison
+    (accumulation-order drift near the |z|=3 boundary).
+
+    Scale shape: one shuffle (hash by user_id), then a linear sliding
+    frame per partition — no self-join, no driver state; at 100 TB the
+    cost is the one exchange every per-entity window query pays. Skewed
+    users are bounded by the 20-row frame (state is O(1) per row)."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    dv = dec2(F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(-20, -1)
+    )
+    roll = e.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.count(dv).over(w).alias("n"),
+        F.sum(dv).over(w).alias("s"),
+        F.sum(dv * dv).over(w).alias("s2"),
+    ).filter(F.col("n") >= 10)
+    mean = F.col("s").cast("double") / F.col("n")
+    var = (
+        F.col("s2").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double") / F.col("n")
+    ) / (F.col("n") - 1)
+    scored = roll.select(
+        "user_id", "event_id", "value", mean.alias("mean"), var.alias("var")
+    )
+    z = (F.col("value") - F.col("mean")) / F.sqrt(F.col("var"))
+    return scored.filter(
+        (F.col("var") > 1e-12) & (F.abs(z) > 3.0)
+    ).select(
+        "user_id", "event_id", "value", F.round(z, 4).alias("zscore")
+    )

@@ -1,0 +1,116 @@
+"""Distributed BPE (byte-pair-encoding) merge learning.
+
+The tokenizer-training step of an LLM data pipeline: learn the top-N BPE
+merges from a corpus. Follows the classic word-frequency formulation
+(Sennrich et al. 2016, "Neural Machine Translation of Rare Words with
+Subword Units"): training operates on the WORD-FREQUENCY table, not the
+raw corpus — the corpus collapses to |vocab| rows in one aggregation, and
+every merge iteration then works on that (comparatively tiny) frame.
+
+Scale shape at 100 TB:
+- the corpus is touched exactly once (tokenize -> groupBy word), the one
+  unavoidable shuffle, with map-side partial aggregation;
+- each merge iteration is a groupBy over the vocab frame (millions of
+  rows, not billions) plus a LIMIT 1 collect of a single row — the only
+  thing the driver ever sees is one (pair, freq) row per iteration;
+- the symbol re-segmentation after each merge is a pure map-side
+  higher-order-function fold (aggregate()) inside whole-stage codegen —
+  no Python, no shuffle;
+- lineage is cut with localCheckpoint each iteration so 2N-deep plans
+  don't accumulate (same policy as the dedup clustering loop).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+END_OF_WORD = "</w>"
+
+
+def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus -> (word, freq): lowercase [a-z]+ tokens, one shuffle."""
+    toks = F.expr(f"filter(split(lower({text_col}), '[^a-z]+'), t -> t <> '')")
+    return (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.explode(toks).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def _initial_symbols(word: F.Column) -> F.Column:
+    """Split a word into characters plus the end-of-word marker symbol."""
+    chars = F.expr("filter(split(word, ''), c -> c <> '')")
+    return F.concat(chars, F.array(F.lit(END_OF_WORD)))
+
+
+def _adjacent_pairs(symbols_col: str = "symbols"):
+    """array<string> -> array<struct<l,r>> of adjacent symbol pairs."""
+    return F.expr(
+        f"transform(slice({symbols_col}, 1, size({symbols_col}) - 1),"
+        f" (s, i) -> struct(s AS l, element_at({symbols_col}, i + 2) AS r))"
+    )
+
+
+def _apply_merge(symbols_col: str, left: str, right: str) -> F.Column:
+    """Replace every adjacent (left, right) with left||right, scanning
+    left-to-right greedily (a fold: merged symbols never re-merge within
+    the same pass, matching the reference BPE's non-overlapping leftmost
+    replace). Pure JVM higher-order function — no UDF."""
+    l, r, m = F.lit(left), F.lit(right), F.lit(left + right)
+    return F.aggregate(
+        F.col(symbols_col),
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == l)
+            & (x == r),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(m)),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def learn_bpe_merges(
+    spark: SparkSession,
+    words: DataFrame,
+    n_merges: int = 16,
+    min_freq: int = 2,
+) -> DataFrame:
+    """Learn up to `n_merges` BPE merges from a (word, freq) table.
+
+    Each iteration: count adjacent symbol pairs weighted by word freq,
+    take the most frequent (ties broken lexicographically — a total
+    order, so the learned tokenizer is deterministic and
+    partition-invariant), merge it everywhere, repeat. Stops early when
+    no pair reaches `min_freq`.
+
+    Returns a DataFrame (merge_rank, left, right, pair_freq) built from
+    the driver-side merge table — model-sized output (like k-means
+    centroids), never data-sized.
+    """
+    vocab = words.select(
+        "freq", _initial_symbols(F.col("word")).alias("symbols")
+    ).localCheckpoint(eager=False)
+
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        top = (
+            vocab.select(F.explode(_adjacent_pairs()).alias("p"), "freq")
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("pair_freq"))
+            .orderBy(F.desc("pair_freq"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["pair_freq"] < min_freq:
+            break
+        l, r, pf = top[0]["l"], top[0]["r"], int(top[0]["pair_freq"])
+        merges.append((rank, l, r, pf))
+        vocab = vocab.select(
+            "freq", _apply_merge("symbols", l, r).alias("symbols")
+        ).localCheckpoint(eager=False)
+
+    return spark.createDataFrame(
+        merges, "merge_rank int, left string, right string, pair_freq bigint"
+    )

@@ -631,3 +631,69 @@ def test_temporal_split_counts_and_overlap(spark, sf_dir):
     for r in rows.values():
         assert r["n_overlap_users"] == len(tr & fu)
     assert rows["train"]["n_events"] + rows["future"]["n_events"] == e.count()
+
+
+def _reference_bpe(word_freqs: dict[str, int], n_merges: int, min_freq: int):
+    """Pure-Python Sennrich-style BPE on a word-frequency dict: chars +
+    '</w>' marker, most-frequent adjacent pair each round ((freq desc,
+    l, r) tiebreak), leftmost non-overlapping greedy replacement."""
+    vocab = {tuple(list(w) + ["</w>"]): f for w, f in word_freqs.items()}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, f in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        (l, r), pf = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if pf < min_freq:
+            break
+        merges.append((rank, l, r, pf))
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for syms, f in vocab.items():
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + f
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_merges_match_reference(spark, sf_dir):
+    """The distributed BPE trainer learns exactly the merge table a
+    pure-Python reference learns from the same word counts — pair
+    selection, tiebreaks, and the greedy left-to-right re-segmentation
+    all agree (the fold in _apply_merge must not re-merge a symbol it
+    just produced: 'aaa' -> ['aa','a'], not ['aaa'])."""
+    from bigdata_googleplaystore_spark.operators import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = bpe.word_counts(docs)
+    wf = {r["word"]: r["freq"] for r in words.collect()}
+    expected = _reference_bpe(wf, n_merges=16, min_freq=2)
+    got = [
+        (r["merge_rank"], r["left"], r["right"], r["pair_freq"])
+        for r in QUERIES["bpe_learn_merges"].fn(spark, sf_dir).collect()
+    ]
+    assert got == expected
+
+
+def test_bpe_fold_overlap_semantics(spark):
+    """Overlapping-pair edge case pinned directly: merging ('a','a') on
+    'aaaa' gives ['aa','aa'] and on 'aaa' gives ['aa','a'] — leftmost
+    non-overlapping, same as the reference replace."""
+    from bigdata_googleplaystore_spark.operators.bpe import _apply_merge
+
+    df = spark.createDataFrame(
+        [(["a", "a", "a", "a"],), (["a", "a", "a"],)], "symbols array<string>"
+    )
+    out = [r[0] for r in df.select(_apply_merge("symbols", "a", "a")).collect()]
+    assert out == [["aa", "aa"], ["aa", "a"]]
