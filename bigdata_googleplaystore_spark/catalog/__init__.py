@@ -74,8 +74,9 @@ _PRIORITY: list[str] = [
     "corr_covar_exact",
     "window_time_range_rolling",
     "salted_two_stage_agg",
-    "merge_upsert_orders",
-    "recursive_cte_hierarchy",
+    # --- (b) new this round, oracle-bearing (verified in driver_sim)
+    "anomaly_rolling_zscore",
+    "bpe_first_merge_invariant",
     # --- newly oracle-bound this round (r02 row was no_oracle)
     "agg_approx_distinct",
     # --- (c) stale-green recheck slots: r01-era greens carrying the most
@@ -86,6 +87,10 @@ _PRIORITY: list[str] = [
     "regexp_extract_number",
     "max_string_and_date",
     # ===== window cutoff (~50) — entries below are the r04 rotation head
+    # --- never-checked, displaced from the r03 window by the two new
+    #     oracle queries above (first in line next round)
+    "merge_upsert_orders",
+    "recursive_cte_hierarchy",
     # --- new this round (oracle-verified via driver_sim at sf0.01+sf0.1)
     "bm25_topk_docs",
     "contrastive_hard_negatives",
@@ -126,6 +131,7 @@ _PRIORITY: list[str] = [
     "markov_transition_matrix",
     "chi2_contingency_assoc",
     # --- never-checked overflow (rows-only by design)
+    "bpe_learn_merges",        # full merge table; first merge oracled above
     "embedding_pca_label_means",
     "dedup_semantic",          # (b) sim/dup_of coupling fixed this round
     "multimodal_audio_rms",
