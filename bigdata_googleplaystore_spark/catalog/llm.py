@@ -2939,3 +2939,33 @@ def bpe_first_merge_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.learn_bpe_merges(spark, words, n_merges=1, min_freq=2).select(
         "left", "right", "pair_freq"
     )
+
+
+@register(
+    "embedding_pq_codes",
+    oracle=None,  # k-means codebooks are not SQL-expressible; verified
+    # against a numpy reference implementation + improvement/shape
+    # invariants in tests/test_llm_batch2.py
+    tags=("llm", "similarity", "compression"),
+)
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (IVF-PQ's storage half): learn 4 subspace
+    codebooks of 16 codewords over the 64-dim embeddings and encode
+    every vector as 4 small ints (64x compression), reporting per-label
+    reconstruction quality. The codebook (4x16x16 floats) is the only
+    driver-side state; encoding is map-side. See operators/pq.py for
+    the 100 TB shape."""
+    from ..operators import pq
+
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    books = pq.train_codebooks(e, m=4, k=16, iters=3)
+    codes = pq.encode(e, books)
+    joined = e.select("vec_id", "label").join(codes, "vec_id")
+    return (
+        joined.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.avg("sq_err"), 6).alias("avg_sq_err"),
+            F.count_distinct(F.col("codes").cast("string")).alias("n_distinct_codes"),
+        )
+    )

@@ -53,12 +53,24 @@ def _adjacent_pairs(symbols_col: str = "symbols"):
     )
 
 
-def _apply_merge(symbols_col: str, left: str, right: str) -> F.Column:
+def _apply_merge(symbols_col: str, left, right) -> F.Column:
     """Replace every adjacent (left, right) with left||right, scanning
     left-to-right greedily (a fold: merged symbols never re-merge within
     the same pass, matching the reference BPE's non-overlapping leftmost
-    replace). Pure JVM higher-order function — no UDF."""
-    l, r, m = F.lit(left), F.lit(right), F.lit(left + right)
+    replace). Pure JVM higher-order function — no UDF.
+
+    `left`/`right` may be strings or Columns. The training loop passes
+    COLUMNS (from a 1-row broadcast frame), deliberately: with literals,
+    every iteration's plan embeds a different constant and whole-stage
+    codegen compiles a fresh class per merge — 16 merges evicted ~16
+    entries of the JVM's bounded codegen cache per run and poisoned
+    every other query's compiled plans (measured: the playstore
+    pipeline went 2.4 s -> 16 s at the tail of a bench session).
+    Column-parametrized, the plan is structurally identical across
+    iterations, so codegen compiles ONCE and each merge reuses it."""
+    l = F.lit(left) if isinstance(left, str) else left
+    r = F.lit(right) if isinstance(right, str) else right
+    m = F.concat(l, r)
     return F.aggregate(
         F.col(symbols_col),
         F.array().cast("array<string>"),
@@ -89,6 +101,11 @@ def learn_bpe_merges(
     the driver-side merge table — model-sized output (like k-means
     centroids), never data-sized.
     """
+    # localCheckpoint (NOT persist) per iteration: it truncates the
+    # LOGICAL plan to a LogicalRDD, so driver-side analysis stays O(1)
+    # per iteration — a persist() chain keeps the full nested lineage in
+    # the analyzed plan and iteration 16's planning cost explodes
+    # (measured: 16 merges went from ~20 s to 450+ s at sf0.001).
     vocab = words.select(
         "freq", _initial_symbols(F.col("word")).alias("symbols")
     ).localCheckpoint(eager=False)
@@ -107,9 +124,23 @@ def learn_bpe_merges(
             break
         l, r, pf = top[0]["l"], top[0]["r"], int(top[0]["pair_freq"])
         merges.append((rank, l, r, pf))
-        vocab = vocab.select(
-            "freq", _apply_merge("symbols", l, r).alias("symbols")
-        ).localCheckpoint(eager=False)
+        # The merge pair rides in as DATA (1-row broadcast), not as plan
+        # literals — keeps the iteration plan codegen-cacheable (see
+        # _apply_merge). Vocab frames are model-vocabulary-sized, so the
+        # per-iteration checkpoint blocks are noise in the block manager.
+        pair = F.broadcast(
+            spark.createDataFrame([(l, r)], "_ml string, _mr string")
+        )
+        vocab = (
+            vocab.crossJoin(pair)
+            .select(
+                "freq",
+                _apply_merge("symbols", F.col("_ml"), F.col("_mr")).alias(
+                    "symbols"
+                ),
+            )
+            .localCheckpoint(eager=False)
+        )
 
     return spark.createDataFrame(
         merges, "merge_rank int, left string, right string, pair_freq bigint"

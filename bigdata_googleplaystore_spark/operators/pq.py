@@ -1,0 +1,152 @@
+"""Product quantization (PQ) for embedding compression / ANN at scale.
+
+The IVF-PQ combination (Jegou et al. 2011, "Product Quantization for
+Nearest Neighbor Search") is the canonical 100 TB ANN layout: vectors are
+split into M subspaces, each subspace gets its own small k-means codebook,
+and a vector is stored as M one-byte codes — here 64 float32 dims become
+4 codes (64x smaller), and distance computation against a query becomes M
+table lookups.
+
+Distributed shape (mirrors kmeans_centroids in similarity.py):
+- training state is the M x K x (D/M) codebook — model-sized; it is the
+  ONLY thing that ever reaches the driver;
+- all M subspace k-means run JOINTLY: one explode to (row, subspace)
+  grain, one groupBy(sub_id, cid, dim) per iteration — job count is
+  independent of M;
+- assignment is a broadcast-by-literal argmin (array_min over
+  struct(dist, cid) — ties to the lowest code id, deterministic);
+- encoding is map-side only: explode -> argmin -> collect_list per id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _sub_grain(df: DataFrame, id_col: str, vec_col: str, m: int) -> DataFrame:
+    """(id, vec) -> (id, sub_id, sv): one row per subspace slice."""
+    d_sub = (F.size(vec_col) / m).cast("int")
+    return (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub_id"),
+            d_sub.alias("_dsub"),
+        )
+        .withColumn(
+            "sv",
+            F.slice(
+                F.col("_v"), F.col("sub_id") * F.col("_dsub") + 1, F.col("_dsub")
+            ),
+        )
+        .drop("_dsub", "_v")
+    )
+
+
+def _codebook_literal(codebooks: list[list[list[float]]]) -> F.Column:
+    """M x K x Dsub nested array literal (broadcast-by-expression)."""
+    return F.array(
+        *[
+            F.array(
+                *[F.array(*[F.lit(x) for x in c]).cast("array<double>") for c in book]
+            )
+            for book in codebooks
+        ]
+    )
+
+
+def _assign(sub: DataFrame, codebooks: list[list[list[float]]]) -> DataFrame:
+    """Add `cid` (nearest codeword, L2) and `sq_err` (distance^2) per
+    (row, subspace)."""
+    books = _codebook_literal(codebooks)
+    my_book = F.element_at(books, F.col("sub_id") + 1)
+    scored = F.transform(
+        my_book,
+        lambda c, i: F.struct(
+            F.aggregate(
+                F.zip_with(F.col("sv"), c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("dist"),
+            i.cast("int").alias("cid"),
+        ),
+    )
+    best = F.array_min(scored)
+    return sub.withColumn("cid", best["cid"]).withColumn("sq_err", best["dist"])
+
+
+def train_codebooks(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    k: int = 16,
+    iters: int = 3,
+) -> list[list[list[float]]]:
+    """Learn M per-subspace codebooks with joint Lloyd iterations.
+
+    Seeding: the k lowest-id vectors' subspace slices (deterministic
+    across runs and partitionings, same policy as the IVF coarse
+    quantizer). Clusters that lose all members keep their previous
+    codeword."""
+    seeds = df.orderBy(F.col(id_col)).limit(k).select(vec_col).collect()
+    if not seeds:
+        raise ValueError("empty training frame")
+    dim = len(seeds[0][vec_col])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d_sub = dim // m
+    codebooks = [
+        [
+            [float(x) for x in r[vec_col][s * d_sub : (s + 1) * d_sub]]
+            for r in seeds
+        ]
+        for s in range(m)
+    ]
+
+    sub = _sub_grain(df, id_col, vec_col, m)
+    for _ in range(iters):
+        new = (
+            _assign(sub, codebooks)
+            .select("sub_id", "cid", F.posexplode("sv").alias("dim", "x"))
+            .groupBy("sub_id", "cid", "dim")
+            .agg(F.avg("x").alias("c"))
+            .groupBy("sub_id", "cid")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("dims"))
+            .select(
+                "sub_id",
+                "cid",
+                F.transform("dims", lambda s: s["c"]).alias("centroid"),
+            )
+            .collect()
+        )
+        for r in new:
+            codebooks[r["sub_id"]][r["cid"]] = [float(x) for x in r["centroid"]]
+    return codebooks
+
+
+def encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, vec) -> (id, codes array<int>, sq_err): M codes per vector in
+    subspace order plus the total reconstruction error. Map-side only
+    (explode -> literal argmin -> collect per id; the 'shuffle' is by the
+    original id, which pre-partitioned storage makes a no-op)."""
+    m = len(codebooks)
+    assigned = _assign(_sub_grain(df, id_col, vec_col, m), codebooks)
+    return (
+        assigned.groupBy(F.col("_id").alias(id_col))
+        .agg(
+            F.array_sort(F.collect_list(F.struct("sub_id", "cid"))).alias("_sc"),
+            F.sum("sq_err").alias("sq_err"),
+        )
+        .select(
+            id_col,
+            F.transform("_sc", lambda s: s["cid"]).alias("codes"),
+            "sq_err",
+        )
+    )

@@ -697,3 +697,79 @@ def test_bpe_fold_overlap_semantics(spark):
     )
     out = [r[0] for r in df.select(_apply_merge("symbols", "a", "a")).collect()]
     assert out == [["aa", "aa"], ["aa", "a"]]
+
+
+def _reference_pq(vecs: dict[int, list[float]], m: int, k: int, iters: int):
+    """Numpy replica of operators/pq.py: lowest-id seeding, L2 argmin
+    with lowest-cid ties, mean update, empty clusters keep codewords."""
+    ids = sorted(vecs)
+    X = np.array([vecs[i] for i in ids], dtype=np.float64)
+    d_sub = X.shape[1] // m
+    books = [
+        X[:k, s * d_sub : (s + 1) * d_sub].copy() for s in range(m)
+    ]
+    for _ in range(iters):
+        for s in range(m):
+            sub = X[:, s * d_sub : (s + 1) * d_sub]
+            d2 = ((sub[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)  # argmin takes lowest index on ties
+            for c in range(k):
+                members = sub[assign == c]
+                if len(members):
+                    books[s][c] = members.mean(axis=0)
+    codes = {}
+    err = {}
+    for row, i in enumerate(ids):
+        cs = []
+        e = 0.0
+        for s in range(m):
+            sub = X[row, s * d_sub : (s + 1) * d_sub]
+            d2 = ((books[s] - sub) ** 2).sum(axis=1)
+            c = int(d2.argmin())
+            cs.append(c)
+            e += float(d2[c])
+        codes[i] = cs
+        err[i] = e
+    return codes, err
+
+
+def test_pq_codes_match_numpy_reference(spark, sf_dir):
+    """The distributed PQ trainer tracks a numpy replica of the same
+    algorithm. Float accumulation order differs between Spark's
+    partial-aggregate means and numpy's, so near-tie assignments may
+    flip: require >= 95% identical codes and reconstruction error
+    agreement within 1%."""
+    from bigdata_googleplaystore_spark.operators import pq
+
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    vecs = {r["vec_id"]: list(r["embedding"]) for r in e.collect()}
+    ref_codes, ref_err = _reference_pq(vecs, m=4, k=16, iters=3)
+
+    books = pq.train_codebooks(e, m=4, k=16, iters=3)
+    got = {
+        r["vec_id"]: (list(r["codes"]), r["sq_err"])
+        for r in pq.encode(e, books).collect()
+    }
+    assert set(got) == set(ref_codes)
+    agree = sum(1 for i in got if got[i][0] == ref_codes[i])
+    assert agree / len(got) >= 0.95, f"only {agree}/{len(got)} codes agree"
+    tot_got = sum(v[1] for v in got.values())
+    tot_ref = sum(ref_err.values())
+    assert abs(tot_got - tot_ref) <= 0.01 * max(tot_ref, 1e-9)
+
+
+def test_pq_shape_and_training_improves(spark, sf_dir):
+    """Structural invariants: 4 codes per vector, each in [0,16); and
+    3 Lloyd iterations strictly reduce total reconstruction error vs
+    the seed-only codebook (training does something)."""
+    from bigdata_googleplaystore_spark.operators import pq
+
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    seed_books = pq.train_codebooks(e, m=4, k=16, iters=0)
+    trained = pq.train_codebooks(e, m=4, k=16, iters=3)
+    err0 = pq.encode(e, seed_books).agg(F.sum("sq_err")).collect()[0][0]
+    err3 = pq.encode(e, trained).agg(F.sum("sq_err")).collect()[0][0]
+    assert err3 < err0
+    for r in pq.encode(e, trained).collect():
+        assert len(r["codes"]) == 4
+        assert all(0 <= c < 16 for c in r["codes"])

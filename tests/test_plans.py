@@ -257,3 +257,70 @@ def test_minhash_signature_stage_is_map_side(spark, sf_dir):
     groupBy would show up as a third exchange."""
     r = plans.analyze(QUERIES["dedup_minhash_lsh"].fn(spark, sf_dir))
     assert r.exchanges <= 2, r.exchanges
+
+
+def test_runtime_bloom_filter_injected_on_selective_dim_join(spark, sf_dir):
+    """Runtime bloom-filter join pruning: when a shuffle join's small side
+    carries a selective filter, the optimizer should inject a bloom-filter
+    aggregate on that side and a might_contain probe on the fact side —
+    at 100 TB this discards non-joining fact rows BEFORE the shuffle
+    (the map-side analogue of dynamic partition pruning for
+    non-partition join keys). Thresholds are test-lowered because the
+    defaults (10 GB application side) are sized for real clusters;
+    broadcast is disabled to force the shuffle-join path the feature
+    targets. Result equality vs the plain join is asserted too."""
+    from pyspark.sql import functions as F
+
+    from bigdata_googleplaystore_spark.sources import load_table
+
+    keys = [
+        "spark.sql.optimizer.runtime.bloomFilter.enabled",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    ]
+    saved = {}
+    for k in keys:
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+    try:
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+
+        l = load_table(spark, sf_dir, "lineitem")
+        p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+        j = (
+            l.join(p, l["l_partkey"] == p["p_partkey"])
+            .groupBy("p_brand")
+            .agg(F.count("*").alias("n"))
+        )
+        optimized = j._jdf.queryExecution().optimizedPlan().toString().lower()
+        assert "might_contain" in optimized or "bloomfilter" in optimized, optimized
+
+        got = {r["p_brand"]: r["n"] for r in j.collect()}
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+    want = {
+        r["p_brand"]: r["n"]
+        for r in load_table(spark, sf_dir, "lineitem")
+        .join(
+            load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23"),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want and len(got) > 0
