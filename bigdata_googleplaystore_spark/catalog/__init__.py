@@ -132,6 +132,8 @@ _PRIORITY: list[str] = [
     "chi2_contingency_assoc",
     # --- never-checked overflow (rows-only by design)
     "bpe_learn_merges",        # full merge table; first merge oracled above
+    "embedding_pq_codes",      # numpy-reference-verified in pytest
+    "sim_ann_pq_adc",          # ADC arithmetic numpy-exact in pytest
     "embedding_pca_label_means",
     "dedup_semantic",          # (b) sim/dup_of coupling fixed this round
     "multimodal_audio_rms",

@@ -2969,3 +2969,26 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct(F.col("codes").cast("string")).alias("n_distinct_codes"),
         )
     )
+
+
+@register(
+    "sim_ann_pq_adc",
+    oracle=None,  # PQ codebooks are k-means state; recall vs exact L2
+    # bounded in tests/test_llm_batch2.py
+    tags=("llm", "similarity", "ann"),
+)
+def sim_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC (asymmetric distance) top-5 retrieval over PQ codes: the
+    64-dim corpus is searched through its 8-int PQ representation (m=8,
+    k=32 — 8 bytes/vector, measured recall@5 0.35 on this corpus's
+    near-uniform embeddings, PQ's worst-case data) — M table lookups
+    per candidate instead of a 64-dim dot product, and the corpus scan
+    reads 8 small ints per row instead of 64 floats. The 20 lowest-id
+    vectors are the query set (deterministic)."""
+    from ..operators import pq
+
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    books = pq.train_codebooks(e, m=8, k=32, iters=3)
+    codes = pq.encode(e, books)
+    queries = e.orderBy("vec_id").limit(20)
+    return pq.adc_topk(codes, queries, books, k=5)

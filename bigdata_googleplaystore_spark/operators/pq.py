@@ -150,3 +150,75 @@ def encode(
             "sq_err",
         )
     )
+
+
+def adc_topk(
+    corpus_codes: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Asymmetric distance computation (ADC) top-k over PQ codes: the
+    query stays full-precision, the corpus is its M codes, and the
+    approximate L2^2 distance is M table lookups into the query's
+    per-subspace distance table.
+
+    100 TB shape: the corpus side never rehydrates vectors — the scan
+    reads M small ints per row (the whole point of PQ storage); queries
+    broadcast with their M x K distance tables computed as expressions
+    (model-sized); ranking is the standard per-query top-k window over
+    candidate rows. Recall < 1 by design (quantization coarseness) —
+    bounded against exact L2 in tests."""
+    from pyspark.sql import Window
+
+    m = len(codebooks)
+    books = _codebook_literal(codebooks)
+    d_sub = (F.size(vec_col) / m).cast("int")
+    # per-query distance table: T[s][c] = ||q_s - codebook[s][c]||^2
+    table = F.transform(
+        books,
+        lambda book, s: F.transform(
+            book,
+            lambda c: F.aggregate(
+                F.zip_with(
+                    F.slice(
+                        F.col(vec_col).cast("array<double>"),
+                        s.cast("int") * d_sub + 1,
+                        d_sub,
+                    ),
+                    c,
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        ),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), table.alias("dist_table")
+    )
+    scored = F.broadcast(q).crossJoin(
+        corpus_codes.select(F.col(id_col).alias("cand_id"), "codes")
+    )
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("dist_table"),
+            F.col("codes"),
+            lambda t, c: F.element_at(t, c.cast("int") + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    ranked = scored.select(
+        "query_id", "cand_id", F.round(adc, 6).alias("adc_dist")
+    ).filter(F.col("query_id") != F.col("cand_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("cand_id")
+    )
+    return (
+        ranked.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "adc_dist", "rank")
+    )
