@@ -106,6 +106,7 @@ _PRIORITY: list[str] = [
     # percentiles_approx gained a GK-bound oracle this round; it already
     # sits in the never-checked overflow above
     # --- never-checked overflow (oracle-bearing)
+    "collocation_pmi_topk",
     "curriculum_length_buckets",
     "posexplode_ordinality",
     "incremental_agg_merge",

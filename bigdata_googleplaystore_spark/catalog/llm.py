@@ -2992,3 +2992,92 @@ def sim_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = pq.encode(e, books)
     queries = e.orderBy("vec_id").limit(20)
     return pq.adc_topk(codes, queries, books, k=5)
+
+
+@register(
+    "collocation_pmi_topk",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS ws FROM documents WHERE text IS NOT NULL
+    ),
+    bigrams AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+      FROM (
+        SELECT unnest(list_transform(range(1, len(ws)),
+                                     i -> struct_pack(w1 := ws[i], w2 := ws[i+1]))) AS bg
+        FROM toks WHERE len(ws) >= 2
+      )
+      CROSS JOIN LATERAL (SELECT bg.w1 AS w1, bg.w2 AS w2)
+      GROUP BY w1, w2
+    ),
+    left_m  AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM bigrams GROUP BY w1),
+    right_m AS (SELECT w2, CAST(sum(c12) AS BIGINT) AS c2 FROM bigrams GROUP BY w2),
+    total   AS (SELECT CAST(sum(c12) AS BIGINT) AS n FROM bigrams),
+    scored AS (
+      SELECT b.w1, b.w2, b.c12,
+             round(CAST(b.c12 AS DOUBLE) * t.n / (l.c1 * r.c2), 6) AS pmi_ratio
+      FROM bigrams b
+      JOIN left_m l USING (w1)
+      JOIN right_m r USING (w2)
+      CROSS JOIN total t
+      WHERE b.c12 >= 5
+    )
+    SELECT w1, w2, c12, pmi_ratio
+    FROM (SELECT *, row_number() OVER (ORDER BY pmi_ratio DESC, w1 ASC, w2 ASC) AS rk
+          FROM scored)
+    WHERE rk <= 20
+    """,
+    tags=("llm", "text", "collocation"),
+)
+def collocation_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-20 adjacent-bigram collocations by PMI
+    ratio P(w1,w2)/(P(w1)P(w2)) with a min-count-5 support floor — the
+    phrase-detection pass (word2vec-style) a tokenizer/vocab pipeline
+    runs before training. The score is the RAW probability ratio, not
+    its log: c12*N/(c1*c2) is a ratio of exact integers whose double
+    rounding is IEEE-identical in both engines, while ln() is
+    libm-dependent and can flip a 6dp rounding. Monotone in PMI, so the
+    ranking is the same.
+
+    Scale shape: one corpus scan -> bigram counts (map-side combined);
+    marginals are two aggregates OVER THE BIGRAM TABLE (vocab-sized, not
+    corpus-sized); N is a broadcast 1-row aggregate; the final joins key
+    on words (AQE picks broadcast vs shuffle by dictionary size); top-20
+    is TakeOrdered. The corpus is touched exactly once."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = tokens(F.col("text"))
+    bigram_arr = F.expr(
+        "transform(slice(_ws, 1, size(_ws) - 1),"
+        " (w, i) -> struct(w AS w1, element_at(_ws, i + 2) AS w2))"
+    )
+    bigrams = (
+        d.select(toks.alias("_ws"))
+        .filter(F.size("_ws") >= 2)
+        .select(F.explode(bigram_arr).alias("bg"))
+        .groupBy(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .agg(F.count("*").alias("c12"))
+    )
+    left_m = bigrams.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    right_m = bigrams.groupBy("w2").agg(F.sum("c12").alias("c2"))
+    total = bigrams.agg(F.sum("c12").alias("n"))
+    scored = (
+        bigrams.filter(F.col("c12") >= 5)
+        .join(left_m, "w1")
+        .join(right_m, "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.round(
+                F.col("c12").cast("double") * F.col("n") / (F.col("c1") * F.col("c2")),
+                6,
+            ).alias("pmi_ratio"),
+        )
+    )
+    w = Window.orderBy(F.desc("pmi_ratio"), F.asc("w1"), F.asc("w2"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .drop("rk")
+    )
