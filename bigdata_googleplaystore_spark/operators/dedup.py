@@ -173,10 +173,18 @@ def jaccard_pairs(
     dedup signal anyway (sharing 'terms of service apply' is not
     near-duplication). Default None = exact (the oracle-checked path);
     production runs at scale should set a cap (e.g. 1000).
+
+    The index key is xxhash64(shingle), not the shingle string: the
+    inverted index shuffles every (doc, shingle) row, and an 8-byte key
+    both shrinks that shuffle and makes the join's hash/compare constant
+    -time vs length-proportional string work. A 64-bit collision would
+    need to land between the two specific docs of a candidate pair to
+    add one phantom common shingle — ~S²/2⁶⁴, vanishing at any corpus
+    size, and only nudges a pair already at the threshold boundary.
     """
-    s = shingle_exploded(df, id_col, text_col, n).repartition(
-        _par(df), "shingle"
-    )
+    s = shingle_exploded(df, id_col, text_col, n).withColumn(
+        "shingle", F.xxhash64("shingle")
+    ).repartition(_par(df), "shingle")
     if max_shingle_df is not None:
         rare = (
             s.groupBy("shingle")
