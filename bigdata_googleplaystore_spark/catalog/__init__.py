@@ -107,6 +107,7 @@ _PRIORITY: list[str] = [
     # sits in the never-checked overflow above
     # --- never-checked overflow (oracle-bearing)
     "collocation_pmi_topk",
+    "doc_hash_embedding",
     "curriculum_length_buckets",
     "posexplode_ordinality",
     "incremental_agg_merge",

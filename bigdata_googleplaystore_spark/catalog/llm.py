@@ -3081,3 +3081,70 @@ def collocation_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 20)
         .drop("rk")
     )
+
+
+@register(
+    "doc_hash_embedding",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS w
+      FROM documents WHERE text IS NOT NULL
+    ),
+    hashed AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(w), 1, 8))::UBIGINT % 64 AS BIGINT) AS bucket,
+             CASE WHEN ('0x' || substr(md5(w), 9, 1))::UBIGINT % 2 = 0
+                  THEN 1 ELSE -1 END AS sign
+      FROM tok WHERE w <> ''
+    ),
+    agg AS (
+      SELECT doc_id, bucket, CAST(sum(sign) AS BIGINT) AS c
+      FROM hashed GROUP BY doc_id, bucket
+    ),
+    normed AS (
+      SELECT doc_id, bucket, c,
+             sqrt(sum(c * c) OVER (PARTITION BY doc_id)) AS nrm
+      FROM agg
+    )
+    SELECT doc_id, bucket, round(c / nrm, 4) AS weight
+    FROM normed WHERE nrm > 0
+    """,
+    tags=("llm", "text", "vectorize"),
+)
+def doc_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick document vectors (Weinberger et al. 2009 feature
+    hashing): every token maps to one of 64 buckets by md5, with a
+    ±1 sign from a second hash bit (unbiases collisions), summed and
+    L2-normalized per doc — fixed-dimension bag-of-words vectors with
+    NO vocabulary table, the stateless vectorizer that feeds the
+    cosine/ANN operators. Emitted sparse as (doc_id, bucket, weight).
+
+    md5 (not xxhash64) so the oracle replicates the bucketing
+    bit-for-bit; the norm is sqrt of an exact integer sum, so the 4dp
+    weights round identically in both engines.
+
+    Scale shape: ONE shuffle — documents repartition by doc_id, the
+    (doc_id, bucket) aggregation reuses that clustering (partitioning
+    on a grouping-key subset satisfies the distribution), and the
+    per-doc norm window runs on the same partitioning. No vocabulary
+    state, no model broadcast, nothing driver-side."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    tok = (
+        d.repartition(F.col("doc_id"))
+        .select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    bucket = F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long") % 64
+    sign = F.when(
+        F.conv(F.substring(F.md5("w"), 9, 1), 16, 10).cast("long") % 2 == 0, 1
+    ).otherwise(-1)
+    agg = (
+        tok.select("doc_id", bucket.alias("bucket"), sign.alias("sign"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("sign").alias("c"))
+    )
+    w = Window.partitionBy("doc_id")
+    normed = agg.withColumn("nrm", F.sqrt(F.sum(F.col("c") * F.col("c")).over(w)))
+    return normed.filter(F.col("nrm") > 0).select(
+        "doc_id", "bucket", F.round(F.col("c") / F.col("nrm"), 4).alias("weight")
+    )
