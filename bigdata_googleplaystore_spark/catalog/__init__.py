@@ -108,6 +108,7 @@ _PRIORITY: list[str] = [
     # --- never-checked overflow (oracle-bearing)
     "collocation_pmi_topk",
     "doc_hash_embedding",
+    "dedup_cluster_keep_best",
     "curriculum_length_buckets",
     "posexplode_ordinality",
     "incremental_agg_merge",

@@ -3148,3 +3148,76 @@ def doc_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normed.filter(F.col("nrm") > 0).select(
         "doc_id", "bucket", F.round(F.col("c") / F.col("nrm"), 4).alias("weight")
     )
+
+
+@register(
+    "dedup_cluster_keep_best",
+    oracle=f"""
+    WITH RECURSIVE sh AS ({_SHINGLES_SQL}),
+    ex AS (SELECT doc_id, len(shingles) AS set_size, unnest(shingles) AS shingle FROM sh),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b, a.set_size, b.set_size
+      HAVING round(CAST(count(*) AS DOUBLE)
+                   / (a.set_size + b.set_size - count(*)), 6) >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+             WHERE e.dst <> r.src
+    ),
+    members AS (
+      SELECT src AS doc, least(src, min(dst)) AS cluster_id
+      FROM reach GROUP BY src
+    ),
+    scored AS (
+      SELECT m.cluster_id, m.doc, d.n_chars,
+             row_number() OVER (PARTITION BY m.cluster_id
+                                ORDER BY d.n_chars DESC, m.doc ASC) AS rk
+      FROM members m JOIN documents d ON d.doc_id = m.doc
+    )
+    SELECT cluster_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(max(CASE WHEN rk = 1 THEN doc END) AS BIGINT) AS keeper,
+           CAST(max(CASE WHEN rk = 1 THEN n_chars END) AS BIGINT) AS keeper_chars
+    FROM scored GROUP BY cluster_id
+    """,
+    tags=("llm", "dedup", "curation"),
+)
+def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keeper selection, the step after near-dup clustering: within each
+    duplicate cluster keep the BEST document (longest n_chars, ties to
+    the lowest id) rather than an arbitrary one — the curation policy
+    real pipelines want (keep the fullest copy, drop truncated
+    mirrors). The keeper and its stats come from ONE composite-ordered
+    max_by — not decoupled min/max aggregates, so keeper and
+    keeper_chars always describe the same document.
+
+    Scale shape: clustering is the iterative min-label propagation
+    (bounded rounds, checkpointed); keeper selection adds one join
+    against the doc-stats projection and one aggregate over cluster
+    members — both keyed, both tiny next to the pair generation."""
+    d = load_table(spark, sf_dir, "documents")
+    clusters = dedup.near_dup_clusters(d, "doc_id", "text", n=3, threshold=0.5)
+    stats = d.select(F.col("doc_id").alias("doc"), "n_chars")
+    j = clusters.join(stats, "doc")
+    best = F.max_by(
+        F.struct(F.col("doc").alias("keeper"), F.col("n_chars").alias("keeper_chars")),
+        F.struct(F.col("n_chars"), (-F.col("doc")).alias("neg_doc")),
+    )
+    return (
+        j.groupBy(F.col("keep_id").alias("cluster_id"))
+        .agg(F.count("*").alias("n_members"), best.alias("_b"))
+        .select(
+            "cluster_id",
+            "n_members",
+            F.col("_b.keeper").alias("keeper"),
+            F.col("_b.keeper_chars").alias("keeper_chars"),
+        )
+    )
