@@ -109,6 +109,7 @@ _PRIORITY: list[str] = [
     "collocation_pmi_topk",
     "doc_hash_embedding",
     "dedup_cluster_keep_best",
+    "cdc_apply_changes",
     "curriculum_length_buckets",
     "posexplode_ordinality",
     "incremental_agg_merge",

@@ -3898,3 +3898,106 @@ def anomaly_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "user_id", "event_id", "value", F.round(z, 4).alias("zscore")
     )
+
+
+@register(
+    "cdc_apply_changes",
+    oracle="""
+    WITH log AS (
+      SELECT o_orderkey AS key, 1 AS version, 'U' AS op,
+             CAST(round(CAST(o_totalprice AS DECIMAL(12,2))
+                        * CAST(0.9 AS DECIMAL(4,2)), 2) AS DOUBLE) AS new_price
+      FROM orders WHERE o_orderkey % 100 IN (1, 2)
+      UNION ALL
+      SELECT o_orderkey, 2, 'U',
+             CAST(round(CAST(o_totalprice AS DECIMAL(12,2))
+                        * CAST(0.8 AS DECIMAL(4,2)), 2) AS DOUBLE)
+      FROM orders WHERE o_orderkey % 100 IN (1, 2)
+      UNION ALL
+      SELECT o_orderkey, 1, 'D', NULL
+      FROM orders WHERE o_orderkey % 100 = 0
+    ),
+    winners AS (
+      SELECT key, op, new_price
+      FROM (SELECT *, row_number() OVER (PARTITION BY key
+                                         ORDER BY version DESC) AS rk
+            FROM log)
+      WHERE rk = 1
+    ),
+    applied AS (
+      SELECT o.o_orderkey, o.o_orderstatus,
+             CASE WHEN w.op = 'U' THEN w.new_price
+                  ELSE CAST(o.o_totalprice AS DOUBLE) END AS price
+      FROM orders o LEFT JOIN winners w ON o.o_orderkey = w.key
+      WHERE w.key IS NULL OR w.op <> 'D'
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(round(sum(CAST(price AS DECIMAL(12,2))), 2) AS DOUBLE)
+             AS total_price
+    FROM applied GROUP BY o_orderstatus
+    """,
+    tags=("cdc", "merge", "analytics"),
+)
+def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply: fold an insert/update/delete change log into a
+    snapshot with last-writer-wins semantics (highest version per key),
+    then report per-status row counts and exact-decimal totals. The log
+    here is synthesized deterministically from the snapshot (two
+    conflicting updates per mod-1/2 key — exercising the
+    version-ordered dedup — and deletes for mod-0 keys) so the oracle
+    can rebuild the identical log in SQL.
+
+    Scale shape: winners = one window over the CHANGE LOG (log-sized,
+    not snapshot-sized); apply = one keyed left join + filter against
+    the snapshot — the standard streaming-merge batch form. No
+    snapshot re-sort, no second scan."""
+    o = load_table(spark, sf_dir, "orders")
+    price = dec2(F.col("o_totalprice"))
+    upd_keys = o.filter((F.col("o_orderkey") % 100).isin(1, 2))
+    log = (
+        upd_keys.select(
+            F.col("o_orderkey").alias("key"),
+            F.lit(1).alias("version"),
+            F.lit("U").alias("op"),
+            F.round(price * dec2(F.lit(0.9), 4), 2).cast("double").alias("new_price"),
+        )
+        .unionByName(
+            upd_keys.select(
+                F.col("o_orderkey").alias("key"),
+                F.lit(2).alias("version"),
+                F.lit("U").alias("op"),
+                F.round(price * dec2(F.lit(0.8), 4), 2)
+                .cast("double")
+                .alias("new_price"),
+            )
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 100 == 0).select(
+                F.col("o_orderkey").alias("key"),
+                F.lit(1).alias("version"),
+                F.lit("D").alias("op"),
+                F.lit(None).cast("double").alias("new_price"),
+            )
+        )
+    )
+    w = Window.partitionBy("key").orderBy(F.desc("version"))
+    winners = (
+        log.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("key", "op", "new_price")
+    )
+    applied = (
+        o.join(winners, o["o_orderkey"] == winners["key"], "left")
+        .filter(F.col("key").isNull() | (F.col("op") != "D"))
+        .select(
+            "o_orderstatus",
+            F.when(F.col("op") == "U", F.col("new_price"))
+            .otherwise(F.col("o_totalprice").cast("double"))
+            .alias("price"),
+        )
+    )
+    return applied.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum(dec2(F.col("price"))), 2).cast("double").alias("total_price"),
+    )
