@@ -3906,30 +3906,38 @@ def anomaly_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH log AS (
       SELECT o_orderkey AS key, 1 AS version, 'U' AS op,
              CAST(round(CAST(o_totalprice AS DECIMAL(12,2))
-                        * CAST(0.9 AS DECIMAL(4,2)), 2) AS DOUBLE) AS new_price
+                        * CAST(0.9 AS DECIMAL(4,2)), 2) AS DOUBLE) AS new_price,
+             NULL AS new_status
       FROM orders WHERE o_orderkey % 100 IN (1, 2)
       UNION ALL
       SELECT o_orderkey, 2, 'U',
              CAST(round(CAST(o_totalprice AS DECIMAL(12,2))
-                        * CAST(0.8 AS DECIMAL(4,2)), 2) AS DOUBLE)
+                        * CAST(0.8 AS DECIMAL(4,2)), 2) AS DOUBLE),
+             NULL
       FROM orders WHERE o_orderkey % 100 IN (1, 2)
       UNION ALL
-      SELECT o_orderkey, 1, 'D', NULL
+      SELECT o_orderkey, 1, 'D', NULL, NULL
       FROM orders WHERE o_orderkey % 100 = 0
+      UNION ALL
+      SELECT o_orderkey + 1000000000, 1, 'I',
+             CAST(o_totalprice AS DOUBLE), o_orderstatus
+      FROM orders WHERE o_orderkey % 100 = 3
     ),
     winners AS (
-      SELECT key, op, new_price
+      SELECT key, op, new_price, new_status
       FROM (SELECT *, row_number() OVER (PARTITION BY key
                                          ORDER BY version DESC) AS rk
             FROM log)
       WHERE rk = 1
     ),
     applied AS (
-      SELECT o.o_orderkey, o.o_orderstatus,
+      SELECT o.o_orderstatus,
              CASE WHEN w.op = 'U' THEN w.new_price
                   ELSE CAST(o.o_totalprice AS DOUBLE) END AS price
       FROM orders o LEFT JOIN winners w ON o.o_orderkey = w.key
       WHERE w.key IS NULL OR w.op <> 'D'
+      UNION ALL
+      SELECT new_status, new_price FROM winners WHERE op = 'I'
     )
     SELECT o_orderstatus,
            CAST(count(*) AS BIGINT) AS n_rows,
@@ -3945,22 +3953,25 @@ def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     then report per-status row counts and exact-decimal totals. The log
     here is synthesized deterministically from the snapshot (two
     conflicting updates per mod-1/2 key — exercising the
-    version-ordered dedup — and deletes for mod-0 keys) so the oracle
-    can rebuild the identical log in SQL.
+    version-ordered dedup — deletes for mod-0 keys, and inserts of NEW
+    keys derived from mod-3 rows) so the oracle can rebuild the
+    identical log in SQL.
 
     Scale shape: winners = one window over the CHANGE LOG (log-sized,
     not snapshot-sized); apply = one keyed left join + filter against
-    the snapshot — the standard streaming-merge batch form. No
-    snapshot re-sort, no second scan."""
+    the snapshot, plus a union of the insert winners — the standard
+    streaming-merge batch form. No snapshot re-sort, no second scan."""
     o = load_table(spark, sf_dir, "orders")
     price = dec2(F.col("o_totalprice"))
     upd_keys = o.filter((F.col("o_orderkey") % 100).isin(1, 2))
+    null_status = F.lit(None).cast("string").alias("new_status")
     log = (
         upd_keys.select(
             F.col("o_orderkey").alias("key"),
             F.lit(1).alias("version"),
             F.lit("U").alias("op"),
             F.round(price * dec2(F.lit(0.9), 4), 2).cast("double").alias("new_price"),
+            null_status,
         )
         .unionByName(
             upd_keys.select(
@@ -3970,6 +3981,7 @@ def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(price * dec2(F.lit(0.8), 4), 2)
                 .cast("double")
                 .alias("new_price"),
+                null_status,
             )
         )
         .unionByName(
@@ -3978,6 +3990,18 @@ def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(1).alias("version"),
                 F.lit("D").alias("op"),
                 F.lit(None).cast("double").alias("new_price"),
+                null_status,
+            )
+        )
+        .unionByName(
+            # inserts: NEW keys (offset past any snapshot key), carrying
+            # the full row payload the apply must surface
+            o.filter(F.col("o_orderkey") % 100 == 3).select(
+                (F.col("o_orderkey") + F.lit(1_000_000_000)).alias("key"),
+                F.lit(1).alias("version"),
+                F.lit("I").alias("op"),
+                F.col("o_totalprice").cast("double").alias("new_price"),
+                F.col("o_orderstatus").alias("new_status"),
             )
         )
     )
@@ -3985,7 +4009,7 @@ def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     winners = (
         log.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") == 1)
-        .select("key", "op", "new_price")
+        .select("key", "op", "new_price", "new_status")
     )
     applied = (
         o.join(winners, o["o_orderkey"] == winners["key"], "left")
@@ -3996,8 +4020,14 @@ def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.col("o_totalprice").cast("double"))
             .alias("price"),
         )
+        .unionByName(
+            winners.filter(F.col("op") == "I").select(
+                F.col("new_status").alias("o_orderstatus"),
+                F.col("new_price").alias("price"),
+            )
+        )
     )
     return applied.groupBy("o_orderstatus").agg(
         F.count("*").alias("n_rows"),
-        F.round(F.sum(dec2(F.col("price"))), 2).cast("double").alias("total_price"),
+        money_sum(dec2(F.col("price"))).alias("total_price"),
     )

@@ -41,7 +41,7 @@ def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def _initial_symbols(word: F.Column) -> F.Column:
     """Split a word into characters plus the end-of-word marker symbol."""
-    chars = F.expr("filter(split(word, ''), c -> c <> '')")
+    chars = F.filter(F.split(word, ""), lambda c: c != "")
     return F.concat(chars, F.array(F.lit(END_OF_WORD)))
 
 
