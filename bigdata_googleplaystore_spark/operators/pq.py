@@ -44,23 +44,26 @@ def _sub_grain(df: DataFrame, id_col: str, vec_col: str, m: int) -> DataFrame:
     )
 
 
-def _codebook_literal(codebooks: list[list[list[float]]]) -> F.Column:
-    """M x K x Dsub nested array literal (broadcast-by-expression)."""
-    return F.array(
-        *[
-            F.array(
-                *[F.array(*[F.lit(x) for x in c]).cast("array<double>") for c in book]
-            )
-            for book in codebooks
-        ]
+def _books_df(spark, codebooks: list[list[list[float]]]) -> DataFrame:
+    """The M x K x Dsub codebook as a 1-row broadcastable frame.
+
+    Codebooks ride as DATA, not as a nested array literal: a literal
+    embeds ~M*K*Dsub constants in the plan, so every training iteration
+    (new codebook values) compiles a fresh multi-thousand-node
+    expression tree — repeated plan-compile cost and codegen-cache
+    churn (the same pathology the BPE merge loop hit). As a joined
+    1-row frame, the plan is structurally identical across iterations
+    and compiles once."""
+    return spark.createDataFrame(
+        [(codebooks,)], "books array<array<array<double>>>"
     )
 
 
 def _assign(sub: DataFrame, codebooks: list[list[list[float]]]) -> DataFrame:
     """Add `cid` (nearest codeword, L2) and `sq_err` (distance^2) per
     (row, subspace)."""
-    books = _codebook_literal(codebooks)
-    my_book = F.element_at(books, F.col("sub_id") + 1)
+    books_df = F.broadcast(_books_df(sub.sparkSession, codebooks))
+    my_book = F.element_at(F.col("books"), F.col("sub_id") + 1)
     scored = F.transform(
         my_book,
         lambda c, i: F.struct(
@@ -73,7 +76,12 @@ def _assign(sub: DataFrame, codebooks: list[list[list[float]]]) -> DataFrame:
         ),
     )
     best = F.array_min(scored)
-    return sub.withColumn("cid", best["cid"]).withColumn("sq_err", best["dist"])
+    return (
+        sub.crossJoin(books_df)
+        .withColumn("cid", best["cid"])
+        .withColumn("sq_err", best["dist"])
+        .drop("books")
+    )
 
 
 def train_codebooks(
@@ -174,11 +182,10 @@ def adc_topk(
     from pyspark.sql import Window
 
     m = len(codebooks)
-    books = _codebook_literal(codebooks)
     d_sub = (F.size(vec_col) / m).cast("int")
     # per-query distance table: T[s][c] = ||q_s - codebook[s][c]||^2
     table = F.transform(
-        books,
+        F.col("books"),
         lambda book, s: F.transform(
             book,
             lambda c: F.aggregate(
@@ -196,7 +203,7 @@ def adc_topk(
             ),
         ),
     )
-    q = queries.select(
+    q = queries.crossJoin(F.broadcast(_books_df(queries.sparkSession, codebooks))).select(
         F.col(id_col).alias("query_id"), table.alias("dist_table")
     )
     scored = F.broadcast(q).crossJoin(
