@@ -110,6 +110,7 @@ _PRIORITY: list[str] = [
     "doc_hash_embedding",
     "dedup_cluster_keep_best",
     "cdc_apply_changes",
+    "weighted_sample_per_source",
     "curriculum_length_buckets",
     "posexplode_ordinality",
     "incremental_agg_merge",

@@ -3218,3 +3218,68 @@ def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_b.keeper_chars").alias("keeper_chars"),
         )
     )
+
+
+@register(
+    "weighted_sample_per_source",
+    oracle=f"""
+    WITH u AS (
+      SELECT doc_id, source, n_chars,
+             (('0x' || substr(md5('wsamp' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT::DOUBLE
+              + 1.0) / 4294967297.0 AS u
+      FROM documents
+      WHERE source IS NOT NULL AND n_chars > 0
+    ),
+    keyed AS (
+      SELECT doc_id, source, n_chars,
+             ln(u) / n_chars AS priority
+      FROM u
+    )
+    SELECT source, doc_id, n_chars
+    FROM (SELECT *, row_number() OVER (PARTITION BY source
+                                       ORDER BY priority DESC, doc_id ASC) AS rk
+          FROM keyed)
+    WHERE rk <= 5
+    """,
+    tags=("llm", "sampling", "weighted"),
+)
+def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted reservoir sampling (Efraimidis-Spirakis A-ES): keep 5
+    docs per source with inclusion probability proportional to their
+    n_chars weight, via the priority key u^(1/w) — computed as
+    ln(u)/w (monotone-equivalent, overflow-free). u is md5-derived
+    (deterministic, partition-invariant, engine-replicable; +1 in the
+    numerator keeps u strictly in (0,1] so ln is finite). This is the
+    one-pass DISTRIBUTED form of weighted sampling-without-replacement:
+    the priority is a pure per-row function, so the top-k per group is
+    an ordinary window — mergeable, restart-stable, no sequential
+    reservoir state.
+
+    The priority itself is not emitted: ln() is libm-dependent in its
+    last ulp, so the SELECTION (integer ids) is the cross-engine
+    contract, not the float key. A rank flip would need two priorities
+    within ~1 ulp — md5-uniform keys make that probability ~0.
+
+    Scale shape: one shuffle (window by source); skewed sources cost
+    the same as any per-group top-k (bounded output, map-side
+    row_number pushdown via TakeOrdered-per-partition under AQE)."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isNotNull() & (F.col("n_chars") > 0)
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("wsamp"), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(4294967297.0)
+    keyed = d.select(
+        "doc_id", "source", "n_chars", (F.log(u) / F.col("n_chars")).alias("priority")
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("priority"), F.asc("doc_id"))
+    return (
+        keyed.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("source", "doc_id", "n_chars")
+    )
