@@ -816,3 +816,46 @@ def test_pq_adc_arithmetic_exact_and_recall(spark, sf_dir):
         top5 = [i for i in (ids[j] for j in np.argsort(d2, kind="stable")) if i != qid][:5]
         recalls.append(len(set(top5) & by_q[qid]) / 5)
     assert float(np.mean(recalls)) >= 0.15
+
+
+def test_bpe_fold_property_random_symbol_runs(spark):
+    """Property check of the merge fold on adversarial symbol runs:
+    for every (sequence, pair) case the Spark fold must equal the
+    reference's leftmost non-overlapping replace. Cases target overlap
+    chains ('aaaaa'), interleavings, multi-char symbols equal to the
+    merged token, and pairs absent from the sequence."""
+    from bigdata_googleplaystore_spark.operators.bpe import _apply_merge
+
+    def ref_merge(syms, l, r):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                out.append(l + r)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    cases = [
+        (["a"] * n, "a", "a") for n in range(1, 7)
+    ] + [
+        (["a", "b", "a", "b", "a"], "a", "b"),
+        (["a", "b", "a", "b", "a"], "b", "a"),
+        (["ab", "a", "b", "ab"], "a", "b"),      # merged token already present
+        (["a", "ab", "b", "a", "b"], "ab", "b"),  # multi-char left side
+        (["x", "y", "z"], "a", "b"),              # pair absent
+        (["b", "a", "a", "b", "a", "a", "a"], "a", "a"),
+        (["</w>", "a", "</w>"], "a", "</w>"),     # end-of-word marker as right
+    ]
+    df = spark.createDataFrame(
+        [(i, syms) for i, (syms, _, _) in enumerate(cases)],
+        "i int, symbols array<string>",
+    )
+    for i, (syms, l, r) in enumerate(cases):
+        got = (
+            df.filter(F.col("i") == i)
+            .select(_apply_merge("symbols", l, r).alias("m"))
+            .collect()[0]["m"]
+        )
+        assert got == ref_merge(syms, l, r), (syms, l, r, got)
