@@ -111,6 +111,7 @@ _PRIORITY: list[str] = [
     "dedup_cluster_keep_best",
     "cdc_apply_changes",
     "weighted_sample_per_source",
+    "stream_dedup_counts",
     "curriculum_length_buckets",
     "posexplode_ordinality",
     "incremental_agg_merge",

@@ -4031,3 +4031,42 @@ def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         money_sum(dec2(F.col("price"))).alias("total_price"),
     )
+
+
+@register(
+    "stream_dedup_counts",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS n_events
+    FROM events GROUP BY event_type
+    """,
+    tags=("streaming", "dedup", "watermark"),
+)
+def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup inside the correctness gate: the events table is
+    written out DUPLICATED (each event twice — an at-least-once source),
+    re-read as a bounded file stream, deduplicated on event_id with
+    dropDuplicatesWithinWatermark (bounded state — keys evicted behind
+    the watermark), then aggregated per type. The drained counts must
+    equal the batch COUNT(DISTINCT event_id) — which equals the
+    ORIGINAL per-type counts, so a dedup that silently passed
+    duplicates through would show 2x counts and hash-fail, and one that
+    dropped too much would undercount. The 10-year watermark keeps all
+    dedup state live to the end of the bounded drain."""
+    import tempfile
+
+    from .. import streaming
+
+    batch = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type"
+    )
+    src = tempfile.mkdtemp(prefix="stream_dedup_src_")
+    batch.unionByName(batch).repartition(4).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    dd = streaming.dedup_events(stream, ["event_id"], watermark="87600 hours")
+    counts = dd.groupBy("event_type").agg(F.count("*").alias("n_events"))
+    drained = streaming.run_stream_to_memory(
+        counts, "cat_stream_dedup", "complete"
+    )
+    return drained.select("event_type", "n_events")
