@@ -112,6 +112,8 @@ _PRIORITY: list[str] = [
     "cdc_apply_changes",
     "weighted_sample_per_source",
     "stream_dedup_counts",
+    "table_checksum_orders",
+    "stream_stream_join_counts",
     "curriculum_length_buckets",
     "posexplode_ordinality",
     "incremental_agg_merge",

@@ -4070,3 +4070,118 @@ def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts, "cat_stream_dedup", "complete"
     )
     return drained.select("event_type", "n_events")
+
+
+@register(
+    "table_checksum_orders",
+    oracle="""
+    WITH canon AS (
+      SELECT o_orderstatus,
+             concat_ws('|',
+               CAST(o_orderkey AS VARCHAR),
+               CAST(o_custkey AS VARCHAR),
+               o_orderstatus,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR),
+               CAST(o_orderdate AS VARCHAR),
+               o_orderpriority) AS row_str
+      FROM orders
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(('0x' || substr(md5(row_str), 1, 8))::UBIGINT) AS BIGINT)
+             AS checksum
+    FROM canon GROUP BY o_orderstatus
+    """,
+    tags=("integrity", "checksum", "analytics"),
+)
+def table_checksum_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive table checksum: each row canonicalizes to a
+    '|'-joined string (ints verbatim, money through DECIMAL(12,2) so
+    the text form is engine-stable, timestamps in ISO seconds), hashes
+    to a 32-bit md5 prefix, and the per-group SUM of hashes is the
+    fingerprint — commutative, so partitioning/order never changes it,
+    and any single-row difference shifts the sum. The cross-system
+    reconciliation primitive for migrations and replica audits: two
+    engines that disagree on ANY cell disagree on the checksum, as this
+    oracle demonstrates by reproducing it in DuckDB bit-for-bit.
+
+    Scale shape: pure map + one combinable sum — the cheapest possible
+    full-table audit (one scan, constant-size state per group). At 60k
+    rows the 32-bit-hash sum stays far under 2^63 (overflow needs
+    ~2^31 rows per group; use the 16-hex-char prefix and DECIMAL sums
+    beyond that)."""
+    o = load_table(spark, sf_dir, "orders")
+    row_str = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        dec2(F.col("o_totalprice")).cast("string"),
+        F.col("o_orderdate").cast("string"),
+        F.col("o_orderpriority"),
+    )
+    h = F.conv(F.substring(F.md5(row_str), 1, 8), 16, 10).cast("long")
+    return (
+        o.select("o_orderstatus", h.alias("h"))
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_rows"), F.sum("h").alias("checksum"))
+    )
+
+
+@register(
+    "stream_stream_join_counts",
+    oracle="""
+    WITH e AS (SELECT user_id, event_id AS error_id, ts AS error_ts
+               FROM events WHERE event_type = 'error'),
+    c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+          FROM events WHERE event_type = 'click'),
+    pairs AS (
+      SELECT e.user_id, e.error_id, c.click_id
+      FROM e JOIN c ON e.user_id = c.user_id
+       AND c.click_ts <= e.error_ts
+       AND c.click_ts >= e.error_ts - INTERVAL 15 MINUTE
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT error_id) AS BIGINT) AS n_errors
+    FROM pairs GROUP BY user_id
+    """,
+    tags=("streaming", "join", "watermark"),
+)
+def stream_stream_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join inside the correctness gate: errors
+    and clicks are re-read as two bounded file streams, joined per user
+    with the 15-minute time-range condition + watermarks (the pair that
+    bounds join state — a click behind error-watermark minus gap can
+    never match again and is evicted), drained in append mode, then the
+    drained pairs aggregate per user. Must equal the batch interval
+    join the oracle runs — Spark's unified model as an executable
+    contract, same function body as the batch/test path
+    (streaming.errors_with_recent_clicks)."""
+    import tempfile
+
+    from .. import streaming
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    src = tempfile.mkdtemp(prefix="stream_ssj_src_")
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def typed_stream(t: str) -> DataFrame:
+        return (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .filter(F.col("event_type") == t)
+        )
+
+    pairs = streaming.errors_with_recent_clicks(
+        typed_stream("error"), typed_stream("click"),
+        gap="15 minutes", watermark="87600 hours",
+    )
+    drained = streaming.run_stream_to_memory(pairs, "cat_stream_ssj", "append")
+    return drained.groupBy("user_id").agg(
+        F.count("*").alias("n_pairs"),
+        F.count_distinct("error_id").alias("n_errors"),
+    )
