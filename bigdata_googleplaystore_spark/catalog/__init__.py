@@ -114,6 +114,7 @@ _PRIORITY: list[str] = [
     "stream_dedup_counts",
     "table_checksum_orders",
     "stream_stream_join_counts",
+    "rfm_customer_segments",
     "curriculum_length_buckets",
     "posexplode_ordinality",
     "incremental_agg_merge",

@@ -4185,3 +4185,81 @@ def stream_stream_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_pairs"),
         F.count_distinct("error_id").alias("n_errors"),
     )
+
+
+@register(
+    "rfm_customer_segments",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             date_diff('day', CAST(max(o_orderdate) AS DATE),
+                       (SELECT CAST(max(o_orderdate) AS DATE) FROM orders))
+               AS recency_days,
+             CAST(count(*) AS BIGINT) AS frequency,
+             sum(CAST(o_totalprice AS DECIMAL(12,2))) AS monetary
+      FROM orders WHERE o_custkey IS NOT NULL
+      GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT ntile(4) OVER (ORDER BY recency_days ASC, o_custkey ASC) AS r_score,
+             ntile(4) OVER (ORDER BY frequency DESC, o_custkey ASC) AS f_score,
+             ntile(4) OVER (ORDER BY monetary DESC, o_custkey ASC) AS m_score,
+             monetary
+      FROM per_cust
+    )
+    SELECT r_score, f_score, m_score,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(round(sum(monetary), 2) AS DOUBLE) AS total_monetary
+    FROM scored GROUP BY r_score, f_score, m_score
+    """,
+    tags=("analytics", "window", "segmentation"),
+)
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation, the classic CRM rollup: per customer compute
+    Recency (days since last order, against the corpus max date),
+    Frequency (order count) and Monetary (exact-decimal spend), quartile
+    each with ntile, and report segment sizes and spend. Every ntile
+    rides a TOTAL order (metric + custkey tiebreak) — ntile over ties
+    is otherwise engine-dependent and would hash-flip.
+
+    Scale shape: one fact aggregation to customer grain, then three
+    windows over the CUSTOMER table (dimension-sized). The global max
+    date is a broadcast 1-row aggregate, not a driver round trip. The
+    known ceiling: unpartitioned ntile globally sorts the customer
+    frame — fine for a dimension; a 10^9-customer segmentation would
+    switch to approx-percentile bucket boundaries (percentiles_approx
+    pattern) instead of exact quartiles."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey").isNotNull())
+    max_date = o.agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("corpus_max")
+    )
+    per_cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+            F.count("*").alias("frequency"),
+            F.sum(dec2(F.col("o_totalprice"))).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(max_date))
+        .select(
+            "o_custkey",
+            F.datediff(F.col("corpus_max"), F.col("last_order")).alias(
+                "recency_days"
+            ),
+            "frequency",
+            "monetary",
+        )
+    )
+    r_w = Window.orderBy(F.asc("recency_days"), F.asc("o_custkey"))
+    f_w = Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
+    m_w = Window.orderBy(F.desc("monetary"), F.asc("o_custkey"))
+    scored = per_cust.select(
+        F.ntile(4).over(r_w).alias("r_score"),
+        F.ntile(4).over(f_w).alias("f_score"),
+        F.ntile(4).over(m_w).alias("m_score"),
+        "monetary",
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count("*").alias("n_customers"),
+        money_sum(F.col("monetary")).alias("total_monetary"),
+    )
