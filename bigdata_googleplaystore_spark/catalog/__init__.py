@@ -115,6 +115,7 @@ _PRIORITY: list[str] = [
     "table_checksum_orders",
     "stream_stream_join_counts",
     "rfm_customer_segments",
+    "basket_part_affinity",
     "curriculum_length_buckets",
     "posexplode_ordinality",
     "incremental_agg_merge",

@@ -4263,3 +4263,92 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_customers"),
         money_sum(F.col("monetary")).alias("total_monetary"),
     )
+
+
+@register(
+    "basket_part_affinity",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(count(*) AS BIGINT) AS c_ab
+      FROM baskets a JOIN baskets b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY part_a, part_b
+    ),
+    marg AS (
+      SELECT l_partkey, CAST(count(*) AS BIGINT) AS c FROM baskets
+      GROUP BY l_partkey
+    ),
+    n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+          FROM baskets),
+    scored AS (
+      SELECT p.part_a, p.part_b, p.c_ab,
+             round(CAST(p.c_ab AS DOUBLE) * n.n_orders / (ma.c * mb.c), 6)
+               AS lift
+      FROM pairs p
+      JOIN marg ma ON ma.l_partkey = p.part_a
+      JOIN marg mb ON mb.l_partkey = p.part_b
+      CROSS JOIN n
+      WHERE p.c_ab >= 2
+    )
+    SELECT part_a, part_b, c_ab, lift
+    FROM scored
+    ORDER BY lift DESC, part_a ASC, part_b ASC
+    LIMIT 20
+    """,
+    tags=("analytics", "basket", "join"),
+)
+def basket_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: top-20 co-purchased part pairs by lift
+    P(a,b)/(P(a)P(b)) with a min-support floor. Lift is the raw
+    probability ratio c_ab*N/(c_a*c_b) — exact-integer doubles round
+    identically across engines (same log-free trick as
+    collocation_pmi_topk).
+
+    Scale shape: the pair generation is a SELF-JOIN WITHIN ORDER —
+    fan-out is items-per-basket squared (TPC-H: ~7² per order), linear
+    in orders, never corpus-quadratic; marginals and N aggregate the
+    basket table; top-20 is TakeOrdered. Hot products skew the pair
+    AGGREGATION keys, not the join (the join key is the orderkey), so
+    AQE's skew handling covers the worst case."""
+    baskets = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = baskets.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = baskets.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("c_ab"))
+    )
+    marg = baskets.groupBy("l_partkey").agg(F.count("*").alias("c"))
+    n = baskets.agg(F.count_distinct("l_orderkey").alias("n_orders"))
+    scored = (
+        pairs.filter(F.col("c_ab") >= 2)
+        .join(marg.select(F.col("l_partkey").alias("part_a"), F.col("c").alias("c_a")), "part_a")
+        .join(marg.select(F.col("l_partkey").alias("part_b"), F.col("c").alias("c_b")), "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "c_ab",
+            F.round(
+                F.col("c_ab").cast("double") * F.col("n_orders")
+                / (F.col("c_a") * F.col("c_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("lift"), F.asc("part_a"), F.asc("part_b")
+    ).limit(20)
