@@ -116,6 +116,8 @@ _PRIORITY: list[str] = [
     "stream_stream_join_counts",
     "rfm_customer_segments",
     "basket_part_affinity",
+    "path_3gram_topk",
+    "monthly_revenue_moving_avg",
     "curriculum_length_buckets",
     "posexplode_ordinality",
     "incremental_agg_merge",

@@ -4352,3 +4352,98 @@ def basket_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.desc("lift"), F.asc("part_a"), F.asc("part_b")
     ).limit(20)
+
+
+@register(
+    "path_3gram_topk",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER w AS t2,
+             lead(event_type, 2) OVER w AS t3
+      FROM events WHERE user_id IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    paths AS (
+      SELECT event_type AS step1, t2 AS step2, t3 AS step3,
+             CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+      GROUP BY step1, step2, step3
+    )
+    SELECT step1, step2, step3, n
+    FROM paths
+    ORDER BY n DESC, step1 ASC, step2 ASC, step3 ASC
+    LIMIT 10
+    """,
+    tags=("analytics", "window", "journey"),
+)
+def path_3gram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey mining: the 10 most common 3-step event-type paths
+    across all users (sliding trigrams over each user's time-ordered
+    stream, via two leads — the free-form complement of the FIXED
+    funnel in funnel_conversion). Total tiebreak order on the top-k.
+
+    Scale shape: one user_id shuffle shared by both lead windows (same
+    partitioning and ordering), then a count aggregate over the
+    |types|³-bounded path domain and a TakeOrdered top-10."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("step1"),
+        F.lead("event_type", 1).over(w).alias("step2"),
+        F.lead("event_type", 2).over(w).alias("step3"),
+    ).filter(F.col("step2").isNotNull() & F.col("step3").isNotNull())
+    paths = seq.groupBy("step1", "step2", "step3").agg(F.count("*").alias("n"))
+    return paths.orderBy(
+        F.desc("n"), F.asc("step1"), F.asc("step2"), F.asc("step3")
+    ).limit(10)
+
+
+@register(
+    "monthly_revenue_moving_avg",
+    oracle="""
+    WITH monthly AS (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             sum(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+      FROM orders GROUP BY 1
+    ),
+    win AS (
+      SELECT month,
+             CAST(round(rev, 2) AS DOUBLE) AS revenue,
+             CAST(round(sum(rev) OVER (ORDER BY month
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2)
+                  AS DOUBLE) AS rev3_sum,
+             count(*) OVER (ORDER BY month
+                            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS n3
+      FROM monthly
+    )
+    SELECT strftime(month, '%Y-%m') AS month, revenue,
+           round(rev3_sum / n3, 2) AS moving_avg_3m
+    FROM win
+    """,
+    tags=("analytics", "window", "timeseries"),
+)
+def monthly_revenue_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue with a 3-month trailing moving average — the BI
+    staple, exactness-engineered: monthly revenue is an exact decimal
+    sum, the 3-row frame sums decimals (exact, order-free), and the
+    average divides two engine-identical numbers before one final 2dp
+    round. Month is an explicit 'yyyy-MM' string (engines
+    render truncated timestamps differently). One aggregation shuffle + one tiny month-level window."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = (
+        o.groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("month"))
+        .agg(F.sum(dec2(F.col("o_totalprice"))).alias("rev"))
+    )
+    w = Window.orderBy("month").rowsBetween(-2, 0)
+    win = monthly.select(
+        "month",
+        F.round(F.col("rev"), 2).cast("double").alias("revenue"),
+        F.round(F.sum("rev").over(w), 2).cast("double").alias("rev3_sum"),
+        F.count("*").over(w).alias("n3"),
+    )
+    return win.select(
+        F.date_format("month", "yyyy-MM").alias("month"),
+        "revenue",
+        F.round(F.col("rev3_sum") / F.col("n3"), 2).alias("moving_avg_3m"),
+    )
