@@ -118,6 +118,7 @@ _PRIORITY: list[str] = [
     "basket_part_affinity",
     "path_3gram_topk",
     "monthly_revenue_moving_avg",
+    "value_band_join",
     "curriculum_length_buckets",
     "posexplode_ordinality",
     "incremental_agg_merge",

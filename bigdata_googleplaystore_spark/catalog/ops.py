@@ -4447,3 +4447,48 @@ def monthly_revenue_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         F.round(F.col("rev3_sum") / F.col("n3"), 2).alias("moving_avg_3m"),
     )
+
+
+@register(
+    "value_band_join",
+    oracle="""
+    WITH bands(band, lo, hi) AS (
+      VALUES ('micro', 0.0, 25.0), ('small', 25.0, 75.0),
+             ('mid', 75.0, 150.0), ('large', 150.0, 1e18)
+    )
+    SELECT b.band,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(round(sum(CAST(e.value AS DECIMAL(12,2))), 2) AS DOUBLE)
+             AS total_value
+    FROM events e JOIN bands b
+      ON e.value >= b.lo AND e.value < b.hi
+    WHERE e.value IS NOT NULL
+    GROUP BY b.band
+    """,
+    tags=("join", "nonequi", "analytics"),
+)
+def value_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding join: classify every event into a value tier by joining a
+    tiny band-dimension on a BETWEEN condition — the non-equi lookup
+    join (rate cards, tax brackets, SLA tiers) that has no equi-key.
+
+    Scale shape: the band table broadcasts and the join is a
+    BroadcastNestedLoopJoin — for a dim of a few rows this is the RIGHT
+    plan, each fact row tests 4 ranges map-side and the fact never
+    shuffles for the join (only the final band rollup aggregates).
+    half-open [lo, hi) bands make the classification total and
+    unambiguous at boundaries."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    bands = spark.createDataFrame(
+        [("micro", 0.0, 25.0), ("small", 25.0, 75.0),
+         ("mid", 75.0, 150.0), ("large", 150.0, 1e18)],
+        "band string, lo double, hi double",
+    )
+    j = e.join(
+        F.broadcast(bands),
+        (e["value"] >= bands["lo"]) & (e["value"] < bands["hi"]),
+    )
+    return j.groupBy("band").agg(
+        F.count("*").alias("n_events"),
+        money_sum(dec2(F.col("value"))).alias("total_value"),
+    )
