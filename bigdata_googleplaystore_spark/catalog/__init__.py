@@ -119,6 +119,8 @@ _PRIORITY: list[str] = [
     "path_3gram_topk",
     "monthly_revenue_moving_avg",
     "value_band_join",
+    "nation_revenue_share",
+    "attribution_last_touch",
     "curriculum_length_buckets",
     "posexplode_ordinality",
     "incremental_agg_merge",

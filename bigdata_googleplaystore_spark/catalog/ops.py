@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources import load_table
-from ._util import dec2, money_sum
+from ._util import REVENUE_DEC_SQL, dec2, money_sum, revenue_dec
 from .registry import register
 
 
@@ -4491,4 +4491,115 @@ def value_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("band").agg(
         F.count("*").alias("n_events"),
         money_sum(dec2(F.col("value"))).alias("total_value"),
+    )
+
+
+@register(
+    "nation_revenue_share",
+    oracle=f"""
+    WITH per_nation AS (
+      SELECT n.n_name AS nation,
+             sum({REVENUE_DEC_SQL}) AS rev
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name
+    )
+    SELECT nation,
+           CAST(round(rev, 2) AS DOUBLE) AS revenue,
+           round(CAST(rev AS DOUBLE) / CAST(sum(rev) OVER () AS DOUBLE), 6)
+             AS share
+    FROM per_nation
+    """,
+    tags=("window", "analytics", "share"),
+)
+def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total: each nation's revenue share of the global sum
+    via an empty-frame window (sum OVER ()) — the ratio_to_report
+    shape. Revenue accumulates in exact decimals on BOTH levels (the
+    per-nation sum and the windowed grand total), so the final division
+    is one double op on engine-identical inputs, rounded at 6dp.
+
+    Scale shape: one fact aggregation to nation grain (25 rows), dims
+    broadcast; the OVER () window runs on the nation-sized frame — the
+    single-partition window is over 25 rows, not the fact table."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    per_nation = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(revenue_dec()).alias("rev"))
+    )
+    w = Window.partitionBy()
+    return per_nation.select(
+        "nation",
+        F.round(F.col("rev"), 2).cast("double").alias("revenue"),
+        F.round(
+            F.col("rev").cast("double") / F.sum("rev").over(w).cast("double"), 6
+        ).alias("share"),
+    )
+
+
+@register(
+    "attribution_last_touch",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_id, event_type,
+             CAST(value AS DECIMAL(12,2)) AS dv,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS channel
+      FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+    )
+    SELECT coalesce(channel, 'direct') AS channel,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(round(sum(dv), 2) AS DOUBLE) AS attributed_value
+    FROM seq
+    WHERE event_type = 'purchase'
+    GROUP BY coalesce(channel, 'direct')
+    """,
+    tags=("window", "analytics", "attribution"),
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every purchase's value is credited to
+    the user's most recent PRECEDING non-purchase event type (their
+    'channel'); purchases with no prior touch credit 'direct'. The
+    look-back is last_value(... IGNORE NULLS) over an
+    unbounded-to-1-preceding frame — the marketing-attribution staple,
+    exact-decimal value sums.
+
+    Scale shape: one user_id shuffle for the window, then a channel
+    rollup over the purchase subset. The frame carries O(1) state per
+    row (running last non-null)."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    seq = e.select(
+        "event_type",
+        dec2(F.col("value")).alias("dv"),
+        F.coalesce(touch, F.lit("direct")).alias("channel"),
+    )
+    return (
+        seq.filter(F.col("event_type") == "purchase")
+        .groupBy("channel")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            money_sum(F.col("dv")).alias("attributed_value"),
+        )
     )
