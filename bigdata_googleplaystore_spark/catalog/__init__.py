@@ -121,6 +121,8 @@ _PRIORITY: list[str] = [
     "value_band_join",
     "nation_revenue_share",
     "attribution_last_touch",
+    "segment_repeat_rate",
+    "hourly_seasonal_baseline",
     "curriculum_length_buckets",
     "posexplode_ordinality",
     "incremental_agg_merge",

@@ -4603,3 +4603,130 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             money_sum(F.col("dv")).alias("attributed_value"),
         )
     )
+
+
+@register(
+    "segment_repeat_rate",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c.c_mktsegment AS segment, o.o_custkey,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY segment, o.o_custkey
+    )
+    SELECT segment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(count(*) FILTER (n_orders >= 2) AS BIGINT) AS n_repeat,
+           round(CAST(count(*) FILTER (n_orders >= 2) AS DOUBLE)
+                 / count(*), 6) AS repeat_rate,
+           round(CAST(sum(n_orders) AS DOUBLE) / count(*), 6)
+             AS avg_orders_per_customer
+    FROM per_cust GROUP BY segment
+    """,
+    tags=("analytics", "aggregation"),
+)
+def segment_repeat_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase rate per market segment: the two-level aggregate
+    (fact -> customer grain -> segment rollup) behind every retention
+    dashboard. All ratios are divisions of exact integers, rounded once
+    at 6dp — engine-identical.
+
+    Scale shape: one fact shuffle to customer grain (the segment rides
+    along from a broadcast dim join), then a segment-sized rollup."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    per_cust = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("c_mktsegment").alias("segment"), "o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    return per_cust.groupBy("segment").agg(
+        F.count("*").alias("n_customers"),
+        F.sum(F.when(F.col("n_orders") >= 2, 1).otherwise(0)).alias("n_repeat"),
+        F.round(
+            F.sum(F.when(F.col("n_orders") >= 2, 1).otherwise(0)).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("repeat_rate"),
+        F.round(F.sum("n_orders").cast("double") / F.count("*"), 6).alias(
+            "avg_orders_per_customer"
+        ),
+    )
+
+
+@register(
+    "hourly_seasonal_baseline",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h,
+             dayofweek(ts) AS dow,
+             hour(ts) AS hod,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2, 3
+    ),
+    base AS (
+      SELECT h, dow, hod, n,
+             sum(n) OVER w AS base_sum,
+             count(*) OVER w AS base_n
+      FROM hourly
+      WINDOW w AS (PARTITION BY dow, hod ORDER BY h
+                   ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT CAST(h AS VARCHAR) AS hour_ts, n,
+           CAST(base_sum AS BIGINT) AS baseline_sum,
+           CAST(base_n AS BIGINT) AS baseline_weeks,
+           round(CAST(n AS DOUBLE) * base_n / base_sum, 6) AS load_ratio
+    FROM base
+    WHERE base_n = 3 AND base_sum > 0
+      AND (CAST(n AS DOUBLE) * base_n / base_sum >= 2.0
+           OR CAST(n AS DOUBLE) * base_n / base_sum <= 0.5)
+    """,
+    tags=("analytics", "window", "timeseries"),
+)
+def hourly_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline load monitoring: each hour's event count is
+    compared against the SAME hour-of-week's three preceding weeks
+    (partition by (dow, hour-of-day), 3-preceding frame) and hours at
+    >=2x or <=0.5x their seasonal baseline are flagged — the
+    ops-monitoring complement of the value-based rolling z-score. The
+    ratio is a division of exact integers rounded once; the threshold
+    compares the unrounded rational identically in both engines.
+
+    Scale shape: the event log collapses to hour grain first (one
+    aggregation — the only fact-sized shuffle), and the window runs on
+    the hour-grain frame partitioned 168 ways."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("h"),
+            F.dayofweek("ts").alias("dow"),
+            F.hour("ts").alias("hod"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    w = (
+        Window.partitionBy("dow", "hod")
+        .orderBy("h")
+        .rowsBetween(-3, -1)
+    )
+    base = hourly.select(
+        "h",
+        "n",
+        F.sum("n").over(w).alias("base_sum"),
+        F.count("*").over(w).alias("base_n"),
+    )
+    ratio = F.col("n").cast("double") * F.col("base_n") / F.col("base_sum")
+    return (
+        base.filter(
+            (F.col("base_n") == 3)
+            & (F.col("base_sum") > 0)
+            & ((ratio >= 2.0) | (ratio <= 0.5))
+        )
+        .select(
+            F.col("h").cast("string").alias("hour_ts"),
+            "n",
+            F.col("base_sum").alias("baseline_sum"),
+            F.col("base_n").alias("baseline_weeks"),
+            F.round(ratio, 6).alias("load_ratio"),
+        )
+    )
