@@ -2848,16 +2848,18 @@ def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     - precision_ok: every ANN pair is a truth pair (must be exactly
       true — candidates are verified with the exact cosine, so a false
       positive means the verifier broke);
-    - recall_ok: |found| >= floor(|truth| * 0.5). Measured recall of
-      the 8-table index on this corpus: 4/7 at sf0.001, 10/14 at
-      sf0.01, 114/144 at sf0.1 (the planted pairs sit barely above the
-      0.45 threshold, where the s-curve is mid-slope — by design;
-      raising tables/planes trades candidate cost for recall). floor,
-      not ceil: at sf0.001 ceil(7*0.5)=4 EQUALS the measurement — zero
-      slack — while floor's 3-of-7 leaves one borderline pair of
-      headroom at every test SF yet still sits far above what any real
-      signature, bucketing, or verification regression produces (those
-      crash recall toward 0).
+    - recall_ok: SF-aware bound (round-3 advice — a flat floor(0.5*t)
+      let a third of the pairs vanish silently at sf0.1):
+      |found| >= ceil(|truth| * 0.6) when |truth| >= 10, else
+      floor(|truth| * 0.5). Measured recall of the 8-table index on
+      this corpus: 4/7 at sf0.001, 10/14 at sf0.01, 114/144 at sf0.1
+      (the planted pairs sit barely above the 0.45 threshold, where
+      the s-curve is mid-slope — by design; raising tables/planes
+      trades candidate cost for recall). The tiny-truth special case
+      exists because ceil(7*0.6)=5 EXCEEDS the sf0.001 measurement of
+      4 — zero slack there — while at sf0.01/sf0.1 the 0.6 bar keeps
+      one-third recall regressions from passing (ceil(14*0.6)=9 <= 10,
+      ceil(144*0.6)=87 <= 114).
     xxhash-seeded hyperplanes are deterministic, so both flags are
     fixed properties of the corpus (verified at sf0.01 and sf0.1).
 
@@ -2875,7 +2877,10 @@ def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(F.when(F.col("in_ann").isNotNull() & F.col("in_truth").isNull(), 1).otherwise(0)) == 0).alias("precision_ok"),
         (
             F.sum(F.when(F.col("in_ann").isNotNull() & F.col("in_truth").isNotNull(), 1).otherwise(0))
-            >= F.floor(F.sum(F.coalesce("in_truth", F.lit(0))) * 0.5)
+            >= F.when(
+                F.sum(F.coalesce("in_truth", F.lit(0))) >= 10,
+                F.ceil(F.sum(F.coalesce("in_truth", F.lit(0))) * 0.6),
+            ).otherwise(F.floor(F.sum(F.coalesce("in_truth", F.lit(0))) * 0.5))
         ).alias("recall_ok"),
     )
 
@@ -2920,6 +2925,10 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l AS left, r AS right, CAST(sum(freq) AS BIGINT) AS pair_freq
     FROM pairs GROUP BY l, r
+    HAVING sum(freq) >= 2  -- mirror the trainer's min_freq=2 early stop:
+                           -- on a degenerate corpus where no pair reaches
+                           -- 2 the Spark side returns 0 rows, so the
+                           -- oracle must too (round-3 advice)
     ORDER BY pair_freq DESC, l ASC, r ASC
     LIMIT 1
     """,

@@ -19,6 +19,24 @@ from ._util import REVENUE_DEC_SQL, dec2, money_sum, revenue_dec
 from .registry import register
 
 
+def _stream_src_dir(tag: str, sf_dir: str) -> str:
+    """Deterministic scratch dir for the streaming gate queries' file
+    sources, keyed by (tag, sf_dir): repeated gate/bench runs re-write
+    the SAME path with mode=overwrite instead of leaking a fresh
+    mkdtemp copy of the events table per invocation (round-3 advice).
+    Lives under the system temp root so the OS/driver cleanup policies
+    apply; one copy per (query, SF) is the steady-state footprint."""
+    import hashlib
+    import os
+    import tempfile
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_stream_src")
+    path = os.path.join(root, f"{tag}_{key}")
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
 # --------------------------------------------------------------------------
 # P: projections / filters / predicates (SURVEY §2.2)
 # --------------------------------------------------------------------------
@@ -826,12 +844,10 @@ def stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     counterpart of session_window_gap (same helper, same semantics,
     different execution mode) — the unified-model guarantee made
     checkable by the driver."""
-    import tempfile
-
     from .. import streaming
 
     batch = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
-    src = tempfile.mkdtemp(prefix="stream_sess_src_")
+    src = _stream_src_dir("sess", sf_dir)
     batch.repartition(4).write.mode("overwrite").parquet(src)
     schema = spark.read.parquet(src).schema
     stream = spark.readStream.schema(schema).parquet(src)
@@ -3127,12 +3143,10 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     a slogan: the same windowed_counts plan is what tests run in batch.
     The 10-year watermark keeps every window open to the end of the
     bounded drain, so complete-mode output == the batch aggregate."""
-    import tempfile
-
     from .. import streaming
 
     batch = load_table(spark, sf_dir, "events")
-    src = tempfile.mkdtemp(prefix="stream_src_")
+    src = _stream_src_dir("tumbling", sf_dir)
     batch.repartition(4).write.mode("overwrite").parquet(src)
     schema = spark.read.parquet(src).schema
     stream = spark.readStream.schema(schema).parquet(src)
@@ -4053,14 +4067,12 @@ def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicates through would show 2x counts and hash-fail, and one that
     dropped too much would undercount. The 10-year watermark keeps all
     dedup state live to the end of the bounded drain."""
-    import tempfile
-
     from .. import streaming
 
     batch = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "event_type"
     )
-    src = tempfile.mkdtemp(prefix="stream_dedup_src_")
+    src = _stream_src_dir("dedup", sf_dir)
     batch.unionByName(batch).repartition(4).write.mode("overwrite").parquet(src)
     schema = spark.read.parquet(src).schema
     stream = spark.readStream.schema(schema).parquet(src)
@@ -4158,14 +4170,12 @@ def stream_stream_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     join the oracle runs — Spark's unified model as an executable
     contract, same function body as the batch/test path
     (streaming.errors_with_recent_clicks)."""
-    import tempfile
-
     from .. import streaming
 
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type"
     )
-    src = tempfile.mkdtemp(prefix="stream_ssj_src_")
+    src = _stream_src_dir("ssj", sf_dir)
     ev.repartition(4).write.mode("overwrite").parquet(src)
     schema = spark.read.parquet(src).schema
 

@@ -181,10 +181,29 @@ def jaccard_pairs(
     need to land between the two specific docs of a candidate pair to
     add one phantom common shingle — ~S²/2⁶⁴, vanishing at any corpus
     size, and only nudges a pair already at the threshold boundary.
+
+    set_size is recomputed AFTER hashing (size of the distinct-hash
+    array, not the distinct-string count): intersection and set sizes
+    then stay mutually consistent even if an in-doc hash collision ever
+    occurs — the measured Jaccard is exactly the hashed-set Jaccard
+    rather than a mixed-domain ratio (round-3 advice).
     """
-    s = shingle_exploded(df, id_col, text_col, n).withColumn(
-        "shingle", F.xxhash64("shingle")
-    ).repartition(_par(df), "shingle")
+    sh = shingle_arrays(df, id_col, text_col, n)
+    hashed = sh.select(
+        "doc",
+        F.array_distinct(
+            F.transform("shingles", lambda x: F.xxhash64(x))
+        ).alias("hs"),
+    )
+    s = (
+        hashed.select(
+            "doc",
+            F.size("hs").alias("set_size"),
+            F.explode_outer("hs").alias("shingle"),
+        )
+        .filter(F.col("shingle").isNotNull())
+        .repartition(_par(df), "shingle")
+    )
     if max_shingle_df is not None:
         rare = (
             s.groupBy("shingle")

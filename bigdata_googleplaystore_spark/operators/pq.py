@@ -24,23 +24,46 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _sub_grain(df: DataFrame, id_col: str, vec_col: str, m: int) -> DataFrame:
-    """(id, vec) -> (id, sub_id, sv): one row per subspace slice."""
-    d_sub = (F.size(vec_col) / m).cast("int")
+def _dim_checked(df: DataFrame, id_col: str, vec_col: str, dim: int) -> DataFrame:
+    """Fail-loud dimension gate (round-3 advice): a row whose vector
+    length differs from the codebook's training dim would previously be
+    silently truncated / mis-sliced into wrong codes; now any such row
+    raises with its id. Null vectors are excluded (a real decoder skips
+    absent payloads; PQ has no code for 'no vector')."""
+    ok = F.size(vec_col) == F.lit(dim)
+    return df.filter(F.col(vec_col).isNotNull()).withColumn(
+        "_dim_ok",
+        F.assert_true(
+            ok,
+            F.concat(
+                F.lit(f"PQ: vector length != training dim {dim} for {id_col}="),
+                F.col(id_col).cast("string"),
+            ),
+        ),
+    ).drop("_dim_ok")
+
+
+def _sub_grain(
+    df: DataFrame, id_col: str, vec_col: str, m: int, dim: int
+) -> DataFrame:
+    """(id, vec) -> (id, sub_id, sv): one row per subspace slice.
+
+    `dim` is the training dimensionality (validated against every row by
+    _dim_checked); slicing uses the literal dim//m, never a per-row
+    size() — so a dirty row can only fail loudly, never mis-slice."""
+    d_sub = dim // m
     return (
-        df.select(
+        _dim_checked(df, id_col, vec_col, dim)
+        .select(
             F.col(id_col).alias("_id"),
             F.col(vec_col).cast("array<double>").alias("_v"),
             F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub_id"),
-            d_sub.alias("_dsub"),
         )
         .withColumn(
             "sv",
-            F.slice(
-                F.col("_v"), F.col("sub_id") * F.col("_dsub") + 1, F.col("_dsub")
-            ),
+            F.slice(F.col("_v"), F.col("sub_id") * d_sub + 1, d_sub),
         )
-        .drop("_dsub", "_v")
+        .drop("_v")
     )
 
 
@@ -113,7 +136,7 @@ def train_codebooks(
         for s in range(m)
     ]
 
-    sub = _sub_grain(df, id_col, vec_col, m)
+    sub = _sub_grain(df, id_col, vec_col, m, dim)
     for _ in range(iters):
         new = (
             _assign(sub, codebooks)
@@ -145,7 +168,8 @@ def encode(
     (explode -> literal argmin -> collect per id; the 'shuffle' is by the
     original id, which pre-partitioned storage makes a no-op)."""
     m = len(codebooks)
-    assigned = _assign(_sub_grain(df, id_col, vec_col, m), codebooks)
+    dim = m * len(codebooks[0][0])
+    assigned = _assign(_sub_grain(df, id_col, vec_col, m, dim), codebooks)
     return (
         assigned.groupBy(F.col("_id").alias(id_col))
         .agg(
@@ -182,7 +206,9 @@ def adc_topk(
     from pyspark.sql import Window
 
     m = len(codebooks)
-    d_sub = (F.size(vec_col) / m).cast("int")
+    d_sub = len(codebooks[0][0])
+    dim = m * d_sub
+    queries = _dim_checked(queries, id_col, vec_col, dim)
     # per-query distance table: T[s][c] = ||q_s - codebook[s][c]||^2
     table = F.transform(
         F.col("books"),
