@@ -6,14 +6,26 @@ The engine's contract for image/audio/video data at 100 TB:
   (media_type, width/height/duration, codec) — never parsed strings;
 - all decode / feature-extraction happens in Arrow-batched functions over
   `mapInPandas` so bytes move executor-side in columnar batches, never
-  through the driver and never row-at-a-time;
+  through the driver and never row-at-a-time through the JVM;
 - partitioning by a content-hash prefix spreads large payloads evenly
   (payload sizes are skewed; key-salting by digest prefix is free here).
 
-The image/audio codec libraries are not available in this container, so
-`decode_image_batch` is a clearly-marked STUB wired through the real Spark
-plumbing (schema, batching, partitioning are all live and tested); swap
-`_fake_decode` for a real decoder (PIL/ffmpeg) in production images.
+Round 4: the decode step is REAL — pure-stdlib PNG/BMP/WAV codecs
+(operators/codecs.py) replace the round-1..3 `_fake_decode` stub. The
+container formats are sniffed by magic bytes and parsed per spec (chunk
+CRCs, BMP bottom-up padding, RIFF chunk walk, all five PNG scanline
+filters), so corrupt payloads raise instead of yielding garbage. The one
+remaining stand-in is video: no container format is parseable with the
+stdlib alone, so frame sampling operates on decoded image scanlines (real
+decoded data) and rejects unknown containers.
+
+The fixture generator `attach_media_payload` encodes document text bytes
+as real PNG/BMP/WAV files (round-robin by id). That convention is what
+makes the decode ORACLE-CHECKED rather than smoke-tested: every decoded
+statistic (width/height/pixel sums/PCM windows) is re-derivable by DuckDB
+from the source table, so a parser bug hash-fails the driver gate. In
+production the payload column arrives already encoded; the encoders are
+then the sink half (thumbnails, resampled audio).
 """
 
 from __future__ import annotations
@@ -31,6 +43,8 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from . import codecs
+
 MEDIA_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),
@@ -39,61 +53,119 @@ MEDIA_SCHEMA = StructType(
     ]
 )
 
-FEATURE_SCHEMA = StructType(
-    [
-        StructField("media_id", LongType(), False),
-        StructField("media_type", StringType(), True),
-        StructField("n_bytes", LongType(), True),
-        StructField("sha_prefix", StringType(), True),
-        StructField("feat_mean", LongType(), True),
-    ]
-)
+IMAGE_WIDTH = 16  # fixture convention: gray images are 16 px wide
 
 
 def attach_binary_payload(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Build a media table from a text table for testing: payload =
-    utf-8 bytes (a deterministic stand-in for image bytes)."""
+    """Raw-bytes media table (payload = utf-8 bytes, no container):
+    input for the codec-agnostic byte-level ops (payload_stats_arrow)."""
     return df.select(
         F.col(id_col).alias("media_id"),
-        F.lit("image/fake").alias("media_type"),
+        F.lit("application/octet-stream").alias("media_type"),
         F.encode(F.col(text_col), "UTF-8").alias("payload"),
     )
 
 
-def _fake_decode(payload: bytes) -> dict:
-    """STUB decoder: deterministic byte statistics standing in for a real
-    image decode (PIL etc. not installed in this container). Raises on
-    None payloads like a real decoder would on corrupt bytes."""
-    if payload is None:
-        raise NotImplementedError("corrupt/absent payload: real decoder required")
-    return {"n_bytes": len(payload), "feat_mean": sum(payload[:64]) // max(1, min(len(payload), 64))}
+def attach_media_payload(
+    df: DataFrame, text_col: str, id_col: str, kind: str | None = None
+) -> DataFrame:
+    """Encode each row's text bytes into a REAL media container —
+    id % 3 == 0 -> PNG, 1 -> BMP, 2 -> WAV by default, or all rows as
+    ``kind`` ('png'|'bmp'|'wav') — via operators/codecs.py.
 
-
-def decode_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
-    """Arrow-batched decode/feature-extract over mapInPandas.
-
-    Real plumbing: columnar batches executor-side, output schema typed and
-    stable; only `_fake_decode` is a stub. Payload-skew note: upstream
-    should repartition by sha_prefix for even batch sizes."""
-    import hashlib
+    Images: text bytes are gray pixels, 16 px wide, zero-padded last
+    row. Audio: sample[i] = (byte[i] - 128) * 128, PCM16 mono 8 kHz.
+    Both mappings are deliberately SQL-derivable (ascii() per char on
+    the all-ASCII corpus) so decoded statistics can be oracle-checked.
+    Encoding runs inside mapInPandas batches executor-side."""
+    forced = {"png": 0, "bmp": 1, "wav": 2}[kind] if kind is not None else None
 
     def batches(it: Iterator) -> Iterator:
         import pandas as pd
 
         for pdf in it:
-            out = {
-                "media_id": pdf["media_id"],
-                "media_type": pdf["media_type"],
-                "n_bytes": [],
-                "sha_prefix": [],
-                "feat_mean": [],
-            }
-            for payload in pdf["payload"]:
+            ids, types, payloads = [], [], []
+            for mid, text in zip(pdf["media_id"], pdf["text"]):
+                data = text.encode("utf-8")
+                kind = forced if forced is not None else int(mid) % 3
+                if kind == 0:
+                    types.append("image/png")
+                    payloads.append(codecs.encode_png_gray(data, IMAGE_WIDTH))
+                elif kind == 1:
+                    types.append("image/bmp")
+                    payloads.append(codecs.encode_bmp_gray(data, IMAGE_WIDTH))
+                else:
+                    types.append("audio/wav")
+                    samples = [(b - 128) * 128 for b in data]
+                    payloads.append(codecs.encode_wav_pcm16(samples))
+                ids.append(mid)
+            yield pd.DataFrame(
+                {"media_id": ids, "media_type": types, "payload": payloads}
+            )
+
+    base = df.select(F.col(id_col).alias("media_id"), F.col(text_col).alias("text"))
+    return base.mapInPandas(batches, MEDIA_SCHEMA)
+
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("media_type", StringType(), True),
+        StructField("n_bytes", LongType(), True),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+        StructField("px_sum", LongType(), True),
+        StructField("n_samples", LongType(), True),
+        StructField("sample_sum", LongType(), True),
+    ]
+)
+
+
+def decode_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL decode / feature-extract over mapInPandas.
+
+    Sniffs each payload's container by magic bytes and runs the matching
+    parser (codecs.py): images yield (width, height, px_sum = sum of
+    gray values incl. padding), audio yields (n_samples, sample_sum).
+    The non-applicable columns are typed nulls — one stable schema for
+    the whole heterogeneous media table. None/unknown payloads raise
+    (fail-loud, like the PQ dim gate)."""
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            out = {k.name: [] for k in FEATURE_SCHEMA.fields}
+            for mid, mtype, payload in zip(
+                pdf["media_id"], pdf["media_type"], pdf["payload"]
+            ):
                 b = bytes(payload) if payload is not None else None
-                feats = _fake_decode(b)
-                out["n_bytes"].append(feats["n_bytes"])
-                out["sha_prefix"].append(hashlib.sha256(b).hexdigest()[:8])
-                out["feat_mean"].append(feats["feat_mean"])
+                kind = codecs.sniff(b) if b is not None else None
+                if kind is None:
+                    raise ValueError(
+                        f"media_id={mid}: unknown or absent container "
+                        "(corrupt payload must fail loudly)"
+                    )
+                out["media_id"].append(mid)
+                out["media_type"].append(mtype)
+                out["n_bytes"].append(len(b))
+                if kind == "png":
+                    w, h, px = codecs.decode_png_gray(b)
+                elif kind == "bmp":
+                    w, h, px = codecs.decode_bmp_gray(b)
+                else:
+                    rate, samples = codecs.decode_wav_pcm16(b)
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["px_sum"].append(None)
+                    out["n_samples"].append(int(samples.size))
+                    out["sample_sum"].append(int(samples.astype("int64").sum()))
+                    continue
+                out["width"].append(w)
+                out["height"].append(h)
+                out["px_sum"].append(sum(px))
+                out["n_samples"].append(None)
+                out["sample_sum"].append(None)
             yield pd.DataFrame(out)
 
     return media.mapInPandas(batches, FEATURE_SCHEMA)
@@ -109,28 +181,38 @@ RESIZED_SCHEMA = StructType(
 )
 
 
-def resize_images(media: DataFrame, out_w: int = 64, out_h: int = 64) -> DataFrame:
-    """Resize stage: STUB transform (deterministic byte subsample standing
-    in for a real PIL/opencv resize — libs absent in this container); the
-    Spark plumbing (Arrow batches in, binary column out, stable typed
-    schema) is the real contract a production decoder drops into."""
+def resize_images(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
+    """REAL image resize: decode (PNG or BMP) -> nearest-neighbor
+    resample on the gray pixel grid (numpy integer indexing, the
+    classic deterministic kernel) -> re-encode as PNG. Audio/unknown
+    payloads raise. Decode-transform-encode inside one Arrow batch —
+    the thumbnail-pipeline shape; payload bytes never leave the
+    executor."""
 
     def batches(it: Iterator) -> Iterator:
+        import numpy as np
         import pandas as pd
 
-        target = out_w * out_h
         for pdf in it:
-            payloads = []
-            for p in pdf["payload"]:
-                if p is None:
-                    payloads.append(None)
-                    continue
+            ids, payloads = [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(p)
-                stride = max(1, len(b) // target)
-                payloads.append(b[::stride][:target])
+                kind = codecs.sniff(b)
+                if kind == "png":
+                    w, h, px = codecs.decode_png_gray(b)
+                elif kind == "bmp":
+                    w, h, px = codecs.decode_bmp_gray(b)
+                else:
+                    raise ValueError(f"media_id={mid}: not an image payload")
+                img = np.frombuffer(px, dtype=np.uint8).reshape(h, w)
+                rows = (np.arange(out_h) * h) // out_h
+                cols = (np.arange(out_w) * w) // out_w
+                small = img[rows][:, cols]
+                ids.append(mid)
+                payloads.append(codecs.encode_png_gray(small.tobytes(), out_w))
             yield pd.DataFrame(
                 {
-                    "media_id": pdf["media_id"],
+                    "media_id": ids,
                     "payload": payloads,
                     "out_w": out_w,
                     "out_h": out_h,
@@ -144,34 +226,47 @@ FRAME_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),
         StructField("frame_idx", LongType(), False),
-        StructField("frame", BinaryType(), True),
+        StructField("row_idx", LongType(), False),
+        StructField("n_px", LongType(), True),
+        StructField("frame_sum", LongType(), True),
     ]
 )
 
 
 def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
-    """Frame sampling for video payloads: one output row per sampled
-    frame (media_id, frame_idx, frame bytes). STUB frame extraction
-    (equal-size byte slices in place of ffmpeg keyframes); real contract:
-    a 1->N mapInPandas fan-out whose output count is data-dependent —
-    the shape a video pipeline needs (explode happens *inside* the Arrow
-    batch, never via a driver loop)."""
+    """Frame sampling over decoded images: emit up to ``n_frames``
+    evenly-spaced scanlines (frame f -> row floor(f * height /
+    n_frames)) with their pixel stats — a 1->N fan-out whose output
+    count is data-dependent, the shape a video keyframe sampler needs.
+    The explode happens INSIDE the Arrow batch, never via a driver
+    loop. Scanlines of a really-decoded still stand in for video
+    keyframes because no video container is stdlib-parseable — that
+    substitution (and only that) is the remaining multimodal stand-in;
+    unknown containers raise rather than pretending."""
 
     def batches(it: Iterator) -> Iterator:
         import pandas as pd
 
         for pdf in it:
-            ids, idxs, frames = [], [], []
+            out = {k.name: [] for k in FRAME_SCHEMA.fields}
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
-                if p is None:
-                    continue
                 b = bytes(p)
-                step = max(1, len(b) // n_frames)
-                for i in range(min(n_frames, len(b))):
-                    ids.append(mid)
-                    idxs.append(i)
-                    frames.append(b[i * step : (i + 1) * step])
-            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
+                kind = codecs.sniff(b)
+                if kind == "png":
+                    w, h, px = codecs.decode_png_gray(b)
+                elif kind == "bmp":
+                    w, h, px = codecs.decode_bmp_gray(b)
+                else:
+                    raise ValueError(f"media_id={mid}: not an image payload")
+                for f in range(min(n_frames, h)):
+                    r = (f * h) // n_frames
+                    line = px[r * w : (r + 1) * w]
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(f)
+                    out["row_idx"].append(r)
+                    out["n_px"].append(w)
+                    out["frame_sum"].append(sum(line))
+            yield pd.DataFrame(out)
 
     return media.mapInPandas(batches, FRAME_SCHEMA)
 
@@ -215,17 +310,16 @@ AUDIO_SCHEMA = StructType(
 
 
 def audio_window_rms(media: DataFrame, window_samples: int = 256) -> DataFrame:
-    """Audio branch of the multimodal suite: interpret each payload as
-    16-bit little-endian PCM and emit per-window RMS energy + peak — the
-    silence-detection / loudness-normalization primitive of an audio
-    curation pipeline.
+    """Audio branch of the multimodal suite: REAL WAV parse
+    (codecs.decode_wav_pcm16 — RIFF chunk walk, PCM16 mono) then
+    per-window RMS energy + peak — the silence-detection /
+    loudness-normalization primitive of an audio curation pipeline.
 
-    Like the image ops above, the CODEC is the stand-in (real containers
-    need ffmpeg/soundfile, absent here — payload bytes are read as raw
-    samples), while the Spark plumbing is real and tested: Arrow batches
-    executor-side, numpy frombuffer + vectorized window reduction, typed
-    output schema, ceil(samples/window) rows per clip. An odd trailing
-    byte is truncated the way a real PCM reader would."""
+    Arrow batches executor-side, numpy frombuffer + vectorized window
+    reduction, typed output schema, ceil(samples/window) rows per clip.
+    The sum of squares is accumulated in exact int64 and divided once,
+    so rms is a deterministic function of the samples (oracle-safe).
+    Non-WAV payloads raise."""
 
     def batches(it: Iterator) -> Iterator:
         import numpy as np
@@ -242,17 +336,15 @@ def audio_window_rms(media: DataFrame, window_samples: int = 256) -> DataFrame:
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 if payload is None:
                     continue
-                b = bytes(payload)
-                b = b[: len(b) // 2 * 2]
-                x = np.frombuffer(b, dtype="<i2").astype(np.int64)
+                _rate, x = codecs.decode_wav_pcm16(bytes(payload))
+                x = x.astype(np.int64)
                 for wi in range(0, x.size, window_samples):
                     w = x[wi : wi + window_samples]
                     out["media_id"].append(mid)
                     out["window_idx"].append(wi // window_samples)
                     out["n_samples"].append(int(w.size))
-                    out["rms"].append(
-                        float(np.sqrt(np.mean(w.astype(np.float64) ** 2)))
-                    )
+                    sq = int((w * w).sum())  # exact: |s| <= 2^15, 256 terms
+                    out["rms"].append(float((sq / w.size) ** 0.5))
                     out["peak"].append(int(np.abs(w).max()))
             yield pd.DataFrame(out)
 
