@@ -136,8 +136,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("dedup_simhash", oracle=None, tags=("llm", "dedup"))
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-64 near-dup pairs at Hamming <= 8 via pigeonhole block
-    candidates. Rows-only (xxhash64-based, recall ~0.7 by design — see
-    dedup_simhash_containment for the oracle-checked invariants)."""
+    candidates. Rows-only — deliberately, after measuring the planted
+    -exact-dup conversion applied to the other ANN queries in round 4:
+    SimHash signatures of *near*-identical docs legitimately collide at
+    Hamming 0 (measured on corpus+planted-copies: 4/8/32 extra
+    hamming-0 pairs beyond the identical-shingle-set truth at
+    sf0.001/0.01/0.1), so no SQL-derivable set equals the output
+    without faking the semantics. The oracle-checked face is
+    dedup_simhash_containment (exact-pair anchor, zero false
+    positives, non-vacuousness)."""
     d = load_table(spark, sf_dir, "documents")
     return dedup.simhash_near_pairs(d, "doc_id", "text", n=3, max_hamming=8)
 
@@ -247,19 +254,41 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_near_pairs(e, "vec_id", "embedding", threshold=0.45)
 
 
-@register("dedup_embedding_ann", oracle=None, tags=("llm", "dedup", "similarity"))
+@register(
+    "dedup_embedding_ann",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings WHERE embedding IS NOT NULL),
+    p AS (SELECT vec_id,
+                 list_transform(e, (x, i) ->
+                   x + CASE WHEN (i - 1) % 7 = 0 THEN 0.02 ELSE 0.0 END) AS e2
+          FROM v)
+    SELECT v.vec_id AS id_a, v.vec_id + 1000000 AS id_b,
+           round(list_dot_product(v.e, p.e2)
+                 / (sqrt(list_dot_product(v.e, v.e))
+                    * sqrt(list_dot_product(p.e2, p.e2))), 4) AS sim
+    FROM v JOIN p USING (vec_id)
+    """,
+    tags=("llm", "dedup", "similarity"),
+)
 def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup at scale: multi-table hyperplane-LSH candidates +
     exact cosine verification (operators/similarity.embedding_near_pairs_ann)
     — the registered scale path; dedup_embedding_cosine stays as the exact
-    small-N tier the oracle can check.
+    small-N tier.
 
     The synthetic embeddings have no planted near-dups (max pairwise cosine
     ~0.51), so the query plants them: each vector gets a deterministically
     perturbed copy (+0.02 on every 7th dim, id offset by 1_000_000). Near-dup
     = cosine >= 0.9, which pairs every original with its copy and nothing
-    else. Rows-only in the driver; recall=1 and subset-of-exact are asserted
-    in tests/test_llm.py."""
+    else — so the expected output is the FULLY DETERMINED planted-pair set,
+    and the oracle re-derives it (pair ids + exact rounded cosine) in plain
+    SQL (round-3 verdict item 3; was rows-only). Binding this oracle encodes
+    recall = 1 on planted near-identical pairs as a hash-checked gate: the
+    8-table 4-plane index collides every >= 0.9 pair on this corpus
+    (verified at sf0.001/0.01/0.1), and precision is structural (exact
+    cosine verification). A signature/banding regression would drop pairs
+    and hash-fail."""
     e = load_table(spark, sf_dir, "embeddings")
     perturbed = e.select(
         (F.col("vec_id") + 1_000_000).alias("vec_id"),
@@ -277,17 +306,38 @@ def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sim_ann_lsh", oracle=None, tags=("llm", "similarity"))
+@register(
+    "sim_ann_lsh",
+    oracle="""
+    SELECT vec_id + 100000 AS query_id, vec_id AS cand_id,
+           1.0 AS sim, 1 AS rn
+    FROM embeddings
+    WHERE embedding IS NOT NULL AND vec_id >= 10 AND vec_id % 50 = 0
+    """,
+    tags=("llm", "similarity"),
+)
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-5 via random-hyperplane LSH buckets + 1-bit
-    multiprobe, exact rank within candidates. Rows-only (recall < 1 by
-    design); recall vs brute force is asserted in tests/test_llm.py."""
-    e = load_table(spark, sf_dir, "embeddings")
-    return similarity.lsh_ann_topk(
-        e.filter(F.col("vec_id") >= 10),
-        e.filter(F.col("vec_id") < 10),
-        k=5,
+    """Hyperplane-LSH ANN top-k (buckets + 1-bit multiprobe, exact
+    cosine rank within candidates) under a planted-exact-duplicate
+    recall gate (round-3 verdict item 3; was rows-only): the query set
+    is exact copies of every 50th corpus vector (id + 100000), and the
+    returned top-1 per query MUST be its source at rounded cosine 1.0.
+    That expectation is structural, not empirical: an identical vector
+    produces identical hyperplane signs, so the source is always in the
+    query's own bucket, and no other pair in this corpus reaches cosine
+    0.999 — so any bucketing/signature/ranking regression breaks the
+    hash. Ranks 2..k stay approximate by design (recall < 1, asserted
+    vs brute force in tests/test_llm.py) and are excluded from the
+    gate."""
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
     )
+    corpus = e.filter(F.col("vec_id") >= 10)
+    planted = corpus.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    out = similarity.lsh_ann_topk(corpus, planted, k=5)
+    return out.filter(F.col("rn") == 1)
 
 
 _SW_LIST = "[" + ", ".join(f"'{w}'" for w in STOPWORDS_EN) + "]"
@@ -559,20 +609,37 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sim_ann_ivf", oracle=None, tags=("llm", "similarity"))
+@register(
+    "sim_ann_ivf",
+    oracle="""
+    SELECT vec_id + 100000 AS query_id, vec_id AS cand_id,
+           1.0 AS sim, 1 AS rn
+    FROM embeddings
+    WHERE embedding IS NOT NULL AND vec_id >= 10 AND vec_id % 50 = 0
+    """,
+    tags=("llm", "similarity"),
+)
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: deterministic k-means coarse quantizer (iterative Lloyd's
-    on DataFrames, only centroids touch the driver), queries probe their 6
-    nearest of 16 cells, exact rank within candidates. Rows-only (recall<1
-    by design); recall floor asserted in tests/test_llm.py."""
-    e = load_table(spark, sf_dir, "embeddings")
-    return similarity.ivf_topk(
-        e.filter(F.col("vec_id") >= 10),
-        e.filter(F.col("vec_id") < 10),
-        k=5,
-        n_cells=16,
-        n_probe=6,
+    """IVF ANN (deterministic k-means coarse quantizer — iterative
+    Lloyd's on DataFrames, only centroids touch the driver; queries
+    probe their 6 nearest of 16 cells, exact rank within candidates)
+    under the same planted-exact-duplicate recall gate as sim_ann_lsh
+    (round-3 verdict item 3; was rows-only): planted queries are exact
+    copies of every 50th corpus vector, and top-1 MUST be the source at
+    rounded cosine 1.0 — structural, because an identical vector scores
+    every centroid identically (same argmax cell, deterministic
+    tiebreak), so the source is always inside the probed cells. Ranks
+    2..k stay approximate by design (recall floor asserted in
+    tests/test_llm.py) and are excluded from the gate."""
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
     )
+    corpus = e.filter(F.col("vec_id") >= 10)
+    planted = corpus.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    out = similarity.ivf_topk(corpus, planted, k=5, n_cells=16, n_probe=6)
+    return out.filter(F.col("rn") == 1)
 
 
 @register(
@@ -1899,28 +1966,124 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mom.select("i", "j", "n", F.round("cov", 9).alias("cov"))
 
 
+def _pca_power_oracle(iters: int = 400) -> str:
+    """Generate the unrolled power-iteration oracle for
+    embedding_pca_label_means: the exact fixed-point covariance (same
+    formula as the embedding_covariance oracle, unrounded), then `iters`
+    matrix-vector steps as chained CTEs (a recursive CTE can't both
+    aggregate over and normalize against its own working table), sign
+    canonicalization, Rayleigh-quotient explained ratio, and the
+    truncate-at-1e6 per-label projection means. Every step mirrors
+    similarity.top_pc_power_iteration's arithmetic on identical cov
+    doubles; remaining cross-engine noise is sub-rounding (verified at
+    sf0.001/0.01/0.1)."""
+    steps = []
+    for k in range(1, iters + 1):
+        # AS MATERIALIZED: DuckDB's CTE inlining would otherwise expand
+        # the doubly-referenced t{k} into an exponential subquery tree
+        # (observed: 'Too many open files' from 2^iters parquet scans)
+        steps.append(
+            f"t{k} AS MATERIALIZED (SELECT c.i AS idx, sum(c.cov * v{k-1}.x) AS t\n"
+            f"          FROM covfull c JOIN v{k-1} ON c.j = v{k-1}.idx GROUP BY c.i),\n"
+            f"    v{k} AS MATERIALIZED (SELECT idx, t / (SELECT sqrt(sum(t * t)) FROM t{k}) AS x FROM t{k})"
+        )
+    chain = ",\n    ".join(steps)
+    return rf"""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(trunc(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+               AS q
+      FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL
+    ),
+    ex AS (
+      SELECT vec_id,
+             CAST(generate_subscripts(q, 1) - 1 AS INTEGER) AS i,
+             unnest(q) AS qv
+      FROM e
+    ),
+    dim AS (SELECT i, CAST(sum(qv) AS DOUBLE) AS sx FROM ex GROUP BY i),
+    mom AS (
+      SELECT a.i AS i, b.i AS j,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(a.qv * b.qv) AS DOUBLE) AS sxy
+      FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.i <= b.i
+      GROUP BY 1, 2
+    ),
+    covu AS (
+      SELECT m.i, m.j,
+             (CAST(m.n AS DOUBLE) * m.sxy - da.sx * db.sx)
+               / (CAST(m.n AS DOUBLE) * CAST(m.n AS DOUBLE)) * 1e-12 AS cov
+      FROM mom m JOIN dim da ON da.i = m.i JOIN dim db ON db.i = m.j
+    ),
+    covfull AS MATERIALIZED (
+      SELECT i, j, cov FROM covu
+      UNION ALL SELECT j, i, cov FROM covu WHERE i <> j
+    ),
+    v0 AS (
+      SELECT i AS idx,
+             1.0 / sqrt(CAST((SELECT max(i) + 1 FROM covu) AS DOUBLE)) AS x
+      FROM (SELECT DISTINCT i FROM covu)
+    ),
+    {chain},
+    sgn AS (
+      SELECT CASE WHEN (SELECT x FROM v{iters}
+                        ORDER BY abs(x) DESC, idx ASC LIMIT 1) < 0
+                  THEN -1.0 ELSE 1.0 END AS s
+    ),
+    pc AS MATERIALIZED (SELECT idx, x * (SELECT s FROM sgn) AS x FROM v{iters}),
+    lam AS (
+      SELECT sum(a.x * c.cov * b.x) AS l
+      FROM covfull c JOIN pc a ON a.idx = c.i JOIN pc b ON b.idx = c.j
+    ),
+    tr AS (SELECT sum(cov) AS t FROM covu WHERE i = j),
+    pe AS (
+      SELECT vec_id, label,
+             CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL
+    ),
+    pr AS (
+      SELECT pe.vec_id, pe.label, sum(pe.x * pc.x) AS proj
+      FROM pe JOIN pc ON pc.idx = pe.i GROUP BY pe.vec_id, pe.label
+    ),
+    q AS (SELECT label, CAST(trunc(proj * 1000000) AS BIGINT) AS qp FROM pr)
+    SELECT label, CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(qp) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1e6), 6)
+             AS mean_proj,
+           round((SELECT l FROM lam) / (SELECT t FROM tr), 6) AS explained_ratio
+    FROM q GROUP BY label
+    """
+
+
 @register(
     "embedding_pca_label_means",
-    oracle=None,  # eigendecomposition: not SQL-expressible; numpy-verified in tests
-    tags=("llm", "ml", "embedding", "rows-only"),
+    oracle=_pca_power_oracle(),
+    tags=("llm", "ml", "embedding"),
 )
 def embedding_pca_label_means(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PCA end-to-end: exact moment matrix cluster-side
-    (covariance_moments), eigensolve of the d x d model on the driver
-    (the only thing that leaves the cluster), then a broadcast
-    projection of every embedding onto PC1 — per-label mean projection
-    separates the label clusters along the top variance direction.
+    (covariance_moments), a FIXED 400-step power iteration of the d x d
+    model on the driver (the only thing that leaves the cluster), then a
+    broadcast projection of every embedding onto PC1 — per-label mean
+    projection separates the label clusters along the top variance
+    direction.
 
-    The per-label mean uses the fixed-point trick (projection truncated
-    at 1e6 -> exact integer sums -> one final division) so the result is
-    partition-order independent. explained_ratio (PC1's share of total
-    variance) rides along as a constant column. Rows-only: the
-    eigensolve has no SQL form; tests/test_llm_batch2.py verifies the
-    whole pipeline against numpy PCA and asserts partition invariance."""
+    Oracle-bound since round 4 (was rows-only with an opaque eigensolve):
+    the power iteration from a fixed start is a closed-form function of
+    the exact covariance, so DuckDB re-derives PC1 by unrolling the same
+    400 normalized matrix-vector steps on the identical cov doubles
+    (_pca_power_oracle) — sign convention, Rayleigh-quotient explained
+    ratio, and the truncate-at-1e6 per-label means all hash-checked. The
+    per-label mean uses the fixed-point trick (projection truncated at
+    1e6 -> exact integer sums -> one final division) so the result is
+    partition-order independent; tests/test_llm_batch2.py additionally
+    verifies the pipeline against numpy PCA and asserts partition
+    invariance."""
     e = load_table(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull() & F.col("label").isNotNull()
     )
-    v, explained = similarity.top_principal_component(e, "embedding")
+    v, explained = similarity.top_pc_power_iteration(e, "embedding")
     proj = similarity.project_onto(e, "embedding", v)
     q = proj.select("label", (F.col("proj") * 1e6).cast("long").alias("qp"))
     return (
@@ -1979,23 +2142,38 @@ def heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_semantic",
-    oracle=None,  # k-means assignment is iterative — no SQL form; see tests
-    tags=("llm", "dedup", "embedding", "rows-only"),
+    oracle="""
+    SELECT vec_id + 1000000 AS vec_id, vec_id AS dup_of, 1.0 AS sim
+    FROM embeddings WHERE embedding IS NOT NULL
+    """,
+    tags=("llm", "dedup", "embedding"),
 )
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup (Abbas et al. 2023) semantic dedup over the embeddings
-    table: cluster with deterministic k-means, verify exact cosine >= 0.45
-    within cells only (0.45 = the corpus's planted-near-dup similarity
-    level, same threshold as dedup_embedding_cosine), drop the higher id
-    of each duplicate pair
-    (operators/similarity.semantic_dedup). Precision 1.0 (exact
-    verification); recall bounded by the clustering — the quadratic
-    search is confined to sum-of-cell^2, which is what makes
-    embedding-level dedup run at web scale. Rows-only: tests assert
-    precision against the brute-force pair set and repartition
-    determinism."""
+    """SemDeDup (Abbas et al. 2023) semantic dedup
+    (operators/similarity.semantic_dedup): cluster with deterministic
+    k-means, verify exact cosine within cells only (sum-of-cell^2, not
+    N^2 — what makes embedding dedup run at web scale), drop the higher
+    id of each duplicate pair.
+
+    Planted-exact-duplicate gate (round-3 verdict item 3; was
+    rows-only): the corpus is unioned with an exact copy of every
+    vector (id + 1_000_000) and the threshold set to 0.999 — above any
+    natural pair (max ~0.51) — so the only duplicates are the planted
+    ones, and finding them is STRUCTURAL: an identical vector scores
+    every centroid identically, lands in the same cell, and verifies at
+    rounded cosine 1.0. Expected output is therefore exactly one
+    dropped row per original (the copy, dup_of = original, sim = 1.0),
+    which the oracle states in plain SQL; a regression in assignment,
+    the cell join, or the coupled argmax hash-fails. The realistic-
+    threshold behavior (0.45, partial recall) stays covered by
+    tests/test_llm_batch2.py's brute-force comparison and by
+    dedup_embedding_cosine's exact oracle."""
     e = load_table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
-    return similarity.semantic_dedup(e, "vec_id", "embedding", threshold=0.45)
+    copies = e.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = e.select("vec_id", "embedding", "label").unionByName(copies)
+    return similarity.semantic_dedup(corpus, "vec_id", "embedding", threshold=0.999)
 
 
 @register(

@@ -2653,8 +2653,43 @@ def global_row_number_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pagerank_event_transitions",
-    oracle=None,  # iterative fixpoint: not SQL-expressible; see tests/test_graph.py
-    tags=("graph", "iterative", "rows-only"),
+    oracle="""
+    WITH RECURSIVE steps AS (
+      SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS src,
+             event_type AS dst
+      FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    ),
+    edges AS (
+      SELECT src, dst, CAST(count(*) AS DOUBLE) AS w
+      FROM steps WHERE src IS NOT NULL GROUP BY src, dst
+    ),
+    outw AS (SELECT src, sum(w) AS out_w FROM edges GROUP BY src),
+    nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)
+    ),
+    trans AS (
+      -- real transition probabilities, plus a zero-weight self-loop per
+      -- node so the recursive join carries every node (incl. ones with
+      -- no in-contributions) through each iteration without a second
+      -- reference to the recursive table
+      SELECT e.src, e.dst, e.w / o.out_w AS p FROM edges e JOIN outw o USING (src)
+      UNION ALL
+      SELECT node, node, 0.0 FROM nodes
+    ),
+    r AS (
+      SELECT 0 AS iter, node, CAST(1.0 AS DOUBLE) AS rank FROM nodes
+      UNION ALL
+      SELECT r.iter + 1, t.dst AS node,
+             0.15 + 0.85 * sum(r.rank * t.p) AS rank
+      FROM r JOIN trans t ON r.node = t.src
+      WHERE r.iter < 10
+      GROUP BY r.iter, t.dst
+    )
+    SELECT node, round(rank, 9) AS rank FROM r WHERE iter = 10 ORDER BY node
+    """,
+    tags=("graph", "iterative"),
 )
 def pagerank_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted PageRank (operators/graph.py) over the event-type
@@ -2663,9 +2698,15 @@ def pagerank_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     the driver-iterated join-agg loop with lineage checkpointing — the
     DataFrame-native form of iterative graph algorithms; its numerics
     are verified against a hand-rolled reference implementation in
-    tests/test_graph.py (no SQL oracle: a 10-step damped fixpoint isn't
-    expressible as one DuckDB query). Output is rounded to 9 decimals to
-    absorb float-sum ordering across partitions."""
+    tests/test_graph.py.
+
+    Oracle (round-3 verdict item 3, was rows-only): the event-type graph
+    is model-sized, so the 10-step damped fixpoint IS SQL-expressible as
+    a recursive CTE — each recursive step is the same join-aggregate the
+    Spark loop runs, with zero-weight self-loops standing in for the
+    nodes-frame outer join (a recursive CTE may reference its own table
+    only once). Output rounded to 9 decimals absorbs float-sum ordering
+    across partitions/engines, same contract as before."""
     from ..operators.graph import pagerank
 
     e = load_table(spark, sf_dir, "events").filter(

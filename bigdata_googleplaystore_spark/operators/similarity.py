@@ -495,6 +495,54 @@ def top_principal_component(df: DataFrame, vec_col: str):
     return v, float(w[-1] / w.sum())
 
 
+def top_pc_power_iteration(df: DataFrame, vec_col: str, iters: int = 400):
+    """Top principal component via a FIXED-STEP power iteration on the
+    exact moment matrix — the oracle-bindable variant of
+    top_principal_component (round-3 verdict item 3).
+
+    Same distributed shape (covariance_moments reduces cluster-side;
+    only the d x d model reaches the driver), but the driver-side
+    eigensolve is replaced by `iters` power-iteration steps from the
+    fixed start vector (1/sqrt(d), ..., 1/sqrt(d)), normalized each
+    step, then sign-canonicalized (largest-|.| component positive,
+    lowest index on ties). That makes the result a closed-form function
+    of the covariance values — re-derivable in SQL by unrolling the same
+    steps — rather than an eigensolver's implementation detail. 400
+    steps because the synthetic corpus's eigengap is small (measured
+    lambda2/lambda1 ~ 0.93 at sf0.001 -> 0.93^400 ~ 4e-13): the iterate
+    lands within ~1e-12 of eigh's PC1, and cross-engine sum-order noise
+    is contracted along the way, not amplified. The oracle match itself
+    never depends on convergence — both engines run the identical 400
+    steps — convergence is what makes the RESULT honestly 'PC1'.
+
+    Returns (v, explained_ratio) with explained = (v'Cv)/trace(C) — the
+    Rayleigh quotient, which equals the top eigenvalue share at the
+    fixpoint. Pure-Python float arithmetic (no numpy) so the summation
+    order is the documented sequential one."""
+    import math
+
+    rows = covariance_moments(df, vec_col).collect()
+    if not rows:
+        raise ValueError("no vectors to decompose")
+    d = max(r["j"] for r in rows) + 1
+    c = [[0.0] * d for _ in range(d)]
+    for r in rows:
+        c[r["i"]][r["j"]] = c[r["j"]][r["i"]] = r["cov"]
+    v = [1.0 / math.sqrt(d)] * d
+    for _ in range(iters):
+        t = [sum(c[i][j] * v[j] for j in range(d)) for i in range(d)]
+        nrm = math.sqrt(sum(x * x for x in t))
+        if nrm == 0.0:
+            raise ValueError("zero covariance matrix")
+        v = [x / nrm for x in t]
+    m = max(range(d), key=lambda i: abs(v[i]))  # first max -> lowest index
+    if v[m] < 0:
+        v = [-x for x in v]
+    lam = sum(v[i] * sum(c[i][j] * v[j] for j in range(d)) for i in range(d))
+    trace = sum(c[i][i] for i in range(d))
+    return v, lam / trace
+
+
 def project_onto(df: DataFrame, vec_col: str, v, out_col: str = "proj") -> DataFrame:
     """Dot-product projection of every vector onto a (small, broadcast)
     direction v — a vectorized Arrow-batch matmul, no shuffle: the model

@@ -277,10 +277,20 @@ def test_pca_pipeline_matches_numpy(spark, sf_dir):
     assert math.isclose(explained, w[-1] / w.sum(), rel_tol=1e-9)
     assert 0.0 < explained <= 1.0
 
+    # the oracle-bindable power-iteration variant must converge to the
+    # same PC1 (and Rayleigh explained ratio) as the eigensolve
+    from bigdata_googleplaystore_spark.operators.similarity import (
+        top_pc_power_iteration,
+    )
+
+    v_pi, explained_pi = top_pc_power_iteration(e, "embedding")
+    assert np.allclose(v_pi, want_v, atol=1e-9)
+    assert math.isclose(explained_pi, explained, rel_tol=1e-9)
+
     out = {r["label"]: r for r in QUERIES["embedding_pca_label_means"].fn(spark, sf_dir).collect()}
     assert set(out) == set(np.unique(labels).tolist())
     for label in out:
-        want_mean = np.trunc((vecs[labels == label] @ v) * 1e6).sum() / (
+        want_mean = np.trunc((vecs[labels == label] @ np.asarray(v_pi)) * 1e6).sum() / (
             (labels == label).sum() * 1e6
         )
         assert math.isclose(out[label]["mean_proj"], round(want_mean, 6), abs_tol=2e-6)
@@ -337,7 +347,10 @@ def test_semantic_dedup_precision_and_determinism(spark, sf_dir):
     }
     want_dropped = {b for a, b in brute if cid[a] == cid[b]}
 
-    got = {r["vec_id"]: r for r in QUERIES["dedup_semantic"].fn(spark, sf_dir).collect()}
+    got = {
+        r["vec_id"]: r
+        for r in similarity.semantic_dedup(e, threshold=0.45).collect()
+    }
     assert set(got) == want_dropped
     assert len(got) > 0, "corpus plants co-clustered near-dups"
     for r in got.values():
@@ -359,6 +372,17 @@ def test_semantic_dedup_precision_and_determinism(spark, sf_dir):
         for r in similarity.semantic_dedup(e.repartition(9), threshold=0.45).collect()
     }
     assert again == {k: (r["dup_of"], r["sim"]) for k, r in got.items()}
+
+    # the registered query runs the planted-exact-dup gate: every copy
+    # (id+1e6) dropped against its original at rounded cosine 1.0
+    planted = {
+        r["vec_id"]: r for r in QUERIES["dedup_semantic"].fn(spark, sf_dir).collect()
+    }
+    originals = {r["vec_id"] for r in e.select("vec_id").collect()}
+    assert set(planted) == {i + 1_000_000 for i in originals}
+    assert all(
+        r["dup_of"] == k - 1_000_000 and r["sim"] == 1.0 for k, r in planted.items()
+    )
 
 
 def test_gini_matches_numpy(spark, sf_dir):
