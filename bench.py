@@ -95,11 +95,11 @@ def main() -> None:
 
         from bigdata_googleplaystore_spark import playstore
 
-        # min-of-2 like every other timing (the first pass pays CSV
-        # page-cache and codegen-compile noise this pipeline's unique
-        # plans can't share with the warmup loop above)
+        # min-of-3 like every other timing (round-3 verdict item 7; the
+        # first pass pays CSV page-cache and codegen-compile noise this
+        # pipeline's unique plans can't share with the warmup loop above)
         best = float("inf")
-        for run in range(2):
+        for run in range(3):
             with tempfile.TemporaryDirectory() as tmp:
                 t0 = time.perf_counter()
                 ps = playstore.read_playstore_csv(spark, ref_csv)
@@ -135,7 +135,7 @@ def main() -> None:
                 # exclude per-plan codegen compile (warmed at sf0.001)
                 # and take the best of two timed runs per query
                 "warmup": "plans@sf0.001+input_listing",
-                "timing": "min_of_3_interleaved_rounds (playstore pipeline: min_of_2)",
+                "timing": "min_of_3_interleaved_rounds (playstore pipeline: min_of_3 back-to-back)",
             }
         )
     )

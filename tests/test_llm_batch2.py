@@ -710,6 +710,36 @@ def test_bpe_merges_match_reference(spark, sf_dir):
     assert got == expected
 
 
+def test_bpe_batched_merges_match_reference_on_adversarial_vocabs(spark):
+    """The round-4 merge BATCHING (two merges per pass when
+    _second_merge_safe proves sequential equivalence) must stay
+    bit-identical to the sequential reference on vocabularies built to
+    stress its guard conditions: tiny alphabets force run chains
+    ('aaaa' -> the l1 == r1 no-batch rule), frequency ties exercise the
+    (freq desc, l, r) tiebreak, and re-used spellings exercise the
+    prior-spelling check."""
+    import random
+
+    from bigdata_googleplaystore_spark.operators import bpe
+
+    for seed in range(6):
+        rng = random.Random(seed)
+        alphabet = "ab" if seed % 2 == 0 else "abc"
+        words = {}
+        for _ in range(40):
+            w = "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 8)))
+            words[w] = words.get(w, 0) + rng.randint(1, 9)
+        wf_df = spark.createDataFrame(
+            list(words.items()), "word string, freq long"
+        )
+        want = _reference_bpe(words, n_merges=30, min_freq=2)
+        got = [
+            (r["merge_rank"], r["left"], r["right"], r["pair_freq"])
+            for r in bpe.learn_bpe_merges(spark, wf_df, 30, 2).collect()
+        ]
+        assert got == want, f"seed={seed}: {got} != {want}"
+
+
 def test_bpe_fold_overlap_semantics(spark):
     """Overlapping-pair edge case pinned directly: merging ('a','a') on
     'aaaa' gives ['aa','aa'] and on 'aaa' gives ['aa','a'] — leftmost
