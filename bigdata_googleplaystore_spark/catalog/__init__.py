@@ -24,138 +24,99 @@ from .tpch import flagship  # noqa: E402,F401
 # then the remaining never-checked (the next round's rotation head), then
 # the rest of the previously-green set, oldest evidence first.
 #
-# Round-3 window: 44 never-checked (cohort/funnel lead — their broadcast
-# fix needs a fresh row), agg_approx_distinct (newly oracled, was
-# no_oracle in r02), and 5 r01-era greens backing the most SURVEY §2
-# rows (scan_project_prune, filter_null_nan_threshold, case_when_buckets,
-# regexp_extract_number, max_string_and_date).
+# Round-4 window: with 62 queries still never driver-checked and 7
+# changed-or-new queries owing fresh rows, all 50 slots go to (a)+(b) —
+# the changed-green recheck block doubles as this round's stale-green
+# slots (6 of its 7 entries re-verify prior greens). The 22 deferred
+# never-checked queries (window cutoff comment below) are the r05 head;
+# every one is driver_sim-green at sf0.01 and in the opt-in sf0.1 sweep
+# (tests/test_sweep_sf01.py), so the gap is evidentiary, not functional.
 _PRIORITY: list[str] = [
-    # --- (a) never-driver-checked: judge-named bench/scale shapes first
-    "heavy_hitter_terms",
-    "corpus_curation_pipeline",
-    "embedding_covariance",
-    "cohort_retention",        # (b) broadcast hint removed this round
-    "funnel_conversion",       # (b) broadcast hints removed this round
-    "sessionize_gap_cumsum",
-    "scd2_type_intervals",
-    "hll_distinct_accuracy",
-    "bitmap_distinct_rollup",
-    "pandas_group_gap_stats",
-    "cogroup_order_reconciliation",
-    "udtf_word_bigrams",
-    "grouped_agg_pandas_weighted_avg",
-    "pandas_udf_digit_sum",
-    "sql_lateral_topk",
-    "percentiles_disc",
-    "running_distinct_types",
-    "kfold_assignment",
-    "text_linear_classifier_scores",
-    # --- never-checked: LLM-pipeline and analytics family
-    "decontaminate_ngram_overlap",
-    "sample_token_budget_per_source",
-    "text_top_ngram_fraction",
-    "tfidf_top_terms",
-    "embedding_quantize_int8",
-    "embedding_label_centroids",
-    "chunk_documents_overlap",
-    "mixture_weighted_resample",
-    "boilerplate_token_prune",
-    "multimodal_arrow_stats",
-    "text_dup_ngram_fraction",
-    "text_char_lm_score",
-    "regression_per_source",
-    "dedup_incremental_fingerprints",
-    "source_share_gini",
-    "knn_label_accuracy",
-    # --- never-checked: SQL/relational surface
-    "grouping_sets_id",
-    "window_first_last_nth",
-    "timeseries_gapfill_ffill",
-    "corr_covar_exact",
-    "window_time_range_rolling",
-    "salted_two_stage_agg",
-    # --- (b) new this round, oracle-bearing (verified in driver_sim)
-    "anomaly_rolling_zscore",
+    # ===== ROUND-4 WINDOW (the driver records ~50 rows) =====
+    # (a) changed this round while carrying a prior green row — a
+    #     changed query needs a fresh row regardless of past greens —
+    #     plus the new partitioned-scan query:
+    "multimodal_bytes_meta",
+    "multimodal_frame_stats",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_containment",
     "bpe_first_merge_invariant",
-    # --- newly oracle-bound this round (r02 row was no_oracle)
-    "agg_approx_distinct",
-    # --- (c) stale-green recheck slots: r01-era greens carrying the most
-    #     SURVEY §2 rows (P1, P4-P7, P8, F1, A3 ride these)
-    "scan_project_prune",
-    "filter_null_nan_threshold",
-    "case_when_buckets",
-    "regexp_extract_number",
-    "max_string_and_date",
-    # ===== window cutoff (~50) — entries below are the r04 rotation head
-    # --- never-checked, displaced from the r03 window by the two new
-    #     oracle queries above (first in line next round)
-    "merge_upsert_orders",
+    "dedup_embedding_ann",
+    "partitioned_scan_prune",
+    # (b) never-driver-checked AND changed this round (new oracles,
+    #     planted-truth rewrites, codec/scratch-dir/batching changes):
+    "multimodal_audio_rms",
+    "sim_ann_recall_eval",
+    "sim_ann_lsh",
+    "sim_ann_ivf",
+    "dedup_semantic",
+    "pagerank_event_transitions",
+    "embedding_pca_label_means",
+    "bpe_learn_merges",
+    "dedup_simhash",
+    "embedding_pq_codes",
+    "sim_ann_pq_adc",
+    "dedup_cluster_keep_best",
+    "stream_dedup_counts",
+    "stream_stream_join_counts",
+    "stream_session_counts",
+    "stream_tumbling_counts",
+    "percentiles_approx",
+    # (c) never-driver-checked backlog, oldest first (driver_sim-green
+    #     locally at sf0.01; this block pushes union driver coverage
+    #     to ~183/202):
     "recursive_cte_hierarchy",
-    # --- new this round (oracle-verified via driver_sim at sf0.01+sf0.1)
     "bm25_topk_docs",
     "contrastive_hard_negatives",
     "skew_salted_join",
     "embedding_random_projection",
     "zscore_normalize_features",
     "tokenize_to_vocab_ids",
-    "stream_session_counts",
     "group_holdout_split",
     "temporal_split_leakage",
-    "sim_ann_recall_eval",
     "pagerank_invariants",
-    # percentiles_approx gained a GK-bound oracle this round; it already
-    # sits in the never-checked overflow above
-    # --- never-checked overflow (oracle-bearing)
     "collocation_pmi_topk",
     "doc_hash_embedding",
-    "dedup_cluster_keep_best",
     "cdc_apply_changes",
     "weighted_sample_per_source",
-    "stream_dedup_counts",
     "table_checksum_orders",
-    "stream_stream_join_counts",
     "rfm_customer_segments",
     "basket_part_affinity",
     "path_3gram_topk",
+    "variant_shred_props",
+    "map_functions_suite",
+    "try_arithmetic_suite",
+    "date_function_suite",
+    "xml_parse_extract",
+    "graph_bipartite_projection",
+    "markov_transition_matrix",
+    "curriculum_length_buckets",
+    # ===== window cutoff (~50) — entries below are the r05 rotation
+    # head: the remaining 22 never-checked queries (all driver_sim-
+    # green at sf0.01 and covered by the opt-in sf0.1 sweep), then
+    # the previously-green set in registry order via _ordered():
+    "posexplode_ordinality",
+    "incremental_agg_merge",
+    "zorder_bucket_histogram",
+    "regexp_extract_all_tokens",
+    "listagg_distinct_sources",
+    "fuzzy_name_match_blocked",
+    "data_quality_audit",
+    "global_row_number_shards",
+    "collation_case_insensitive",
+    "pivot_multi_agg",
+    "generator_null_semantics",
+    "histogram_fixed_buckets",
+    "mad_robust_stats",
+    "sliding_distinct_users",
+    "chi2_contingency_assoc",
+    "argmax_deterministic",
     "monthly_revenue_moving_avg",
     "value_band_join",
     "nation_revenue_share",
     "attribution_last_touch",
     "segment_repeat_rate",
     "hourly_seasonal_baseline",
-    "curriculum_length_buckets",
-    "posexplode_ordinality",
-    "incremental_agg_merge",
-    "zorder_bucket_histogram",
-    "variant_shred_props",
-    "map_functions_suite",
-    "try_arithmetic_suite",
-    "regexp_extract_all_tokens",
-    "listagg_distinct_sources",
-    "fuzzy_name_match_blocked",
-    "data_quality_audit",
-    "global_row_number_shards",
-    "xml_parse_extract",
-    "collation_case_insensitive",
-    "date_function_suite",
-    "stream_tumbling_counts",
-    "pivot_multi_agg",
-    "generator_null_semantics",
-    "histogram_fixed_buckets",
-    "graph_bipartite_projection",
-    "mad_robust_stats",
-    "sliding_distinct_users",
-    "markov_transition_matrix",
-    "chi2_contingency_assoc",
-    # --- never-checked overflow (rows-only by design)
-    "bpe_learn_merges",        # full merge table; first merge oracled above
-    "embedding_pq_codes",      # numpy-reference-verified in pytest
-    "sim_ann_pq_adc",          # ADC arithmetic numpy-exact in pytest
-    "embedding_pca_label_means",
-    "dedup_semantic",          # (b) sim/dup_of coupling fixed this round
-    "multimodal_audio_rms",
-    "percentiles_approx",
-    "pagerank_event_transitions",
 ]
 
 # Pre-rotation (round-2) window order, kept for the record of what r02

@@ -62,6 +62,46 @@ def scan_project_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "partitioned_scan_prune",
+    oracle=f"""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(round(sum({REVENUE_DEC_SQL}), 2) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE year(l_shipdate) = 1996
+    GROUP BY l_returnflag
+    """,
+    tags=("scan", "partitioning", "layout"),
+)
+def partitioned_scan_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read-side STATIC partition pruning end-to-end (round-3 verdict
+    item 5): lineitem is written out hive-partitioned by a derived
+    ship_year column (sources.write_parquet partition_by — the at-rest
+    layout a 100 TB fact table would use), re-read, and filtered on the
+    partition column. Catalyst turns the filter into a PartitionFilters
+    entry on the scan, so only the ship_year=1996 directory is listed
+    and read — the other ~6/7ths of the table contributes zero I/O
+    (tests/test_plans.py asserts both the plan shape and that
+    inputFiles() contains only the pruned directory). The oracle
+    recomputes the same aggregate from the unpartitioned source, so the
+    partitioned write -> prune -> read round-trip is value-checked, not
+    just plan-checked. Scratch copy goes to a deterministic overwrite
+    path (sources.scratch_dir), one copy per SF on disk."""
+    from ..sources import scratch_dir, write_parquet
+
+    l = load_table(spark, sf_dir, "lineitem").withColumn(
+        "ship_year", F.year("l_shipdate")
+    )
+    path = scratch_dir("lineitem_by_year", sf_dir)
+    write_parquet(l, path, partition_by=["ship_year"])
+    part = spark.read.parquet(path).filter(F.col("ship_year") == 1996)
+    return part.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        money_sum(revenue_dec()).alias("revenue"),
+    )
+
+
+@register(
     "filter_null_nan_threshold",
     oracle="""
     SELECT event_id, user_id, value

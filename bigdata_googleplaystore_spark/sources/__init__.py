@@ -215,6 +215,24 @@ def write_parquet(
     writer.parquet(path)
 
 
+def scratch_dir(tag: str, key: str) -> str:
+    """Deterministic scratch directory keyed by (tag, key): repeated
+    gate/bench invocations re-write the SAME path (mode=overwrite)
+    instead of leaking a fresh mkdtemp per run — the disk-hygiene policy
+    adopted for the streaming sources in round 4's advice fix, shared
+    here for any query that needs a derived on-disk table (partitioned
+    copies, CDC snapshots)."""
+    import hashlib
+    import os
+    import tempfile
+
+    digest = hashlib.md5(key.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_scratch")
+    path = os.path.join(root, f"{tag}_{digest}")
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,
