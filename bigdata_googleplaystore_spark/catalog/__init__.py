@@ -117,6 +117,9 @@ _PRIORITY: list[str] = [
     "attribution_last_touch",
     "segment_repeat_rate",
     "hourly_seasonal_baseline",
+    # new in round 4 (oracle-verified via driver_sim at sf0.001/0.01/0.1)
+    "pii_redact_stats",
+    "bpe_encode_fixed_vocab",
 ]
 
 # Pre-rotation (round-2) window order, kept for the record of what r02

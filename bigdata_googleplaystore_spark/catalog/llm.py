@@ -3528,3 +3528,149 @@ def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 5)
         .select("source", "doc_id", "n_chars")
     )
+
+
+# --------------------------------------------------------------------------
+# Round-4 additions: PII redaction + fixed-tokenizer BPE encoding
+# --------------------------------------------------------------------------
+
+_PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PII_PHONE = r"\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+@register(
+    "pii_redact_stats",
+    oracle=rf"""
+    WITH t AS (
+      SELECT c_custkey,
+             'customer ' || c_name || ' (' || lower(c_name) || '@'
+               || lower(c_mktsegment) || '.example.com) called from +1-'
+               || lpad(CAST((c_custkey * 7) % 900 + 100 AS VARCHAR), 3, '0')
+               || '-'
+               || lpad(CAST((c_custkey * 13) % 900 + 100 AS VARCHAR), 3, '0')
+               || '-'
+               || lpad(CAST((c_custkey * 31) % 10000 AS VARCHAR), 4, '0')
+               || ' about segment ' || c_mktsegment AS text
+      FROM customer
+    )
+    SELECT c_custkey,
+           CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS INT) AS n_phones,
+           regexp_replace(regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                          '{_PII_PHONE}', '<PHONE>', 'g') AS redacted
+    FROM t
+    """,
+    tags=("llm", "text", "privacy"),
+)
+def pii_redact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — the scrub-before-training step of a corpus
+    pipeline: regex-detect emails and phone numbers, count them per
+    record, and replace them with placeholder tokens. All JVM-side
+    (regexp_count / regexp_replace), one map-only pass, no shuffle.
+
+    The synthetic documents corpus contains no PII by construction, so
+    the record text is derived deterministically from the customer table
+    (name-based email + custkey-derived phone) IN the query — identical
+    construction in the oracle — making the redaction non-vacuous: every
+    record plants exactly one email and one phone, and the scrubbed text
+    plus match counts are hash-checked. The regex subset used (character
+    classes, bounded repetition, literals) means Java regex and RE2
+    agree; lookaround is deliberately avoided (RE2 has none)."""
+    c = load_table(spark, sf_dir, "customer")
+    pad3a = F.lpad(((F.col("c_custkey") * 7) % 900 + 100).cast("string"), 3, "0")
+    pad3b = F.lpad(((F.col("c_custkey") * 13) % 900 + 100).cast("string"), 3, "0")
+    pad4 = F.lpad(((F.col("c_custkey") * 31) % 10000).cast("string"), 4, "0")
+    text = F.concat(
+        F.lit("customer "), F.col("c_name"),
+        F.lit(" ("), F.lower(F.col("c_name")), F.lit("@"),
+        F.lower(F.col("c_mktsegment")), F.lit(".example.com) called from +1-"),
+        pad3a, F.lit("-"), pad3b, F.lit("-"), pad4,
+        F.lit(" about segment "), F.col("c_mktsegment"),
+    )
+    t = c.select("c_custkey", text.alias("text"))
+    return t.select(
+        "c_custkey",
+        F.regexp_count("text", F.lit(_PII_EMAIL)).alias("n_emails"),
+        F.regexp_count("text", F.lit(_PII_PHONE)).alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace("text", _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE,
+            "<PHONE>",
+        ).alias("redacted"),
+    )
+
+
+# The fixed tokenizer: a frozen 8-merge table, highest priority first —
+# the model artifact a production BPE ENCODE step ships with. No merge's
+# spelling re-creates an earlier pair on this table, so a single
+# priority-ordered global pass equals the iterative highest-priority-
+# first apply (documented in bpe_encode_fixed_vocab).
+_FIXED_MERGES: list[tuple[str, str]] = [
+    ("t", "h"), ("a", "n"), ("i", "n"), ("e", "r"),
+    ("th", "e"), ("an", "d"), ("o", "n"), ("e", "</w>"),
+]
+
+
+def _bpe_fixed_oracle() -> str:
+    """DuckDB side of the fixed-merge encode: the same wrapper-separator
+    regex chain (see bpe_encode_fixed_vocab for why the `_sym_` wrapping
+    makes leftmost-non-overlapping replacement exactly the BPE fold
+    without lookahead, which RE2 lacks)."""
+    expr = ("'_' || array_to_string(list_append(string_split(word, ''), "
+            "'</w>'), '__') || '_'")
+    for l, r in _FIXED_MERGES:
+        expr = f"regexp_replace({expr}, '_{l}__{r}_', '_{l}{r}_', 'g')"
+    return rf"""
+    WITH words AS (
+      SELECT DISTINCT unnest(list_filter(
+               string_split_regex(lower(text), '[^a-z]+'), t -> t <> '')) AS word
+      FROM documents WHERE text IS NOT NULL
+    ),
+    enc AS (SELECT word, {expr} AS s FROM words)
+    SELECT word,
+           array_to_string(string_split(trim(s, '_'), '__'), ' ') AS encoding,
+           CAST(len(string_split(trim(s, '_'), '__')) AS INT) AS n_tokens
+    FROM enc
+    """
+
+
+@register(
+    "bpe_encode_fixed_vocab",
+    oracle=_bpe_fixed_oracle(),
+    tags=("llm", "tokenizer"),
+)
+def bpe_encode_fixed_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ENCODE half of the tokenizer (bpe_learn_merges is the train
+    half): apply a frozen 8-merge table to the corpus vocabulary and
+    emit each word's segmentation + token count. At scale this is the
+    map-only hot path of tokenization — the merge table is a model
+    artifact (here a fixed constant, so plan literals are correct: ONE
+    plan, compiled once — unlike the training loop, which must
+    data-parametrize per-iteration pairs).
+
+    Mechanics: symbols ride in one string with every symbol wrapped as
+    `_sym_` ('_t__h__e__</w>_'); merge (l, r) is the literal regex
+    `_l__r_` -> `_lr_`. Because each symbol owns its wrappers, adjacent
+    pair occurrences share no characters, so the engine's leftmost
+    non-overlapping replaceAll IS the greedy BPE fold ('a a a' ->
+    'aa a'), with no lookahead — the construction that lets RE2 (DuckDB)
+    and Java regex agree exactly. Merges apply in priority order, one
+    global pass each; that equals the iterative highest-priority-first
+    apply because no merge's spelling re-creates an earlier pair on this
+    table. '_' is outside the [a-z</w>] symbol alphabet, so wrapping is
+    unambiguous."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = F.expr("filter(split(lower(text), '[^a-z]+'), t -> t <> '')")
+    words = d.select(F.explode(toks).alias("word")).distinct()
+    chars = F.filter(F.split(F.col("word"), ""), lambda c: c != "")
+    syms = F.concat(chars, F.array(F.lit("</w>")))
+    s = F.concat(F.lit("_"), F.array_join(syms, "__"), F.lit("_"))
+    for l, r in _FIXED_MERGES:
+        s = F.regexp_replace(s, f"_{l}__{r}_", f"_{l}{r}_")
+    enc = words.select("word", s.alias("s"))
+    symbols = F.split(F.expr("trim(BOTH '_' FROM s)"), "__")
+    return enc.select(
+        "word",
+        F.array_join(symbols, " ").alias("encoding"),
+        F.size(symbols).alias("n_tokens"),
+    )

@@ -913,3 +913,35 @@ def test_bpe_fold_property_random_symbol_runs(spark):
             .collect()[0]["m"]
         )
         assert got == ref_merge(syms, l, r), (syms, l, r, got)
+
+
+def test_bpe_encode_fixed_matches_python_fold(spark, sf_dir):
+    """The wrapper-separator regex encode (bpe_encode_fixed_vocab) must
+    segment every vocab word exactly like the greedy leftmost
+    non-overlapping fold applied merge-by-merge in priority order — the
+    same semantics _apply_merge pins for the trainer."""
+    from bigdata_googleplaystore_spark.catalog.llm import _FIXED_MERGES
+
+    def fold(syms, l, r):
+        out = []
+        i = 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                out.append(l + r)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    got = {
+        r["word"]: (r["encoding"], r["n_tokens"])
+        for r in QUERIES["bpe_encode_fixed_vocab"].fn(spark, sf_dir).collect()
+    }
+    assert len(got) > 0
+    for word, (encoding, n) in got.items():
+        syms = list(word) + ["</w>"]
+        for l, r in _FIXED_MERGES:
+            syms = fold(syms, l, r)
+        assert encoding == " ".join(syms), word
+        assert n == len(syms)
