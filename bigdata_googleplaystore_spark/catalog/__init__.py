@@ -33,6 +33,9 @@ from .tpch import flagship  # noqa: E402,F401
 # (tests/test_sweep_sf01.py), so the gap is evidentiary, not functional.
 _PRIORITY: list[str] = [
     # ===== ROUND-4 WINDOW (the driver records ~50 rows) =====
+    # (a0) brand-new this round — first-ever rows:
+    "dedup_exact_substring",
+    "text_char_entropy",
     # (a) changed this round while carrying a prior green row — a
     #     changed query needs a fresh row regardless of past greens —
     #     plus the new partitioned-scan query:
@@ -89,12 +92,16 @@ _PRIORITY: list[str] = [
     "date_function_suite",
     "xml_parse_extract",
     "graph_bipartite_projection",
+    # ===== window cutoff (~50) — entries below are the r05 rotation
+    # head: the remaining never-checked queries (all driver_sim-
+    # green at sf0.01 and covered by the opt-in sf0.1 sweep), then
+    # the previously-green set in registry order via _ordered().
+    # markov/curriculum moved below the cutoff to make room for the two
+    # round-4 additions (dedup_exact_substring, text_char_entropy),
+    # which need first-ever rows more urgently than two more backlog
+    # entries; both displaced queries stay driver_sim-green at 3 SFs:
     "markov_transition_matrix",
     "curriculum_length_buckets",
-    # ===== window cutoff (~50) — entries below are the r05 rotation
-    # head: the remaining 22 never-checked queries (all driver_sim-
-    # green at sf0.01 and covered by the opt-in sf0.1 sweep), then
-    # the previously-green set in registry order via _ordered():
     "posexplode_ordinality",
     "incremental_agg_merge",
     "zorder_bucket_histogram",

@@ -3674,3 +3674,186 @@ def bpe_encode_fixed_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(symbols, " ").alias("encoding"),
         F.size(symbols).alias("n_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round-4 additions (2): exact-substring span dedup + char-entropy quality
+# --------------------------------------------------------------------------
+
+_SPAN_K = 8  # words per span — the dedup granularity (ExactSubstr uses 50
+# tokens on web corpora; 8 fits the ~30-word synthetic docs while keeping
+# the same span/coverage algebra)
+
+
+@register(
+    "dedup_exact_substring",
+    oracle=rf"""
+    WITH w AS (
+      SELECT doc_id, {_TOKS_SQL} AS ws
+      FROM documents WHERE text IS NOT NULL
+    ),
+    ex AS (
+      SELECT doc_id, ws,
+             unnest(CASE WHEN len(ws) >= {_SPAN_K}
+                         THEN range(1, len(ws) - {_SPAN_K - 2})
+                         ELSE [] END) AS pos
+      FROM w
+    ),
+    sp AS (
+      SELECT doc_id, pos,
+             array_to_string(list_slice(ws, pos, pos + {_SPAN_K - 1}), ' ')
+               AS span
+      FROM ex
+    ),
+    cnt AS (SELECT span, count(*) AS c FROM sp GROUP BY span),
+    dup AS (
+      SELECT s.doc_id, s.pos FROM sp s JOIN cnt USING (span) WHERE cnt.c > 1
+    ),
+    cov AS (
+      SELECT doc_id,
+             list_sort(list_distinct(
+               flatten(list(range(pos, pos + {_SPAN_K}))))) AS cov
+      FROM dup GROUP BY doc_id
+    )
+    SELECT w.doc_id,
+           CAST(len(w.ws) AS INT) AS n_words,
+           CAST(coalesce(len(c.cov), 0) AS INT) AS n_removed,
+           round(CAST(coalesce(len(c.cov), 0) AS DOUBLE) / len(w.ws), 6)
+             AS removed_frac,
+           coalesce(array_to_string(
+             list_transform(
+               list_filter(range(1, len(w.ws) + 1),
+                           i -> NOT list_contains(coalesce(c.cov, []), i)),
+               i -> w.ws[i]),
+             ' '), '') AS kept_text
+    FROM w LEFT JOIN cov c USING (doc_id)
+    """,
+    tags=("llm", "dedup", "text"),
+)
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring span dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", the ExactSubstr
+    variant): any word-{K}-gram span whose exact text occurs more than
+    once in the corpus (in another doc OR repeated within the same doc)
+    is excised from EVERY document it covers, and the surviving words are
+    re-joined into the cleaned text. This is the removal step that
+    text_dup_ngram_fraction only measures — the output is the scrubbed
+    corpus plus per-doc audit columns.
+
+    The suffix-array formulation of the paper is inherently sequential;
+    the distributed shape used here is the standard rolling-window
+    equivalent for a fixed span length K:
+
+    - spans are (doc_id, pos, xxhash64(span_text)) rows — the corpus is
+      scanned once, each doc emitting n-K+1 spans (map-side, no state);
+    - one groupBy on the 8-byte span hash (map-side combinable) finds
+      global occurrence counts; only hashes, never span strings, shuffle;
+    - duplicated occurrences rejoin on that same hash key and collapse to
+      a per-doc sorted coverage set of word positions (collect_list of
+      tiny int ranges — per-doc, bounded by doc length, NOT corpus-sized;
+      order-insensitive because array_distinct+array_sort canonicalize);
+    - the rebuild is a map-side lambda filter over the original token
+      array using the coverage set — no further shuffle.
+
+    Three shuffles total (span-count, rejoin, per-doc coverage), all on
+    hash or doc_id keys with uniform fan-out; no pair explosion anywhere.
+    The oracle compares span TEXT where Spark compares xxhash64(span) —
+    identical results absent a 64-bit collision within the corpus
+    (~n_spans^2/2^65; negligible, same posture as the jaccard index).
+    Docs with fewer than K words emit no spans and pass through intact."""
+    k = _SPAN_K
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    w = d.select("doc_id", tokens(F.col("text")).alias("ws"))
+    spans = F.when(
+        F.size("ws") >= k,
+        F.expr(
+            f"transform(sequence(1, size(ws) - {k - 1}),"
+            f" i -> struct(i AS pos,"
+            f" xxhash64(array_join(slice(ws, i, {k}), ' ')) AS h))"
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<struct<pos:int,h:bigint>>)"))
+    sp = w.select("doc_id", F.explode(spans).alias("s")).select(
+        "doc_id", "s.pos", "s.h"
+    )
+    cnt = sp.groupBy("h").agg(F.count("*").alias("c"))
+    dup = sp.join(cnt.filter(F.col("c") > 1), "h").select("doc_id", "pos")
+    cov = dup.groupBy("doc_id").agg(
+        F.array_sort(
+            F.array_distinct(
+                F.flatten(F.collect_list(F.expr(f"sequence(pos, pos + {k - 1})")))
+            )
+        ).alias("cov")
+    )
+    joined = w.join(cov, "doc_id", "left").withColumn(
+        "covc", F.coalesce(F.col("cov"), F.expr("CAST(array() AS array<int>)"))
+    )
+    n = F.size("ws")
+    return joined.select(
+        "doc_id",
+        n.alias("n_words"),
+        F.size("covc").alias("n_removed"),
+        F.round(F.size("covc").cast("double") / n, 6).alias("removed_frac"),
+        F.array_join(
+            F.expr("filter(ws, (x, i) -> NOT array_contains(covc, i + 1))"), " "
+        ).alias("kept_text"),
+    )
+
+
+@register(
+    "text_char_entropy",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, regexp_replace(lower(text), '[^a-z ]', '', 'g') AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    ch AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t) + 1),
+                                   i -> substring(t, CAST(i AS INTEGER), 1)))
+               AS ch
+      FROM t
+    ),
+    tf AS (
+      SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+      FROM ch GROUP BY doc_id, ch
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_chars_az,
+           CAST(count(*) AS INT) AS n_distinct_chars,
+           round(log2(CAST(sum(c) AS DOUBLE))
+                 - sum(c * log2(CAST(c AS DOUBLE))) / sum(c), 6)
+             AS char_entropy_bits
+    FROM tf GROUP BY doc_id
+    """,
+    tags=("llm", "text", "quality"),
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the [a-z ] character distribution
+    — the classic cheap gibberish/encoding-noise filter (low entropy =
+    repeated-character runs or boilerplate; high entropy near log2(27) =
+    random noise; natural text sits in a narrow band). Complements the
+    word-level signals (text_quality_score, text_repetition_ratio) at the
+    character level, where mojibake and base64 blobs show up first.
+
+    Shape: H = log2(n) - sum(c*log2(c))/n over per-doc char counts c, so
+    the whole thing is two map-side-combinable aggregations — explode to
+    (doc_id, char), groupBy (doc_id, char) for counts, groupBy doc_id for
+    the entropy fold. The second shuffle moves at most 27 rows per doc.
+    All JVM built-ins (explode/split/log2); no UDF, no driver state.
+    Docs with no [a-z ] characters vanish in both engines (no rows to
+    aggregate); entropy is rounded at 6dp in both so double-accumulation
+    order can't flip the driver's value hash."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    t = F.regexp_replace(F.lower(F.col("text")), "[^a-z ]", "")
+    ch = d.select(
+        "doc_id",
+        F.explode(F.filter(F.split(t, ""), lambda c: c != "")).alias("ch"),
+    )
+    tf = ch.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
+    return tf.groupBy("doc_id").agg(
+        F.sum("c").alias("n_chars_az"),
+        F.count("*").cast("int").alias("n_distinct_chars"),
+        F.round(
+            F.log2(F.sum("c")) - F.sum(F.col("c") * F.log2("c")) / F.sum("c"), 6
+        ).alias("char_entropy_bits"),
+    )

@@ -945,3 +945,85 @@ def test_bpe_encode_fixed_matches_python_fold(spark, sf_dir):
             syms = fold(syms, l, r)
         assert encoding == " ".join(syms), word
         assert n == len(syms)
+
+
+# ---------------------------------------------------------------------------
+# Round-4 batch 2: exact-substring span dedup + char entropy
+# ---------------------------------------------------------------------------
+
+
+def test_exact_substring_dedup_invariants(spark, sf_dir):
+    """Pure-Python re-derivation of the ExactSubstr contract on the real
+    corpus: (1) after removal, re-counting K-gram spans of the ORIGINAL
+    corpus marks exactly the positions the query reported; (2) untouched
+    docs round-trip verbatim; (3) kept_text is the original token stream
+    minus exactly the covered positions."""
+    from collections import Counter
+
+    from bigdata_googleplaystore_spark.catalog.llm import _SPAN_K as K
+    from bigdata_googleplaystore_spark.catalog.registry import QUERIES
+
+    out = {
+        r["doc_id"]: r
+        for r in QUERIES["dedup_exact_substring"].fn(spark, sf_dir).collect()
+    }
+    docs = {
+        r["doc_id"]: r["text"].strip().lower().split()
+        for r in load_table(spark, sf_dir, "documents")
+        .filter("text IS NOT NULL")
+        .collect()
+    }
+    counts = Counter(
+        " ".join(ws[i : i + K])
+        for ws in docs.values()
+        for i in range(len(ws) - K + 1)
+    )
+    for doc_id, ws in docs.items():
+        covered = set()
+        for i in range(len(ws) - K + 1):
+            if counts[" ".join(ws[i : i + K])] > 1:
+                covered.update(range(i, i + K))
+        row = out[doc_id]
+        assert row["n_words"] == len(ws)
+        assert row["n_removed"] == len(covered), doc_id
+        expect = " ".join(w for i, w in enumerate(ws) if i not in covered)
+        assert row["kept_text"] == expect, doc_id
+    # The corpus actually exercises both paths.
+    removed = [r for r in out.values() if r["n_removed"] > 0]
+    assert removed and len(removed) < len(out)
+
+
+def test_char_entropy_matches_numpy(spark, sf_dir):
+    """Entropy recomputed in float64 numpy for every doc: same 6dp value,
+    and the mathematical bounds hold (0 <= H <= log2(27))."""
+    import math
+    import re
+    from collections import Counter
+
+    from bigdata_googleplaystore_spark.catalog.registry import QUERIES
+
+    out = {
+        r["doc_id"]: r
+        for r in QUERIES["text_char_entropy"].fn(spark, sf_dir).collect()
+    }
+    docs = {
+        r["doc_id"]: re.sub("[^a-z ]", "", r["text"].lower())
+        for r in load_table(spark, sf_dir, "documents")
+        .filter("text IS NOT NULL")
+        .collect()
+    }
+    n_checked = 0
+    for doc_id, t in docs.items():
+        if not t:
+            assert doc_id not in out
+            continue
+        c = Counter(t)
+        n = sum(c.values())
+        h = math.log2(n) - sum(v * math.log2(v) for v in c.values()) / n
+        row = out[doc_id]
+        assert row["n_chars_az"] == n
+        assert row["n_distinct_chars"] == len(c)
+        assert abs(row["char_entropy_bits"] - round(h, 6)) <= 1e-6
+        assert -1e-9 <= row["char_entropy_bits"] <= math.log2(27) + 1e-9
+        n_checked += 1
+    assert n_checked == len(out)
