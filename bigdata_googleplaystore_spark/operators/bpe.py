@@ -59,15 +59,19 @@ def _apply_merge(symbols_col: str, left, right) -> F.Column:
     the same pass, matching the reference BPE's non-overlapping leftmost
     replace). Pure JVM higher-order function — no UDF.
 
-    `left`/`right` may be strings or Columns. The training loop passes
-    COLUMNS (from a 1-row broadcast frame), deliberately: with literals,
-    every iteration's plan embeds a different constant and whole-stage
-    codegen compiles a fresh class per merge — 16 merges evicted ~16
-    entries of the JVM's bounded codegen cache per run and poisoned
-    every other query's compiled plans (measured: the playstore
-    pipeline went 2.4 s -> 16 s at the tail of a bench session).
-    Column-parametrized, the plan is structurally identical across
-    iterations, so codegen compiles ONCE and each merge reuses it."""
+    `left`/`right` may be strings or Columns. This fold is the SEMANTIC
+    PIN for merge application (the property tests exercise it directly);
+    since round 4b the trainer itself applies merges in the wrapped
+    STRING form via regexp_replace (see _wrap_symbols) because analyzing
+    this ~60-node tree cost ~0.4 s of driver time per pass. The two are
+    asserted equivalent case-by-case (test_bpe_string_apply_matches_fold)
+    and end-to-end (the merge-for-merge reference tests). The
+    codegen-cache lesson stands for any iterative operator: pass
+    per-iteration constants as COLUMNS from a 1-row broadcast frame, not
+    plan literals — literal-embedding compiled a fresh codegen class per
+    merge and poisoned other queries' compiled plans (measured: the
+    playstore pipeline went 2.4 s -> 16 s at the tail of a bench
+    session)."""
     l = F.lit(left) if isinstance(left, str) else left
     r = F.lit(right) if isinstance(right, str) else right
     m = F.concat(l, r)
@@ -88,6 +92,32 @@ def _apply_merge(symbols_col: str, left, right) -> F.Column:
 # outside the alphabet. Used to pad single-merge passes so the two-merge
 # plan shape is constant (codegen compiles once, see _apply_merge).
 _INERT = "\x00"
+
+
+def _wrap_symbols(word: F.Column) -> F.Column:
+    """word -> the wrapper-separator string form "_c__c__..__</w>_": every
+    symbol wrapped by '_' on both sides, adjacent symbols sharing a '__'
+    separator. '_' is outside the [a-z</w>] symbol alphabet, so the
+    encoding is unambiguous, and a regex replace of '_l__r_' -> '_lr_'
+    is EXACTLY the greedy leftmost non-overlapping merge fold
+    (_apply_merge): the regex engine resumes scanning after each match,
+    so a just-merged symbol can't re-merge within the pass, and a match
+    consumes only one of the two separator underscores on each side, so
+    neighbours keep their wrapping. Pinned against the fold by
+    test_bpe_string_apply_matches_fold and, end-to-end, by the
+    merge-for-merge reference tests."""
+    return F.concat(
+        F.lit("_"), F.array_join(_initial_symbols(word), "__"), F.lit("_")
+    )
+
+
+def _merge_pattern(l: F.Column, r: F.Column) -> tuple[F.Column, F.Column]:
+    """(pattern, replacement) regex columns for one merge in the wrapped
+    string form. Symbols are [a-z</w>]+ — no regex metacharacters and no
+    '$'/'\\' replacement escapes, so plain concatenation is safe."""
+    pat = F.concat(F.lit("_"), l, F.lit("__"), r, F.lit("_"))
+    rep = F.concat(F.lit("_"), l, r, F.lit("_"))
+    return pat, rep
 
 
 def _second_merge_safe(
@@ -145,12 +175,53 @@ def _second_merge_safe(
     return True
 
 
+def _learn_merges_local(
+    word_freqs: dict[str, int], n_merges: int, min_freq: int
+) -> list[tuple[int, str, str, int]]:
+    """Driver-side merge loop over a collected word-frequency dict —
+    bit-identical to the distributed loop (same (freq desc, l, r) argmax
+    tiebreak, same greedy leftmost non-overlapping fold; asserted
+    merge-for-merge against it in tests/test_llm_batch2.py)."""
+    vocab: dict[tuple[str, ...], int] = {}
+    for w, f in word_freqs.items():
+        key = tuple(list(w) + [END_OF_WORD])
+        vocab[key] = vocab.get(key, 0) + f
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, f in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        (l, r), pf = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if pf < min_freq:
+            break
+        merges.append((rank, l, r, pf))
+        nxt: dict[tuple[str, ...], int] = {}
+        for syms, f in vocab.items():
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            nxt[key] = nxt.get(key, 0) + f
+        vocab = nxt
+    return merges
+
+
 def learn_bpe_merges(
     spark: SparkSession,
     words: DataFrame,
     n_merges: int = 16,
     min_freq: int = 2,
     rows_per_partition: int = 200_000,
+    driver_vocab_limit: int = 65536,
 ) -> DataFrame:
     """Learn up to `n_merges` BPE merges from a (word, freq) table.
 
@@ -187,6 +258,28 @@ def learn_bpe_merges(
     persist() chain keeps the full nested lineage and iteration 16's
     planning cost explodes (measured: ~20 s -> 450+ s at sf0.001).
 
+    Round-4b latency work, part 1 — HYBRID CUTOVER: after the corpus
+    collapses to (word, freq), a vocab of at most `driver_vocab_limit`
+    rows (default 65,536 — a few MB) is collected once and the merge
+    loop runs driver-side (_learn_merges_local), bit-identically; the
+    distributed loop below exists for the web-scale vocab case and is
+    test-pinned via driver_vocab_limit=0. Rationale in the cutover
+    comment in the body.
+
+    Round-4b latency work, part 2 — STRING-FORM VOCAB: profiling the steady
+    state showed each pass spending ~0.42 s in DRIVER-SIDE ANALYSIS of
+    the two ~60-node aggregate() fold expressions (vs 0.13 s for the
+    whole count+collect job on a 31-row vocab). The vocab therefore now
+    lives as the wrapper-separator STRING (_wrap_symbols), the same
+    representation the frozen-vocab encoder uses: applying a merge is a
+    single regexp_replace('_l__r_' -> '_lr_') with COLUMN-typed
+    pattern/replacement (proven fold-equivalent, see _wrap_symbols), a
+    ~5-node expression the analyzer disposes of in microseconds. Pair
+    counting splits the string back to the symbol array only inside the
+    count job. Measured: 5.9 s -> ~2.5 s for 16 merges at sf0.1; the
+    merge-for-merge reference tests and the adversarial batching suite
+    pin bit-identical output.
+
     Returns a DataFrame (merge_rank, left, right, pair_freq) built from
     the driver-side merge table — model-sized output (like k-means
     centroids), never data-sized.
@@ -197,6 +290,28 @@ def learn_bpe_merges(
         for k in ("spark.sql.adaptive.enabled", "spark.sql.shuffle.partitions")
     }
     n_rows = words.count()
+    if n_rows <= driver_vocab_limit:
+        # HYBRID CUTOVER (round 4b): everything data-sized — the corpus
+        # scan and the collapse to (word, freq) — already happened in
+        # Spark upstream; what remains is MODEL-SIZED iteration, and the
+        # distributed loop's cost at that size is pure per-pass job
+        # floor: profiling at sf0.1 (31-row vocab) showed ~0.5 s/pass of
+        # which ~0.35 s is localCheckpoint's physical planning (toRdd)
+        # and ~0.15 s the collect job itself — data time is microseconds.
+        # So, exactly like k-means collecting k centroids or this loop
+        # already collecting its top-8 pairs, a vocab under the limit
+        # (65,536 rows ~ a few MB) collects once and iterates driver-
+        # side, bit-identically (asserted merge-for-merge in tests).
+        # Real web-scale vocabs (1e7-1e9 rows after a 100 TB corpus)
+        # exceed the limit and take the distributed path below; tests
+        # pin that path with driver_vocab_limit=0.
+        wf: dict[str, int] = {}
+        for r in words.select("word", "freq").collect():
+            wf[r["word"]] = wf.get(r["word"], 0) + int(r["freq"])
+        return spark.createDataFrame(
+            _learn_merges_local(wf, n_merges, min_freq),
+            "merge_rank int, left string, right string, pair_freq bigint",
+        )
     npart = max(
         1,
         min(
@@ -211,23 +326,24 @@ def learn_bpe_merges(
         conf.set("spark.sql.shuffle.partitions", str(npart))
         vocab = (
             words.repartition(npart)
-            .select("freq", _initial_symbols(F.col("word")).alias("symbols"))
+            .select("freq", _wrap_symbols(F.col("word")).alias("s"))
             .localCheckpoint(eager=False)
         )
-        # Both per-pass expressions are built ONCE: they are unresolved
-        # (plan-independent), and constructing the deep fold tree over
-        # py4j costs real driver time per call.
+        # Per-pass expressions are built ONCE: they are unresolved
+        # (plan-independent), and constructing them over py4j costs
+        # driver time per call.
+        symbols_col = F.split(F.expr("btrim(s, '_')"), "__").alias("symbols")
         pairs_col = F.explode(_adjacent_pairs()).alias("p")
-        merged_col = _apply_merge(
-            "symbols", F.col("_m2l"), F.col("_m2r")
-        ).alias("symbols")
-        first_col = _apply_merge("symbols", F.col("_m1l"), F.col("_m1r")).alias(
-            "symbols"
-        )
+        p1, r1c = _merge_pattern(F.col("_m1l"), F.col("_m1r"))
+        p2, r2c = _merge_pattern(F.col("_m2l"), F.col("_m2r"))
+        merged_col = F.regexp_replace(
+            F.regexp_replace(F.col("s"), p1, r1c), p2, r2c
+        ).alias("s")
         spellings: set[str] = set()
         while len(merges) < n_merges:
             cand = (
-                vocab.select(pairs_col, "freq")
+                vocab.select(symbols_col, "freq")
+                .select(pairs_col, "freq")
                 .groupBy("p.l", "p.r")
                 .agg(F.sum("freq").alias("pair_freq"))
                 .orderBy(F.desc("pair_freq"), F.asc("l"), F.asc("r"))
@@ -262,7 +378,6 @@ def learn_bpe_merges(
             )
             vocab = (
                 vocab.crossJoin(pair)
-                .select("freq", "_m2l", "_m2r", first_col)
                 .select("freq", merged_col)
                 .localCheckpoint(eager=False)
             )

@@ -708,6 +708,15 @@ def test_bpe_merges_match_reference(spark, sf_dir):
         for r in QUERIES["bpe_learn_merges"].fn(spark, sf_dir).collect()
     ]
     assert got == expected
+    # The distributed loop (driver_vocab_limit=0 bypasses the hybrid
+    # cutover) must produce the same table merge-for-merge.
+    got_dist = [
+        (r["merge_rank"], r["left"], r["right"], r["pair_freq"])
+        for r in bpe.learn_bpe_merges(
+            spark, words, 16, 2, driver_vocab_limit=0
+        ).collect()
+    ]
+    assert got_dist == expected
 
 
 def test_bpe_batched_merges_match_reference_on_adversarial_vocabs(spark):
@@ -733,11 +742,21 @@ def test_bpe_batched_merges_match_reference_on_adversarial_vocabs(spark):
             list(words.items()), "word string, freq long"
         )
         want = _reference_bpe(words, n_merges=30, min_freq=2)
+        # driver_vocab_limit=0 forces the DISTRIBUTED loop (the batching
+        # machinery under test); the default-path (driver-side) result
+        # must agree bit-for-bit as well.
         got = [
+            (r["merge_rank"], r["left"], r["right"], r["pair_freq"])
+            for r in bpe.learn_bpe_merges(
+                spark, wf_df, 30, 2, driver_vocab_limit=0
+            ).collect()
+        ]
+        assert got == want, f"seed={seed}: {got} != {want}"
+        got_local = [
             (r["merge_rank"], r["left"], r["right"], r["pair_freq"])
             for r in bpe.learn_bpe_merges(spark, wf_df, 30, 2).collect()
         ]
-        assert got == want, f"seed={seed}: {got} != {want}"
+        assert got_local == want, f"seed={seed} (driver path)"
 
 
 def test_bpe_fold_overlap_semantics(spark):
@@ -1027,3 +1046,48 @@ def test_char_entropy_matches_numpy(spark, sf_dir):
         assert -1e-9 <= row["char_entropy_bits"] <= math.log2(27) + 1e-9
         n_checked += 1
     assert n_checked == len(out)
+
+
+def test_bpe_string_apply_matches_fold(spark):
+    """The trainer's wrapped-string regexp_replace merge application
+    (round 4b) must equal the _apply_merge fold on every adversarial
+    case the fold property test pins — run chains, interleavings,
+    multi-char symbols equal to the merged token, absent pairs, and the
+    end-of-word marker."""
+    from bigdata_googleplaystore_spark.operators.bpe import (
+        _apply_merge,
+        _merge_pattern,
+    )
+
+    cases = [
+        (["a"] * n, "a", "a") for n in range(1, 7)
+    ] + [
+        (["a", "b", "a", "b", "a"], "a", "b"),
+        (["a", "b", "a", "b", "a"], "b", "a"),
+        (["ab", "a", "b", "ab"], "a", "b"),
+        (["a", "ab", "b", "a", "b"], "ab", "b"),
+        (["x", "y", "z"], "a", "b"),
+        (["b", "a", "a", "b", "a", "a", "a"], "a", "a"),
+        (["</w>", "a", "</w>"], "a", "</w>"),
+    ]
+    df = spark.createDataFrame(
+        [(i, syms, l, r) for i, (syms, l, r) in enumerate(cases)],
+        "i int, symbols array<string>, l string, r string",
+    )
+    wrapped = F.concat(F.lit("_"), F.array_join("symbols", "__"), F.lit("_"))
+    pat, rep = _merge_pattern(F.col("l"), F.col("r"))
+    via_str = F.split(
+        F.expr("btrim(s2, '_')"), "__"
+    ).alias("via_str")
+    rows = (
+        df.select(
+            "i",
+            _apply_merge("symbols", F.col("l"), F.col("r")).alias("via_fold"),
+            F.regexp_replace(wrapped, pat, rep).alias("s2"),
+        )
+        .select("i", "via_fold", via_str)
+        .collect()
+    )
+    assert len(rows) == len(cases)
+    for r in rows:
+        assert r["via_fold"] == r["via_str"], cases[r["i"]]
