@@ -36,6 +36,7 @@ _PRIORITY: list[str] = [
     # (a0) brand-new this round — first-ever rows:
     "dedup_exact_substring",
     "text_char_entropy",
+    "logreg_quality_classifier",
     # (a) changed this round while carrying a prior green row — a
     #     changed query needs a fresh row regardless of past greens —
     #     plus the new partitioned-scan query:
@@ -91,17 +92,18 @@ _PRIORITY: list[str] = [
     "try_arithmetic_suite",
     "date_function_suite",
     "xml_parse_extract",
-    "graph_bipartite_projection",
     # ===== window cutoff (~50) — entries below are the r05 rotation
     # head: the remaining never-checked queries (all driver_sim-
     # green at sf0.01 and covered by the opt-in sf0.1 sweep), then
     # the previously-green set in registry order via _ordered().
-    # markov/curriculum moved below the cutoff to make room for the two
-    # round-4 additions (dedup_exact_substring, text_char_entropy),
-    # which need first-ever rows more urgently than two more backlog
-    # entries; both displaced queries stay driver_sim-green at 3 SFs:
+    # markov/curriculum/bipartite moved below the cutoff to make room
+    # for the three round-4 additions (dedup_exact_substring,
+    # text_char_entropy, logreg_quality_classifier), which need
+    # first-ever rows more urgently than three more backlog entries;
+    # the displaced queries stay driver_sim-green at 3 SFs:
     "markov_transition_matrix",
     "curriculum_length_buckets",
+    "graph_bipartite_projection",
     "posexplode_ordinality",
     "incremental_agg_merge",
     "zorder_bucket_histogram",

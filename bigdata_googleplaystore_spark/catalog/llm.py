@@ -3857,3 +3857,131 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.log2(F.sum("c")) - F.sum(F.col("c") * F.log2("c")) / F.sum("c"), 6
         ).alias("char_entropy_bits"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round-4 additions (3): in-engine quality-classifier training
+# --------------------------------------------------------------------------
+
+_LOGREG_STEPS = 3
+_LOGREG_LR = 2.0
+# DuckDB fragment computing the shared feature frame: label + 3 features +
+# bias. Mirrors the Spark expressions token-for-token so per-row doubles
+# are bit-identical (same IEEE ops in the same order).
+_LOGREG_FEATS_SQL = rf"""
+      SELECT CASE WHEN list_contains(ws, 'spark') THEN 1.0 ELSE 0.0 END AS y,
+             len(ws) / 50.0 AS x1,
+             len(list_filter(ws, t -> t IN ('the','a','of','and','to')))
+               / CAST(len(ws) AS DOUBLE) AS x2,
+             len(list_distinct(ws)) / CAST(len(ws) AS DOUBLE) AS x3,
+             1.0 AS x4
+      FROM (SELECT {_TOKS_SQL} AS ws FROM documents WHERE text IS NOT NULL)
+"""
+
+
+def _logreg_oracle() -> str:
+    """Unrolled-CTE oracle: each gradient step is one aggregate over the
+    feature CTE crossed with the previous weight row — the same math the
+    Spark loop runs, with the same 6dp gradient rounding."""
+    lr = _LOGREG_LR
+    parts = [f"WITH f AS ({_LOGREG_FEATS_SQL})",
+             "s0 AS (SELECT 0.0 AS w1, 0.0 AS w2, 0.0 AS w3, 0.0 AS w4)"]
+    for k in range(1, _LOGREG_STEPS + 1):
+        z = f"(x1*w1 + x2*w2 + x3*w3 + x4*w4)"
+        p = f"(1.0 / (1.0 + exp(-{z})))"
+        grads = ", ".join(
+            f"round(sum(({p} - y) * x{j}) / count(*), 6) AS g{j}"
+            for j in range(1, 5)
+        )
+        parts.append(
+            f"g{k} AS (SELECT {grads}, "
+            f"CAST(sum(CASE WHEN ({z} >= 0) = (y = 1.0) THEN 1 ELSE 0 END)"
+            f" AS BIGINT) AS n_correct, CAST(count(*) AS BIGINT) AS n "
+            f"FROM f, s{k - 1})"
+        )
+        ws = ", ".join(
+            f"round(w{j} - {lr} * g{j}, 6) AS w{j}" for j in range(1, 5)
+        )
+        parts.append(f"s{k} AS (SELECT {ws} FROM s{k - 1}, g{k})")
+    selects = " UNION ALL ".join(
+        f"SELECT {k} AS step, w1 AS w_len, w2 AS w_stop, w3 AS w_uniq, "
+        f"w4 AS w_bias, n_correct, n FROM s{k}, g{k}"
+        for k in range(1, _LOGREG_STEPS + 1)
+    )
+    return ",\n".join(parts) + "\n" + selects
+
+
+@register(
+    "logreg_quality_classifier",
+    oracle=_logreg_oracle(),
+    tags=("llm", "quality", "ml"),
+)
+def logreg_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine quality-classifier TRAINING: full-batch logistic
+    regression by gradient descent over per-document features — the
+    fastText-style "train a filter on the corpus itself" step of an LLM
+    data pipeline (label here: does the doc mention 'spark'; features:
+    normalized length, stopword ratio, distinct-token ratio, bias).
+
+    Distribution shape (the k-means-centroids pattern): each step is ONE
+    map-side-combinable aggregation over the corpus — four gradient sums
+    and the running accuracy in a single job — and the model (4 weights)
+    updates driver-side. The corpus is never collected, weights ride into
+    the next step's expressions; 3 steps = 3 jobs. At 100 TB each job is
+    a plain tree-aggregate; the driver holds 4 doubles.
+
+    Cross-engine exactness, by construction rather than tolerance:
+    - gradients are rounded at 6dp BEFORE the weight update in both
+      engines, so weights stay on an exact 1e-6 grid (double-sum
+      accumulation-order noise is ~1e-11, five orders below the grid);
+    - the accuracy predicate is z >= 0, not sigmoid(z) >= 0.5 — the
+      sigmoid is monotone with sigmoid(0) = 1/2, so the predicates are
+      equivalent and libm's exp() (not correctly-rounded, may differ by
+      an ulp between JVM and DuckDB) never enters an exact comparison;
+    - per-row features are single IEEE expressions evaluated in the same
+      textual order in both engines -> bit-identical inputs.
+
+    Output: one row per step — post-update weights plus the pre-update
+    decision accuracy (so step 1 reports the 0-weight baseline count)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    ws = tokens(F.col("text"))
+    stop = F.array(*[F.lit(w) for w in ("the", "a", "of", "and", "to")])
+    feats = d.select(
+        F.when(F.array_contains(ws, "spark"), 1.0).otherwise(0.0).alias("y"),
+        (F.size(ws) / F.lit(50.0)).alias("x1"),
+        (
+            F.size(F.filter(ws, lambda t: t.isin("the", "a", "of", "and", "to")))
+            / F.size(ws).cast("double")
+        ).alias("x2"),
+        (F.size(F.array_distinct(ws)) / F.size(ws).cast("double")).alias("x3"),
+        F.lit(1.0).alias("x4"),
+    )
+    w = [0.0, 0.0, 0.0, 0.0]
+    rows: list[tuple] = []
+    for step in range(1, _LOGREG_STEPS + 1):
+        z = sum(
+            (F.col(f"x{j + 1}") * F.lit(w[j]) for j in range(1, 4)),
+            F.col("x1") * F.lit(w[0]),
+        )
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        agg = feats.agg(
+            *[
+                F.round(
+                    F.sum((p - F.col("y")) * F.col(f"x{j}")) / F.count("*"), 6
+                ).alias(f"g{j}")
+                for j in range(1, 5)
+            ],
+            F.sum(
+                F.when((z >= 0) == (F.col("y") == 1.0), 1).otherwise(0)
+            ).alias("n_correct"),
+            F.count("*").alias("n"),
+        ).collect()[0]
+        w = [round(w[j] - _LOGREG_LR * agg[f"g{j + 1}"], 6) for j in range(4)]
+        rows.append(
+            (step, w[0], w[1], w[2], w[3], int(agg["n_correct"]), int(agg["n"]))
+        )
+    return spark.createDataFrame(
+        rows,
+        "step int, w_len double, w_stop double, w_uniq double, "
+        "w_bias double, n_correct bigint, n bigint",
+    )

@@ -1091,3 +1091,54 @@ def test_bpe_string_apply_matches_fold(spark):
     assert len(rows) == len(cases)
     for r in rows:
         assert r["via_fold"] == r["via_str"], cases[r["i"]]
+
+
+def test_logreg_trainer_matches_numpy(spark, sf_dir):
+    """Float64 numpy replica of the full-batch GD loop (same 6dp gradient
+    rounding, same z>=0 decision rule) must reproduce every weight and
+    accuracy count; training must actually move the weights."""
+    from bigdata_googleplaystore_spark.catalog.llm import (
+        _LOGREG_LR,
+        _LOGREG_STEPS,
+    )
+
+    docs = [
+        r["text"].strip().lower().split()
+        for r in load_table(spark, sf_dir, "documents")
+        .filter("text IS NOT NULL")
+        .collect()
+    ]
+    stop = {"the", "a", "of", "and", "to"}
+    X = np.array(
+        [
+            [
+                len(ws) / 50.0,
+                sum(1 for t in ws if t in stop) / float(len(ws)),
+                len(set(ws)) / float(len(ws)),
+                1.0,
+            ]
+            for ws in docs
+        ]
+    )
+    y = np.array([1.0 if "spark" in ws else 0.0 for ws in docs])
+    w = np.zeros(4)
+    expected = []
+    for step in range(1, _LOGREG_STEPS + 1):
+        z = X @ w
+        n_correct = int(((z >= 0) == (y == 1.0)).sum())
+        p = 1.0 / (1.0 + np.exp(-z))
+        g = np.round(((p - y)[:, None] * X).sum(axis=0) / len(y), 6)
+        w = np.round(w - _LOGREG_LR * g, 6)
+        expected.append((step, *w.tolist(), n_correct, len(y)))
+    got = [
+        tuple(r)
+        for r in QUERIES["logreg_quality_classifier"]
+        .fn(spark, sf_dir)
+        .collect()
+    ]
+    assert len(got) == _LOGREG_STEPS
+    for e_row, g_row in zip(expected, got):
+        assert g_row[0] == e_row[0] and g_row[5] == e_row[5] and g_row[6] == e_row[6]
+        for ew, gw in zip(e_row[1:5], g_row[1:5]):
+            assert abs(ew - gw) < 1e-9, (e_row, g_row)
+    assert any(abs(v) > 0 for v in got[-1][1:5])
