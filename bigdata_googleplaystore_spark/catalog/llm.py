@@ -3728,7 +3728,7 @@ _SPAN_K = 8  # words per span — the dedup granularity (ExactSubstr uses 50
              ' '), '') AS kept_text
     FROM w LEFT JOIN cov c USING (doc_id)
     """,
-    tags=("llm", "dedup", "text"),
+    tags=("llm", "dedup", "text", "bench"),
 )
 def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring span dedup (Lee et al. 2022, "Deduplicating
@@ -3763,7 +3763,13 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     Docs with fewer than K words emit no spans and pass through intact."""
     k = _SPAN_K
     d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    w = d.select("doc_id", tokens(F.col("text")).alias("ws"))
+    # The token frame feeds THREE consumers with different downstream
+    # shapes (span emission, and both sides of the rebuild join), so
+    # without materialization the scan+tokenize runs three times (plan
+    # audit showed 3 documents scans). persist() computes it once,
+    # lazily, and spills at scale — the same policy as the minhash
+    # shingle frame (operators/dedup.py).
+    w = d.select("doc_id", tokens(F.col("text")).alias("ws")).persist()
     spans = F.when(
         F.size("ws") >= k,
         F.expr(
@@ -3914,7 +3920,7 @@ def _logreg_oracle() -> str:
 @register(
     "logreg_quality_classifier",
     oracle=_logreg_oracle(),
-    tags=("llm", "quality", "ml"),
+    tags=("llm", "quality", "ml", "bench"),
 )
 def logreg_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-engine quality-classifier TRAINING: full-batch logistic
@@ -3955,7 +3961,12 @@ def logreg_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("x2"),
         (F.size(F.array_distinct(ws)) / F.size(ws).cast("double")).alias("x3"),
         F.lit(1.0).alias("x4"),
-    )
+    ).persist()  # 5 doubles/doc: the corpus is tokenized ONCE (step 1's
+    # job populates the cache), later steps aggregate the tiny feature
+    # frame — at scale the cache is ~n*40 bytes and spills; without it
+    # every step re-scans and re-tokenizes the full corpus (A/B measured
+    # 2.4 s -> 1.65 s at sf0.1). Unpersisted before return: the result
+    # is a driver-side LocalRelation, nothing downstream needs the cache.
     w = [0.0, 0.0, 0.0, 0.0]
     rows: list[tuple] = []
     for step in range(1, _LOGREG_STEPS + 1):
@@ -3980,6 +3991,7 @@ def logreg_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append(
             (step, w[0], w[1], w[2], w[3], int(agg["n_correct"]), int(agg["n"]))
         )
+    feats.unpersist()
     return spark.createDataFrame(
         rows,
         "step int, w_len double, w_stop double, w_uniq double, "
