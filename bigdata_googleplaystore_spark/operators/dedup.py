@@ -371,8 +371,21 @@ def minhash_lsh_pairs(
     # entirely (map-only array_min/transform — no signature shuffle).
     arrs = shingle_arrays(df, id_col, text_col, n).persist()
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes, shingle_arrs=arrs)
-    shingles = arrs.select(
-        "doc", "set_size", F.explode_outer("shingles").alias("shingle")
+    # Verify in the HASHED shingle domain (same policy as jaccard_pairs,
+    # round-4 advice): intersection keys AND set sizes are both computed
+    # over the distinct xxhash64(shingle) set, so the measured Jaccard is
+    # exactly the hashed-set Jaccard — mutually consistent even under a
+    # 64-bit collision — instead of a mixed string-size/hash-intersection
+    # ratio. Also cheaper: the verify joins compare 8-byte longs, not
+    # length-proportional shingle strings.
+    hashed = arrs.select(
+        "doc",
+        F.array_distinct(
+            F.transform("shingles", lambda x: F.xxhash64(x))
+        ).alias("hs"),
+    )
+    shingles = hashed.select(
+        "doc", F.size("hs").alias("set_size"), F.explode_outer("hs").alias("shingle")
     ).filter(F.col("shingle").isNotNull())
     band_cols = F.array(
         *[

