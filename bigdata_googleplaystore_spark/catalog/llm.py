@@ -3858,6 +3858,15 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     # replaces (scrubbed corpus ~= token frame), and on a real cluster
     # this output is sink-shaped anyway — you'd write the cleaned corpus
     # to storage, not hold it in a lazy plan.
+    #
+    # SPARK_GRAFT_KEEP_LAZY=1 (set by tools/plan_audit.py only) returns
+    # the un-checkpointed plan so the audit can see the real scans/joins
+    # instead of a LogicalRDD; that caller owns the leaked cache for its
+    # short-lived session.
+    import os
+
+    if os.environ.get("SPARK_GRAFT_KEEP_LAZY") == "1":
+        return out
     out = out.localCheckpoint(eager=True)
     w.unpersist()
     return out

@@ -55,8 +55,12 @@ def main() -> None:
     # the probe's untouched control input) — link it through verbatim.
     src = os.path.join(SF, "customer.parquet")
     dst = os.path.join(out_dir, "customer.parquet")
-    if not os.path.exists(dst):
-        os.symlink(src, dst)
+    # lexists, not exists: a stale symlink (e.g. after the sf dir moves)
+    # returns False from exists() and the symlink() below would raise
+    # FileExistsError (round-4 advice) — remove and recreate instead.
+    if os.path.lexists(dst):
+        os.unlink(dst)
+    os.symlink(src, dst)
     print("| query | t(sf0.1) | rows | t(4x) | rows(4x) | time ratio |")
     print("|---|---|---|---|---|---|")
     for name in OPS:
