@@ -1142,3 +1142,36 @@ def test_logreg_trainer_matches_numpy(spark, sf_dir):
         for ew, gw in zip(e_row[1:5], g_row[1:5]):
             assert abs(ew - gw) < 1e-9, (e_row, g_row)
     assert any(abs(v) > 0 for v in got[-1][1:5])
+
+
+def test_pq_planted_fixpoint_codes_and_adc(spark, sf_dir):
+    """Fast pin of the planted-fixpoint gates behind the two PQ catalog
+    oracles (round-5): training on exact copies of the k lowest-id
+    anchors must (a) encode every copy to its anchor's rank with
+    reconstruction error ~0 through all 3 Lloyd iterations, and (b) rank
+    each anchor-query's 5 non-self copies at rounded ADC distance 0.0 in
+    cand_id order. Guards the seeding order, the fixpoint stability of
+    centroid means over identical members, and the ranking tiebreak that
+    the sf0.01/sf0.1 driver oracles rely on."""
+    from bigdata_googleplaystore_spark.catalog.llm import (
+        embedding_pq_codes,
+        sim_ann_pq_adc,
+    )
+
+    codes = embedding_pq_codes(spark, sf_dir).collect()
+    assert len(codes) == 48
+    by_anchor = {}
+    for r in codes:
+        assert r["sq_err"] == 0.0
+        parts = set(r["codes_str"].split("-"))
+        assert len(parts) == 1  # all 4 subspaces agree on the anchor code
+        by_anchor.setdefault(r["vec_id"] % 10_000_000, set()).add(parts.pop())
+    assert len(by_anchor) == 16
+    for copies_codes in by_anchor.values():
+        assert len(copies_codes) == 1  # all 3 copies share one code
+
+    adc = sim_ann_pq_adc(spark, sf_dir).collect()
+    assert len(adc) == 32 * 5
+    for r in adc:
+        assert r["adc_dist"] == 0.0
+        assert r["cand_id"] == r["query_id"] + 10_000_000 * r["rank"]

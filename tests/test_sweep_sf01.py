@@ -85,3 +85,27 @@ def test_sweep_rows_only_query_runs(spark, name):
     assert sdf.count() >= 0
     assert len(sdf.columns) > 0
     spark.catalog.clearCache()
+
+
+def test_sweep_distributed_bpe_above_cutover_matches_reference(spark):
+    """Opt-in (slow, ~20 s) regression gate for the DISTRIBUTED BPE merge
+    loop ABOVE the 65,536-row driver cutover — the web-scale path the
+    default suite only pins at toy size via driver_vocab_limit=0. Uses
+    the scale probe's deterministic synthetic vocab at 2x the cutover and
+    asserts merge-for-merge equality with the driver-side reference
+    (same argmax tiebreak, same greedy fold). Companion to the wall-clock
+    table in COVERAGE.md (tools/scale_probe_r05.py)."""
+    from bigdata_googleplaystore_spark.operators import bpe
+    from tools.scale_probe_r05 import CUTOVER, synth_vocab
+
+    n = 2 * CUTOVER
+    words = synth_vocab(spark, n)
+    wf = {r["word"]: int(r["freq"]) for r in words.collect()}
+    want = bpe._learn_merges_local(wf, 8, 2)
+    got = [
+        (r["merge_rank"], r["left"], r["right"], int(r["pair_freq"]))
+        for r in bpe.learn_bpe_merges(
+            spark, words, n_merges=8, min_freq=2, driver_vocab_limit=0
+        ).collect()
+    ]
+    assert got == want
