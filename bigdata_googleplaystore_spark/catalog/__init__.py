@@ -24,80 +24,23 @@ from .tpch import flagship  # noqa: E402,F401
 # then the remaining never-checked (the next round's rotation head), then
 # the rest of the previously-green set, oldest evidence first.
 #
-# Round-5 window (VERDICT r04 items 1+2): the last 27 never-driver-
-# checked queries all rotate in — CORRECTNESS_r05 green rows push union
-# driver coverage to 207/207 — plus the 4 queries changed this round
-# (planted-fixpoint PQ oracles, minhash hash-domain verify, exact-
-# substring checkpoint+unpersist), plus 19 stale-green recheck slots
-# covering every §2-core query still riding round-1 evidence that the
-# judge called out (string predicates, casts, rounding, group stats,
-# na.fill, dedup-keep-min, distinct, left join, order-by, json) and the
-# join/set/window r01 block. The 16 remaining r01-stale queries are the
-# r06 rotation head below the cutoff.
+# Round-6 window (VERDICT r05 items 3-5): the 4 queries changed or added
+# this round head the window (two former rows-only queries converted to
+# planted hash-checkable oracles, the de-vacuated set_except, and the new
+# real-corpus PQ invariant), then the 16 r01-stale queries (the oldest
+# evidence anywhere in the registry), then 30 of the 45 r02-stale —
+# all 22 TPC-H heads plus the window/time-window block. The remaining
+# 15 r02-stale sit just below the cutoff as the r07 rotation head, so
+# after r07 no row rides evidence older than r03.
 _PRIORITY: list[str] = [
-    # ===== ROUND-5 WINDOW (the driver records ~50 rows) =====
-    # (a) changed this round — fresh rows required regardless of past
-    #     evidence (two were rows-only and now carry planted oracles):
-    "embedding_pq_codes",
-    "sim_ann_pq_adc",
-    "dedup_minhash_lsh",
-    "dedup_exact_substring",
-    # (b) the final 27 never-driver-checked queries (judge-verified
-    #     green this session per VERDICT r04; recorded rows close the
-    #     evidence gap at 207/207):
-    "markov_transition_matrix",
-    "curriculum_length_buckets",
-    "graph_bipartite_projection",
-    "posexplode_ordinality",
-    "incremental_agg_merge",
-    "zorder_bucket_histogram",
-    "regexp_extract_all_tokens",
-    "listagg_distinct_sources",
-    "fuzzy_name_match_blocked",
-    "data_quality_audit",
-    "global_row_number_shards",
-    "collation_case_insensitive",
-    "pivot_multi_agg",
-    "generator_null_semantics",
-    "histogram_fixed_buckets",
-    "mad_robust_stats",
-    "sliding_distinct_users",
-    "chi2_contingency_assoc",
-    "argmax_deterministic",
-    "monthly_revenue_moving_avg",
-    "value_band_join",
-    "nation_revenue_share",
-    "attribution_last_touch",
-    "segment_repeat_rate",
-    "hourly_seasonal_baseline",
-    "pii_redact_stats",
-    "bpe_encode_fixed_vocab",
-    # (c) stale-green rechecks, oldest evidence first (all last checked
-    #     in round 1 — VERDICT r04 item 2's named list, then the r01
-    #     join/set/window/explode block):
-    "string_predicates",
-    "cast_and_date_parts",
-    "round_currency_conversion",
-    "groupby_stats",
-    "na_fill_zero",
-    "dedup_keep_min",
-    "distinct_projection",
-    "left_join_null_path",
-    "orderby_desc_topk",
-    "json_extract_field",
-    "split_explode_tokens",
-    "window_rank_per_group",
-    "anti_join_not_exists",
-    "semi_join_exists",
-    "full_outer_join",
-    "rollup_counts",
-    "set_union_all",
-    "set_intersect",
-    "set_except",
-    # ===== window cutoff (~50) — entries below are the r06 rotation
-    # head: the 16 remaining r01-stale queries (all driver_sim-green at
-    # sf0.01 and covered by the opt-in sf0.1 sweep), then the r02-stale
-    # set, then everything else in registry order via _ordered():
+    # ===== ROUND-6 WINDOW (the driver records ~50 rows) =====
+    # (a) changed or new this round — fresh rows required:
+    "bpe_learn_merges",      # was rows-only; planted tie-free vocab oracle
+    "dedup_simhash",         # was rows-only; planted exact-copy oracle
+    "set_except",            # de-vacuated operands (non-empty difference)
+    "embedding_pq_train_invariant",  # new: SF-scaled real-corpus PQ gate
+    # (b) the 16 r01-stale queries — oldest evidence in the registry
+    #     (all judge-verified green in the r05 session):
     "array_l2_norm",
     "cross_join_dims",
     "dedup_embedding_cosine",
@@ -114,6 +57,55 @@ _PRIORITY: list[str] = [
     "text_repetition_ratio",
     "text_scrub_patterns",
     "text_token_stats",
+    # (c) 30 of the 45 r02-stale: every TPC-H head (q1-q22 all ride r02
+    #     evidence) plus the window/time-window/as-of block:
+    "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_region_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_nation_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_priority_shipping",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_predicates",
+    "q20_excess_stock_suppliers",
+    "q21_waiting_suppliers",
+    "q22_inactive_customers",
+    "window_lag_delta",
+    "window_running_sum",
+    "window_range_frame_sum",
+    "window_ntile_percent_rank",
+    "time_window_tumbling",
+    "time_window_sliding",
+    "session_window_gap",
+    "asof_join_last_click",
+    # ===== window cutoff (~50) — entries below are the r07 rotation
+    # head: the 15 remaining r02-stale queries, oldest evidence first:
+    "array_set_functions",
+    "collect_list_sorted",
+    "cube_counts",
+    "dedup_exact_docs",
+    "interval_join_sessions",
+    "nested_struct_map",
+    "pack_sequences",
+    "percentiles_exact",
+    "pivot_status_counts",
+    "set_except_all",
+    "sql_interface_revenue",
+    "string_function_suite",
+    "text_quality_rules",
+    "time_bounded_self_join",
+    "unpivot_measures",
 ]
 
 # Pre-rotation (round-2) window order, kept for the record of what r02

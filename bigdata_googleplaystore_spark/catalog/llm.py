@@ -133,20 +133,57 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(d, "doc_id", "text", n=3, threshold=0.5)
 
 
-@register("dedup_simhash", oracle=None, tags=("llm", "dedup"))
+@register(
+    "dedup_simhash",
+    oracle="""
+    WITH anchors AS (
+      SELECT doc_id FROM documents
+      WHERE text IS NOT NULL AND doc_id % 7 = 0
+      ORDER BY doc_id LIMIT 16
+    ),
+    ids AS (
+      SELECT a.doc_id AS anchor, a.doc_id + 1000000 * c.c AS id
+      FROM anchors a CROSS JOIN (SELECT unnest(range(0, 3)) AS c) c
+    )
+    SELECT x.id AS doc_a, y.id AS doc_b, CAST(0 AS INT) AS hamming
+    FROM ids x JOIN ids y ON x.anchor = y.anchor AND x.id < y.id
+    """,
+    tags=("llm", "dedup"),
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-64 near-dup pairs at Hamming <= 8 via pigeonhole block
-    candidates. Rows-only — deliberately, after measuring the planted
-    -exact-dup conversion applied to the other ANN queries in round 4:
-    SimHash signatures of *near*-identical docs legitimately collide at
-    Hamming 0 (measured on corpus+planted-copies: 4/8/32 extra
-    hamming-0 pairs beyond the identical-shingle-set truth at
-    sf0.001/0.01/0.1), so no SQL-derivable set equals the output
-    without faking the semantics. The oracle-checked face is
-    dedup_simhash_containment (exact-pair anchor, zero false
-    positives, non-vacuousness)."""
-    d = load_table(spark, sf_dir, "documents")
-    return dedup.simhash_near_pairs(d, "doc_id", "text", n=3, max_hamming=8)
+    """SimHash-64 near-dup pairs at Hamming <= 8 via pigeonhole
+    block-rotation candidates, under a planted exact-copy gate (round-5
+    verdict item 4; was rows-only): the corpus is 3 exact copies (ids
+    offset by 1M*c) of 16 spaced anchor documents. Exact copies share
+    the shingle multiset, so their signatures are bit-identical —
+    every within-anchor pair MUST surface (all 9 rotation blocks
+    collide) at Hamming exactly 0 — while cross-anchor signatures are
+    far apart: measured min cross-anchor Hamming 22/23/23 at
+    sf0.001/0.01/0.1 (xxhash64 is seed-fixed, so deterministic),
+    nearly 3x the <=8 cutoff. Anchors are spaced doc_id % 7 = 0
+    BECAUSE the testdata plants real near-dup clusters among adjacent
+    doc_ids — the naive lowest-16 rule has an sf0.001 cross-anchor
+    pair at Hamming 1 (docs 8 and 12), which no SQL oracle could
+    derive. The output is therefore exactly the 48 within-anchor pairs,
+    SQL-derivable, gating signatures, banding, candidate generation,
+    and the popcount verify. Real-corpus SF-scaled SimHash behavior
+    stays driver-checked via dedup_simhash_containment (exact-Jaccard
+    anchor + zero-false-positive + non-vacuousness invariants) and
+    pinned in tests."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    anchors = (
+        d.filter((F.col("doc_id") % 7) == 0)
+        .orderBy("doc_id")
+        .limit(16)
+        .select("doc_id", "text")
+    )
+    corpus = anchors.crossJoin(
+        spark.range(3).select(F.col("id").alias("_c"))
+    ).select(
+        (F.col("doc_id") + F.lit(1_000_000) * F.col("_c")).alias("doc_id"),
+        "text",
+    )
+    return dedup.simhash_near_pairs(corpus, "doc_id", "text", n=3, max_hamming=8)
 
 
 @register(
@@ -3123,22 +3160,72 @@ def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "bpe_learn_merges",
-    oracle=None,  # iterative fixpoint; verified vs a pure-Python BPE
-    # reference in tests/test_llm_batch2.py and by the first-merge
-    # SQL invariant in bpe_first_merge_invariant below
-    tags=("llm", "tokenizer", "iterative", "bench"),
+    oracle="""
+    WITH base AS (
+      SELECT CAST(greatest(count(*), 2) AS BIGINT) AS c FROM documents
+    ),
+    letters AS (
+      SELECT * FROM (VALUES (0,'a','b'),(1,'c','d'),(2,'e','f'),(3,'g','h'),
+                            (4,'i','j'),(5,'k','l'),(6,'m','n'),(7,'o','p'))
+             AS t(i, l, r)
+    )
+    SELECT CAST(2*i + 1 AS INT) AS merge_rank, l AS "left", r AS "right",
+           CAST(b.c + (8 - i) AS BIGINT) AS pair_freq
+    FROM letters, base b
+    UNION ALL
+    SELECT CAST(2*i + 2 AS INT), l || r, '</w>',
+           CAST(b.c + (8 - i) AS BIGINT)
+    FROM letters, base b
+    """,
+    tags=("llm", "tokenizer", "iterative"),
 )
 def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tokenizer training: learn the top-16 BPE merges from the corpus
-    (Sennrich et al. 2016 word-frequency formulation). The corpus is
-    shuffled once into a (word, freq) vocab; every merge iteration then
-    runs pair-count -> LIMIT-1 -> map-side re-segmentation on that small
-    frame, with only one (pair, freq) row per iteration reaching the
-    driver. See operators/bpe.py for the 100 TB shape."""
+    """Tokenizer training: the REAL 16-merge BPE trainer (Sennrich et al.
+    2016 word-frequency formulation; operators/bpe.py for the 100 TB
+    shape) under a planted tie-free vocab whose full merge SEQUENCE is
+    SQL-derivable (round-5 verdict item 4; was rows-only — this extends
+    bpe_first_merge_invariant from merge #1 to all 16).
+
+    The vocab is 8 disjoint two-letter words ab, cd, ..., op with
+    strictly decreasing frequencies f_i = C + (8 - i), where
+    C = max(count(documents), 2) ties the plant to the input data (the
+    frequencies scale with SF). The sequence is then forced:
+
+    - word i contributes pairs (l_i, r_i) and (r_i, </w>) at f_i; the
+      (freq DESC, l ASC, r ASC) argmax tiebreak picks (l_i, r_i) first
+      (the tie at f_i resolves on the FIRST key: l_i < r_i, so
+      (l_i, r_i) sorts before (r_i, '</w>') whatever '</w>' compares
+      as);
+    - merging it yields the single candidate (l_i||r_i, </w>) still at
+      f_i, which strictly beats every untouched word's f_{i+1} < f_i,
+      so it merges next, collapsing word i to one symbol (no pairs);
+    - words share no letters, so merges never interact across words.
+
+    Hence merge 2i+1 = (l_i, r_i, f_i) and merge 2i+2 =
+    (l_i||r_i, </w>, f_i) — 16 merges from 8 words, every rank/pair/
+    freq hash-checkable. A regression in pair counting, the argmax
+    tiebreak, the greedy re-segmentation fold, or the early-stop logic
+    breaks the hash. Real-corpus coverage stays SF-scaled in
+    bpe_first_merge_invariant (oracle-green) and merge-for-merge vs a
+    pure-Python reference in tests/test_llm_batch2.py; the real-corpus
+    trainer is benched end-to-end as bpe_train_corpus in bench.py."""
     from ..operators import bpe
 
     docs = load_table(spark, sf_dir, "documents")
-    words = bpe.word_counts(docs)
+    c = docs.agg(
+        F.greatest(F.count("*"), F.lit(2)).cast("long").alias("c")
+    )
+    letters = spark.createDataFrame(
+        [
+            (0, "a", "b"), (1, "c", "d"), (2, "e", "f"), (3, "g", "h"),
+            (4, "i", "j"), (5, "k", "l"), (6, "m", "n"), (7, "o", "p"),
+        ],
+        "i int, l string, r string",
+    )
+    words = letters.crossJoin(F.broadcast(c)).select(
+        F.concat("l", "r").alias("word"),
+        (F.col("c") + (F.lit(8) - F.col("i"))).cast("long").alias("freq"),
+    )
     return bpe.learn_bpe_merges(spark, words, n_merges=16, min_freq=2)
 
 
@@ -3286,6 +3373,72 @@ def sim_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = pq.train_codebooks(corpus, m=8, k=32, iters=3)
     codes = pq.encode(corpus, books)
     return pq.adc_topk(codes, anchors, books, k=5)
+
+
+@register(
+    "embedding_pq_train_invariant",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(0 AS BIGINT) AS n_code_violations,
+           true AS err_within_total_ss
+    FROM embeddings WHERE embedding IS NOT NULL
+    """,
+    tags=("llm", "similarity", "compression", "invariant"),
+)
+def embedding_pq_train_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked face of PQ on the REAL, SF-SCALED corpus (round-5
+    advice: the planted-fixpoint pair embedding_pq_codes/sim_ann_pq_adc
+    runs on a constant 48/192-row corpus at every SF, so this query
+    restores driver-checked PQ coverage that grows with the data, the
+    same invariant-companion pattern as dedup_simhash_containment).
+
+    Trains m=4/k=16 codebooks on all embeddings and encodes them, then
+    checks what IS exactly derivable about an approximate trainer:
+
+    - n_docs: every non-null vector gets exactly one code row (gates
+      the sub-grain explode/regroup round trip — a dropped or
+      duplicated vec_id changes the count);
+    - n_code_violations = 0: each code vector has exactly M=4 entries,
+      all in [0, 16) (gates argmin indexing);
+    - err_within_total_ss: sum(sq_err) <= total sum-of-squares around
+      the global mean. This is a THEOREM for Lloyd's algorithm as
+      implemented: train_codebooks ends each iteration with a centroid
+      UPDATE, so every final codeword of a non-empty cell is the mean
+      of its last-assignment members; encode then assigns each point
+      to its NEAREST codeword, so per point sq_err <= ||x - mean of
+      its old cell||^2, and summing gives within-cell SS of that
+      partition, which the law of total variance bounds by the total
+      SS (within-SS = total-SS - between-SS <= total-SS, per subspace,
+      summed over subspaces). A broken assignment, a centroid computed
+      over the wrong cell, or a sq_err summed over the wrong rows has
+      no reason to respect the bound (1e-6 relative slack for fp
+      accumulation order)."""
+    from ..operators import pq
+
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    books = pq.train_codebooks(e, m=4, k=16, iters=3)
+    codes = pq.encode(e, books)
+    bad_code = F.exists("codes", lambda c: (c < 0) | (c >= 16))
+    stats = codes.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(
+            F.when((F.size("codes") != 4) | bad_code, 1).otherwise(0)
+        ).alias("n_code_violations"),
+        F.sum("sq_err").alias("_err"),
+    )
+    total_ss = (
+        e.select(F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("dim")
+        .agg((F.var_pop("x") * F.count("x")).alias("ss"))
+        .agg(F.sum("ss").alias("_ss"))
+    )
+    return stats.crossJoin(F.broadcast(total_ss)).select(
+        "n_docs",
+        "n_code_violations",
+        (F.col("_err") <= F.col("_ss") * 1.000001 + 1e-6).alias(
+            "err_within_total_ss"
+        ),
+    )
 
 
 @register(

@@ -653,23 +653,34 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "set_except",
     oracle="""
-    SELECT n_nationkey AS nationkey FROM nation
+    SELECT c_custkey AS custkey FROM customer
     EXCEPT
-    SELECT s_nationkey AS nationkey FROM supplier
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
     """,
     tags=("setop",),
 )
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.7: EXCEPT (nations with no supplier)."""
-    n = load_table(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("nationkey")
+    """§2.7: EXCEPT (customers with no 1-URGENT order).
+
+    Operand choice (round-5 verdict item 5): the previous pair —
+    nation keys minus supplier nation keys — was EMPTY at sf>=0.01
+    (every nation has a supplier), so the green driver row was
+    vacuous: an over-filtering bug would still have matched the 0-row
+    oracle. This testdata's every customer has SOME order, but probing
+    showed 18/203/1986 customers without an urgent one at
+    sf0.001/0.01/0.1 — a non-empty, SF-scaling difference, so an
+    over- or under-filtering EXCEPT is actually caught."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey")
     )
-    s = load_table(spark, sf_dir, "supplier").select(
-        F.col("s_nationkey").alias("nationkey")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("custkey"))
     )
     # subtract() IS SQL EXCEPT (distinct); exceptAll().distinct() differs
     # when the left side holds duplicates of a right-side row
-    return n.subtract(s)
+    return c.subtract(o)
 
 
 # --------------------------------------------------------------------------

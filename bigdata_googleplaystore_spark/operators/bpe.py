@@ -27,6 +27,14 @@ from pyspark.sql import functions as F
 
 END_OF_WORD = "</w>"
 
+# Hybrid cutover (round 4b): a (word, freq) vocab of at most this many
+# rows (~a few MB) is collected once and the merge loop runs driver-side,
+# bit-identically to the distributed path; larger vocabs iterate
+# distributed. Named here (round-5 advice) so the scale probe and the
+# sf0.1 sweep test stay pinned ABOVE the real cutover if it ever moves —
+# import this, don't re-hardcode 65_536.
+DRIVER_VOCAB_CUTOVER = 65_536
+
 
 def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Corpus -> (word, freq): lowercase [a-z]+ tokens, one shuffle."""
@@ -221,7 +229,7 @@ def learn_bpe_merges(
     n_merges: int = 16,
     min_freq: int = 2,
     rows_per_partition: int = 200_000,
-    driver_vocab_limit: int = 65536,
+    driver_vocab_limit: int = DRIVER_VOCAB_CUTOVER,
 ) -> DataFrame:
     """Learn up to `n_merges` BPE merges from a (word, freq) table.
 

@@ -321,6 +321,41 @@ def minhash_signatures(
     )
 
 
+def lsh_candidate_pairs(
+    sig: DataFrame, bands: int, rows_per_band: int
+) -> DataFrame:
+    """LSH banding: signature frame (doc, signature) -> distinct candidate
+    pairs (doc_a, doc_b) sharing at least one (band, bucket). Split out of
+    minhash_lsh_pairs so scale probes can measure the candidate count the
+    verify stage actually pays for (tools/scale_probe_r06.py)."""
+    band_cols = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.lit(b),
+                    *[
+                        F.col("signature")[b * rows_per_band + r]
+                        for r in range(rows_per_band)
+                    ],
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sig.select("doc", F.explode_outer(band_cols).alias("bb")).select(
+        "doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    left = buckets.select(F.col("doc").alias("doc_a"), "band", "bucket")
+    right = buckets.select(F.col("doc").alias("doc_b"), "band", "bucket")
+    return (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -387,29 +422,7 @@ def minhash_lsh_pairs(
     shingles = hashed.select(
         "doc", F.size("hs").alias("set_size"), F.explode_outer("hs").alias("shingle")
     ).filter(F.col("shingle").isNotNull())
-    band_cols = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    F.lit(b),
-                    *[F.col("signature")[b * rows_per_band + r] for r in range(rows_per_band)],
-                ).alias("bucket"),
-            )
-            for b in range(bands)
-        ]
-    )
-    buckets = sig.select("doc", F.explode_outer(band_cols).alias("bb")).select(
-        "doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
-    )
-    left = buckets.select(F.col("doc").alias("doc_a"), "band", "bucket")
-    right = buckets.select(F.col("doc").alias("doc_b"), "band", "bucket")
-    cands = (
-        left.join(right, ["band", "bucket"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    cands = lsh_candidate_pairs(sig, bands, rows_per_band)
     # verify candidates with exact Jaccard (joins only candidate pairs);
     # reuses the SAME shingle frame the signatures came from
     a = shingles.select(

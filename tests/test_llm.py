@@ -40,6 +40,46 @@ def test_simhash_catches_near_dups(spark, sf_dir):
     assert recall >= 0.7, f"simhash recall too low: {recall:.2f}"
 
 
+def test_simhash_planted_query_margin_and_pairs(spark, sf_dir):
+    """The registered dedup_simhash query (round-6 planted exact-copy
+    gate): re-prove the planting argument against the implementation,
+    not just against the SQL that assumes it —
+
+    1. output == exactly the 48 within-anchor pairs (16 anchors x
+       C(3,2) copies) at Hamming 0;
+    2. the margin the oracle relies on: every CROSS-anchor signature
+       pair is far above the <=8 cutoff (anchors spaced doc_id % 7 = 0
+       to dodge the testdata's adjacent planted near-dup clusters —
+       measured margin 22/23/23 bits at sf0.001/0.01/0.1)."""
+    from bigdata_googleplaystore_spark.catalog.registry import QUERIES
+
+    out = QUERIES["dedup_simhash"].fn(spark, sf_dir).collect()
+    anchors = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & ((F.col("doc_id") % 7) == 0))
+        .orderBy("doc_id")
+        .limit(16)
+        .select("doc_id", "text")
+    )
+    expected = set()
+    for r in anchors.select("doc_id").collect():
+        ids = sorted(r["doc_id"] + 1_000_000 * c for c in range(3))
+        expected |= {(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]}
+    assert {(r["doc_a"], r["doc_b"]) for r in out} == expected
+    assert all(r["hamming"] == 0 for r in out)
+    sigs = [
+        r["simhash"]
+        for r in dedup.simhash64(anchors, "doc_id", "text", n=3).collect()
+    ]
+    mask = (1 << 64) - 1
+    min_cross = min(
+        bin((a ^ b) & mask).count("1")
+        for i, a in enumerate(sigs)
+        for b in sigs[i + 1:]
+    )
+    assert min_cross > 8, f"cross-anchor margin collapsed: {min_cross}"
+
+
 def test_ann_recall_vs_brute_force(spark, sf_dir):
     """LSH ANN with 1-bit multiprobe should recover a solid fraction of
     the exact top-5 (random 64-dim data is the hard case; require >= 40%

@@ -696,7 +696,10 @@ def test_bpe_merges_match_reference(spark, sf_dir):
     pure-Python reference learns from the same word counts — pair
     selection, tiebreaks, and the greedy left-to-right re-segmentation
     all agree (the fold in _apply_merge must not re-merge a symbol it
-    just produced: 'aaa' -> ['aa','a'], not ['aaa'])."""
+    just produced: 'aaa' -> ['aa','a'], not ['aaa']). This is the
+    REAL-CORPUS trainer run (the path bench.py times as
+    bpe_train_corpus); the registered bpe_learn_merges query moved to a
+    planted tie-free vocab in round 6 and is covered below."""
     from bigdata_googleplaystore_spark.operators import bpe
 
     docs = load_table(spark, sf_dir, "documents")
@@ -705,7 +708,7 @@ def test_bpe_merges_match_reference(spark, sf_dir):
     expected = _reference_bpe(wf, n_merges=16, min_freq=2)
     got = [
         (r["merge_rank"], r["left"], r["right"], r["pair_freq"])
-        for r in QUERIES["bpe_learn_merges"].fn(spark, sf_dir).collect()
+        for r in bpe.learn_bpe_merges(spark, words, 16, 2).collect()
     ]
     assert got == expected
     # The distributed loop (driver_vocab_limit=0 bypasses the hybrid
@@ -717,6 +720,33 @@ def test_bpe_merges_match_reference(spark, sf_dir):
         ).collect()
     ]
     assert got_dist == expected
+
+
+def test_bpe_planted_query_matches_reference_and_closed_form(spark, sf_dir):
+    """The registered bpe_learn_merges query (planted tie-free vocab,
+    round-6): its 16-merge output must equal BOTH the pure-Python
+    reference run on the same planted vocab AND the closed form the
+    DuckDB oracle derives (merge 2i+1 = (l_i, r_i, f_i), merge 2i+2 =
+    (l_i||r_i, '</w>', f_i) with f_i = max(|documents|, 2) + 8 - i) —
+    i.e. the planting argument itself is re-proven against the
+    reference implementation, not just against the SQL that assumes
+    it."""
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    c = max(n_docs, 2)
+    letters = [("a", "b"), ("c", "d"), ("e", "f"), ("g", "h"),
+               ("i", "j"), ("k", "l"), ("m", "n"), ("o", "p")]
+    wf = {l + r: c + 8 - i for i, (l, r) in enumerate(letters)}
+    expected = _reference_bpe(wf, n_merges=16, min_freq=2)
+    closed_form = []
+    for i, (l, r) in enumerate(letters):
+        closed_form.append((2 * i + 1, l, r, c + 8 - i))
+        closed_form.append((2 * i + 2, l + r, "</w>", c + 8 - i))
+    assert expected == closed_form
+    got = sorted(
+        (r["merge_rank"], r["left"], r["right"], r["pair_freq"])
+        for r in QUERIES["bpe_learn_merges"].fn(spark, sf_dir).collect()
+    )
+    assert got == closed_form
 
 
 def test_bpe_batched_merges_match_reference_on_adversarial_vocabs(spark):

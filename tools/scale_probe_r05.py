@@ -32,7 +32,9 @@ from pyspark.sql import functions as F
 from bigdata_googleplaystore_spark.operators import bpe
 from bigdata_googleplaystore_spark.session import get_spark
 
-CUTOVER = 65_536
+# The real cutover constant (round-5 advice: don't re-hardcode — if the
+# cutover moves, the "above-cutover" framing must move with it)
+CUTOVER = bpe.DRIVER_VOCAB_CUTOVER
 SIZES = [2 * CUTOVER, 5 * CUTOVER, 10 * CUTOVER]
 N_MERGES = 8
 
