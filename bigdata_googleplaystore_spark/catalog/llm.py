@@ -6,8 +6,15 @@ Oracle notes:
 - shingle/winnowing/md5 pipelines have exact DuckDB equivalents (md5 and
   string ops are engine-identical; fixed-length hex makes min() portable).
 - xxhash64-based operators (MinHash-LSH, SimHash) and ANN (recall<1 by
-  design) cannot be expressed in DuckDB -> rows-only checks here, with
-  equivalence asserted against the exact operators in tests/test_llm.py.
+  design) cannot be re-derived value-for-value in DuckDB on an arbitrary
+  corpus, so their oracles are engineered instead (zero rows-only since
+  round 6): either the corpus is chosen so the approximate output
+  provably EQUALS an exact SQL-derivable set (minhash: every true pair
+  far above the s-curve; simhash/PQ/ANN: planted exact copies with
+  measured cross-anchor margins), or the query returns SQL-checkable
+  invariants (containment, recall floors, Lloyd error bounds) — with
+  full equivalence against the exact operators asserted in
+  tests/test_llm.py either way.
 """
 
 from __future__ import annotations
@@ -3263,9 +3270,12 @@ def bpe_first_merge_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     the initial character segmentation — a single SQL aggregation DuckDB
     can re-derive exactly (chars + end-of-word marker, freq-weighted,
     (freq desc, l, r) tiebreak). Runs the REAL trainer for one
-    iteration and returns its first learned merge; the full 16-merge
-    fixpoint stays rows-only (bpe_learn_merges), numerically verified
-    against a pure-Python reference in tests."""
+    iteration on the REAL corpus and returns its first learned merge —
+    the SF-scaled real-data companion to bpe_learn_merges (whose full
+    16-merge sequence is hash-checked on a planted tie-free vocab
+    since round 6); the real-corpus 16-merge table is verified against
+    a pure-Python reference in tests and benched as
+    bpe_train_corpus."""
     from ..operators import bpe
 
     docs = load_table(spark, sf_dir, "documents")
