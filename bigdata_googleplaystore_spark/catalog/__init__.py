@@ -24,13 +24,14 @@ from .tpch import flagship  # noqa: E402,F401
 # then the remaining never-checked (the next round's rotation head), then
 # the rest of the previously-green set, oldest evidence first.
 #
-# Round-6 window (VERDICT r05 items 3-5): the 4 queries changed or added
+# Round-6 window (VERDICT r05 items 3-5): the 6 queries changed or added
 # this round head the window (two former rows-only queries converted to
-# planted hash-checkable oracles, the de-vacuated set_except, and the new
-# real-corpus PQ invariant), then the 16 r01-stale queries (the oldest
-# evidence anywhere in the registry), then 30 of the 45 r02-stale —
-# all 22 TPC-H heads plus the window/time-window block. The remaining
-# 15 r02-stale sit just below the cutoff as the r07 rotation head, so
+# planted hash-checkable oracles, the de-vacuated set_except, the new
+# real-corpus PQ invariant, and the new JSON/ORC sink->scan round
+# trips), then the 16 r01-stale queries (the oldest evidence anywhere
+# in the registry), then 28 of the 45 r02-stale — all 22 TPC-H heads
+# plus most of the window/time-window block. The remaining 17
+# r02-stale sit just below the cutoff as the r07 rotation head, so
 # after r07 no row rides evidence older than r03.
 _PRIORITY: list[str] = [
     # ===== ROUND-6 WINDOW (the driver records ~50 rows) =====
@@ -39,6 +40,8 @@ _PRIORITY: list[str] = [
     "dedup_simhash",         # was rows-only; planted exact-copy oracle
     "set_except",            # de-vacuated operands (non-empty difference)
     "embedding_pq_train_invariant",  # new: SF-scaled real-corpus PQ gate
+    "json_sink_scan_roundtrip",      # new: JSON-lines sink->scan fidelity
+    "orc_sink_scan_roundtrip",       # new: ORC sink->scan + pushdown
     # (b) the 16 r01-stale queries — oldest evidence in the registry
     #     (all judge-verified green in the r05 session):
     "array_l2_norm",
@@ -57,7 +60,7 @@ _PRIORITY: list[str] = [
     "text_repetition_ratio",
     "text_scrub_patterns",
     "text_token_stats",
-    # (c) 30 of the 45 r02-stale: every TPC-H head (q1-q22 all ride r02
+    # (c) 28 of the 45 r02-stale: every TPC-H head (q1-q22 all ride r02
     #     evidence) plus the window/time-window/as-of block:
     "q1_pricing_summary",
     "q2_min_cost_supplier",
@@ -86,11 +89,15 @@ _PRIORITY: list[str] = [
     "window_range_frame_sum",
     "window_ntile_percent_rank",
     "time_window_tumbling",
-    "time_window_sliding",
-    "session_window_gap",
     "asof_join_last_click",
     # ===== window cutoff (~50) — entries below are the r07 rotation
-    # head: the 15 remaining r02-stale queries, oldest evidence first:
+    # head: 2 displaced from the r02-stale window block when the two
+    # round-6 source round-trips took window slots (the two non-bench
+    # ones — asof_join_last_click stays in-window because its honest
+    # bench number wants fresh value evidence), then the 15 remaining
+    # r02-stale queries, oldest evidence first:
+    "time_window_sliding",
+    "session_window_gap",
     "array_set_functions",
     "collect_list_sorted",
     "cube_counts",

@@ -102,6 +102,98 @@ def partitioned_scan_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "json_sink_scan_roundtrip",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+             AS total_price,
+           min(o_orderdate) AS first_order,
+           max(o_orderdate) AS last_order
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("source", "json"),
+)
+def json_sink_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink -> scan round trip, value-checked end-to-end: the
+    orders table (bigints, doubles, timestamps, strings) is written as
+    JSON-lines (sources.write_json), re-read with the ORIGINAL schema
+    (sources.read_json — schema-on-read, no inference pass), and
+    aggregated; the oracle recomputes the same aggregate from the
+    untouched parquet source, so any fidelity loss in the text round
+    trip — double shortest-repr parsing, timestamp/zone formatting,
+    priority strings — breaks the hash, not just a row count. Money is
+    summed under the _util decimal scheme (cast the clean-2-decimal
+    double to DECIMAL before summing) so the comparison tests the JSON
+    codec, not float accumulation order.
+
+    Scale: JSON-lines is splittable, so the scan parallelizes like any
+    text source; the aggregate is one map-side-combinable shuffle on
+    5 keys. At 100 TB you'd pay the parse once and convert to
+    parquet/ORC (the other queries' layout), but log INGEST is
+    JSON-shaped and this is that path. Explicit-schema read is the
+    scale posture: inference would scan the input twice."""
+    from ..sources import read_json, scratch_dir, write_json
+
+    o = load_table(spark, sf_dir, "orders")
+    path = scratch_dir("orders_json", sf_dir)
+    write_json(o, path)
+    back = read_json(spark, path, schema=o.schema)
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        money_sum(dec2(F.col("o_totalprice"))).alias("total_price"),
+        F.min("o_orderdate").alias("first_order"),
+        F.max("o_orderdate").alias("last_order"),
+    )
+
+
+@register(
+    "orc_sink_scan_roundtrip",
+    oracle=f"""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(round(sum({REVENUE_DEC_SQL}), 2) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_quantity < 25
+    GROUP BY l_returnflag
+    """,
+    tags=("source", "orc"),
+)
+def orc_sink_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink -> scan round trip with predicate pushdown, value-checked:
+    lineitem is written to ORC (zlib — sources.write_orc), re-read, and
+    aggregated under a date-range + quantity filter; the oracle
+    recomputes from the untouched parquet source. ORC is the Hive-era
+    interchange format a migration off the reference's warehouse hands
+    over, so the reader needs the same first-class evidence as parquet:
+    the filters reach the ORC scan as PushedFilters (asserted in
+    tests/test_plans.py) and ORC's min/max stripe statistics skip
+    non-matching stripes at scale — same pushdown story as the parquet
+    S5/S6 rows, different at-rest format."""
+    from ..sources import read_orc, scratch_dir, write_orc
+
+    l = load_table(spark, sf_dir, "lineitem")
+    path = scratch_dir("lineitem_orc", sf_dir)
+    write_orc(l, path)
+    back = read_orc(spark, path)
+    return (
+        back.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_quantity") < 25)
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            money_sum(revenue_dec()).alias("revenue"),
+        )
+    )
+
+
+@register(
     "filter_null_nan_threshold",
     oracle="""
     SELECT event_id, user_id, value
