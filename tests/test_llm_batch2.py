@@ -7,6 +7,8 @@ from __future__ import annotations
 import math
 
 import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from bigdata_googleplaystore_spark.catalog import QUERIES
@@ -720,6 +722,54 @@ def test_bpe_merges_match_reference(spark, sf_dir):
         ).collect()
     ]
     assert got_dist == expected
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.data())
+def test_planted_bpe_closed_form_holds_for_any_tiefree_vocab(data):
+    """PROPERTY behind the round-6 bpe_learn_merges oracle, checked over
+    random instances (pure Python — no Spark in the loop): for ANY vocab
+    of k two-letter words over globally distinct letters with strictly
+    decreasing frequencies all >= min_freq, the merge sequence is the
+    closed form the oracle assumes — each word contributes exactly two
+    consecutive merges, chosen by the (freq desc, l, r) tiebreak:
+
+      l < r:  (l, r)     then (l||r, '</w>')      [the planted query's case]
+      l > r:  (r, '</w>') then (l, r||'</w>')     [tiebreak flips on the
+                                                   first key — covered here
+                                                   though the plant always
+                                                   sorts l < r]
+
+    This re-proves the mathematical argument (non-interacting words,
+    strict frequency ordering, first-key tie resolution) the SQL oracle
+    rests on, not just the one 8-word instance."""
+    import string
+
+    k = data.draw(st.integers(min_value=1, max_value=13), label="n_words")
+    letters = data.draw(
+        st.permutations(string.ascii_lowercase), label="letters"
+    )[: 2 * k]
+    freqs = sorted(
+        data.draw(
+            st.sets(st.integers(min_value=2, max_value=10**6),
+                    min_size=k, max_size=k),
+            label="freqs",
+        ),
+        reverse=True,
+    )
+    words = [(letters[2 * i], letters[2 * i + 1]) for i in range(k)]
+    wf = {l + r: f for (l, r), f in zip(words, freqs)}
+    expected = []
+    for i, (l, r) in enumerate(words):
+        f = freqs[i]
+        base = 2 * i
+        if l < r:
+            expected.append((base + 1, l, r, f))
+            expected.append((base + 2, l + r, "</w>", f))
+        else:
+            expected.append((base + 1, r, "</w>", f))
+            expected.append((base + 2, l, r + "</w>", f))
+    assert _reference_bpe(wf, n_merges=2 * k, min_freq=2) == expected
 
 
 def test_bpe_planted_query_matches_reference_and_closed_form(spark, sf_dir):
