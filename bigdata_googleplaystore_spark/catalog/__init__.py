@@ -24,18 +24,24 @@ from .tpch import flagship  # noqa: E402,F401
 # then the remaining never-checked (the next round's rotation head), then
 # the rest of the previously-green set, oldest evidence first.
 #
-# Round-6 window (VERDICT r05 items 3-5): the 6 queries changed or added
-# this round head the window (two former rows-only queries converted to
-# planted hash-checkable oracles, the de-vacuated set_except, the new
+# Round-6 window (VERDICT r05 items 3-5): the 10 queries changed or
+# added this round head the window (4 new operators — image-aHash
+# dedup, triangle count, schema-evolution merge, compaction fidelity —
+# plus two former rows-only queries converted to planted
+# hash-checkable oracles, the de-vacuated set_except, the new
 # real-corpus PQ invariant, and the new JSON/ORC sink->scan round
 # trips), then the 16 r01-stale queries (the oldest evidence anywhere
-# in the registry), then 28 of the 45 r02-stale — all 22 TPC-H heads
-# plus most of the window/time-window block. The remaining 17
+# in the registry), then 24 of the 45 r02-stale — all 22 TPC-H heads
+# plus the two bench-headline window/as-of queries. The remaining 21
 # r02-stale sit just below the cutoff as the r07 rotation head, so
 # after r07 no row rides evidence older than r03.
 _PRIORITY: list[str] = [
     # ===== ROUND-6 WINDOW (the driver records ~50 rows) =====
     # (a) changed or new this round — fresh rows required:
+    "dedup_image_ahash",     # new: perceptual-hash image dedup (planted gate)
+    "graph_triangle_count",  # new: degree-ordered wedge join vs naive oracle
+    "schema_evolution_merge",  # new: mergeSchema read across evolved batches
+    "compaction_fidelity",   # new: small-file compaction is a pure layout change
     "bpe_learn_merges",      # was rows-only; planted tie-free vocab oracle
     "dedup_simhash",         # was rows-only; planted exact-copy oracle
     "set_except",            # de-vacuated operands (non-empty difference)
@@ -84,18 +90,19 @@ _PRIORITY: list[str] = [
     "q20_excess_stock_suppliers",
     "q21_waiting_suppliers",
     "q22_inactive_customers",
-    "window_lag_delta",
-    "window_running_sum",
     "window_range_frame_sum",
-    "window_ntile_percent_rank",
-    "time_window_tumbling",
     "asof_join_last_click",
     # ===== window cutoff (~50) — entries below are the r07 rotation
-    # head: 2 displaced from the r02-stale window block when the two
-    # round-6 source round-trips took window slots (the two non-bench
-    # ones — asof_join_last_click stays in-window because its honest
-    # bench number wants fresh value evidence), then the 15 remaining
-    # r02-stale queries, oldest evidence first:
+    # head: 6 displaced from the r02-stale window block when the
+    # round-6 additions (4 new queries + 2 source round-trips) took
+    # window slots (the non-bench window/time-window ones —
+    # window_range_frame_sum and asof_join_last_click stay in-window
+    # because their honest bench numbers want fresh value evidence),
+    # then the 15 remaining r02-stale queries, oldest evidence first:
+    "window_lag_delta",
+    "window_running_sum",
+    "window_ntile_percent_rank",
+    "time_window_tumbling",
     "time_window_sliding",
     "session_window_gap",
     "array_set_functions",

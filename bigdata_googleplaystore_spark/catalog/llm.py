@@ -194,6 +194,65 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_image_ahash",
+    oracle="""
+    WITH anchors AS (
+      SELECT doc_id FROM documents
+      WHERE text IS NOT NULL AND doc_id % 7 = 0
+      ORDER BY doc_id LIMIT 16
+    ),
+    ids AS (
+      SELECT a.doc_id AS anchor, a.doc_id + 1000000 * c.c AS id
+      FROM anchors a CROSS JOIN (SELECT unnest(range(0, 3)) AS c) c
+    )
+    SELECT x.id AS media_a, y.id AS media_b, CAST(0 AS INT) AS hamming
+    FROM ids x JOIN ids y ON x.anchor = y.anchor AND x.id < y.id
+    """,
+    tags=("llm", "dedup", "multimodal"),
+)
+def dedup_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE near-dup via perceptual average-hash over the REAL PNG
+    codec, under the same planted exact-copy gate as dedup_simhash:
+    16 spaced anchor documents (doc_id % 7 = 0, dodging the testdata's
+    adjacent near-dup clusters) are rendered to real PNG images (gray
+    pixel = text byte, operators/codecs.py), 3 copies each with ids
+    offset by 1M*c. Each image is decoded, thumbnailed to 8x8 by the
+    deterministic nearest-neighbor resample, and hashed to 64 bits
+    (cell > mean, exact-integer comparison); pairs surface via a hash
+    group-by on the sketch — never an image-byte comparison. Exact
+    copies MUST hash equal (decode+resample+threshold is a pure
+    function of the payload), so the output is exactly the 48
+    within-anchor pairs — SQL-derivable — provided cross-anchor hashes
+    differ: measured min cross-anchor Hamming distance 12/14/12 bits
+    at sf0.001/0.01/0.1 (text-rendered thumbnails have high bit
+    entropy; pinned in tests/test_llm_batch2.py). The gate therefore checks the
+    full decode -> resample -> threshold -> pack -> group-join chain:
+    a stride bug, resample drift, or packing error perturbs hashes and
+    either loses planted pairs or invents cross-anchor ones.
+
+    Scale: hashing is map-only Arrow-batched decode (bytes stay
+    executor-side); dedup shuffles 8-byte sketches, linear in corpus
+    size — the image-dedup posture for a 100 TB multimodal crawl."""
+    from ..operators import multimodal
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    anchors = (
+        d.filter((F.col("doc_id") % 7) == 0)
+        .orderBy("doc_id")
+        .limit(16)
+        .select("doc_id", "text")
+    )
+    corpus = anchors.crossJoin(
+        spark.range(3).select(F.col("id").alias("_c"))
+    ).select(
+        (F.col("doc_id") + F.lit(1_000_000) * F.col("_c")).alias("doc_id"),
+        "text",
+    )
+    media = multimodal.attach_media_payload(corpus, "text", "doc_id", kind="png")
+    return multimodal.ahash_dup_pairs(media)
+
+
+@register(
     "dedup_simhash_containment",
     oracle=f"""
     WITH sh AS ({_SHINGLES_SQL}),

@@ -194,6 +194,106 @@ def orc_sink_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "schema_evolution_merge",
+    oracle="""
+    WITH evolved AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority,
+             CASE WHEN o_orderkey % 2 = 1 THEN year(o_orderdate) END AS o_year
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(o_year) AS BIGINT) AS n_evolved,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+             AS total_price,
+           CAST(min(o_year) AS INT) AS min_year
+    FROM evolved
+    GROUP BY o_orderpriority
+    """,
+    tags=("source", "schema-evolution", "scale"),
+)
+def schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across parquet batches, value-checked end-to-end:
+    batch 1 (even order keys) is written with the ORIGINAL 4-column
+    schema, batch 2 (odd keys) with an evolved schema that adds an
+    o_year column, into the same directory; the read unifies them with
+    `mergeSchema` so old-batch rows surface typed nulls for the new
+    column. The aggregate counts evolved rows per priority and min's
+    the new column, and the oracle re-derives the union from the
+    untouched source — so a mis-unified schema (dropped column, wrong
+    null backfill, type clash) hash-fails rather than passing as
+    plumbing.
+
+    Scale posture: additive column evolution is THE long-lived-table
+    operation at 100 TB (rewriting history is off the table).
+    `mergeSchema` on read costs a footer-schema union, not a data scan;
+    steady-state production pins the merged schema in a metastore
+    rather than re-deriving it per query — the read path here is the
+    same either way. Footer-only merge also means the per-file reader
+    projects absent columns as nulls, which is what the n_evolved /
+    min_year pair verifies."""
+    from ..sources import scratch_dir
+
+    o = load_table(spark, sf_dir, "orders")
+    base_cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"]
+    path = scratch_dir("orders_evolving", sf_dir)
+    o.filter(F.col("o_orderkey") % 2 == 0).select(*base_cols).write.mode(
+        "overwrite"
+    ).parquet(path)
+    o.filter(F.col("o_orderkey") % 2 == 1).select(
+        *base_cols, F.year("o_orderdate").alias("o_year")
+    ).write.mode("append").parquet(path)
+    merged = spark.read.option("mergeSchema", True).parquet(path)
+    return merged.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.count("o_year").alias("n_evolved"),
+        money_sum(dec2(F.col("o_totalprice"))).alias("total_price"),
+        F.min("o_year").cast("int").alias("min_year"),
+    )
+
+
+@register(
+    "compaction_fidelity",
+    oracle=f"""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(round(sum({REVENUE_DEC_SQL}), 2) AS DOUBLE) AS revenue,
+           true AS files_reduced
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("layout", "compaction", "scale"),
+)
+def compaction_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction round trip (sources.compact_parquet),
+    value-checked: lineitem is deliberately fragmented into 64 small
+    files (the streaming-sink / fine-partition pathology), compacted
+    into ~8 MiB-target files via the Hadoop FileSystem byte-sum sizing,
+    and re-read; the aggregate must match the untouched source exactly
+    (compaction must be a pure layout change — row-identical, no loss,
+    no dup) and files_reduced pins that the rewrite actually shrank the
+    file count. At 100 TB the scan's task count and liststore pressure
+    follow file count, not byte count — compaction is the maintenance
+    op that keeps a streaming-fed table scannable; fidelity is the
+    property that makes it safe to run automatically."""
+    from ..sources import compact_parquet, scratch_dir
+
+    l = load_table(spark, sf_dir, "lineitem")
+    frag = scratch_dir("lineitem_fragmented", sf_dir)
+    l.repartition(64).write.mode("overwrite").parquet(frag)
+    out = scratch_dir("lineitem_compacted", sf_dir)
+    n_after = compact_parquet(
+        spark, frag, out, target_file_bytes=8 * 1024 * 1024
+    )
+    back = spark.read.parquet(out)
+    return back.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        money_sum(revenue_dec()).alias("revenue"),
+        F.lit(n_after < 64).alias("files_reduced"),
+    )
+
+
+@register(
     "filter_null_nan_threshold",
     oracle="""
     SELECT event_id, user_id, value
@@ -2862,6 +2962,65 @@ def pagerank_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = steps.groupBy("src", "dst").agg(F.count("*").cast("double").alias("w"))
     ranks = pagerank(edges, iterations=10, weight="w")
     return ranks.select("node", F.round("rank", 9).alias("rank")).orderBy("node")
+
+
+@register(
+    "graph_triangle_count",
+    oracle="""
+    WITH steps AS (
+      SELECT lag(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id)
+               AS pu,
+             user_id AS cu
+      FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    ),
+    edges AS (
+      SELECT DISTINCT least(pu, cu) AS a, greatest(pu, cu) AS b
+      FROM steps WHERE pu IS NOT NULL AND pu <> cu
+    ),
+    nodes AS (
+      SELECT DISTINCT x FROM
+        (SELECT a AS x FROM edges UNION ALL SELECT b FROM edges)
+    ),
+    tri AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_triangles
+      FROM edges e1
+      JOIN edges e2 ON e2.a = e1.b
+      JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM nodes) AS n_nodes,
+           (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
+           (SELECT n_triangles FROM tri) AS n_triangles
+    """,
+    tags=("graph", "join", "scale"),
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count (operators/graph.triangle_count) over the
+    user co-activity graph: an undirected edge links two users who
+    appear consecutively in the same event_type's timeline (ordered by
+    ts, event_id — the same deterministic step derivation as the
+    PageRank query, keyed by type instead of user). The operator runs
+    the degree-ordered wedge join — each triangle counted exactly once
+    as the wedge at its (degree, id)-smallest corner — which caps the
+    wedge-join blowup at hub nodes, the thing that makes naive triangle
+    joins quadratic on skewed real graphs.
+
+    Oracle: triangle count is orientation-invariant, so DuckDB counts
+    via the simpler a<b<c three-way self-join on the same canonical
+    edge set; the counts must agree exactly. This cross-derivation (two
+    different orientations, same total) is precisely what gates the
+    orientation logic: an orientation bug double- or zero-counts
+    triangles and hash-fails."""
+    from ..operators.graph import triangle_count
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    steps = e.select(
+        F.lag("user_id").over(w).alias("pu"), F.col("user_id").alias("cu")
+    ).filter(F.col("pu").isNotNull() & (F.col("pu") != F.col("cu")))
+    edges = steps.select(F.col("pu").alias("a"), F.col("cu").alias("b"))
+    return triangle_count(edges)
 
 
 @register(

@@ -76,3 +76,70 @@ def pagerank(
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
             ranks = ranks.localCheckpoint()
     return ranks
+
+
+def triangle_count(edges: DataFrame, src: str = "a", dst: str = "b") -> DataFrame:
+    """Exact global triangle count over an undirected simple graph, via
+    the degree-ordered wedge join (the MapReduce-classic "order by
+    degree" trick, e.g. Suri & Vassilvitskii's MR triangle counting):
+
+    1. canonicalize edges to distinct unordered pairs (no self-loops);
+    2. compute each node's degree (one explode + hash group-by);
+    3. orient every edge from the (degree, id)-smaller endpoint to the
+       larger — an acyclic total order, so each triangle becomes exactly
+       ONE directed wedge a->b->c closed by a->c;
+    4. join wedges (oriented ⋈ oriented on b) against oriented edges
+       (a, c) and count.
+
+    Why orientation matters at 100 TB: the wedge join's intermediate
+    size is sum over nodes of out-degree², and degree-orientation caps
+    every out-degree at O(sqrt(|E|)) for the high-degree hubs a skewed
+    real graph always has — the naive (undirected) wedge join is
+    quadratic in the hub degree and is the thing that OOMs. All stages
+    are hash shuffles on node ids; nothing is collected.
+
+    Returns a 1-row DataFrame (n_nodes, n_edges, n_triangles).
+    """
+    und = (
+        edges.filter(F.col(src) != F.col(dst))
+        .select(
+            F.least(src, dst).alias("u"), F.greatest(src, dst).alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    du = deg.select(
+        F.col("node").alias("u"), F.col("deg").alias("deg_u")
+    )
+    dv = deg.select(
+        F.col("node").alias("v"), F.col("deg").alias("deg_v")
+    )
+    oriented = (
+        und.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(
+                (F.col("deg_u") < F.col("deg_v"))
+                | ((F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("s"), F.col("v").alias("d")),
+            )
+            .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("d")))
+            .alias("e")
+        )
+        .select(F.col("e.s").alias("s"), F.col("e.d").alias("d"))
+    )
+    e1 = oriented.select(F.col("s").alias("a"), F.col("d").alias("b"))
+    e2 = oriented.select(F.col("s").alias("b"), F.col("d").alias("c"))
+    e3 = oriented.select(F.col("s").alias("a"), F.col("d").alias("c"))
+    wedges = e1.join(e2, "b").select("a", "c")
+    tri = wedges.join(e3, ["a", "c"]).agg(F.count("*").alias("n_triangles"))
+    return (
+        deg.agg(F.count("*").alias("n_nodes"))
+        .crossJoin(und.agg(F.count("*").alias("n_edges")))
+        .crossJoin(tri)
+    )

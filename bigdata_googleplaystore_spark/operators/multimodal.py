@@ -271,6 +271,90 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
     return media.mapInPandas(batches, FRAME_SCHEMA)
 
 
+AHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("ahash", LongType(), False),
+    ]
+)
+
+
+def image_ahash(media: DataFrame, grid: int = 8) -> DataFrame:
+    """Perceptual average-hash (aHash) per image: decode (PNG or BMP) ->
+    nearest-neighbor ``grid``x``grid`` thumbnail (same integer indexing
+    as resize_images) -> 1 bit per cell (pixel > thumbnail mean) ->
+    pack row-major into a signed 64-bit int. The classic cheap
+    image-dedup sketch: visually identical images hash equal, small
+    edits flip few bits. Deterministic end-to-end (integer resample,
+    exact integer mean comparison via px * n > sum), so equal inputs
+    always hash equal — the property the dedup gate relies on.
+
+    Scale: decode+hash is map-only inside Arrow batches (payload bytes
+    never leave the executor); downstream dedup is a hash group-by on
+    the 8-byte sketch, never a byte-level pair comparison."""
+    if grid * grid > 64:
+        raise ValueError("ahash packs into 64 bits; grid must be <= 8")
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            ids, hashes = [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(p)
+                kind = codecs.sniff(b)
+                if kind == "png":
+                    w, h, px = codecs.decode_png_gray(b)
+                elif kind == "bmp":
+                    w, h, px = codecs.decode_bmp_gray(b)
+                else:
+                    raise ValueError(f"media_id={mid}: not an image payload")
+                img = np.frombuffer(px, dtype=np.uint8).reshape(h, w)
+                rows = (np.arange(grid) * h) // grid
+                cols = (np.arange(grid) * w) // grid
+                small = img[rows][:, cols].astype(np.int64)
+                # bit = cell > mean, in exact integer form (cell * n > sum)
+                n = small.size
+                total = int(small.sum())
+                bits = (small.reshape(-1) * n) > total
+                val = 0
+                for bit in bits:
+                    val = (val << 1) | int(bit)
+                # wrap to signed 64-bit so it fits LongType
+                if val >= 1 << 63:
+                    val -= 1 << 64
+                ids.append(mid)
+                hashes.append(val)
+            yield pd.DataFrame({"media_id": ids, "ahash": hashes})
+
+    return media.mapInPandas(batches, AHASH_SCHEMA)
+
+
+def ahash_dup_pairs(media: DataFrame, grid: int = 8) -> DataFrame:
+    """Image near-dup pairs at aHash Hamming distance 0: hash every
+    image (image_ahash), then group equal hashes via a self-equi-join
+    on the 64-bit sketch — the scale shape is a shuffle on an 8-byte
+    key, never an image-content comparison. Output columns mirror the
+    text dedup tiers: (media_a, media_b, hamming) with media_a <
+    media_b, hamming pinned 0 (equal-hash tier; a banded multi-index
+    would relax to small nonzero distances, same join shape)."""
+    hashed = image_ahash(media, grid=grid)
+    a = hashed.select(
+        F.col("media_id").alias("media_a"), F.col("ahash").alias("_h")
+    )
+    b = hashed.select(
+        F.col("media_id").alias("media_b"), F.col("ahash").alias("_h")
+    )
+    return (
+        a.join(b, "_h")
+        .filter(F.col("media_a") < F.col("media_b"))
+        .select(
+            "media_a", "media_b", F.lit(0).cast("int").alias("hamming")
+        )
+    )
+
+
 def payload_stats_arrow(media: DataFrame) -> DataFrame:
     """Arrow-native metadata pass (mapInArrow): payload byte lengths and
     empty/null accounting computed directly on Arrow buffers with

@@ -53,3 +53,59 @@ def test_pagerank_partition_invariant(spark):
     assert a.keys() == b.keys()
     for n in a:
         assert abs(a[n] - b[n]) < 1e-9
+
+
+def test_triangle_count_known_graph(spark):
+    """Hand-built graph with exactly 3 triangles: K4 on {1,2,3,4} has 4,
+    minus edge (1,2) leaves 2 ({1,3,4},{2,3,4}); plus triangle {5,6,7};
+    node 8 dangles. Edges arrive unordered/duplicated/self-looped to
+    exercise canonicalization."""
+    from bigdata_googleplaystore_spark.operators.graph import triangle_count
+
+    edges = spark.createDataFrame(
+        [
+            (1, 3), (3, 1), (1, 4), (2, 3), (2, 4), (3, 4),
+            (5, 6), (6, 7), (7, 5), (5, 5), (7, 8),
+        ],
+        "a long, b long",
+    )
+    row = triangle_count(edges).collect()[0]
+    assert row.n_nodes == 8
+    assert row.n_edges == 9  # 5 in K4-minus-edge + 3 triangle + (7,8); self-loop and dup dropped
+    assert row.n_triangles == 3
+
+
+def test_triangle_count_orientation_matches_naive(spark):
+    """The degree-ordered wedge join must count exactly what the naive
+    a<b<c enumeration counts, on a pseudo-random graph dense enough to
+    have ties and hubs."""
+    from bigdata_googleplaystore_spark.operators.graph import triangle_count
+    from pyspark.sql import functions as F
+
+    e = (
+        spark.range(300)
+        .select(
+            (F.xxhash64("id", F.lit(1)) % 40).alias("a"),
+            (F.xxhash64("id", F.lit(2)) % 40).alias("b"),
+        )
+        .select(F.abs("a").alias("a"), F.abs("b").alias("b"))
+    )
+    row = triangle_count(e).collect()[0]
+    und = (
+        e.filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+        .distinct()
+    )
+    pdf = und.toPandas()
+    es = set(map(tuple, pdf.values))
+    nodes = sorted({x for p in es for x in p})
+    naive = sum(
+        1
+        for i, x in enumerate(nodes)
+        for y in nodes[i + 1:]
+        if (x, y) in es
+        for z in nodes
+        if z > y and (x, z) in es and (y, z) in es
+    )
+    assert row.n_triangles == naive
+    assert row.n_edges == len(es)
