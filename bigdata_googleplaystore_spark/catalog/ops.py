@@ -2991,7 +2991,7 @@ def pagerank_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
            (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
            (SELECT n_triangles FROM tri) AS n_triangles
     """,
-    tags=("graph", "join", "scale"),
+    tags=("graph", "join", "scale", "bench"),
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact triangle count (operators/graph.triangle_count) over the
@@ -2999,17 +2999,20 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     appear consecutively in the same event_type's timeline (ordered by
     ts, event_id — the same deterministic step derivation as the
     PageRank query, keyed by type instead of user). The operator runs
-    the degree-ordered wedge join — each triangle counted exactly once
-    as the wedge at its (degree, id)-smallest corner — which caps the
-    wedge-join blowup at hub nodes, the thing that makes naive triangle
-    joins quadratic on skewed real graphs.
+    the degree-ordered EDGE-ITERATOR: orient edges toward the
+    (degree, id)-larger endpoint (caps every out-degree at
+    O(sqrt(|E|)), taming hubs), build out-neighbor lists, and sum
+    |N+(s) ∩ N+(d)| per edge — the Σ out-deg² wedge intermediate is
+    never shuffled (see the operator docstring for the measured
+    comparison vs the wedge-join form).
 
-    Oracle: triangle count is orientation-invariant, so DuckDB counts
-    via the simpler a<b<c three-way self-join on the same canonical
-    edge set; the counts must agree exactly. This cross-derivation (two
-    different orientations, same total) is precisely what gates the
-    orientation logic: an orientation bug double- or zero-counts
-    triangles and hash-fails."""
+    Oracle: triangle count is algorithm-invariant, so DuckDB counts
+    via the naive a<b<c three-way self-join on the same canonical edge
+    set; the counts must agree exactly — a three-way cross-derivation
+    once tests are included (edge-iterator here, naive join in the
+    oracle, wedge join pinned equal in tests/test_graph.py), which is
+    what gates the orientation/adjacency logic: any double- or
+    zero-counting hash-fails."""
     from ..operators.graph import triangle_count
 
     e = load_table(spark, sf_dir, "events").filter(

@@ -69,10 +69,11 @@ def test_triangle_count_known_graph(spark):
         ],
         "a long, b long",
     )
-    row = triangle_count(edges).collect()[0]
-    assert row.n_nodes == 8
-    assert row.n_edges == 9  # 5 in K4-minus-edge + 3 triangle + (7,8); self-loop and dup dropped
-    assert row.n_triangles == 3
+    for method in ("edge_iter", "wedge"):
+        row = triangle_count(edges, method=method).collect()[0]
+        assert row.n_nodes == 8
+        assert row.n_edges == 9  # 5 in K4-minus-edge + 3 triangle + (7,8); self-loop/dup dropped
+        assert row.n_triangles == 3, method
 
 
 def test_triangle_count_orientation_matches_naive(spark):
@@ -91,6 +92,10 @@ def test_triangle_count_orientation_matches_naive(spark):
         .select(F.abs("a").alias("a"), F.abs("b").alias("b"))
     )
     row = triangle_count(e).collect()[0]
+    row_wedge = triangle_count(e, method="wedge").collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_triangles) == (
+        row_wedge.n_nodes, row_wedge.n_edges, row_wedge.n_triangles,
+    )
     und = (
         e.filter(F.col("a") != F.col("b"))
         .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))

@@ -448,3 +448,25 @@ def test_large_large_joins_sort_merge_with_pushdown_when_no_broadcast(spark, sf_
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_triangle_count_all_hash_joins_and_exchange_reuse(spark, sf_dir):
+    """The triangle operator's wedge join must plan as equi-joins on
+    node-id keys — nested-loop joins may appear ONLY as the two final
+    1-row count crossJoins (x2 in the static text), never in the data
+    path. The events scan must prune to the 4 step-derivation columns.
+    And the shared und/oriented subtrees (3 consumers each) must dedup
+    at runtime via AQE exchange reuse — the operator deliberately does
+    NOT persist() (docstring: shuffle-file reuse is free; cache was
+    measured slower), so reuse is the property that keeps the 3-legged
+    self-join linear in practice."""
+    static = plans.analyze(QUERIES["graph_triangle_count"].fn(spark, sf_dir))
+    assert static.nested_loop_joins <= 4  # the 1-row count crossJoins only
+    assert static.broadcast_joins + static.sort_merge_joins >= 3
+    scan = static.scan_for("events")
+    assert scan is not None
+    assert scan.reads_only("ts", "event_id", "user_id", "event_type")
+    executed = plans.analyze(
+        QUERIES["graph_triangle_count"].fn(spark, sf_dir), execute=True
+    )
+    assert executed.reused_exchanges >= 6, executed.reused_exchanges
