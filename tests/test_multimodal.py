@@ -287,3 +287,38 @@ def test_audio_window_rms_matches_numpy(spark, sf_dir):
                 r["rms"] - round(float(np.sqrt(np.mean(w.astype(np.float64) ** 2))), 6)
             ) < 1e-9
         assert (doc_id, n_win) not in got  # no extra windows
+
+
+def test_image_ahash_matches_pure_python_reference(spark):
+    """Property check: Spark's Arrow-batched aHash equals an independent
+    pure-Python re-derivation (plain loops, no numpy) on 40 random gray
+    images of varied size — catching resample index drift, mean-threshold
+    tie handling, and bit-packing order."""
+    import random
+
+    from bigdata_googleplaystore_spark.operators import codecs, multimodal
+
+    rng = random.Random(0xA5A5)
+    rows, expected = [], {}
+    for mid in range(40):
+        w = rng.choice([8, 11, 16, 16, 23])
+        h = rng.randrange(8, 40)
+        px = bytes(rng.randrange(256) for _ in range(w * h))
+        rows.append((mid, "image/png", codecs.encode_png_gray(px, w)))
+        # independent reference: nearest-neighbor grid, exact-int mean test,
+        # MSB-first row-major packing, signed-64 wrap
+        grid = 8
+        cells = []
+        for i in range(grid):
+            for j in range(grid):
+                cells.append(px[((i * h) // grid) * w + (j * w) // grid])
+        total, n = sum(cells), len(cells)
+        val = 0
+        for c in cells:
+            val = (val << 1) | (1 if c * n > total else 0)
+        if val >= 1 << 63:
+            val -= 1 << 64
+        expected[mid] = val
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = {r["media_id"]: r["ahash"] for r in multimodal.image_ahash(media).collect()}
+    assert got == expected
