@@ -194,6 +194,66 @@ def orc_sink_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bucketed_join_no_shuffle",
+    oracle=f"""
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(round(sum({REVENUE_DEC_SQL}), 2) AS DOUBLE) AS revenue
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("join", "bucketing", "layout", "scale"),
+)
+def bucketed_join_no_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join, value-checked end-to-end: orders and
+    lineitem are written bucketed+sorted on the join key (8 buckets,
+    sources.write_parquet bucket_by -> saveAsTable), then joined and
+    aggregated; the oracle recomputes the same aggregate from the
+    unbucketed source, so the bucketed write -> metastore read -> join
+    round trip is value-checked, not just plan-checked. The plan
+    property that makes this the 100 TB posture — the sort-merge join
+    consumes both tables' bucket layout directly, with NO Exchange
+    under the join (the only shuffle left is the 5-key aggregate) — is
+    asserted in tests/test_plans.py on this registered query, and on
+    raw paths in test_scale.py. This is how a fact-fact join that would
+    otherwise shuffle 100 TB per run amortizes ONE bucketed write
+    across every subsequent join on that key.
+
+    Table names are keyed by SF (same convention as scratch_dir) so one
+    session can gate multiple SFs without cross-reads; mode=overwrite
+    makes the query re-runnable."""
+    import hashlib
+
+    from ..sources import scratch_dir, write_parquet
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    ot, lt = f"b_orders_{key}", f"b_lineitem_{key}"
+    write_parquet(
+        o.select("o_orderkey", "o_orderpriority"),
+        scratch_dir("bucketed_orders", sf_dir),
+        bucket_by=(8, ["o_orderkey"]),
+        table_name=ot,
+    )
+    write_parquet(
+        l.select("l_orderkey", "l_extendedprice", "l_discount"),
+        scratch_dir("bucketed_lineitem", sf_dir),
+        bucket_by=(8, ["l_orderkey"]),
+        table_name=lt,
+    )
+    bo, bl = spark.table(ot), spark.table(lt)
+    return (
+        bo.join(bl, bo["o_orderkey"] == bl["l_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            money_sum(revenue_dec()).alias("revenue"),
+        )
+    )
+
+
+@register(
     "schema_evolution_merge",
     oracle="""
     WITH evolved AS (

@@ -470,3 +470,33 @@ def test_triangle_count_all_hash_joins_and_exchange_reuse(spark, sf_dir):
         QUERIES["graph_triangle_count"].fn(spark, sf_dir), execute=True
     )
     assert executed.reused_exchanges >= 6, executed.reused_exchanges
+
+
+def test_bucketed_join_query_has_no_join_exchange(spark, sf_dir):
+    """The registered bucketed_join_no_shuffle query: with broadcast
+    disabled (the 100 TB fact-fact regime), the sort-merge join must
+    consume the bucket layout directly — the ONLY exchange in the plan
+    is the final 5-key aggregate's, none under the join."""
+    keys = [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    ]
+    saved = {}
+    for k in keys:
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+    try:
+        for k in keys:
+            spark.conf.set(k, "-1")
+        r = plans.analyze(QUERIES["bucketed_join_no_shuffle"].fn(spark, sf_dir))
+        assert r.sort_merge_joins >= 1, r.text  # text counts tree+detail nodes
+        assert r.broadcast_joins == 0
+        assert r.exchanges == 1, r.text  # aggregate only; join is co-located
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
