@@ -24,16 +24,17 @@ from .tpch import flagship  # noqa: E402,F401
 # then the remaining never-checked (the next round's rotation head), then
 # the rest of the previously-green set, oldest evidence first.
 #
-# Round-6 window (VERDICT r05 items 3-5): the 11 queries changed or
-# added this round head the window (5 new operators — bucketed
-# co-located join, image-aHash dedup, triangle count, schema-evolution
-# merge, compaction fidelity — plus two former rows-only queries
-# converted to planted hash-checkable oracles, the de-vacuated
-# set_except, the new real-corpus PQ invariant, and the new JSON/ORC
-# sink->scan round trips), then 15 of the 16 r01-stale queries (the
-# oldest evidence anywhere; cross_join_dims, judge-verified green in
-# the r05 session, is displaced just below the cutoff), then 24 of the
-# 45 r02-stale — all 22 TPC-H heads plus the two bench-headline
+# Round-6 window (VERDICT r05 items 3-5): the 12 queries changed or
+# added this round head the window (6 new operators — bucketed
+# co-located join, image-aHash dedup plus its SF-scaled recall
+# invariant, triangle count, schema-evolution merge, compaction
+# fidelity — plus two former rows-only queries converted to planted
+# hash-checkable oracles, the de-vacuated set_except, the new
+# real-corpus PQ invariant, and the new JSON/ORC sink->scan round
+# trips), then 14 of the 16 r01-stale queries (the oldest evidence
+# anywhere; cross_join_dims and array_l2_norm, judge-verified green in
+# the r05 session, sit just below the cutoff), then 24 of the 45
+# r02-stale — all 22 TPC-H heads plus the two bench-headline
 # window/as-of queries. The remaining r02-stale sit just below the
 # cutoff as the r07 rotation head, so after r07 no row rides evidence
 # older than r03.
@@ -42,6 +43,7 @@ _PRIORITY: list[str] = [
     # (a) changed or new this round — fresh rows required:
     "bucketed_join_no_shuffle",  # new: co-located SMJ, exchange-free join
     "dedup_image_ahash",     # new: perceptual-hash image dedup (planted gate)
+    "dedup_image_ahash_recall",  # new: SF-scaled planted-copy recall invariant
     "graph_triangle_count",  # new: degree-ordered wedge join vs naive oracle
     "schema_evolution_merge",  # new: mergeSchema read across evolved batches
     "compaction_fidelity",   # new: small-file compaction is a pure layout change
@@ -51,9 +53,8 @@ _PRIORITY: list[str] = [
     "embedding_pq_train_invariant",  # new: SF-scaled real-corpus PQ gate
     "json_sink_scan_roundtrip",      # new: JSON-lines sink->scan fidelity
     "orc_sink_scan_roundtrip",       # new: ORC sink->scan + pushdown
-    # (b) 15 of the 16 r01-stale queries — oldest evidence in the
+    # (b) 14 of the 16 r01-stale queries — oldest evidence in the
     #     registry (all judge-verified green in the r05 session):
-    "array_l2_norm",
     "dedup_embedding_cosine",
     "dedup_fingerprint_md5",
     "dedup_near_clusters",
@@ -95,12 +96,13 @@ _PRIORITY: list[str] = [
     "window_range_frame_sum",
     "asof_join_last_click",
     # ===== window cutoff (~50) — entries below are the r07 rotation
-    # head: 1 r01-stale + 4 non-bench window/time-window r02-stale
-    # displaced when the round-6 additions (5 new queries + 2 source
+    # head: 2 r01-stale + 4 non-bench window/time-window r02-stale
+    # displaced when the round-6 additions (6 new queries + 2 source
     # round-trips) took window slots (window_range_frame_sum and
     # asof_join_last_click stay in-window because their honest bench
     # numbers want fresh value evidence), then the 15 remaining
     # r02-stale queries, oldest evidence first:
+    "array_l2_norm",
     "cross_join_dims",
     "window_lag_delta",
     "window_running_sum",
@@ -153,6 +155,7 @@ _R02_WINDOW: list[str] = [
     "q8_market_share",
     "q11_important_stock",
     # windows / time / joins / misc (never driver-checked in round 1)
+    "array_l2_norm",
     "cross_join_dims",
     "window_lag_delta",
     "window_running_sum",

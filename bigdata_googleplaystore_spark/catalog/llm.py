@@ -253,6 +253,56 @@ def dedup_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_image_ahash_recall",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_planted,
+           CAST(count(*) AS BIGINT) AS n_found,
+           true AS all_planted_found
+    FROM documents
+    WHERE text IS NOT NULL AND doc_id % 10 = 0
+    """,
+    tags=("llm", "dedup", "multimodal", "invariant"),
+)
+def dedup_image_ahash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SF-SCALED image-dedup invariant (companion to the constant-size
+    planted gate of dedup_image_ahash, the same pairing the PQ family
+    uses): render EVERY non-null document to a real PNG, plant one
+    exact copy (id + 10M) for each doc with doc_id % 10 = 0, hash the
+    whole corpus, and verify that every planted (d, d+10M) pair is
+    found at Hamming 0. Exact copies must hash equal (the pipeline is
+    a pure function of the payload), so n_found == n_planted is exact
+    and SQL-derivable REGARDLESS of aHash false positives among the
+    real corpus (the planted-pair join ignores cross-doc pairs) — the
+    invariant that makes this checkable at any SF, where a full pair
+    list would need collision-freeness no 64-bit sketch guarantees.
+    Unlike the 48-image planted gate, the decode -> thumbnail ->
+    threshold -> pack -> group-join chain here runs over the ENTIRE
+    SF-scaled corpus (500/500/5,000 + copies), so driver-checked image
+    dedup coverage grows with data size."""
+    from ..operators import multimodal
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    base = d.select("doc_id", "text")
+    copies = base.filter((F.col("doc_id") % 10) == 0).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), "text"
+    )
+    media = multimodal.attach_media_payload(
+        base.unionAll(copies), "text", "doc_id", kind="png"
+    )
+    pairs = multimodal.ahash_dup_pairs(media)
+    expected = base.filter((F.col("doc_id") % 10) == 0).select(
+        F.col("doc_id").alias("media_a"),
+        (F.col("doc_id") + F.lit(10_000_000)).alias("media_b"),
+    )
+    found = pairs.join(expected, ["media_a", "media_b"], "inner")
+    return (
+        expected.agg(F.count("*").alias("n_planted"))
+        .crossJoin(found.agg(F.count("*").alias("n_found")))
+        .withColumn("all_planted_found", F.col("n_planted") == F.col("n_found"))
+    )
+
+
+@register(
     "dedup_simhash_containment",
     oracle=f"""
     WITH sh AS ({_SHINGLES_SQL}),
