@@ -114,3 +114,13 @@ def test_triangle_count_orientation_matches_naive(spark):
     )
     assert row.n_triangles == naive
     assert row.n_edges == len(es)
+
+
+def test_triangle_count_rejects_unknown_method(spark):
+    import pytest
+
+    from bigdata_googleplaystore_spark.operators.graph import triangle_count
+
+    edges = spark.createDataFrame([(1, 2)], "a long, b long")
+    with pytest.raises(ValueError, match="unknown method"):
+        triangle_count(edges, method="bogus")

@@ -322,3 +322,13 @@ def test_image_ahash_matches_pure_python_reference(spark):
     media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
     got = {r["media_id"]: r["ahash"] for r in multimodal.image_ahash(media).collect()}
     assert got == expected
+
+
+def test_image_ahash_rejects_oversized_grid(spark):
+    import pytest
+
+    from bigdata_googleplaystore_spark.operators import multimodal
+
+    media = spark.createDataFrame([], multimodal.MEDIA_SCHEMA)
+    with pytest.raises(ValueError, match="64 bits"):
+        multimodal.image_ahash(media, grid=9)
