@@ -194,6 +194,64 @@ def orc_sink_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pydatasource_scan_agg",
+    oracle="""
+    WITH ids AS (SELECT unnest(range(0, 5000)) AS i),
+    h AS (SELECT i, md5('docgen:' || CAST(i AS VARCHAR)) AS hx FROM ids),
+    rows_ AS (
+      SELECT i AS id,
+             concat_ws(' ', substr(hx,1,4), substr(hx,5,4), substr(hx,9,4),
+                       substr(hx,13,4), substr(hx,17,4), substr(hx,21,4),
+                       substr(hx,25,4), substr(hx,29,4)) AS text,
+             CAST(CAST('0x' || substr(hx,1,8) AS UBIGINT) % 1000 AS BIGINT)
+               AS score
+      FROM h
+    )
+    SELECT score % 10 AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(score) AS BIGINT) AS sum_score,
+           min(text) AS min_text,
+           max(text) AS max_text
+    FROM rows_ GROUP BY bucket
+    """,
+    tags=("source", "pydatasource", "connector"),
+)
+def pydatasource_scan_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource scan, value-checked end-to-end: the
+    docgen connector (sources/pydatasource.py — Spark 4
+    `pyspark.sql.datasource` API with an explicit partitions() plan so
+    the scan parallelizes across executors) generates 5,000 rows over 8
+    partitions, aggregated by score bucket. Rows are a pure function of
+    the row id (md5-derived), so DuckDB re-derives the ENTIRE table
+    from `range()` + `md5()` and the oracle hash-checks the connector's
+    schema declaration, option handling, partition planning, and row
+    generation — a disagreement in any partition boundary (dropped or
+    doubled ids at the range seams) changes n_rows/sum_score and
+    hash-fails. min/max text pin the string content, not just the
+    numeric aggregates.
+
+    This is the template for a bespoke-system connector at 100 TB: the
+    partitions() plan is what keeps a custom source from funneling
+    through one python worker; determinism per id is what makes
+    retries and repartitioned re-reads agree."""
+    from ..sources import pydatasource
+
+    pydatasource.register(spark)
+    df = (
+        spark.read.format("docgen")
+        .option("rows", 5000)
+        .option("partitions", 8)
+        .load()
+    )
+    return df.groupBy((F.col("score") % 10).alias("bucket")).agg(
+        F.count("*").alias("n_rows"),
+        F.sum("score").alias("sum_score"),
+        F.min("text").alias("min_text"),
+        F.max("text").alias("max_text"),
+    )
+
+
+@register(
     "bucketed_join_no_shuffle",
     oracle=f"""
     SELECT o.o_orderpriority,
