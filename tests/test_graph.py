@@ -124,3 +124,26 @@ def test_triangle_count_rejects_unknown_method(spark):
     edges = spark.createDataFrame([(1, 2)], "a long, b long")
     with pytest.raises(ValueError, match="unknown method"):
         triangle_count(edges, method="bogus")
+
+
+def test_triangle_count_hub_star_graph(spark):
+    """Hub stress: a 50-leaf star has no triangles (every wedge is open);
+    closing one leaf pair adds exactly one. The hub's degree dwarfs every
+    leaf's, so orientation points every edge leaf->hub — the case where
+    a wrong orientation direction would explode the hub's out-list."""
+    from pyspark.sql import functions as F
+
+    from bigdata_googleplaystore_spark.operators.graph import triangle_count
+
+    star = spark.range(1, 51).select(
+        F.col("id").alias("a"), F.lit(0).cast("long").alias("b")
+    )
+    for method in ("edge_iter", "wedge"):
+        r = triangle_count(star, method=method).collect()[0]
+        assert (r.n_nodes, r.n_edges, r.n_triangles) == (51, 50, 0), method
+    closed = star.unionAll(
+        spark.createDataFrame([(1, 2)], "a long, b long")
+    )
+    for method in ("edge_iter", "wedge"):
+        r = triangle_count(closed, method=method).collect()[0]
+        assert (r.n_nodes, r.n_edges, r.n_triangles) == (51, 51, 1), method
