@@ -194,6 +194,78 @@ def orc_sink_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "observed_scan_metrics",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT)
+             AS n_returned,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE)
+             AS total_qty,
+           min(l_shipdate) AS first_ship,
+           max(l_shipdate) AS last_ship
+    FROM lineitem
+    """,
+    tags=("observe", "metrics", "quality"),
+)
+def observed_scan_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-flight metrics via `DataFrame.observe` (the Observation API),
+    value-checked: data-quality counters (row count, returned-flag
+    count, exact-decimal quantity sum, ship-date bounds) are attached
+    to the lineitem scan as observed metrics and harvested from the
+    listener AFTER a single noop-write pass — the metrics ride the SAME
+    job as the real work, costing zero extra scans. That is the
+    production shape for pipeline observability at 100 TB: a separate
+    metrics query would re-read the table; `observe` piggybacks on the
+    write you were doing anyway (exactly how a foreachBatch sink
+    publishes per-batch quality counters). The harvested values come
+    back as a 1-row DataFrame and the oracle recomputes them with plain
+    SQL, so the listener channel itself — not just the aggregate
+    expressions — is what the hash gates.
+
+    The returned frame is driver-constructed from the observation's
+    result dict (5 scalars — model-sized by construction, like the
+    k-means centroid collects)."""
+    from pyspark.sql import Observation
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    l = load_table(spark, sf_dir, "lineitem")
+    obs = Observation()
+    observed = l.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("n_returned"),
+        money_sum(dec2(F.col("l_quantity"))).alias("total_qty"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    schema = StructType(
+        [
+            StructField("n_rows", LongType(), False),
+            StructField("n_returned", LongType(), False),
+            StructField("total_qty", DoubleType(), False),
+            StructField("first_ship", TimestampType(), False),
+            StructField("last_ship", TimestampType(), False),
+        ]
+    )
+    row = (
+        m["n_rows"],
+        m["n_returned"],
+        float(m["total_qty"]),
+        m["first_ship"],
+        m["last_ship"],
+    )
+    return spark.createDataFrame([row], schema)
+
+
+@register(
     "pydatasource_scan_agg",
     oracle="""
     WITH ids AS (SELECT unnest(range(0, 5000)) AS i),
