@@ -194,6 +194,48 @@ def orc_sink_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_sink_scan_roundtrip",
+    oracle=r"""
+    WITH stripped AS (
+      SELECT regexp_replace(text, '[\r\n]+', ' ', 'g') AS line
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(length(line)) AS BIGINT) AS sum_chars,
+           min(line) AS min_line,
+           max(line) AS max_line
+    FROM stripped
+    """,
+    tags=("source", "text"),
+)
+def text_sink_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain-text sink -> scan round trip, value-checked: every non-null
+    document is written one-per-line (newlines stripped first — the
+    format has no quoting, and this query pins exactly that contract),
+    re-read with `spark.read.text`, and aggregated; the oracle
+    re-derives line count, total characters, and lexicographic bounds
+    from the stripped source column. This is the raw-ingest floor
+    beneath CSV/JSON — web dumps and log files before any schema — and
+    the bounds check means a truncated line, an encoding slip, or a
+    partial file surfaces as a hash mismatch, not a plausible count."""
+    from ..sources import read_text, scratch_dir, write_text
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    lines = d.select(
+        F.regexp_replace("text", r"[\r\n]+", " ").alias("value")
+    )
+    path = scratch_dir("documents_text", sf_dir)
+    write_text(lines, path)
+    back = read_text(spark, path)
+    return back.agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.length("value")).alias("sum_chars"),
+        F.min("value").alias("min_line"),
+        F.max("value").alias("max_line"),
+    )
+
+
+@register(
     "observed_scan_metrics",
     oracle="""
     SELECT CAST(count(*) AS BIGINT) AS n_rows,

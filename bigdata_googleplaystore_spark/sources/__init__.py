@@ -156,6 +156,23 @@ def write_json(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
 # --- ORC ------------------------------------------------------------------
 
 
+def read_text(spark: SparkSession, path: str) -> DataFrame:
+    """Plain-text source: one row per line, single `value` string column
+    (`spark.read.text`). The raw-ingest floor beneath CSV/JSON — web
+    dumps, logs before any schema. Splittable like any text source, so
+    the scan parallelizes by byte range at 100 TB."""
+    return spark.read.text(path)
+
+
+def write_text(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
+    """Plain-text sink: writes the single string column one value per
+    line (`df.write.text`). Values must be newline-free — the format
+    has no quoting, so embedded newlines change the line count on
+    read-back (the round-trip query strips them first and the oracle
+    re-derives from the stripped form, pinning exactly that contract)."""
+    df.write.mode(mode).text(path)
+
+
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC scan. Same pushdown story as parquet (projection + predicate
     reach the scan); ORC is the interchange format Hive-era warehouses
