@@ -160,11 +160,6 @@ _R02_WINDOW: list[str] = [
     "q8_market_share",
     "q11_important_stock",
     # windows / time / joins / misc (never driver-checked in round 1)
-    "array_l2_norm",
-    "cross_join_dims",
-    "dedup_embedding_cosine",
-    "dedup_fingerprint_md5",
-    "dedup_near_clusters",
     "window_lag_delta",
     "window_running_sum",
     "window_range_frame_sum",

@@ -225,7 +225,7 @@ def dedup_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     within-anchor pairs — SQL-derivable — provided cross-anchor hashes
     differ: measured min cross-anchor Hamming distance 12/14/12 bits
     at sf0.001/0.01/0.1 (text-rendered thumbnails have high bit
-    entropy; pinned in tests/test_llm_batch2.py). The gate therefore checks the
+    entropy; pinned in tests/test_llm.py). The gate therefore checks the
     full decode -> resample -> threshold -> pack -> group-join chain:
     a stride bug, resample drift, or packing error perturbs hashes and
     either loses planted pairs or invents cross-anchor ones.

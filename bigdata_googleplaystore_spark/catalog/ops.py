@@ -266,14 +266,20 @@ def observed_scan_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The returned frame is driver-constructed from the observation's
     result dict (5 scalars — model-sized by construction, like the
-    k-means centroid collects)."""
+    k-means centroid collects). The ship-date bounds travel the driver
+    hop as `date_format`ted STRINGS and are cast back to timestamp with
+    `to_timestamp` on the reconstructed frame: both conversions run
+    JVM-side under the session timezone pin, whereas round-tripping raw
+    datetimes through createDataFrame's TimestampType would interpret
+    them in the driver's LOCAL timezone (a DST-nonexistent local time
+    on a non-UTC host would silently shift the value)."""
     from pyspark.sql import Observation
     from pyspark.sql.types import (
         DoubleType,
         LongType,
+        StringType,
         StructField,
         StructType,
-        TimestampType,
     )
 
     l = load_table(spark, sf_dir, "lineitem")
@@ -283,8 +289,12 @@ def observed_scan_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("n_returned"),
         money_sum(dec2(F.col("l_quantity"))).alias("total_qty"),
-        F.min("l_shipdate").alias("first_ship"),
-        F.max("l_shipdate").alias("last_ship"),
+        F.date_format(F.min("l_shipdate"), "yyyy-MM-dd HH:mm:ss").alias(
+            "first_ship"
+        ),
+        F.date_format(F.max("l_shipdate"), "yyyy-MM-dd HH:mm:ss").alias(
+            "last_ship"
+        ),
     )
     observed.write.format("noop").mode("overwrite").save()
     m = obs.get
@@ -293,8 +303,8 @@ def observed_scan_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             StructField("n_rows", LongType(), False),
             StructField("n_returned", LongType(), False),
             StructField("total_qty", DoubleType(), False),
-            StructField("first_ship", TimestampType(), False),
-            StructField("last_ship", TimestampType(), False),
+            StructField("first_ship", StringType(), False),
+            StructField("last_ship", StringType(), False),
         ]
     )
     row = (
@@ -304,7 +314,10 @@ def observed_scan_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         m["first_ship"],
         m["last_ship"],
     )
-    return spark.createDataFrame([row], schema)
+    out = spark.createDataFrame([row], schema)
+    return out.withColumn(
+        "first_ship", F.to_timestamp("first_ship")
+    ).withColumn("last_ship", F.to_timestamp("last_ship"))
 
 
 @register(
@@ -504,7 +517,10 @@ def compaction_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     and re-read; the aggregate must match the untouched source exactly
     (compaction must be a pure layout change — row-identical, no loss,
     no dup) and files_reduced pins that the rewrite actually shrank the
-    file count. At 100 TB the scan's task count and liststore pressure
+    file count — gated on the ACTUAL post-write on-disk file count
+    (sources.parquet_file_stats over out_path), not the requested
+    repartition count, so a writer that rolls extra files would fail
+    the gate rather than pass undetected. At 100 TB the scan's task count and liststore pressure
     follow file count, not byte count — compaction is the maintenance
     op that keeps a streaming-fed table scannable; fidelity is the
     property that makes it safe to run automatically."""

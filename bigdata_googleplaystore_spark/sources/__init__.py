@@ -267,22 +267,41 @@ def compact_parquet(
     a local pathlib walk would silently report 0 bytes for remote URIs
     and compact everything into one file). `repartition` (round-robin)
     gives even output sizes. Compact into a NEW directory and swap —
-    rewriting in place would race readers."""
+    rewriting in place would race readers.
+
+    The return value is the ACTUAL post-write output file count (the
+    same FileSystem listing run against out_path), not the requested
+    repartition count — a writer that splits a partition into multiple
+    files (size-capped rolls, speculative retries) would otherwise pass
+    a files-reduced gate undetected."""
+    _, n_bytes = parquet_file_stats(spark, path)
+    n_files = max(1, -(-n_bytes // target_file_bytes))  # ceil
+    spark.read.parquet(path).repartition(n_files).write.mode("overwrite").parquet(
+        out_path
+    )
+    n_actual, _ = parquet_file_stats(spark, out_path)
+    return n_actual
+
+
+def parquet_file_stats(spark: SparkSession, path: str) -> tuple[int, int]:
+    """(file_count, byte_sum) of the .parquet files under `path`, via the
+    Hadoop FileSystem recursive iterator — a footer-free file-status
+    scan that works for hdfs://, s3a://, and file:// alike. Used for
+    compaction sizing, post-compaction verification, and layout-pruning
+    gates; never reads data."""
     jvm = spark.sparkContext._jvm
     jsc = spark.sparkContext._jsc
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+    n_files = 0
     n_bytes = 0
     it = fs.listFiles(hpath, True)  # recursive remote iterator
     while it.hasNext():
         status = it.next()
         if status.getPath().getName().endswith(".parquet"):
+            n_files += 1
             n_bytes += status.getLen()
-    n_files = max(1, -(-n_bytes // target_file_bytes))  # ceil
-    spark.read.parquet(path).repartition(n_files).write.mode("overwrite").parquet(
-        out_path
-    )
-    return n_files
+    return n_files, n_bytes
 
 
 # --- testdata loaders -----------------------------------------------------

@@ -387,6 +387,64 @@ def user_top_types_batch(
     )
 
 
+def user_top_types_stream_v1(
+    events: DataFrame, k: int = 3, key_col: str = "user_id", type_col: str = "event_type"
+) -> DataFrame:
+    """Per-key top-k categorical counts via `applyInPandasWithState` —
+    the SAME output contract as `user_top_types_stream` below, expressed
+    in the v1 arbitrary-state API so the operator has a live
+    micro-batch end-to-end path with NO extra dependencies (the v2
+    `transformWithStateInPandas` needs the protobuf package for its
+    state-server wire protocol; this form speaks the Arrow state format
+    the v1 API has always used).
+
+    State is the per-key category->count map carried as parallel
+    (types[], counts[]) arrays in the opaque v1 state tuple — the v1
+    API offers no typed MapState, so each batch deserializes and
+    rewrites the whole per-key blob; that is exactly the granularity
+    cost the v2 form avoids, kept here as the dependency-free fallback.
+    Each batch emits the key's refreshed top-k snapshot plus
+    `total_seen`, so the latest snapshot per key (highest total_seen)
+    equals `user_top_types_batch` — asserted live in
+    tests/test_streaming.py without any skip gate."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    key_type = events.schema[key_col].dataType.simpleString()
+    out_schema = (
+        f"{key_col} {key_type}, {type_col} string, n bigint, rk int, total_seen bigint"
+    )
+    state_schema = "types array<string>, counts array<bigint>"
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            types, counts = state.get
+            m = dict(zip(types, counts))
+        else:
+            m = {}
+        for pdf in pdfs:
+            for t, c in pdf[type_col].value_counts().items():
+                m[t] = m.get(t, 0) + int(c)
+        state.update((list(m.keys()), [int(v) for v in m.values()]))
+        total = sum(m.values())
+        top = sorted(m.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        yield pd.DataFrame(
+            {
+                key_col: pd.Series([key[0]] * len(top)),
+                type_col: [t for t, _ in top],
+                "n": pd.Series([c for _, c in top], dtype="int64"),
+                "rk": pd.Series(range(1, len(top) + 1), dtype="int32"),
+                "total_seen": pd.Series([total] * len(top), dtype="int64"),
+            }
+        )
+
+    ev = events.filter(F.col(key_col).isNotNull() & F.col(type_col).isNotNull())
+    return ev.groupBy(key_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def user_top_types_stream(
     events: DataFrame, k: int = 3, key_col: str = "user_id", type_col: str = "event_type"
 ) -> DataFrame:
