@@ -24,112 +24,105 @@ from .tpch import flagship  # noqa: E402,F401
 # then the remaining never-checked (the next round's rotation head), then
 # the rest of the previously-green set, oldest evidence first.
 #
-# Round-6 window (VERDICT r05 items 3-5): the 15 queries changed or
-# added this round head the window (9 new operators — the custom
-# Python-DataSource connector gate, observe() in-flight metrics,
-# the plain-text source/sink round trip, bucketed
-# co-located join, image-aHash dedup plus its SF-scaled recall
-# invariant, triangle count, schema-evolution merge, compaction
-# fidelity — plus two former rows-only queries converted to planted
-# hash-checkable oracles, the de-vacuated set_except, the new
-# real-corpus PQ invariant, and the new JSON/ORC sink->scan round
-# trips), then 11 of the 16 r01-stale queries (the oldest evidence
-# anywhere; 5 displaced ones, all judge-verified green in the r05
-# session, sit just below the cutoff), then 24 of the 45
-# r02-stale — all 22 TPC-H heads plus the two bench-headline
-# window/as-of queries. The remaining r02-stale sit just below the
-# cutoff as the r07 rotation head, so after r07 no row rides evidence
-# older than r03.
+# Round-7 window (VERDICT r06 items 1, 3, 7): the 5 queries changed or
+# added this round head the window (the three newly oracle-gated scale
+# features — dynamic partition pruning, runtime bloom-filter join
+# pruning, Z-order pruning payoff — plus the two advisor-fixed queries,
+# observed_scan_metrics' timezone-independent reconstruction and
+# compaction_fidelity's real-file-count gate), then ALL 26 queries whose
+# newest driver row is still r01/r02 (the r06 verdict's top item: 5 r01
+# + 21 r02, each judge-verified green in the r06 session — this closes
+# the rotation goal: after r07 no row rides pre-r03 evidence), then 19
+# of the 49 r03-stale queries, oldest evidence first. The remaining 30
+# r03-stale sit just below the cutoff as the r08 rotation head.
 _PRIORITY: list[str] = [
-    # ===== ROUND-6 WINDOW (the driver records ~50 rows) =====
+    # ===== ROUND-7 WINDOW (the driver records ~50 rows) =====
     # (a) changed or new this round — fresh rows required:
-    "pydatasource_scan_agg",  # new: custom Python DataSource, md5 oracle
-    "observed_scan_metrics",  # new: observe() in-flight metrics, zero extra pass
-    "text_sink_scan_roundtrip",  # new: plain-text source/sink round trip
-    "bucketed_join_no_shuffle",  # new: co-located SMJ, exchange-free join
-    "dedup_image_ahash",     # new: perceptual-hash image dedup (planted gate)
-    "dedup_image_ahash_recall",  # new: SF-scaled planted-copy recall invariant
-    "graph_triangle_count",  # new: degree-ordered wedge join vs naive oracle
-    "schema_evolution_merge",  # new: mergeSchema read across evolved batches
-    "compaction_fidelity",   # new: small-file compaction is a pure layout change
-    "bpe_learn_merges",      # was rows-only; planted tie-free vocab oracle
-    "dedup_simhash",         # was rows-only; planted exact-copy oracle
-    "set_except",            # de-vacuated operands (non-empty difference)
-    "embedding_pq_train_invariant",  # new: SF-scaled real-corpus PQ gate
-    "json_sink_scan_roundtrip",      # new: JSON-lines sink->scan fidelity
-    "orc_sink_scan_roundtrip",       # new: ORC sink->scan + pushdown
-    # (b) 11 of the 16 r01-stale queries — oldest evidence in the
-    #     registry (all judge-verified green in the r05 session):
-    "distinct_count_agg",
-    "doc_fingerprint_winnow",
-    "sample_quota_per_source",
-    "sim_cosine_topk",
-    "split_train_test",
-    "text_bpe_token_count",
-    "text_lang_id",
-    "text_quality_score",
-    "text_repetition_ratio",
-    "text_scrub_patterns",
-    "text_token_stats",
-    # (c) 24 of the 45 r02-stale: every TPC-H head (q1-q22 all ride r02
-    #     evidence) plus the two bench-headline window/as-of queries:
-    "q1_pricing_summary",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_region_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_nation_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q12_priority_shipping",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_variety",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_predicates",
-    "q20_excess_stock_suppliers",
-    "q21_waiting_suppliers",
-    "q22_inactive_customers",
-    "window_range_frame_sum",
-    "asof_join_last_click",
-    # ===== window cutoff (~50) — entries below are the r07 rotation
-    # head: 5 r01-stale + 4 non-bench window/time-window r02-stale
-    # displaced when the round-6 additions (9 new queries + 2 source
-    # round-trips) took window slots (window_range_frame_sum and
-    # asof_join_last_click stay in-window because their honest bench
-    # numbers want fresh value evidence), then the 15 remaining
-    # r02-stale queries, oldest evidence first:
+    "dpp_partition_pruned_join",  # new: DPP gate, runtime partition metric
+    "bloom_join_pruning",         # new: might_contain rewrite, shuffle regime
+    "zorder_pruning_payoff",      # new: footer-measured 2-D scan pruning
+    "observed_scan_metrics",      # changed: tz-independent bounds round trip
+    "compaction_fidelity",        # changed: gates actual on-disk file count
+    # (b) all 26 pre-r03 queries — the registry's oldest evidence
+    #     (5 r01 + 21 r02; judge-verified green in the r06 session):
     "array_l2_norm",
     "cross_join_dims",
     "dedup_embedding_cosine",
     "dedup_fingerprint_md5",
     "dedup_near_clusters",
+    "collect_list_sorted",
+    "dedup_exact_docs",
+    "pack_sequences",
     "window_lag_delta",
     "window_running_sum",
     "window_ntile_percent_rank",
     "time_window_tumbling",
     "time_window_sliding",
     "session_window_gap",
-    "array_set_functions",
-    "collect_list_sorted",
-    "cube_counts",
-    "dedup_exact_docs",
     "interval_join_sessions",
-    "nested_struct_map",
-    "pack_sequences",
-    "percentiles_exact",
-    "pivot_status_counts",
-    "set_except_all",
+    "time_bounded_self_join",
     "sql_interface_revenue",
+    "cube_counts",
+    "nested_struct_map",
+    "pivot_status_counts",
+    "unpivot_measures",
+    "set_except_all",
+    "percentiles_exact",
+    "array_set_functions",
     "string_function_suite",
     "text_quality_rules",
-    "time_bounded_self_join",
-    "unpivot_measures",
+    # (c) 19 of the 49 r03-stale queries, oldest evidence first:
+    "scan_project_prune",
+    "filter_null_nan_threshold",
+    "case_when_buckets",
+    "regexp_extract_number",
+    "max_string_and_date",
+    "agg_approx_distinct",
+    "heavy_hitter_terms",
+    "corpus_curation_pipeline",
+    "embedding_covariance",
+    "cohort_retention",
+    "funnel_conversion",
+    "sessionize_gap_cumsum",
+    "scd2_type_intervals",
+    "hll_distinct_accuracy",
+    "bitmap_distinct_rollup",
+    "pandas_group_gap_stats",
+    "cogroup_order_reconciliation",
+    "udtf_word_bigrams",
+    "grouped_agg_pandas_weighted_avg",
+    # ===== window cutoff (~50) — entries below are the r08 rotation
+    # head: the remaining 30 r03-stale queries:
+    "pandas_udf_digit_sum",
+    "sql_lateral_topk",
+    "percentiles_disc",
+    "running_distinct_types",
+    "kfold_assignment",
+    "text_linear_classifier_scores",
+    "decontaminate_ngram_overlap",
+    "sample_token_budget_per_source",
+    "text_top_ngram_fraction",
+    "tfidf_top_terms",
+    "embedding_quantize_int8",
+    "embedding_label_centroids",
+    "chunk_documents_overlap",
+    "mixture_weighted_resample",
+    "boilerplate_token_prune",
+    "multimodal_arrow_stats",
+    "text_dup_ngram_fraction",
+    "text_char_lm_score",
+    "regression_per_source",
+    "dedup_incremental_fingerprints",
+    "source_share_gini",
+    "knn_label_accuracy",
+    "grouping_sets_id",
+    "window_first_last_nth",
+    "timeseries_gapfill_ffill",
+    "corr_covar_exact",
+    "window_time_range_rolling",
+    "salted_two_stage_agg",
+    "anomaly_rolling_zscore",
+    "merge_upsert_orders",
 ]
 
 # Pre-rotation (round-2) window order, kept for the record of what r02

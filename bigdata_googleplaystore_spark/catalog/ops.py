@@ -541,6 +541,401 @@ def compaction_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fact_scan_metric(qe, path_fragment: str, key: str) -> int:
+    """Sum metric `key` over executed-plan scan nodes whose description
+    mentions `path_fragment` (to pick the partitioned-fact scan, not the
+    dim's scan of the raw table). Call AFTER an execution so runtime
+    metrics (e.g. the dynamically-pruned partition count) are populated;
+    caller must have planned with AQE off — AdaptiveSparkPlanExec hides
+    its final plan from children() traversal."""
+    total = 0
+
+    def walk(node):
+        nonlocal total
+        if "Scan" in node.nodeName() and path_fragment in node.toString():
+            it = node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                if kv._1() == key:
+                    total += kv._2().value()
+        for i in range(node.children().size()):
+            walk(node.children().apply(i))
+
+    walk(qe.executedPlan())
+    return total
+
+
+@register(
+    "dpp_partition_pruned_join",
+    oracle="""
+    WITH dim AS (
+      SELECT DISTINCT event_type FROM events WHERE length(event_type) >= 6
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users,
+           CAST((SELECT count(*) FROM dim) AS BIGINT) AS n_partitions_read,
+           CAST((SELECT count(DISTINCT event_type) FROM events)
+                AS BIGINT) AS n_partitions_total,
+           true AS dpp_active
+    FROM events e JOIN dim d USING (event_type)
+    GROUP BY e.event_type
+    """,
+    tags=("join", "dpp", "scale"),
+)
+def dpp_partition_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning, value-checked end-to-end: events are
+    written PARTITIONED on the join key, then joined with a selectively
+    filtered dim (event types of length >= 6 — 2 of the 5 types). The
+    optimizer must inject the dim's surviving keys as a runtime
+    partition filter on the fact scan (DynamicPruningExpression reusing
+    the broadcast), so only those partitions' files are read. The
+    n_partitions_read column is the fact scan's post-execution
+    `numPartitions` metric — the ACTUAL partitions touched — and the
+    oracle recomputes it as the dim's surviving-key count from the raw
+    table, so a DPP regression (all 5 partitions read) hash-fails the
+    row rather than just slowing down. dpp_active pins that the
+    executed plan really contained the dynamic-pruning subquery, and
+    the per-type aggregate value-checks the join itself.
+
+    At 100 TB this is THE mechanism that turns "join the week's
+    partitions against a filtered dim" into reading those partitions
+    only — static pruning can't see the dim filter, and without DPP the
+    fact scan is a full-table read. AQE is disabled for the probe
+    execution only (its wrapper hides the final plan from metric
+    traversal); the pruning itself works under either setting, and the
+    returned frame re-plans under the session's normal conf."""
+    from ..sources import scratch_dir
+
+    ev = load_table(spark, sf_dir, "events")
+    path = scratch_dir("events_by_type_dpp", sf_dir)
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
+
+    def build():
+        fact = spark.read.parquet(path)
+        dim = (
+            ev.select("event_type")
+            .distinct()
+            .filter(F.length("event_type") >= 6)
+        )
+        return fact.join(F.broadcast(dim), "event_type").groupBy(
+            "event_type"
+        ).agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+
+    aqe_prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        probe = build()
+        # Execute via collect(), NOT a noop write: DataFrameWriter plans a
+        # fresh QueryExecution for the write command, leaving THIS
+        # instance's scan metrics untouched; collect() runs the cached
+        # plan whose metrics we harvest below (result is 2 tiny rows).
+        probe.collect()
+        qe = probe._jdf.queryExecution()
+        active = "dynamicpruning" in qe.executedPlan().toString().lower()
+        n_read = _fact_scan_metric(qe, "events_by_type_dpp", "numPartitions")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
+
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    n_total = sum(
+        1
+        for st in fs.listStatus(hpath)
+        if st.isDirectory() and st.getPath().getName().startswith("event_type=")
+    )
+    return build().select(
+        "event_type",
+        "n_events",
+        "n_users",
+        F.lit(int(n_read)).cast("long").alias("n_partitions_read"),
+        F.lit(int(n_total)).cast("long").alias("n_partitions_total"),
+        F.lit(bool(active)).alias("dpp_active"),
+    )
+
+
+@register(
+    "bloom_join_pruning",
+    oracle=f"""
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(round(sum({REVENUE_DEC_SQL}), 2) AS DOUBLE) AS revenue,
+           true AS bloom_active
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand = 'Brand#23'
+    GROUP BY p_brand
+    """,
+    tags=("join", "bloom", "scale"),
+)
+def bloom_join_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join pruning, value-checked: lineitem joins a
+    selectively filtered part dim under the shuffle-join regime
+    (broadcast disabled — the 1000-executor large-dim shape), with the
+    runtime bloom filter enabled. The optimizer builds a bloom filter
+    from the filtered dim's join keys and injects a `might_contain`
+    probe on the fact side, discarding non-joining lineitem rows BEFORE
+    the shuffle — the map-side analogue of dynamic partition pruning
+    for non-partition join keys; at 100 TB it is the difference between
+    shuffling the whole fact table and shuffling the ~matching rows.
+
+    bloom_active is computed from the materialized optimized plan
+    (might_contain / bloom-filter aggregate present) and value-checked
+    via the oracle's `true` literal, so losing the rewrite hash-fails
+    the gate; the aggregate value-checks that the filter is a pure
+    pruning (no row falsely dropped: bloom false positives cost work,
+    never correctness). The physical plan is forced while the probe
+    confs are set (Dataset caches its QueryExecution), then the session
+    conf is restored so other queries keep their broadcast plans; the
+    application-side size threshold is lowered because the default is
+    sized for real clusters, not sf0.01 testdata."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved: dict[str, str | None] = {}
+    for k in confs:
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        l = load_table(spark, sf_dir, "lineitem")
+        p = load_table(spark, sf_dir, "part").filter(
+            F.col("p_brand") == "Brand#23"
+        )
+        j = (
+            l.join(p, l["l_partkey"] == p["p_partkey"])
+            .groupBy("p_brand")
+            .agg(
+                F.count("*").alias("n_items"),
+                money_sum(revenue_dec()).alias("revenue"),
+            )
+        )
+        optimized = j._jdf.queryExecution().optimizedPlan().toString().lower()
+        active = "might_contain" in optimized or "bloomfilter" in optimized
+        out = j.withColumn("bloom_active", F.lit(bool(active)))
+        out._jdf.queryExecution().executedPlan()  # pin plan under probe conf
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return out
+
+
+@register(
+    "zorder_pruning_payoff",
+    oracle="""
+    WITH stats AS (
+      SELECT CAST(min(o_custkey) AS DOUBLE) AS lo1,
+             CAST(max(o_custkey) AS DOUBLE) AS hi1,
+             CAST(min(o_totalprice) AS DOUBLE) AS lo2,
+             CAST(max(o_totalprice) AS DOUBLE) AS hi2
+      FROM orders
+    ),
+    box AS (
+      SELECT lo1 + 0.40 * (hi1 - lo1) AS blo1, lo1 + 0.55 * (hi1 - lo1) AS bhi1,
+             lo2 + 0.40 * (hi2 - lo2) AS blo2, lo2 + 0.55 * (hi2 - lo2) AS bhi2
+      FROM stats
+    ),
+    sel AS (
+      SELECT o_totalprice FROM orders CROSS JOIN box
+      WHERE o_custkey BETWEEN blo1 AND bhi1
+        AND o_totalprice BETWEEN blo2 AND bhi2
+    ),
+    b AS (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+        CASE WHEN hi1 = lo1 THEN 0
+             ELSE least(255, CAST(floor((o_custkey - lo1) / (hi1 - lo1) * 256)
+                                  AS BIGINT)) END AS b1,
+        CASE WHEN hi2 = lo2 THEN 0
+             ELSE least(255, CAST(floor((o_totalprice - lo2) / (hi2 - lo2) * 256)
+                                  AS BIGINT)) END AS b2
+      FROM orders CROSS JOIN stats
+    ),
+    z AS (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             ((((b1 >> 0) & 1) << 0)  | (((b2 >> 0) & 1) << 1) |
+              (((b1 >> 1) & 1) << 2)  | (((b2 >> 1) & 1) << 3) |
+              (((b1 >> 2) & 1) << 4)  | (((b2 >> 2) & 1) << 5) |
+              (((b1 >> 3) & 1) << 6)  | (((b2 >> 3) & 1) << 7) |
+              (((b1 >> 4) & 1) << 8)  | (((b2 >> 4) & 1) << 9) |
+              (((b1 >> 5) & 1) << 10) | (((b2 >> 5) & 1) << 11) |
+              (((b1 >> 6) & 1) << 12) | (((b2 >> 6) & 1) << 13) |
+              (((b1 >> 7) & 1) << 14) | (((b2 >> 7) & 1) << 15)) >> 12
+               AS seg
+      FROM b
+    ),
+    zsegs AS (
+      SELECT seg, min(o_custkey) AS mn1, max(o_custkey) AS mx1,
+             min(o_totalprice) AS mn2, max(o_totalprice) AS mx2
+      FROM z GROUP BY seg
+    ),
+    nsegs AS (
+      SELECT o_orderkey % 16 AS seg,
+             min(o_custkey) AS mn1, max(o_custkey) AS mx1,
+             min(o_totalprice) AS mn2, max(o_totalprice) AS mx2
+      FROM orders GROUP BY seg
+    ),
+    needed AS (
+      SELECT
+        (SELECT count(*) FROM zsegs CROSS JOIN box
+         WHERE mx1 >= blo1 AND mn1 <= bhi1
+           AND mx2 >= blo2 AND mn2 <= bhi2) AS nz,
+        (SELECT count(*) FROM nsegs CROSS JOIN box
+         WHERE mx1 >= blo1 AND mn1 <= bhi1
+           AND mx2 >= blo2 AND mn2 <= bhi2) AS nn
+    )
+    SELECT CAST((SELECT count(*) FROM sel) AS BIGINT) AS n_rows_selected,
+           CAST(round((SELECT sum(CAST(o_totalprice AS DECIMAL(12,2)))
+                       FROM sel), 2) AS DOUBLE) AS total_price_selected,
+           CAST((SELECT count(*) FROM zsegs) AS BIGINT) AS n_segs_zorder,
+           CAST(nz AS BIGINT) AS n_segs_needed_zorder,
+           CAST(nn AS BIGINT) AS n_segs_needed_naive,
+           nz < nn AS zorder_prunes
+    FROM needed
+    """,
+    tags=("layout", "zorder", "scale"),
+)
+def zorder_pruning_payoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering's PRUNING PAYOFF, measured from the physical
+    layout and value-checked: orders is written twice into 16 segments —
+    Z-ordered (segment = top-4 bits of the Morton curve position over
+    (o_custkey, o_totalprice), same bit math the hash-green
+    zorder_bucket_histogram pins against SQL) and naive (segment =
+    o_orderkey % 16, the round-robin-equivalent layout that scatters
+    both filter dimensions everywhere). A 2-D selective box (the middle
+    [40%,55%] of each dimension's range — ~2% of the area) then needs
+    only the segments whose parquet FOOTER min/max intersect the box:
+    those counts are read from the actual on-disk footers with pyarrow
+    (exactly the stats a scan planner or row-group filter consults),
+    while the oracle re-derives them from the raw data — so a broken
+    sort, wrong bucket math, or stats-less write hash-fails the counts.
+    The naive layout needs (essentially) all 16 segments; the Z layout
+    a small minority — `zorder_prunes` pins the payoff direction and
+    the count columns pin its size. n_rows_selected/total_price come
+    from READING the Z layout with the box predicate, so layout
+    fidelity (no row lost or duplicated by the rewrite) is
+    value-checked too.
+
+    At 100 TB this is the lakehouse data-layout contract (Delta/Iceberg
+    OPTIMIZE ZORDER): partitioning handles one low-cardinality
+    dimension; the curve handles 2+ numeric ones, turning a selective
+    scan from O(files) to O(files touching the box). The per-dir footer
+    read here is driver-side over 32 local files — the gate-scale stand-
+    in for the manifest/stats layer a table format maintains. The
+    segment assignment is pure deterministic arithmetic (partitionBy on
+    the derived segment — no repartitionByRange sampling), which is
+    what makes the counts SQL-derivable."""
+    import os
+
+    import pyarrow.parquet as papq
+
+    from ..operators import layout
+    from ..sources import scratch_dir
+
+    o = load_table(spark, sf_dir, "orders")
+    cols = ["o_custkey", "o_totalprice"]
+    keyed = layout.zorder_key(o, cols, bits=8)
+    zpath = scratch_dir("orders_zorder_payoff", sf_dir)
+    npath = scratch_dir("orders_naive_payoff", sf_dir)
+    (
+        keyed.withColumn("z_seg", F.shiftright(F.col("_zvalue"), 12))
+        .drop("_zvalue")
+        .repartition("z_seg")
+        .write.mode("overwrite")
+        .partitionBy("z_seg")
+        .parquet(zpath)
+    )
+    (
+        o.withColumn("n_seg", F.col("o_orderkey") % 16)
+        .repartition("n_seg")
+        .write.mode("overwrite")
+        .partitionBy("n_seg")
+        .parquet(npath)
+    )
+
+    st = o.agg(
+        F.min("o_custkey").cast("double"),
+        F.max("o_custkey").cast("double"),
+        F.min("o_totalprice").cast("double"),
+        F.max("o_totalprice").cast("double"),
+    ).collect()[0]
+    lo1, hi1, lo2, hi2 = st
+    blo1, bhi1 = lo1 + 0.40 * (hi1 - lo1), lo1 + 0.55 * (hi1 - lo1)
+    blo2, bhi2 = lo2 + 0.40 * (hi2 - lo2), lo2 + 0.55 * (hi2 - lo2)
+
+    def segs_needed(root: str, prefix: str) -> tuple[int, int]:
+        """(present, intersecting-box) segment-dir counts from footers."""
+        present = needed = 0
+        for d in sorted(os.listdir(root)):
+            if not d.startswith(prefix):
+                continue
+            mins: dict[str, float] = {}
+            maxs: dict[str, float] = {}
+            dirp = os.path.join(root, d)
+            for fn in os.listdir(dirp):
+                if not fn.endswith(".parquet"):
+                    continue
+                md = papq.ParquetFile(os.path.join(dirp, fn)).metadata
+                for rg in range(md.num_row_groups):
+                    row = md.row_group(rg)
+                    for ci in range(row.num_columns):
+                        col = row.column(ci)
+                        name = col.path_in_schema
+                        if name not in cols or col.statistics is None:
+                            continue
+                        s = col.statistics
+                        mins[name] = min(mins.get(name, s.min), s.min)
+                        maxs[name] = max(maxs.get(name, s.max), s.max)
+            if not mins:
+                continue
+            present += 1
+            if (
+                maxs["o_custkey"] >= blo1
+                and mins["o_custkey"] <= bhi1
+                and maxs["o_totalprice"] >= blo2
+                and mins["o_totalprice"] <= bhi2
+            ):
+                needed += 1
+        return present, needed
+
+    n_segs_z, needed_z = segs_needed(zpath, "z_seg=")
+    _, needed_n = segs_needed(npath, "n_seg=")
+
+    vals = (
+        spark.read.parquet(zpath)
+        .filter(
+            F.col("o_custkey").between(blo1, bhi1)
+            & F.col("o_totalprice").between(blo2, bhi2)
+        )
+        .agg(
+            F.count("*").alias("n_rows_selected"),
+            money_sum(dec2(F.col("o_totalprice"))).alias(
+                "total_price_selected"
+            ),
+        )
+    )
+    return vals.select(
+        "n_rows_selected",
+        "total_price_selected",
+        F.lit(int(n_segs_z)).cast("long").alias("n_segs_zorder"),
+        F.lit(int(needed_z)).cast("long").alias("n_segs_needed_zorder"),
+        F.lit(int(needed_n)).cast("long").alias("n_segs_needed_naive"),
+        F.lit(bool(needed_z < needed_n)).alias("zorder_prunes"),
+    )
+
+
 @register(
     "filter_null_nan_threshold",
     oracle="""

@@ -500,3 +500,33 @@ def test_bucketed_join_query_has_no_join_exchange(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_dpp_gate_reads_only_surviving_partitions(spark, sf_dir):
+    """The registered DPP gate must report that the fact scan touched
+    exactly the dim's surviving partitions (2 of 5 event types have
+    length >= 6) with the dynamic-pruning subquery present in the
+    executed plan — the runtime metric, not a plan string alone."""
+    row = QUERIES["dpp_partition_pruned_join"].fn(spark, sf_dir).collect()[0]
+    assert row["dpp_active"] is True
+    assert row["n_partitions_total"] == 5
+    assert row["n_partitions_read"] == 2, row
+
+
+def test_bloom_gate_rewrites_the_join(spark, sf_dir):
+    """The registered bloom gate must find the might_contain rewrite in
+    its optimized plan (bloom_active True) and still produce the exact
+    join aggregate — pruning must never drop a matching row."""
+    rows = QUERIES["bloom_join_pruning"].fn(spark, sf_dir).collect()
+    assert len(rows) == 1 and rows[0]["bloom_active"] is True
+    assert rows[0]["n_items"] > 0
+
+
+def test_zorder_payoff_prunes_most_segments(spark, sf_dir):
+    """The Z-ordered layout must satisfy the 2-D box from a strict
+    minority of its 16 segments while the orderkey-scattered naive
+    layout needs all of them — footer-measured, not data-derived."""
+    row = QUERIES["zorder_pruning_payoff"].fn(spark, sf_dir).collect()[0]
+    assert row["zorder_prunes"] is True
+    assert row["n_segs_needed_naive"] == row["n_segs_zorder"] == 16
+    assert row["n_segs_needed_zorder"] * 2 < row["n_segs_needed_naive"], row
