@@ -24,16 +24,18 @@ from .tpch import flagship  # noqa: E402,F401
 # then the remaining never-checked (the next round's rotation head), then
 # the rest of the previously-green set, oldest evidence first.
 #
-# Round-7 window (VERDICT r06 items 1, 3, 7): the 5 queries changed or
+# Round-7 window (VERDICT r06 items 1, 3, 7): the 7 queries changed or
 # added this round head the window (the three newly oracle-gated scale
 # features — dynamic partition pruning, runtime bloom-filter join
-# pruning, Z-order pruning payoff — plus the two advisor-fixed queries,
+# pruning, Z-order pruning payoff — the two advisor-fixed queries,
 # observed_scan_metrics' timezone-independent reconstruction and
-# compaction_fidelity's real-file-count gate), then ALL 26 queries whose
+# compaction_fidelity's real-file-count gate, and the two connector
+# gates promoting the Python DataSource's stream reader and two-phase
+# writer from test-only to hash-checked), then ALL 26 queries whose
 # newest driver row is still r01/r02 (the r06 verdict's top item: 5 r01
 # + 21 r02, each judge-verified green in the r06 session — this closes
-# the rotation goal: after r07 no row rides pre-r03 evidence), then 19
-# of the 49 r03-stale queries, oldest evidence first. The remaining 30
+# the rotation goal: after r07 no row rides pre-r03 evidence), then 17
+# of the 49 r03-stale queries, oldest evidence first. The remaining 32
 # r03-stale sit just below the cutoff as the r08 rotation head.
 _PRIORITY: list[str] = [
     # ===== ROUND-7 WINDOW (the driver records ~50 rows) =====
@@ -43,6 +45,8 @@ _PRIORITY: list[str] = [
     "zorder_pruning_payoff",      # new: footer-measured 2-D scan pruning
     "observed_scan_metrics",      # changed: tz-independent bounds round trip
     "compaction_fidelity",        # changed: gates actual on-disk file count
+    "pydatasource_stream_scan_agg",  # new: connector stream-reader gate
+    "pydatasource_writer_roundtrip",  # new: connector 2-phase-commit writer
     # (b) all 26 pre-r03 queries — the registry's oldest evidence
     #     (5 r01 + 21 r02; judge-verified green in the r06 session):
     "array_l2_norm",
@@ -89,10 +93,12 @@ _PRIORITY: list[str] = [
     "bitmap_distinct_rollup",
     "pandas_group_gap_stats",
     "cogroup_order_reconciliation",
+    # ===== window cutoff (~50) — entries below are the r08 rotation
+    # head: the remaining r03-stale queries (udtf_word_bigrams and
+    # grouped_agg_pandas_weighted_avg moved down when the two round-7
+    # connector-gate queries took window slots above):
     "udtf_word_bigrams",
     "grouped_agg_pandas_weighted_avg",
-    # ===== window cutoff (~50) — entries below are the r08 rotation
-    # head: the remaining 30 r03-stale queries:
     "pandas_udf_digit_sum",
     "sql_lateral_topk",
     "percentiles_disc",

@@ -379,6 +379,138 @@ def pydatasource_scan_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pydatasource_stream_scan_agg",
+    oracle="""
+    WITH ids AS (SELECT unnest(range(0, 3000)) AS i),
+    h AS (SELECT i, md5('docgen:' || CAST(i AS VARCHAR)) AS hx FROM ids),
+    rows_ AS (
+      SELECT i AS id,
+             concat_ws(' ', substr(hx,1,4), substr(hx,5,4), substr(hx,9,4),
+                       substr(hx,13,4), substr(hx,17,4), substr(hx,21,4),
+                       substr(hx,25,4), substr(hx,29,4)) AS text,
+             CAST(CAST('0x' || substr(hx,1,8) AS UBIGINT) % 1000 AS BIGINT)
+               AS score
+      FROM h
+    )
+    SELECT score % 7 AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(score) AS BIGINT) AS sum_score,
+           min(text) AS min_text,
+           max(text) AS max_text
+    FROM rows_ GROUP BY bucket
+    """,
+    tags=("source", "pydatasource", "streaming", "connector"),
+)
+def pydatasource_stream_scan_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING half of the custom Python DataSource, value-checked
+    end-to-end: the docgen connector's SimpleDataSourceStreamReader
+    (sources/pydatasource.py) replays 3,000 rows in micro-batches of
+    173 ids (a non-divisor, so the engine crosses 17 uneven offset
+    seams plus a short final batch), drains to a memory sink in append
+    mode, and the result aggregates by score bucket. Rows are the same
+    pure function of id as the batch reader, so DuckDB re-derives the
+    whole table from range()+md5() and the hash check gates the offset
+    protocol itself: a dropped, replayed, or double-read micro-batch
+    (initialOffset/read/readBetweenOffsets disagreeing at any seam)
+    changes n_rows/sum_score and fails.
+
+    Scale posture: offsets are engine-checkpointed dicts, so a bespoke
+    100 TB ingest connector written this way inherits Structured
+    Streaming's exactly-once offset tracking — restart resumes at the
+    committed seam, and replays are idempotent because content is a
+    pure function of id."""
+    from .. import streaming
+    from ..sources import pydatasource
+
+    pydatasource.register(spark)
+    stream = (
+        spark.readStream.format("docgen")
+        .option("rows", 3000)
+        .option("batchRows", 173)
+        .load()
+    )
+    drained = streaming.run_stream_to_memory(
+        stream, "cat_pydatasource_stream", output_mode="append"
+    )
+    return drained.groupBy((F.col("score") % 7).alias("bucket")).agg(
+        F.count("*").alias("n_rows"),
+        F.sum("score").alias("sum_score"),
+        F.min("text").alias("min_text"),
+        F.max("text").alias("max_text"),
+    )
+
+
+@register(
+    "pydatasource_writer_roundtrip",
+    oracle="""
+    WITH ids AS (SELECT unnest(range(0, 2000)) AS i),
+    h AS (SELECT i, md5('docgen:' || CAST(i AS VARCHAR)) AS hx FROM ids),
+    rows_ AS (
+      SELECT i AS id,
+             concat_ws(' ', substr(hx,1,4), substr(hx,5,4), substr(hx,9,4),
+                       substr(hx,13,4), substr(hx,17,4), substr(hx,21,4),
+                       substr(hx,25,4), substr(hx,29,4)) AS text,
+             CAST(CAST('0x' || substr(hx,1,8) AS UBIGINT) % 1000 AS BIGINT)
+               AS score
+      FROM h
+    )
+    SELECT score % 5 AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(score) AS BIGINT) AS sum_score,
+           CAST(sum(id) AS BIGINT) AS sum_id,
+           min(text) AS min_text,
+           max(text) AS max_text
+    FROM rows_ GROUP BY bucket
+    """,
+    tags=("source", "pydatasource", "sink", "connector"),
+)
+def pydatasource_writer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITER half of the custom Python DataSource, value-checked through
+    a full round trip: 2,000 docgen rows over 6 partitions are written
+    through the connector's DataSourceWriter (sources/pydatasource.py
+    JsonlWriter — per-task temp file + driver-side commit rename, the
+    two-phase commit every sane distributed sink uses), read back with
+    spark.read.json, and aggregated by score bucket with an id checksum.
+    DuckDB re-derives the table from range()+md5(), so the hash check
+    gates the commit protocol end-to-end: a lost task file, a leaked
+    temp file read back as data, or a double-committed partition
+    changes n_rows/sum_id and fails.
+
+    Scale posture: task outputs become visible only via the driver's
+    atomic renames at commit — task retries overwrite their own temp
+    file and abort() removes stragglers, so speculative execution and
+    failure replay never produce torn or duplicate output."""
+    import shutil
+
+    from ..sources import pydatasource
+
+    pydatasource.register(spark)
+    # (tag, sf)-keyed scratch dir; cleared so a re-run can't read stale
+    # part files from a previous layout
+    out = _stream_src_dir("pydsw", sf_dir)
+    shutil.rmtree(out, ignore_errors=True)
+    src = (
+        spark.read.format("docgen")
+        .option("rows", 2000)
+        .option("partitions", 6)
+        .load()
+    )
+    src.write.format("docgen").option("path", out).mode("append").save()
+    back = spark.read.json(out).select(
+        F.col("id").cast("long"),
+        F.col("text").cast("string"),
+        F.col("score").cast("long"),
+    )
+    return back.groupBy((F.col("score") % 5).alias("bucket")).agg(
+        F.count("*").alias("n_rows"),
+        F.sum("score").alias("sum_score"),
+        F.sum("id").alias("sum_id"),
+        F.min("text").alias("min_text"),
+        F.max("text").alias("max_text"),
+    )
+
+
+@register(
     "bucketed_join_no_shuffle",
     oracle=f"""
     SELECT o.o_orderpriority,
