@@ -24,19 +24,21 @@ from .tpch import flagship  # noqa: E402,F401
 # then the remaining never-checked (the next round's rotation head), then
 # the rest of the previously-green set, oldest evidence first.
 #
-# Round-7 window (VERDICT r06 items 1, 3, 7): the 7 queries changed or
+# Round-7 window (VERDICT r06 items 1, 3, 7): the 9 queries changed or
 # added this round head the window (the three newly oracle-gated scale
 # features — dynamic partition pruning, runtime bloom-filter join
 # pruning, Z-order pruning payoff — the two advisor-fixed queries,
 # observed_scan_metrics' timezone-independent reconstruction and
-# compaction_fidelity's real-file-count gate, and the two connector
-# gates promoting the Python DataSource's stream reader and two-phase
-# writer from test-only to hash-checked), then ALL 26 queries whose
-# newest driver row is still r01/r02 (the r06 verdict's top item: 5 r01
-# + 21 r02, each judge-verified green in the r06 session — this closes
-# the rotation goal: after r07 no row rides pre-r03 evidence), then 17
-# of the 49 r03-stale queries, oldest evidence first. The remaining 32
-# r03-stale sit just below the cutoff as the r08 rotation head.
+# compaction_fidelity's real-file-count gate, the two connector gates
+# promoting the Python DataSource's stream reader and two-phase writer
+# from test-only to hash-checked, and the two Spark-4 SQL-surface gates,
+# pipe syntax and session-variable/EXECUTE IMMEDIATE binding), then ALL
+# 26 queries whose newest driver row is still r01/r02 (the r06 verdict's
+# top item: 5 r01 + 21 r02, each judge-verified green in the r06 session
+# — this closes the rotation goal: after r07 no row rides pre-r03
+# evidence), then 15 of the 49 r03-stale queries, oldest evidence first.
+# The remaining 34 r03-stale sit just below the cutoff as the r08
+# rotation head.
 _PRIORITY: list[str] = [
     # ===== ROUND-7 WINDOW (the driver records ~50 rows) =====
     # (a) changed or new this round — fresh rows required:
@@ -47,6 +49,8 @@ _PRIORITY: list[str] = [
     "compaction_fidelity",        # changed: gates actual on-disk file count
     "pydatasource_stream_scan_agg",  # new: connector stream-reader gate
     "pydatasource_writer_roundtrip",  # new: connector 2-phase-commit writer
+    "sql_pipe_syntax_agg",        # new: Spark 4 |> pipe-syntax parse gate
+    "sql_session_vars_params",    # new: DECLARE/SET VAR + EXECUTE IMMEDIATE
     # (b) all 26 pre-r03 queries — the registry's oldest evidence
     #     (5 r01 + 21 r02; judge-verified green in the r06 session):
     "array_l2_norm",
@@ -91,12 +95,12 @@ _PRIORITY: list[str] = [
     "scd2_type_intervals",
     "hll_distinct_accuracy",
     "bitmap_distinct_rollup",
+    # ===== window cutoff (~50) — entries below are the r08 rotation
+    # head: the remaining r03-stale queries (the four names directly
+    # below moved down when the four round-7 connector/SQL-surface gate
+    # queries took window slots above):
     "pandas_group_gap_stats",
     "cogroup_order_reconciliation",
-    # ===== window cutoff (~50) — entries below are the r08 rotation
-    # head: the remaining r03-stale queries (udtf_word_bigrams and
-    # grouped_agg_pandas_weighted_avg moved down when the two round-7
-    # connector-gate queries took window slots above):
     "udtf_word_bigrams",
     "grouped_agg_pandas_weighted_avg",
     "pandas_udf_digit_sum",

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources import load_table
-from ._util import REVENUE_DEC_SQL, dec2, money_sum, revenue_dec
+from ._util import REVENUE_DEC_SQL, dec2, money_sum, money_sum_sql, revenue_dec
 from .registry import register
 
 
@@ -2033,6 +2033,86 @@ def sql_interface_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                  AS total_price,
                count(*) AS n_orders
         FROM orders GROUP BY o_orderpriority
+        """
+    )
+
+
+@register(
+    "sql_pipe_syntax_agg",
+    oracle=f"""
+    SELECT l_returnflag,
+           count(*) AS n_items,
+           {money_sum_sql(REVENUE_DEC_SQL)} AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1995-06-01' AND l_shipdate < DATE '1995-09-01'
+    GROUP BY l_returnflag
+    """,
+    tags=("sql", "pipe-syntax", "agg"),
+)
+def sql_pipe_syntax_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4.0 `|>` operator chaining — FROM ... |>
+    WHERE ... |> EXTEND ... |> AGGREGATE ... GROUP BY): the linear,
+    top-to-bottom form of a filter -> derive -> aggregate query, parsed
+    by Spark into exactly the plan the nested ANSI form produces (same
+    pushdown, same single shuffle). The oracle runs the equivalent
+    nested ANSI SQL on DuckDB with the repo's exact-decimal revenue
+    scheme, so this gates that the pipe-syntax parse is
+    semantics-preserving, not just accepted."""
+    from ..sources import register_views
+
+    register_views(spark, sf_dir, tables=("lineitem",))
+    return spark.sql(
+        f"""
+        FROM lineitem
+        |> WHERE l_shipdate >= DATE '1995-06-01'
+                 AND l_shipdate < DATE '1995-09-01'
+        |> EXTEND {REVENUE_DEC_SQL} AS disc_price
+        |> AGGREGATE count(*) AS n_items,
+                     CAST(round(sum(disc_price), 2) AS DOUBLE) AS revenue
+           GROUP BY l_returnflag
+        """
+    )
+
+
+@register(
+    "sql_session_vars_params",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+             AS total_price
+    FROM orders
+    WHERE o_orderpriority = '3-MEDIUM' AND o_totalprice >= 50000.0
+    GROUP BY o_orderstatus
+    """,
+    tags=("sql", "variables", "parameterized"),
+)
+def sql_session_vars_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL session state + safe parameter binding, all three
+    mechanisms in one flow: a session variable is DECLAREd and then
+    mutated with SET VAR (the value the query must see), and the final
+    statement runs through EXECUTE IMMEDIATE with a positional USING
+    parameter for the price threshold — the injection-safe way to
+    template SQL (values bound as literals by the engine, never string-
+    spliced). The oracle inlines both values as constants, so a stale
+    variable read (DEFAULT instead of the SET value) or a mis-bound
+    parameter changes every group and hash-fails."""
+    from ..sources import register_views
+
+    register_views(spark, sf_dir, tables=("orders",))
+    spark.sql("DECLARE OR REPLACE VARIABLE sel_priority STRING DEFAULT '1-URGENT'")
+    spark.sql("SET VAR sel_priority = '3-MEDIUM'")
+    return spark.sql(
+        """
+        EXECUTE IMMEDIATE
+          'SELECT o_orderstatus,
+                  count(*) AS n_orders,
+                  CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2)
+                       AS DOUBLE) AS total_price
+           FROM orders
+           WHERE o_orderpriority = sel_priority AND o_totalprice >= ?
+           GROUP BY o_orderstatus'
+          USING 50000.0
         """
     )
 
