@@ -24,20 +24,21 @@ from .tpch import flagship  # noqa: E402,F401
 # then the remaining never-checked (the next round's rotation head), then
 # the rest of the previously-green set, oldest evidence first.
 #
-# Round-7 window (VERDICT r06 items 1, 3, 7): the 9 queries changed or
+# Round-7 window (VERDICT r06 items 1, 3, 7): the 10 queries changed or
 # added this round head the window (the three newly oracle-gated scale
 # features — dynamic partition pruning, runtime bloom-filter join
 # pruning, Z-order pruning payoff — the two advisor-fixed queries,
 # observed_scan_metrics' timezone-independent reconstruction and
 # compaction_fidelity's real-file-count gate, the two connector gates
 # promoting the Python DataSource's stream reader and two-phase writer
-# from test-only to hash-checked, and the two Spark-4 SQL-surface gates,
-# pipe syntax and session-variable/EXECUTE IMMEDIATE binding), then ALL
+# from test-only to hash-checked, the two Spark-4 SQL-surface gates —
+# pipe syntax and session-variable/EXECUTE IMMEDIATE binding — and the
+# delta-rule join-view-maintenance gate), then ALL
 # 26 queries whose newest driver row is still r01/r02 (the r06 verdict's
 # top item: 5 r01 + 21 r02, each judge-verified green in the r06 session
 # — this closes the rotation goal: after r07 no row rides pre-r03
-# evidence), then 15 of the 49 r03-stale queries, oldest evidence first.
-# The remaining 34 r03-stale sit just below the cutoff as the r08
+# evidence), then 14 of the 49 r03-stale queries, oldest evidence first.
+# The remaining 35 r03-stale sit just below the cutoff as the r08
 # rotation head.
 _PRIORITY: list[str] = [
     # ===== ROUND-7 WINDOW (the driver records ~50 rows) =====
@@ -51,6 +52,7 @@ _PRIORITY: list[str] = [
     "pydatasource_writer_roundtrip",  # new: connector 2-phase-commit writer
     "sql_pipe_syntax_agg",        # new: Spark 4 |> pipe-syntax parse gate
     "sql_session_vars_params",    # new: DECLARE/SET VAR + EXECUTE IMMEDIATE
+    "incremental_join_view_maintenance",  # new: delta-rule join-IVM gate
     # (b) all 26 pre-r03 queries — the registry's oldest evidence
     #     (5 r01 + 21 r02; judge-verified green in the r06 session):
     "array_l2_norm",
@@ -79,7 +81,7 @@ _PRIORITY: list[str] = [
     "array_set_functions",
     "string_function_suite",
     "text_quality_rules",
-    # (c) 19 of the 49 r03-stale queries, oldest evidence first:
+    # (c) 14 of the 49 r03-stale queries, oldest evidence first:
     "scan_project_prune",
     "filter_null_nan_threshold",
     "case_when_buckets",
@@ -94,11 +96,11 @@ _PRIORITY: list[str] = [
     "sessionize_gap_cumsum",
     "scd2_type_intervals",
     "hll_distinct_accuracy",
-    "bitmap_distinct_rollup",
     # ===== window cutoff (~50) — entries below are the r08 rotation
-    # head: the remaining r03-stale queries (the four names directly
-    # below moved down when the four round-7 connector/SQL-surface gate
-    # queries took window slots above):
+    # head: the remaining r03-stale queries (the five names directly
+    # below moved down when the five round-7 connector/SQL-surface/IVM
+    # gate queries took window slots above):
+    "bitmap_distinct_rollup",
     "pandas_group_gap_stats",
     "cogroup_order_reconciliation",
     "udtf_word_bigrams",

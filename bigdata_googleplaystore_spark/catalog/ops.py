@@ -2557,6 +2557,70 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "incremental_join_view_maintenance",
+    oracle="""
+    SELECT o.o_orderpriority,
+           count(*) AS n_items,
+           CAST(sum(l.l_quantity) AS DOUBLE) AS total_qty,
+           min(l.l_quantity) AS min_qty,
+           max(l.l_quantity) AS max_qty
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("incremental", "join", "scale"),
+)
+def incremental_join_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN-view maintenance, driver-checked end-to-end: a
+    per-priority quantity rollup over orders ⋈ lineitem is maintained
+    under a simultaneous ingest batch on BOTH sides — every 7th order
+    (ΔO) and every line number ≥ 5 (ΔL, deliberately not aligned with
+    ΔO so all three delta terms are non-empty) arrive as new data. The
+    maintained result folds the OLD view's partial state with the
+    partial aggregate of just the delta rows from
+    operators/incremental.delta_join (ΔO⋈L ∪ O⋈ΔL ∪ ΔO⋈ΔL — the
+    bilinear delta rule), and must equal the oracle's full recompute
+    over the merged tables. A missing, doubled, or mis-scoped delta
+    term (the classic IVM bugs: forgetting ΔA⋈ΔB, or joining ΔA
+    against B_new instead of B_old and double-counting) changes
+    n_items/total_qty and hash-fails.
+
+    Scale posture: the view refresh never re-joins history — each delta
+    term is a broadcast of the batch against one base table, and the
+    fold shuffles |keys| partial rows (operators/incremental.py's
+    merge contract). l_quantity is integer-valued, so partial double
+    sums are exact under any grouping/order."""
+    from ..operators import incremental
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_linenumber", "l_quantity"
+    )
+    is_new_o = F.col("o_orderkey") % 7 == 0
+    is_new_l = F.col("l_linenumber") >= 5
+    o_old, o_new = o.filter(~is_new_o), o.filter(is_new_o)
+    l_old = li.filter(~is_new_l).drop("l_linenumber")
+    l_new = li.filter(is_new_l).drop("l_linenumber")
+
+    keys = ["o_orderpriority"]
+    old_view_state = incremental.partial_agg(
+        o_old.join(l_old, "o_orderkey"), keys, "l_quantity"
+    )
+    delta_rows = incremental.delta_join(o_old, o_new, l_old, l_new, "o_orderkey")
+    maintained = incremental.finalize(
+        incremental.merge_partials(
+            old_view_state, incremental.partial_agg(delta_rows, keys, "l_quantity")
+        )
+    )
+    return maintained.select(
+        "o_orderpriority",
+        F.col("n_rows").alias("n_items"),
+        F.col("total").cast("double").alias("total_qty"),
+        F.col("vmin").alias("min_qty"),
+        F.col("vmax").alias("max_qty"),
+    )
+
+
+@register(
     "zorder_bucket_histogram",
     oracle="""
     WITH stats AS (

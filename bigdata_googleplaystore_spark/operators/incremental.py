@@ -90,3 +90,44 @@ def merge_upsert(
         keys = F.broadcast(keys)
     kept = target.join(keys, key_cols, "left_anti")
     return kept.unionByName(updates)
+
+
+def delta_join(
+    a_old: DataFrame,
+    delta_a: DataFrame,
+    b_old: DataFrame,
+    delta_b: DataFrame,
+    on: str | list[str],
+    broadcast_deltas: bool = True,
+) -> DataFrame:
+    """Insert-only incremental JOIN maintenance: the rows ADDED to
+    A JOIN B when A gains `delta_a` and B gains `delta_b`, by the
+    bilinearity of the join (the classic delta rule, the same identity
+    DBSP/differential dataflow and every incremental-view-maintenance
+    engine build on):
+
+        Δ(A ⋈ B) = ΔA ⋈ B_old  ∪  A_old ⋈ ΔB  ∪  ΔA ⋈ ΔB
+
+    Appending these rows to the stored A_old ⋈ B_old view (or folding
+    their partial aggregates into the view's state — see partial_agg /
+    merge_partials) maintains the join without ever recomputing it.
+
+    Scale posture: the whole point at 100 TB is that history is touched
+    only AS THE PROBE SIDE of small joins — each delta term joins one
+    ingest batch against a base table, so with `broadcast_deltas` the
+    two base-table scans are map-side (no shuffle of history, and the
+    base side's join-key filter can push into the scan); the ΔA ⋈ ΔB
+    term is batch-sized on both sides. Nothing ever re-joins
+    A_old ⋈ B_old. Set broadcast_deltas=False when a batch is too big
+    to broadcast — the terms become ordinary shuffle joins of
+    batch-vs-base, still never history-vs-history.
+
+    Insert-only (no retractions): deletes/updates need signed
+    multiplicities on top of the same three terms."""
+    da = F.broadcast(delta_a) if broadcast_deltas else delta_a
+    db = F.broadcast(delta_b) if broadcast_deltas else delta_b
+    return (
+        da.join(b_old, on)
+        .unionByName(a_old.join(db, on))
+        .unionByName(da.join(db, on))
+    )

@@ -335,3 +335,44 @@ def test_lateral_topk_equals_window_form(spark, sf_dir):
         .collect()
     )
     assert out == want and len(out) == 10
+
+
+def test_delta_join_identity_and_term_coverage(spark):
+    """operators/incremental.delta_join: on a constructed split, the
+    delta rows must equal (A' join B') minus (A_old join B_old) as a
+    multiset, and each of the three delta terms must be non-empty (a
+    degenerate split can make a missing-term bug invisible)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_googleplaystore_spark.operators.incremental import delta_join
+
+    a = spark.createDataFrame(
+        [(k, f"a{i}") for i, k in enumerate([1, 1, 2, 3, 4, 5])], "k INT, av STRING"
+    )
+    b = spark.createDataFrame(
+        [(k, f"b{i}") for i, k in enumerate([1, 2, 2, 3, 5, 6])], "k INT, bv STRING"
+    )
+    # split chosen so every delta term intersects on some key:
+    # a_old keys {1,3,4}, a_new keys {1,2,5}, b_old keys {1,2}, b_new {3,5,6}
+    a_old = a.filter(F.col("av").isin("a0", "a3", "a4"))
+    a_new = a.subtract(a_old)
+    b_old = b.filter(F.col("k") <= 2)
+    b_new = b.subtract(b_old)
+
+    # each delta term genuinely contributes
+    assert a_new.join(b_old, "k").count() > 0
+    assert a_old.join(b_new, "k").count() > 0
+    assert a_new.join(b_new, "k").count() > 0
+
+    delta = delta_join(a_old, a_new, b_old, b_new, "k")
+    full_new = a.join(b, "k").select("k", "av", "bv")
+    full_old = a_old.join(b_old, "k").select("k", "av", "bv")
+
+    # multiset identity: delta == (A' ⋈ B') minus (A_old ⋈ B_old)
+    from collections import Counter
+
+    got = sorted(map(tuple, delta.select("k", "av", "bv").collect()))
+    want_counter = Counter(map(tuple, full_new.collect()))
+    want_counter.subtract(Counter(map(tuple, full_old.collect())))
+    assert all(c >= 0 for c in want_counter.values())
+    assert got == sorted(want_counter.elements())
