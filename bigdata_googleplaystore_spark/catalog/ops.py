@@ -2567,7 +2567,7 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     GROUP BY o.o_orderpriority
     """,
-    tags=("incremental", "join", "scale"),
+    tags=("incremental", "join", "scale", "bench"),
 )
 def incremental_join_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental JOIN-view maintenance, driver-checked end-to-end: a
