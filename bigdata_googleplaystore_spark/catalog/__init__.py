@@ -24,7 +24,7 @@ from .tpch import flagship  # noqa: E402,F401
 # then the remaining never-checked (the next round's rotation head), then
 # the rest of the previously-green set, oldest evidence first.
 #
-# Round-7 window (VERDICT r06 items 1, 3, 7): the 10 queries changed or
+# Round-7 window (VERDICT r06 items 1, 3, 7): the 12 queries changed or
 # added this round head the window (the three newly oracle-gated scale
 # features — dynamic partition pruning, runtime bloom-filter join
 # pruning, Z-order pruning payoff — the two advisor-fixed queries,
@@ -33,12 +33,14 @@ from .tpch import flagship  # noqa: E402,F401
 # promoting the Python DataSource's stream reader and two-phase writer
 # from test-only to hash-checked, the two Spark-4 SQL-surface gates —
 # pipe syntax and session-variable/EXECUTE IMMEDIATE binding — and the
-# delta-rule join-view-maintenance gate), then ALL
+# delta-rule join-view-maintenance gate, and the two streaming gates —
+# the foreachBatch materialized view and the stream-static broadcast
+# enrichment), then ALL
 # 26 queries whose newest driver row is still r01/r02 (the r06 verdict's
 # top item: 5 r01 + 21 r02, each judge-verified green in the r06 session
 # — this closes the rotation goal: after r07 no row rides pre-r03
-# evidence), then 14 of the 49 r03-stale queries, oldest evidence first.
-# The remaining 35 r03-stale sit just below the cutoff as the r08
+# evidence), then 12 of the 49 r03-stale queries, oldest evidence first.
+# The remaining 37 r03-stale sit just below the cutoff as the r08
 # rotation head.
 _PRIORITY: list[str] = [
     # ===== ROUND-7 WINDOW (the driver records ~50 rows) =====
@@ -53,6 +55,8 @@ _PRIORITY: list[str] = [
     "sql_pipe_syntax_agg",        # new: Spark 4 |> pipe-syntax parse gate
     "sql_session_vars_params",    # new: DECLARE/SET VAR + EXECUTE IMMEDIATE
     "incremental_join_view_maintenance",  # new: delta-rule join-IVM gate
+    "stream_incremental_agg_view",  # new: streaming materialized-view gate
+    "stream_static_enrich_counts",  # new: stream-static broadcast join gate
     # (b) all 26 pre-r03 queries — the registry's oldest evidence
     #     (5 r01 + 21 r02; judge-verified green in the r06 session):
     "array_l2_norm",
@@ -81,7 +85,7 @@ _PRIORITY: list[str] = [
     "array_set_functions",
     "string_function_suite",
     "text_quality_rules",
-    # (c) 14 of the 49 r03-stale queries, oldest evidence first:
+    # (c) 12 of the 49 r03-stale queries, oldest evidence first:
     "scan_project_prune",
     "filter_null_nan_threshold",
     "case_when_buckets",
@@ -94,12 +98,12 @@ _PRIORITY: list[str] = [
     "cohort_retention",
     "funnel_conversion",
     "sessionize_gap_cumsum",
+    # ===== window cutoff (~50) — entries below are the r08 rotation
+    # head: the remaining r03-stale queries (the seven names directly
+    # below moved down when the seven round-7 connector/SQL-surface/
+    # IVM/streaming gate queries took window slots above):
     "scd2_type_intervals",
     "hll_distinct_accuracy",
-    # ===== window cutoff (~50) — entries below are the r08 rotation
-    # head: the remaining r03-stale queries (the five names directly
-    # below moved down when the five round-7 connector/SQL-surface/IVM
-    # gate queries took window slots above):
     "bitmap_distinct_rollup",
     "pandas_group_gap_stats",
     "cogroup_order_reconciliation",

@@ -5350,6 +5350,125 @@ def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_incremental_agg_view",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_rows,
+           CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total,
+           CAST(round(min(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS vmin,
+           CAST(round(max(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS vmax
+    FROM events GROUP BY event_type
+    """,
+    tags=("streaming", "incremental", "materialized-view"),
+)
+def stream_incremental_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming materialized view inside the correctness gate: the
+    events table replays as a bounded file stream in SINGLE-FILE
+    micro-batches (maxFilesPerTrigger=1 over a 4-file source, so the
+    per-batch protocol genuinely crosses ≥4 batches), each batch writes
+    its MERGEABLE partial aggregate into its own `_batch_id` partition
+    via foreachBatch with dynamic partition overwrite
+    (streaming.run_stream_incremental_agg — idempotent exactly-once
+    without transactions), and the read path folds all partials
+    (read_incremental_state). The folded view must hash-match the
+    oracle's direct batch aggregate over the raw table: a dropped or
+    double-applied batch partition, or a partial/merge algebra bug,
+    changes n_rows/total and fails.
+
+    Exactness across the batch boundary is engineered: the value column
+    is staged as DECIMAL(12,2) BEFORE the per-batch partial sum, so the
+    partial sums and their fold are exact regardless of how rows split
+    into micro-batches (double sums would drift with accumulation
+    order). History is never re-read: each refresh shuffles |keys| rows
+    per batch — the same contract incremental_agg_merge gates in
+    batch."""
+    import shutil
+
+    from .. import streaming
+
+    batch = load_table(spark, sf_dir, "events").select(
+        "event_type", dec2(F.col("value")).alias("v")
+    )
+    src = _stream_src_dir("incrview", sf_dir)
+    batch.repartition(4).write.mode("overwrite").parquet(src)
+    state = _stream_src_dir("incrview_state", sf_dir)
+    ckpt = _stream_src_dir("incrview_ckpt", sf_dir)
+    # fresh state/checkpoint per invocation: a stale checkpoint against a
+    # rewritten source would mark every file already-committed
+    shutil.rmtree(state, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    streaming.run_stream_incremental_agg(stream, ["event_type"], "v", state, ckpt)
+    view = streaming.read_incremental_state(spark, state)
+    return view.select(
+        "event_type",
+        "n_rows",
+        F.round("total", 2).cast("double").alias("total"),
+        F.round("vmin", 2).cast("double").alias("vmin"),
+        F.round("vmax", 2).cast("double").alias("vmax"),
+    )
+
+
+@register(
+    "stream_static_enrich_counts",
+    oracle="""
+    WITH enriched AS (
+      SELECT e.user_id,
+             CASE WHEN e.user_id % 2 = 0 THEN
+               CASE WHEN e.user_id % 4 = 0 THEN 'gold' ELSE 'basic' END
+             END AS tier
+      FROM events e
+    )
+    SELECT tier,
+           count(*) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM enriched GROUP BY tier
+    """,
+    tags=("streaming", "join", "stream-static"),
+)
+def stream_static_enrich_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment inside the correctness gate: the events
+    file stream left-joins a BATCH dimension (per-user tier, present
+    only for even user ids — streaming.enrich_stream_static: the static
+    side broadcast and re-planned per micro-batch, the stream side
+    never shuffled), drains in append mode, and aggregates per tier.
+    The oracle inlines the dimension's defining CASE, so the gate
+    value-checks the join itself: a dropped unmatched event (inner
+    instead of left), a duplicated match, or a stale static snapshot
+    changes n_events per tier — including the NULL-tier group that
+    holds the dimension-missing events — and hash-fails."""
+    from .. import streaming
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    dim = (
+        e.select("user_id")
+        .distinct()
+        .filter(F.col("user_id") % 2 == 0)
+        .withColumn(
+            "tier",
+            F.when(F.col("user_id") % 4 == 0, "gold").otherwise("basic"),
+        )
+    )
+    src = _stream_src_dir("enrich", sf_dir)
+    e.repartition(4).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    enriched = streaming.enrich_stream_static(stream, dim, "user_id", ["tier"])
+    drained = streaming.run_stream_to_memory(
+        enriched, "cat_stream_enrich", "append"
+    )
+    return drained.groupBy("tier").agg(
+        F.count("*").alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+
+
+@register(
     "table_checksum_orders",
     oracle="""
     WITH canon AS (
