@@ -72,6 +72,64 @@ def main() -> None:
             assert recall == 1.0, (
                 "probing all cells is exact search; recall@10 must be 1.0"
             )
+
+    # --- LSH tier: hyperplane buckets + multiprobe, recall vs the same
+    # exact-cosine baseline. Fewer planes = coarser buckets = more
+    # candidates = higher recall; Hamming-2 multiprobe buys recall at
+    # fixed planes.
+    print()
+    print("| LSH (n_planes, multiprobe) | recall@10 |")
+    print("|---|---|")
+    for n_planes, mp in ((8, 1), (6, 1), (4, 1), (4, 2)):
+        got = similarity.lsh_ann_topk(
+            corpus, queries, k=K, n_planes=n_planes, multiprobe_bits=mp
+        ).collect()
+        hits = {(r.query_id, r.cand_id) for r in got}
+        recall = len(hits & exact) / len(exact)
+        print(f"| {n_planes} planes, Hamming-{mp} probe | {recall:.3f} |")
+
+    # --- PQ-ADC tier: recall vs the exact *L2* ranking (ADC approximates
+    # L2 distances; cosine and L2 orders differ on unnormalized vectors,
+    # so the honest baseline is exact L2).
+    from pyspark.sql import Window
+
+    from bigdata_googleplaystore_spark.operators import pq
+
+    q = queries.select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("qv"))
+    c = corpus.select(F.col("vec_id").alias("cand_id"),
+                      F.col("embedding").alias("cv"))
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("qv").cast("array<double>"),
+            F.col("cv").cast("array<double>"),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("cand_id"))
+    exact_l2 = {
+        (r.query_id, r.cand_id)
+        for r in F.broadcast(q)
+        .crossJoin(c)
+        .select("query_id", "cand_id", F.round(d2, 4).alias("d2"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= K)
+        .collect()
+    }
+    print()
+    print("| PQ-ADC (M subspaces x 16 codewords) | compression | recall@10 vs exact L2 |")
+    print("|---|---|---|")
+    dim = len(queries.first().embedding)
+    for m in (4, 8, 16):
+        books = pq.train_codebooks(corpus, m=m, k=16, iters=3)
+        codes = pq.encode(corpus, books)
+        got = pq.adc_topk(codes, queries, books, k=K).collect()
+        hits = {(r.query_id, r.cand_id) for r in got}
+        recall = len(hits & exact_l2) / len(exact_l2)
+        ratio = dim * 4 / m  # float32 bytes -> M byte-codes
+        print(f"| M={m} | {ratio:.0f}x | {recall:.3f} |")
     spark.stop()
 
 
