@@ -2118,6 +2118,77 @@ def sql_session_vars_params(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "json_variant_extract",
+    oracle="""
+    WITH j AS (
+      SELECT to_json(struct_pack(
+               doc_id := doc_id,
+               meta   := struct_pack(lang := lang, n_chars := n_chars),
+               arr    := [n_chars, doc_id])) AS js
+      FROM documents
+    )
+    SELECT json_extract_string(js, '$.meta.lang') AS lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(round(avg(CAST(json_extract(js, '$.arr[0]') AS BIGINT)), 4)
+                AS DOUBLE) AS avg_chars,
+           CAST(max(CAST(json_extract(js, '$.doc_id') AS BIGINT))
+                AS BIGINT) AS max_doc_id,
+           CAST(count(json_extract_string(js, '$.missing'))
+                AS BIGINT) AS n_missing,
+           'OBJECT<arr: ARRAY<BIGINT>, doc_id: BIGINT, meta: OBJECT<lang: STRING, n_chars: BIGINT>>'
+             AS variant_schema
+    FROM j GROUP BY 1
+    """,
+    tags=("json", "variant", "semi-structured", "sql"),
+)
+def json_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT end-to-end: JSON text -> parse_json (binary
+    VARIANT encoding) -> path extraction with variant_get (nested
+    object path `$.meta.lang`, array index `$.arr[0]`, top-level
+    `$.doc_id`), try_variant_get on an absent path (must be NULL for
+    every row — counted, so a non-NULL leak hash-fails), and
+    schema_of_variant pinned to the exact inferred type string. The
+    JSON is built from the documents table's own columns with to_json,
+    so the gate is a full round trip (typed -> JSON text -> VARIANT ->
+    typed) and the DuckDB oracle replays the SAME round trip through
+    its native JSON functions — Spark's VARIANT path semantics must
+    agree with DuckDB's JSON path semantics on every group.
+
+    100 TB posture: this is the semi-structured metadata-sidecar shape
+    of a training-data pipeline (per-doc provenance JSON riding next to
+    the text). parse_json and variant_get are JVM-side codegen
+    expressions — the JSON never leaves the executors, no Python, no
+    UDF — and VARIANT's binary encoding makes repeated path extraction
+    O(field) rather than re-tokenizing text per access; the only
+    shuffle is the final 5-group aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    v = docs.select(
+        F.parse_json(
+            F.to_json(
+                F.struct(
+                    F.col("doc_id"),
+                    F.struct("lang", "n_chars").alias("meta"),
+                    F.array("n_chars", "doc_id").alias("arr"),
+                )
+            )
+        ).alias("v")
+    )
+    return v.groupBy(
+        F.variant_get("v", "$.meta.lang", "string").alias("lang")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg(F.variant_get("v", "$.arr[0]", "long")), 4)
+        .cast("double")
+        .alias("avg_chars"),
+        F.max(F.variant_get("v", "$.doc_id", "long")).alias("max_doc_id"),
+        F.count(F.try_variant_get("v", "$.missing", "string")).alias(
+            "n_missing"
+        ),
+        F.max(F.schema_of_variant("v")).alias("variant_schema"),
+    )
+
+
+@register(
     "cube_counts",
     oracle="""
     SELECT o_orderstatus, o_orderpriority, count(*) AS n,
