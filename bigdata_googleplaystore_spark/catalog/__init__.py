@@ -58,6 +58,7 @@ _PRIORITY: list[str] = [
     "stream_incremental_agg_view",  # new: streaming materialized-view gate
     "stream_static_enrich_counts",  # new: stream-static broadcast join gate
     "json_variant_extract",       # new: Spark 4 VARIANT round-trip gate
+    "analyze_table_stats",        # new: ANALYZE->catalog->CBO stats gate
     # (b) all 26 pre-r03 queries — the registry's oldest evidence
     #     (5 r01 + 21 r02; judge-verified green in the r06 session):
     "array_l2_norm",

@@ -2189,6 +2189,89 @@ def json_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "analyze_table_stats",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS row_count,
+           CAST(min(o_totalprice) AS DOUBLE) AS min_price,
+           CAST(max(o_totalprice) AS DOUBLE) AS max_price,
+           CAST(count(*) - count(o_totalprice) AS BIGINT) AS null_count_price,
+           CAST(min(o_custkey) AS BIGINT) AS min_custkey,
+           CAST(max(o_custkey) AS BIGINT) AS max_custkey,
+           true AS stats_visible_to_optimizer
+    FROM orders
+    """,
+    tags=("catalog", "statistics", "cbo", "scale"),
+)
+def analyze_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table/column statistics end-to-end, value-checked: orders is
+    saved as a catalog table, `ANALYZE TABLE ... COMPUTE STATISTICS FOR
+    COLUMNS` runs, and the output row is built from what the catalog
+    now SERVES — per-column min/max/null-count parsed from `DESCRIBE
+    EXTENDED <table> <column>` and the table row count read from the
+    optimizer's own view (`optimizedPlan().stats().rowCount` under
+    spark.sql.cbo.enabled, so stats_visible_to_optimizer pins that the
+    cost-based optimizer actually SEES the analyzed stats rather than
+    falling back to size-only estimates). The oracle recomputes every
+    value from the raw table, so a stale, missing, or wrong statistic
+    hash-fails. distinct_count is deliberately NOT gated: ANALYZE
+    computes it with HyperLogLog (approximate by design), so pinning it
+    to the exact count would be asserting a coincidence.
+
+    100 TB posture: column stats are what turn CBO on — join-order
+    search, filter-selectivity estimation, and broadcast decisions on
+    FILTERED cardinalities (not raw file sizes) all read exactly the
+    numbers this gate checks. ANALYZE itself is one linear scan that
+    reduces to a few bytes of metadata per column; the harvested values
+    are model-sized driver state, never data rows."""
+    import hashlib
+
+    from ..sources import scratch_dir
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tname = f"stats_orders_{key}"
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_custkey"
+    )
+    path = scratch_dir("analyze_stats_orders", sf_dir)
+    o.write.mode("overwrite").option("path", path).saveAsTable(tname)
+    spark.sql(
+        f"ANALYZE TABLE {tname} COMPUTE STATISTICS FOR COLUMNS "
+        "o_totalprice, o_custkey"
+    )
+
+    def col_stats(col: str) -> dict[str, str]:
+        rows = spark.sql(f"DESCRIBE EXTENDED {tname} {col}").collect()
+        return {r["info_name"]: r["info_value"] for r in rows}
+
+    price, cust = col_stats("o_totalprice"), col_stats("o_custkey")
+
+    cbo_prev = spark.conf.get("spark.sql.cbo.enabled")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try:
+        rc_opt = (
+            spark.table(tname)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .stats()
+            .rowCount()
+        )
+        visible = bool(rc_opt.isDefined())
+        row_count = int(str(rc_opt.get())) if visible else -1
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", cbo_prev)
+
+    return spark.range(1).select(
+        F.lit(row_count).cast("long").alias("row_count"),
+        F.lit(float(price["min"])).cast("double").alias("min_price"),
+        F.lit(float(price["max"])).cast("double").alias("max_price"),
+        F.lit(int(price["num_nulls"])).cast("long").alias("null_count_price"),
+        F.lit(int(cust["min"])).cast("long").alias("min_custkey"),
+        F.lit(int(cust["max"])).cast("long").alias("max_custkey"),
+        F.lit(visible).alias("stats_visible_to_optimizer"),
+    )
+
+
+@register(
     "cube_counts",
     oracle="""
     SELECT o_orderstatus, o_orderpriority, count(*) AS n,

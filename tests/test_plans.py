@@ -530,3 +530,35 @@ def test_zorder_payoff_prunes_most_segments(spark, sf_dir):
     assert row["zorder_prunes"] is True
     assert row["n_segs_needed_naive"] == row["n_segs_zorder"] == 16
     assert row["n_segs_needed_zorder"] * 2 < row["n_segs_needed_naive"], row
+
+
+def test_analyze_stats_feed_cbo_join_estimates(spark, sf_dir):
+    """The registered stats gate must see the ANALYZE'd row count through
+    the optimizer (stats_visible_to_optimizer), and the stats must
+    PROPAGATE: under spark.sql.cbo.enabled a join over the analyzed
+    table plans with a defined cost-based row-count estimate at the join
+    root — the input every CBO join-order/broadcast decision reads at
+    scale. Without column stats that estimate is undefined (size-only
+    fallback), so this pins the statistics actually reaching the
+    cost model, not just the catalog."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    row = QUERIES["analyze_table_stats"].fn(spark, sf_dir).collect()[0]
+    assert row["stats_visible_to_optimizer"] is True
+    assert row["row_count"] > 0
+
+    tname = f"stats_orders_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    prev = spark.conf.get("spark.sql.cbo.enabled")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try:
+        t = spark.table(tname)
+        j = t.join(
+            t.select(t.o_orderkey.alias("k")), t.o_orderkey == F.col("k")
+        )
+        rc = j._jdf.queryExecution().optimizedPlan().stats().rowCount()
+        assert rc.isDefined(), "CBO join estimate lost the analyzed stats"
+        assert int(str(rc.get())) > 0
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", prev)
