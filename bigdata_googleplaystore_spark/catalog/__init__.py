@@ -87,7 +87,9 @@ _PRIORITY: list[str] = [
     "array_set_functions",
     "string_function_suite",
     "text_quality_rules",
-    # (c) 12 of the 49 r03-stale queries, oldest evidence first:
+    # (c) 10 of the 49 r03-stale queries, oldest evidence first (two of
+    #     the original twelve moved below the cutoff when the round-7
+    #     VARIANT and ANALYZE-stats gates took window slots above):
     "scan_project_prune",
     "filter_null_nan_threshold",
     "case_when_buckets",
@@ -98,12 +100,12 @@ _PRIORITY: list[str] = [
     "corpus_curation_pipeline",
     "embedding_covariance",
     "cohort_retention",
-    "funnel_conversion",
-    "sessionize_gap_cumsum",
     # ===== window cutoff (~50) — entries below are the r08 rotation
     # head: the remaining r03-stale queries (the seven names directly
     # below moved down when the seven round-7 connector/SQL-surface/
     # IVM/streaming gate queries took window slots above):
+    "funnel_conversion",
+    "sessionize_gap_cumsum",
     "scd2_type_intervals",
     "hll_distinct_accuracy",
     "bitmap_distinct_rollup",

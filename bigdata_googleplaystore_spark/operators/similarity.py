@@ -341,7 +341,10 @@ def lsh_ann_topk(
     """ANN top-k: join query and corpus signatures on bucket (plus
     1-bit-flip multiprobe neighbors of the query bucket to cut the miss
     rate), exact cosine rank within candidates. Recall < 1 by design —
-    the driver records this query rows-only (not SQL-expressible)."""
+    since round 4 the registered query (sim_ann_lsh, catalog/llm.py)
+    hash-gates it via a planted-exact-duplicate construction, and the
+    measured real-corpus recall curve lives in
+    tools/ann_recall_probe_r07.py / COVERAGE.md."""
     csig = hyperplane_signatures(corpus, id_col, vec_col, n_planes, dim)
     qsig = hyperplane_signatures(queries, id_col, vec_col, n_planes, dim).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "bucket"
