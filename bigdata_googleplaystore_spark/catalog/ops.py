@@ -19,6 +19,27 @@ from ._util import REVENUE_DEC_SQL, dec2, money_sum, money_sum_sql, revenue_dec
 from .registry import register
 
 
+def _save_confs(spark: SparkSession, keys) -> dict[str, str | None]:
+    """Snapshot session confs with true isSet semantics: a key the user
+    never set maps to None (restore = unset), NOT the engine-default
+    string `spark.conf.get()` would serve — pinning a default as an
+    explicit value would mask later default changes and convert
+    previously-unset confs into set ones (advisor r07). Uses
+    SQLConf.contains, which consults only the explicitly-set settings
+    map, never the registered defaults."""
+    sqlconf = spark._jsparkSession.sessionState().conf()
+    return {k: (spark.conf.get(k) if sqlconf.contains(k) else None) for k in keys}
+
+
+def _restore_confs(spark: SparkSession, saved: dict[str, str | None]) -> None:
+    """Inverse of _save_confs: unset keys that were unset, restore the rest."""
+    for k, v in saved.items():
+        if v is None:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, v)
+
+
 def _stream_src_dir(tag: str, sf_dir: str) -> str:
     """Deterministic scratch dir for the streaming gate queries' file
     sources, keyed by (tag, sf_dir): repeated gate/bench runs re-write
@@ -735,8 +756,10 @@ def dpp_partition_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     only — static pruning can't see the dim filter, and without DPP the
     fact scan is a full-table read. AQE is disabled for the probe
     execution only (its wrapper hides the final plan from metric
-    traversal); the pruning itself works under either setting, and the
-    returned frame re-plans under the session's normal conf."""
+    traversal); the pruning itself works under either setting. The
+    returned frame is driver-constructed from the probe's 2 collected
+    rows (advisor r07: re-executing build() under session conf doubled
+    the gate's cost for identical values)."""
     from ..sources import scratch_dir
 
     ev = load_table(spark, sf_dir, "events")
@@ -765,7 +788,7 @@ def dpp_partition_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         # fresh QueryExecution for the write command, leaving THIS
         # instance's scan metrics untouched; collect() runs the cached
         # plan whose metrics we harvest below (result is 2 tiny rows).
-        probe.collect()
+        rows = probe.collect()
         qe = probe._jdf.queryExecution()
         active = "dynamicpruning" in qe.executedPlan().toString().lower()
         n_read = _fact_scan_metric(qe, "events_by_type_dpp", "numPartitions")
@@ -780,7 +803,10 @@ def dpp_partition_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         for st in fs.listStatus(hpath)
         if st.isDirectory() and st.getPath().getName().startswith("event_type=")
     )
-    return build().select(
+    # The join executed ONCE above (the probe); its 2 aggregate rows are
+    # already on the driver, so build the result frame from them instead
+    # of re-planning/re-executing the join under the session conf.
+    return spark.createDataFrame(rows, schema=probe.schema).select(
         "event_type",
         "n_events",
         "n_users",
@@ -821,9 +847,11 @@ def bloom_join_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruning (no row falsely dropped: bloom false positives cost work,
     never correctness). The physical plan is forced while the probe
     confs are set (Dataset caches its QueryExecution), then the session
-    conf is restored so other queries keep their broadcast plans; the
-    application-side size threshold is lowered because the default is
-    sized for real clusters, not sf0.01 testdata."""
+    conf is restored with isSet semantics (_save_confs: keys that were
+    unset before the probe are restored by UNSETTING, not by pinning
+    the captured default string); the application-side size threshold
+    is lowered because the default is sized for real clusters, not
+    sf0.01 testdata."""
     confs = {
         "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
         "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
@@ -831,12 +859,7 @@ def bloom_join_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         "spark.sql.autoBroadcastJoinThreshold": "-1",
         "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
     }
-    saved: dict[str, str | None] = {}
-    for k in confs:
-        try:
-            saved[k] = spark.conf.get(k)
-        except Exception:
-            saved[k] = None
+    saved = _save_confs(spark, confs)
     for k, v in confs.items():
         spark.conf.set(k, v)
     try:
@@ -857,11 +880,7 @@ def bloom_join_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = j.withColumn("bloom_active", F.lit(bool(active)))
         out._jdf.queryExecution().executedPlan()  # pin plan under probe conf
     finally:
-        for k, v in saved.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)
+        _restore_confs(spark, saved)
     return out
 
 
@@ -969,8 +988,6 @@ def zorder_pruning_payoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     segment assignment is pure deterministic arithmetic (partitionBy on
     the derived segment — no repartitionByRange sampling), which is
     what makes the counts SQL-derivable."""
-    import os
-
     import pyarrow.parquet as papq
 
     from ..operators import layout
@@ -1008,18 +1025,40 @@ def zorder_pruning_payoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     blo2, bhi2 = lo2 + 0.40 * (hi2 - lo2), lo2 + 0.55 * (hi2 - lo2)
 
     def segs_needed(root: str, prefix: str) -> tuple[int, int]:
-        """(present, intersecting-box) segment-dir counts from footers."""
-        present = needed = 0
-        for d in sorted(os.listdir(root)):
-            if not d.startswith(prefix):
+        """(present, intersecting-box) segment-dir counts from footers.
+
+        Files are enumerated via the Hadoop FileSystem API (the same
+        route parquet_file_stats uses — correct for hdfs://, s3a://,
+        file:// alike, advisor r07); the footer read itself is pyarrow,
+        which needs a LOCAL path, so a remote scratch root fails loudly
+        here instead of silently listing 0 segments."""
+        jvm = spark.sparkContext._jvm
+        hroot = jvm.org.apache.hadoop.fs.Path(root)
+        hfs = hroot.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+        seg_files: dict[str, list[str]] = {}
+        it = hfs.listFiles(hroot, True)
+        while it.hasNext():
+            p = it.next().getPath()
+            if not p.getName().endswith(".parquet"):
                 continue
+            seg = p.getParent().getName()
+            if not seg.startswith(prefix):
+                continue
+            uri = p.toUri()
+            if uri.getScheme() not in (None, "file"):
+                raise ValueError(
+                    f"zorder_pruning_payoff reads parquet footers with "
+                    f"pyarrow and requires a local scratch dir; got "
+                    f"scheme {uri.getScheme()!r} for {p.toString()}"
+                )
+            seg_files.setdefault(seg, []).append(uri.getPath())
+
+        present = needed = 0
+        for _seg, files in sorted(seg_files.items()):
             mins: dict[str, float] = {}
             maxs: dict[str, float] = {}
-            dirp = os.path.join(root, d)
-            for fn in os.listdir(dirp):
-                if not fn.endswith(".parquet"):
-                    continue
-                md = papq.ParquetFile(os.path.join(dirp, fn)).metadata
+            for fn in sorted(files):
+                md = papq.ParquetFile(fn).metadata
                 for rg in range(md.num_row_groups):
                     row = md.row_group(rg)
                     for ci in range(row.num_columns):
@@ -2259,6 +2298,13 @@ def analyze_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         row_count = int(str(rc_opt.get())) if visible else -1
     finally:
         spark.conf.set("spark.sql.cbo.enabled", cbo_prev)
+
+    # Every statistic is harvested; drop the scratch catalog entry so
+    # repeated gate runs don't accumulate one metastore table per sf_dir
+    # (advisor r07 — a later scratch-dir cleanup would otherwise leave a
+    # dangling external-table entry). The parquet data under scratch_dir
+    # is unaffected (external table: DROP removes metadata only).
+    spark.sql(f"DROP TABLE IF EXISTS {tname}")
 
     return spark.range(1).select(
         F.lit(row_count).cast("long").alias("row_count"),

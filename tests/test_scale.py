@@ -108,11 +108,22 @@ def test_compact_parquet_reduces_file_count(spark, sf_dir, tmp_path):
     src = str(tmp_path / "fragmented")
     load_table(spark, sf_dir, "lineitem").repartition(37).write.parquet(src)
     out = str(tmp_path / "compacted")
-    n = compact_parquet(spark, src, out, target_file_bytes=8 * 1024 * 1024)
+    target = 8 * 1024 * 1024
+    n = compact_parquet(spark, src, out, target_file_bytes=target)
     import glob
+    import os
 
+    # compact_parquet now RETURNS the measured post-write file count, so
+    # compare it against independent expectations, not its own listing
+    # (advisor r07: len(files) == n alone had become circular):
+    # the ceil(source-bytes / target) sizing contract, and a real
+    # reduction from the 37 fragments.
+    src_bytes = sum(
+        os.path.getsize(f) for f in glob.glob(f"{src}/*.parquet")
+    )
+    expected = max(1, -(-src_bytes // target))
     files = glob.glob(f"{out}/*.parquet")
-    assert len(files) == n <= 3
+    assert len(files) == n == expected <= 3 < 37
     assert (
         spark.read.parquet(out).count()
         == load_table(spark, sf_dir, "lineitem").count()
