@@ -24,125 +24,122 @@ from .tpch import flagship  # noqa: E402,F401
 # then the remaining never-checked (the next round's rotation head), then
 # the rest of the previously-green set, oldest evidence first.
 #
-# Round-7 window (VERDICT r06 items 1, 3, 7): the 12 queries changed or
-# added this round head the window (the three newly oracle-gated scale
-# features — dynamic partition pruning, runtime bloom-filter join
-# pruning, Z-order pruning payoff — the two advisor-fixed queries,
-# observed_scan_metrics' timezone-independent reconstruction and
-# compaction_fidelity's real-file-count gate, the two connector gates
-# promoting the Python DataSource's stream reader and two-phase writer
-# from test-only to hash-checked, the two Spark-4 SQL-surface gates —
-# pipe syntax and session-variable/EXECUTE IMMEDIATE binding — and the
-# delta-rule join-view-maintenance gate, and the two streaming gates —
-# the foreachBatch materialized view and the stream-static broadcast
-# enrichment), then ALL
-# 26 queries whose newest driver row is still r01/r02 (the r06 verdict's
-# top item: 5 r01 + 21 r02, each judge-verified green in the r06 session
-# — this closes the rotation goal: after r07 no row rides pre-r03
-# evidence), then 12 of the 49 r03-stale queries, oldest evidence first.
-# The remaining 37 r03-stale sit just below the cutoff as the r08
-# rotation head.
+# Round-8 window (VERDICT r07 items 2, 4, 5, 6): the 8 queries changed
+# or added this round head the window — the four new gates
+# (retraction-capable join IVM via signed multiplicities, the IVF
+# full-probe ≡ brute-force deterministic endpoint, the multi-table LSH
+# recall lower bound at the production 0.9 threshold, and the
+# max_shingle_df hot-shingle cap under a planted-boilerplate oracle)
+# plus the four advisor-touched gates (dpp's probe-row reuse, bloom's
+# isSet-semantics conf restore, zorder's Hadoop-FS footer walk,
+# analyze's metastore cleanup) which need fresh rows because their
+# implementations changed. Then ALL 39 queries whose newest driver row
+# is r03 (the oldest evidence left after r07 closed the pre-r03 gap),
+# then 3 of the 45 r04-stale queries to fill the ~50 window. The
+# remaining 42 r04-stale names sit below the cutoff in r04 insertion
+# order as the r09 rotation head.
 _PRIORITY: list[str] = [
-    # ===== ROUND-7 WINDOW (the driver records ~50 rows) =====
-    # (a) changed or new this round — fresh rows required:
-    "dpp_partition_pruned_join",  # new: DPP gate, runtime partition metric
-    "bloom_join_pruning",         # new: might_contain rewrite, shuffle regime
-    "zorder_pruning_payoff",      # new: footer-measured 2-D scan pruning
-    "observed_scan_metrics",      # changed: tz-independent bounds round trip
-    "compaction_fidelity",        # changed: gates actual on-disk file count
-    "pydatasource_stream_scan_agg",  # new: connector stream-reader gate
-    "pydatasource_writer_roundtrip",  # new: connector 2-phase-commit writer
-    "sql_pipe_syntax_agg",        # new: Spark 4 |> pipe-syntax parse gate
-    "sql_session_vars_params",    # new: DECLARE/SET VAR + EXECUTE IMMEDIATE
-    "incremental_join_view_maintenance",  # new: delta-rule join-IVM gate
-    "stream_incremental_agg_view",  # new: streaming materialized-view gate
-    "stream_static_enrich_counts",  # new: stream-static broadcast join gate
-    "json_variant_extract",       # new: Spark 4 VARIANT round-trip gate
-    "analyze_table_stats",        # new: ANALYZE->catalog->CBO stats gate
-    # (b) all 26 pre-r03 queries — the registry's oldest evidence
-    #     (5 r01 + 21 r02; judge-verified green in the r06 session):
-    "array_l2_norm",
-    "cross_join_dims",
-    "dedup_embedding_cosine",
-    "dedup_fingerprint_md5",
-    "dedup_near_clusters",
-    "collect_list_sorted",
-    "dedup_exact_docs",
-    "pack_sequences",
-    "window_lag_delta",
-    "window_running_sum",
-    "window_ntile_percent_rank",
-    "time_window_tumbling",
-    "time_window_sliding",
-    "session_window_gap",
-    "interval_join_sessions",
-    "time_bounded_self_join",
-    "sql_interface_revenue",
-    "cube_counts",
-    "nested_struct_map",
-    "pivot_status_counts",
-    "unpivot_measures",
-    "set_except_all",
-    "percentiles_exact",
-    "array_set_functions",
-    "string_function_suite",
-    "text_quality_rules",
-    # (c) 10 of the 49 r03-stale queries, oldest evidence first (two of
-    #     the original twelve moved below the cutoff when the round-7
-    #     VARIANT and ANALYZE-stats gates took window slots above):
-    "scan_project_prune",
-    "filter_null_nan_threshold",
-    "case_when_buckets",
-    "regexp_extract_number",
-    "max_string_and_date",
-    "agg_approx_distinct",
-    "heavy_hitter_terms",
-    "corpus_curation_pipeline",
-    "embedding_covariance",
-    "cohort_retention",
-    # ===== window cutoff (~50) — entries below are the r08 rotation
-    # head: the remaining r03-stale queries (the seven names directly
-    # below moved down when the seven round-7 connector/SQL-surface/
-    # IVM/streaming gate queries took window slots above):
-    "funnel_conversion",
-    "sessionize_gap_cumsum",
-    "scd2_type_intervals",
-    "hll_distinct_accuracy",
+    # ===== ROUND-8 WINDOW (the driver records ~50 rows) =====
+    # (a) new this round — first rows required:
+    "incremental_join_view_retractions",  # new: signed-multiplicity join IVM
+    "sim_ann_ivf_full_probe",     # new: IVF n_probe=n_cells == brute force
+    "sim_ann_multitable_recall_bound",  # new: LSH recall floor at cos 0.9
+    "dedup_ngram_jaccard_capped",  # new: max_shingle_df planted-hot-shingle
+    # (b) implementation changed this round (r07 advice) — re-gate:
+    "dpp_partition_pruned_join",
+    "bloom_join_pruning",
+    "zorder_pruning_payoff",
+    "analyze_table_stats",
+    # (c) all 39 r03-stale queries — the registry's oldest evidence
+    #     (each judge-verified green in the r07 driver_sim session):
+    "anomaly_rolling_zscore",
     "bitmap_distinct_rollup",
-    "pandas_group_gap_stats",
+    "boilerplate_token_prune",
+    "chunk_documents_overlap",
     "cogroup_order_reconciliation",
-    "udtf_word_bigrams",
-    "grouped_agg_pandas_weighted_avg",
-    "pandas_udf_digit_sum",
-    "sql_lateral_topk",
-    "percentiles_disc",
-    "running_distinct_types",
-    "kfold_assignment",
-    "text_linear_classifier_scores",
+    "corr_covar_exact",
     "decontaminate_ngram_overlap",
+    "dedup_incremental_fingerprints",
+    "embedding_label_centroids",
+    "embedding_quantize_int8",
+    "funnel_conversion",
+    "grouped_agg_pandas_weighted_avg",
+    "grouping_sets_id",
+    "hll_distinct_accuracy",
+    "kfold_assignment",
+    "knn_label_accuracy",
+    "merge_upsert_orders",
+    "mixture_weighted_resample",
+    "multimodal_arrow_stats",
+    "pandas_group_gap_stats",
+    "pandas_udf_digit_sum",
+    "percentiles_disc",
+    "regression_per_source",
+    "running_distinct_types",
+    "salted_two_stage_agg",
     "sample_token_budget_per_source",
+    "scd2_type_intervals",
+    "sessionize_gap_cumsum",
+    "source_share_gini",
+    "sql_lateral_topk",
+    "text_char_lm_score",
+    "text_dup_ngram_fraction",
+    "text_linear_classifier_scores",
     "text_top_ngram_fraction",
     "tfidf_top_terms",
-    "embedding_quantize_int8",
-    "embedding_label_centroids",
-    "chunk_documents_overlap",
-    "mixture_weighted_resample",
-    "boilerplate_token_prune",
-    "multimodal_arrow_stats",
-    "text_dup_ngram_fraction",
-    "text_char_lm_score",
-    "regression_per_source",
-    "dedup_incremental_fingerprints",
-    "source_share_gini",
-    "knn_label_accuracy",
-    "grouping_sets_id",
-    "window_first_last_nth",
     "timeseries_gapfill_ffill",
-    "corr_covar_exact",
+    "udtf_word_bigrams",
+    "window_first_last_nth",
     "window_time_range_rolling",
-    "salted_two_stage_agg",
-    "anomaly_rolling_zscore",
-    "merge_upsert_orders",
+    # (d) 3 of the 45 r04-stale queries (r04 insertion order) to fill
+    #     the window:
+    "text_char_entropy",
+    "logreg_quality_classifier",
+    "multimodal_bytes_meta",
+    # ===== window cutoff (~50) — entries below are the r09 rotation
+    # head: the remaining 42 r04-stale queries, r04 insertion order:
+    "multimodal_frame_stats",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_containment",
+    "bpe_first_merge_invariant",
+    "dedup_embedding_ann",
+    "partitioned_scan_prune",
+    "multimodal_audio_rms",
+    "sim_ann_recall_eval",
+    "sim_ann_lsh",
+    "sim_ann_ivf",
+    "dedup_semantic",
+    "pagerank_event_transitions",
+    "embedding_pca_label_means",
+    "dedup_cluster_keep_best",
+    "stream_dedup_counts",
+    "stream_stream_join_counts",
+    "stream_session_counts",
+    "stream_tumbling_counts",
+    "percentiles_approx",
+    "recursive_cte_hierarchy",
+    "bm25_topk_docs",
+    "contrastive_hard_negatives",
+    "skew_salted_join",
+    "embedding_random_projection",
+    "zscore_normalize_features",
+    "tokenize_to_vocab_ids",
+    "group_holdout_split",
+    "temporal_split_leakage",
+    "pagerank_invariants",
+    "collocation_pmi_topk",
+    "doc_hash_embedding",
+    "cdc_apply_changes",
+    "weighted_sample_per_source",
+    "table_checksum_orders",
+    "rfm_customer_segments",
+    "basket_part_affinity",
+    "path_3gram_topk",
+    "variant_shred_props",
+    "map_functions_suite",
+    "try_arithmetic_suite",
+    "date_function_suite",
+    "xml_parse_extract",
 ]
 
 # Pre-rotation (round-2) window order, kept for the record of what r02

@@ -107,6 +107,70 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
 
 
+_BOILERPLATE = " all rights reserved contact support for information"
+
+
+@register(
+    "dedup_ngram_jaccard_capped",
+    oracle=rf"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(ws) >= 3
+                  THEN list_transform(range(1, len(ws)-1),
+                                      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+                  ELSE [] END) AS shingles
+      FROM (SELECT doc_id,
+                   string_split_regex(trim(lower(text || '{_BOILERPLATE}')),
+                                      '\s+') AS ws
+            FROM documents)
+    ),
+    ex AS (SELECT doc_id, len(shingles) AS set_size,
+                  unnest(shingles) AS shingle
+           FROM sh),
+    kept AS (SELECT shingle FROM ex GROUP BY shingle HAVING count(*) <= 30),
+    exk AS (SELECT ex.* FROM ex JOIN kept USING (shingle)),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             round(CAST(count(*) AS DOUBLE)
+                   / (a.set_size + b.set_size - count(*)), 6) AS jaccard
+      FROM exk a JOIN exk b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b, a.set_size, b.set_size
+    )
+    SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.5
+    """,
+    tags=("llm", "dedup", "scale"),
+)
+def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `max_shingle_df` hot-shingle cap under a planted-hot-shingle
+    oracle (r07 verdict item 6 — the knob COVERAGE.md names as THE
+    100 TB bound on the inverted-index join was previously exercised
+    only un-capped). Every document gets the same boilerplate footer
+    appended, planting shingles with document frequency = |corpus|
+    (500 at sf0.01, 5000 at sf0.1) — the stop-phrase pathology that
+    makes the self-join quadratic: one df=d shingle alone contributes
+    d²/2 ≈ 12.5M joined rows at sf0.1. With max_shingle_df=30 the cap
+    must drop exactly those planted shingles (the natural corpus
+    tops out at df=25, measured at all three SFs) while per-doc set
+    sizes stay FULL — the oracle re-derives the capped semantics
+    end-to-end in SQL (df over per-doc distinct shingles, HAVING <=
+    cap, intersections over kept shingles only, denominators from the
+    uncapped sets), so either failure mode hash-fails: a cap that
+    doesn't bite leaves boilerplate-only background pairs above the
+    0.5 threshold (and their d²/2 rows in the join), and a cap applied
+    to the set sizes too would inflate every surviving pair's
+    Jaccard. The cap costs no extra fact shuffle (the df group-by and
+    semi-join reuse the shingle exchange — operators/dedup.py), and
+    the capped output is structurally a SUBSET of exact (dropped
+    shingles only lower intersections)."""
+    d = load_table(spark, sf_dir, "documents")
+    planted = d.withColumn(
+        "text", F.concat(F.col("text"), F.lit(_BOILERPLATE))
+    )
+    return dedup.jaccard_pairs(
+        planted, "doc_id", "text", n=3, threshold=0.5, max_shingle_df=30
+    )
+
+
 @register(
     "dedup_minhash_lsh",
     oracle=f"""
@@ -793,6 +857,168 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = similarity.ivf_topk(corpus, planted, k=5, n_cells=16, n_probe=6)
     return out.filter(F.col("rn") == 1)
+
+
+@register(
+    "sim_ann_ivf_full_probe",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings WHERE embedding IS NOT NULL),
+    q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10),
+    sims AS (
+      SELECT q.query_id, v.vec_id AS cand_id,
+             round(list_dot_product(q.qe, v.e)
+                   / (sqrt(list_dot_product(q.qe, q.qe))
+                      * sqrt(list_dot_product(v.e, v.e))), 4) AS sim
+      FROM q CROSS JOIN v
+    ),
+    ranked AS (
+      SELECT query_id, cand_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, cand_id) AS rn
+      FROM sims
+    )
+    SELECT query_id, cand_id, sim, CAST(rn AS INT) AS rn
+    FROM ranked WHERE rn <= 5
+    """,
+    tags=("llm", "similarity", "ann", "eval"),
+)
+def sim_ann_ivf_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF's deterministic recall ENDPOINT as an oracle gate (r07
+    verdict item 5a, promoted from an assert inside
+    tools/ann_recall_probe_r07.py the way the Lloyd invariant was in
+    r06): with n_probe = n_cells, probing every cell IS exact search,
+    so the full IVF pipeline — deterministic Lloyd k-means training,
+    cell assignment, probe-cell selection, candidate generation, exact
+    cosine rank — must reproduce the brute-force top-5 VALUE-FOR-VALUE
+    on the real corpus, and the oracle recomputes that brute-force
+    ranking in plain SQL (no planted construction; real vectors, real
+    neighbors, same (sim DESC, cand_id ASC) total tiebreak both
+    sides). Any partition-of-the-corpus bug — a vector assigned to no
+    cell or two cells, a probe list that drops or duplicates a cell,
+    a ranking drift — changes some (query_id, cand_id, sim, rn) tuple
+    and hash-fails. The measured recall CURVE between the endpoints
+    (0.82 -> 1.00 sweeping n_probe 1 -> 16 at sf0.1) stays in the
+    probe/COVERAGE.md; this gate pins the algebra that curve converges
+    to. Cost: training is the shared IVF path; the probe stage scores
+    10 queries x N candidates — the deliberate exact-tier price of an
+    equality gate, not the production n_probe << n_cells setting
+    (sim_ann_ivf gates that one)."""
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    queries = e.filter(F.col("vec_id") < 10)
+    return similarity.ivf_topk(
+        e, queries, k=5, n_cells=8, n_probe=8, iters=2
+    )
+
+
+@register(
+    "sim_ann_multitable_recall_bound",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings WHERE embedding IS NOT NULL),
+    p AS (SELECT vec_id,
+                 list_transform(e, (x, i) ->
+                   x + CASE WHEN (i - 1) % 3 = 0 THEN 0.1 ELSE 0.0 END) AS e2
+          FROM v),
+    d AS (SELECT v.vec_id,
+                 round(list_dot_product(v.e, p.e2)
+                       / (sqrt(list_dot_product(v.e, v.e))
+                          * sqrt(list_dot_product(p.e2, p.e2))), 4) AS sim
+          FROM v JOIN p USING (vec_id))
+    SELECT CAST(count(*) AS BIGINT) AS n_truth,
+           TRUE AS precision_ok,
+           TRUE AS recall_ok
+    FROM d WHERE sim >= 0.9
+    """,
+    tags=("llm", "similarity", "ann", "eval"),
+)
+def sim_ann_multitable_recall_bound(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Multi-table LSH recall lower bound AT THE PRODUCTION THRESHOLD
+    (r07 verdict item 5b): dedup_embedding_ann's planted pairs sit at
+    cosine ~0.999 where per-plane collision is near-certain, so it
+    can't distinguish a healthy 8-table index from a degraded one.
+    This gate plants pairs ON the 0.9 operating point instead — each
+    vector gets a +0.1-on-every-3rd-dim copy (unit-norm corpus, so
+    planted cosines land in ~[0.88, 0.94] straddling the threshold;
+    truth = the planted pairs at rounded cosine >= 0.9, which the
+    oracle re-derives with O(N) diagonal SQL — cross pairs top out
+    near the corpus max ~0.55 and cannot reach 0.9). The production
+    path (embedding_near_pairs_ann, 8 tables x 4 planes, seeded
+    deterministic hyperplanes) must then satisfy, as oracle-pinned
+    booleans:
+    - precision_ok: every ANN pair is a truth pair (exact-cosine
+      verification makes false positives structural failures);
+    - recall_ok: |found| >= ceil(0.98 * |truth|) — just under the
+      (1-(1-p^b)^L) theory floor at cos 0.9 (p = 1 - arccos(.9)/pi
+      = 0.856, b=4, L=8 -> 0.9979; measured: 367/368 at sf0.001,
+      356/356 at sf0.01), and unreachable by any banding regression
+      (losing the multi-table union collapses keep-rate to ~p^b =
+      0.54 per pair at the threshold).
+    The real-corpus recall CURVE vs table count (0.16 -> 0.938 at
+    L=1 -> 16, threshold 0.45) stays in near_dup_recall_probe_r07;
+    this gate pins the production threshold's floor as driver-checked
+    evidence. Scale: O(N) planted diagonal + the linear LSH path —
+    no all-pairs truth scan (unlike sim_ann_recall_eval's exact-tier
+    eval)."""
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    cast_e = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    pert = e.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x.cast("double")
+            + F.when(i % 3 == 0, F.lit(0.1)).otherwise(F.lit(0.0)),
+        ).alias("embedding"),
+    )
+    corpus = cast_e.unionByName(pert)
+    truth = (
+        cast_e.alias("a")
+        .join(
+            pert.select(
+                (F.col("vec_id") - 1_000_000).alias("vec_id"),
+                F.col("embedding").alias("pe"),
+            ).alias("b"),
+            "vec_id",
+        )
+        .select(
+            F.col("vec_id").alias("id_a"),
+            (F.col("vec_id") + 1_000_000).alias("id_b"),
+            F.round(
+                similarity.cosine_similarity(F.col("embedding"), F.col("pe")), 4
+            ).alias("sim"),
+        )
+        .filter(F.col("sim") >= 0.9)
+        .select("id_a", "id_b")
+    )
+    ann = similarity.embedding_near_pairs_ann(
+        corpus, threshold=0.9, n_planes=4, dim=64, n_tables=8
+    ).select("id_a", "id_b")
+    t = truth.withColumn("in_truth", F.lit(1))
+    a = ann.withColumn("in_ann", F.lit(1))
+    j = t.join(a, ["id_a", "id_b"], "full_outer")
+    n_truth = F.sum(F.coalesce("in_truth", F.lit(0)))
+    n_found = F.sum(
+        F.when(F.col("in_ann").isNotNull() & F.col("in_truth").isNotNull(), 1)
+        .otherwise(0)
+    )
+    n_false = F.sum(
+        F.when(F.col("in_ann").isNotNull() & F.col("in_truth").isNull(), 1)
+        .otherwise(0)
+    )
+    return j.agg(
+        n_truth.alias("n_truth"),
+        (n_false == 0).alias("precision_ok"),
+        (n_found >= F.ceil(n_truth * 0.98)).alias("recall_ok"),
+    )
 
 
 @register(

@@ -2821,6 +2821,99 @@ def incremental_join_view_maintenance(spark: SparkSession, sf_dir: str) -> DataF
 
 
 @register(
+    "incremental_join_view_retractions",
+    oracle="""
+    SELECT o.o_orderpriority,
+           count(*) AS n_items,
+           CAST(sum(CASE WHEN l.l_linenumber = 4
+                         THEN l.l_quantity + 10
+                         ELSE l.l_quantity END) AS DOUBLE) AS total_qty,
+           CAST(round(avg(CASE WHEN l.l_linenumber = 4
+                               THEN l.l_quantity + 10
+                               ELSE l.l_quantity END), 6) AS DOUBLE) AS avg_qty
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey % 13 <> 0
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("incremental", "join", "retraction", "scale"),
+)
+def incremental_join_view_retractions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Retraction-capable join-view maintenance (the r07 verdict's named
+    gap: delta_join was insert-only), driver-checked end-to-end: the
+    per-priority quantity rollup over orders ⋈ lineitem absorbs a CDC
+    batch containing DELETES on one side and UPDATES on the other —
+    every 13th order is deleted (ΔO = those rows at multiplicity -1)
+    and every lineitem with l_linenumber = 4 has its quantity raised by
+    10 (ΔL = the old row at -1 plus the new row at +1, the Z-set
+    encoding of an update). The maintained result folds the old view's
+    partial state with partial_agg_signed over
+    operators/incremental.delta_join_signed's three bilinear terms
+    (multiplicities multiplying across the join), and must equal the
+    oracle's full recompute over the post-change tables. The classic
+    retraction bugs all hash-fail: dropping the ΔO ⋈ ΔL cross term
+    double-subtracts the deleted-order × updated-line pairs ((-1)·(-1)
+    must contribute +1); applying updates as bare inserts doubles
+    n_items; keeping min/max-style monoid state silently serves stale
+    extrema — which is why the signed path exposes only the
+    group-invertible aggregates (count/sum/avg).
+
+    Scale posture: identical to the insert-only gate — history is only
+    ever the probe side of a broadcast join against a batch-sized
+    delta (no history shuffle, verified structurally by
+    tools/scale_probe_r08.py), the cross term is batch × batch, and
+    the fold shuffles |keys| signed partial rows. l_quantity is
+    integer-valued so signed double sums are exact under any
+    accumulation order; avg is derived sum/count, rounded identically
+    on both sides."""
+    from ..operators import incremental
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_linenumber", "l_quantity"
+    )
+    # ΔO: CDC deletes — every 13th order leaves the orders side.
+    delta_o = o.filter(F.col("o_orderkey") % 13 == 0).withColumn(
+        "_mult", F.lit(-1)
+    )
+    # ΔL: CDC updates — linenumber-4 rows get quantity + 10, encoded as
+    # retract(old) + insert(new).
+    upd = li.filter(F.col("l_linenumber") == 4).drop("l_linenumber")
+    delta_l = (
+        upd.withColumn("_mult", F.lit(-1))
+        .unionByName(
+            upd.withColumn("l_quantity", F.col("l_quantity") + 10).withColumn(
+                "_mult", F.lit(1)
+            )
+        )
+    )
+    l_old = li.drop("l_linenumber")
+
+    keys = ["o_orderpriority"]
+    old_view_state = incremental.partial_agg(
+        o.join(l_old, "o_orderkey"), keys, "l_quantity"
+    )
+    delta_rows = incremental.delta_join_signed(
+        o, delta_o, l_old, delta_l, "o_orderkey"
+    )
+    maintained = incremental.finalize_signed(
+        incremental.merge_partials_signed(
+            old_view_state,
+            incremental.partial_agg_signed(delta_rows, keys, "l_quantity"),
+        )
+    )
+    return maintained.select(
+        "o_orderpriority",
+        F.col("n_rows").alias("n_items"),
+        F.col("total").cast("double").alias("total_qty"),
+        F.round("vavg", 6).cast("double").alias("avg_qty"),
+    )
+
+
+@register(
     "zorder_bucket_histogram",
     oracle="""
     WITH stats AS (

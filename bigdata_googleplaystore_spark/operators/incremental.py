@@ -123,11 +123,121 @@ def delta_join(
     batch-vs-base, still never history-vs-history.
 
     Insert-only (no retractions): deletes/updates need signed
-    multiplicities on top of the same three terms."""
+    multiplicities on top of the same three terms — see
+    delta_join_signed."""
     da = F.broadcast(delta_a) if broadcast_deltas else delta_a
     db = F.broadcast(delta_b) if broadcast_deltas else delta_b
     return (
         da.join(b_old, on)
         .unionByName(a_old.join(db, on))
         .unionByName(da.join(db, on))
+    )
+
+
+def delta_join_signed(
+    a_old: DataFrame,
+    delta_a: DataFrame,
+    b_old: DataFrame,
+    delta_b: DataFrame,
+    on: str | list[str],
+    mult_col: str = "_mult",
+    broadcast_deltas: bool = True,
+) -> DataFrame:
+    """Retraction-capable delta-join maintenance: the SIGNED change to
+    A ⋈ B when each side receives a batch of Z-weighted changes —
+    `mult_col` = +1 for an insert, -1 for a delete; an update is a
+    delete of the old row plus an insert of the new one (the standard
+    Z-set / DBSP encoding of CDC feeds). The identity is the same
+    bilinear delta rule as delta_join, lifted to multiplicities, which
+    MULTIPLY across a join (base-table rows carry an implicit +1):
+
+        Δ(A ⋈ B) = ΔA ⋈ B_old  ∪  A_old ⋈ ΔB  ∪  ΔA ⋈ ΔB
+
+    with m(a ⋈ b) = m(a)·m(b). The cross term is what keeps a
+    delete-on-A times an update-on-B from double-counting: a (-1, -1)
+    pair contributes +1, cancelling the two single-sided subtractions
+    of the same joined row.
+
+    Scale posture: identical to delta_join — history (A_old, B_old) is
+    only ever the probe side of a broadcast join against one
+    batch-sized delta; the cross term is batch × batch; nothing
+    re-joins A_old ⋈ B_old. Fold the output into a view's signed
+    partial state with partial_agg_signed / merge_partials_signed
+    (count/sum/avg — the abelian-group aggregates, which absorb
+    retractions by pure addition; min/max are NOT group aggregates and
+    need a multiset state or recompute-on-retract)."""
+    da = F.broadcast(delta_a) if broadcast_deltas else delta_a
+    db = F.broadcast(delta_b) if broadcast_deltas else delta_b
+    db_renamed = db.withColumnRenamed(mult_col, "_mult_b")
+    cross = (
+        da.join(db_renamed, on)
+        .withColumn(mult_col, F.col(mult_col) * F.col("_mult_b"))
+        .drop("_mult_b")
+    )
+    return (
+        da.join(b_old, on)
+        .unionByName(a_old.join(db, on))
+        .unionByName(cross)
+    )
+
+
+_SIGNED_STATE_COLS = ("_n", "_n_nonnull", "_sum")
+
+
+def partial_agg_signed(
+    df: DataFrame, keys: list[str], value_col: str, mult_col: str = "_mult"
+) -> DataFrame:
+    """Signed partial state per key over one batch of Z-weighted rows:
+    count and sum weighted by multiplicity, so a retraction (-1) is
+    absorbed by the same addition that absorbs an insert. Only the
+    abelian-GROUP aggregates live here — count, sum, and derived avg
+    have inverses; min/max (monoid-only) are deliberately absent
+    because a deleted extremum cannot be undone from (min, max) alone."""
+    m = F.col(mult_col)
+    return df.groupBy(*keys).agg(
+        F.sum(m).alias("_n"),
+        F.sum(
+            F.when(F.col(value_col).isNotNull(), m).otherwise(F.lit(0))
+        ).alias("_n_nonnull"),
+        F.sum(m * F.col(value_col)).alias("_sum"),
+    )
+
+
+def merge_partials_signed(*partials: DataFrame) -> DataFrame:
+    """Merge signed partial-state frames by key: pure sums, shuffling
+    |keys| rows per input. An unsigned partial_agg state folds in
+    directly (its _n/_n_nonnull/_sum columns are the mult=+1 case);
+    select away its _min/_max first."""
+    if not partials:
+        raise ValueError("merge_partials_signed needs at least one frame")
+    cleaned = []
+    for p in partials:
+        keep = [
+            c for c in p.columns if c in _SIGNED_STATE_COLS or c not in _STATE_COLS
+        ]
+        cleaned.append(p.select(*keep))
+    unioned = cleaned[0]
+    for p in cleaned[1:]:
+        unioned = unioned.unionByName(p)
+    keys = [c for c in unioned.columns if c not in _SIGNED_STATE_COLS]
+    return unioned.groupBy(*keys).agg(
+        F.sum("_n").alias("_n"),
+        F.sum("_n_nonnull").alias("_n_nonnull"),
+        F.sum("_sum").alias("_sum"),
+    )
+
+
+def finalize_signed(partial: DataFrame) -> DataFrame:
+    """User-facing (count, sum, avg) from signed partial state. Groups
+    whose every row was retracted net to _n = 0 and are DROPPED — a
+    full recompute over the post-change tables would have no such
+    group, and emitting a zero row instead would diverge from it."""
+    keys = [c for c in partial.columns if c not in _SIGNED_STATE_COLS]
+    return partial.filter(F.col("_n") > 0).select(
+        *keys,
+        F.col("_n").alias("n_rows"),
+        F.col("_sum").alias("total"),
+        F.when(
+            F.col("_n_nonnull") > 0, F.col("_sum") / F.col("_n_nonnull")
+        ).alias("vavg"),
     )
