@@ -202,7 +202,12 @@ def adc_topk(
     broadcast with their M x K distance tables computed as expressions
     (model-sized); ranking is the standard per-query top-k window over
     candidate rows. Recall < 1 by design (quantization coarseness) —
-    bounded against exact L2 in tests."""
+    bounded against exact L2 in tests, and measured on the real corpus
+    (tools/ann_recall_probe_r07.py, sf0.1): recall@10 vs exact L2 is
+    0.185/0.240/0.355 at M=4/8/16 subspaces (64x/32x/16x compression) —
+    the numbers that make ADC the CANDIDATE stage of a two-stage
+    retrieve-then-rerank pipeline (shortlist at 8-32x compression,
+    exact-rerank the shortlist), not a standalone ranker."""
     from pyspark.sql import Window
 
     m = len(codebooks)

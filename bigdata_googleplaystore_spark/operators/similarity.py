@@ -292,7 +292,13 @@ def ivf_topk(
     probes its `n_probe` nearest cells, exact cosine rank within the
     probed candidates. The 100 TB shape: the corpus partitions by cell
     (cluster-prunable at rest), and query cost is |probed cells| not |N|.
-    Recall < 1 by design — asserted against brute force in tests."""
+    Recall < 1 by design: measured on the real sf0.1 corpus
+    (tools/ann_recall_probe_r07.py) recall@10 sweeps 0.82 -> 1.00 as
+    n_probe goes 1 -> n_cells, and the deterministic endpoint — at
+    n_probe = n_cells the ranking EQUALS brute force — is hash-gated
+    against a pure-SQL exact oracle (sim_ann_ivf_full_probe,
+    catalog/llm.py) in addition to the planted top-1 gate
+    (sim_ann_ivf)."""
     centroids = kmeans_centroids(corpus, id_col, vec_col, k=n_cells, iters=iters)
     c_assigned = assign_to_centroids(corpus, centroids, id_col, vec_col).select(
         F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"), "cid"
