@@ -24,12 +24,13 @@ from .tpch import flagship  # noqa: E402,F401
 # then the remaining never-checked (the next round's rotation head), then
 # the rest of the previously-green set, oldest evidence first.
 #
-# Round-8 window (VERDICT r07 items 2, 4, 5, 6): the 8 queries changed
-# or added this round head the window — the four new gates
-# (retraction-capable join IVM via signed multiplicities, the IVF
-# full-probe ≡ brute-force deterministic endpoint, the multi-table LSH
-# recall lower bound at the production 0.9 threshold, and the
-# max_shingle_df hot-shingle cap under a planted-boilerplate oracle)
+# Round-8 window (VERDICT r07 items 2, 4, 5, 6): the 9 queries changed
+# or added this round head the window — the five new gates
+# (retraction-capable join IVM via signed multiplicities, MIN/MAX-
+# under-deletes via multiset value-count state, the IVF full-probe ≡
+# brute-force deterministic endpoint, the multi-table LSH recall lower
+# bound at the production 0.9 threshold, and the max_shingle_df
+# hot-shingle cap under a planted-boilerplate oracle)
 # plus the four advisor-touched gates (dpp's probe-row reuse, bloom's
 # isSet-semantics conf restore, zorder's Hadoop-FS footer walk,
 # analyze's metastore cleanup) which need fresh rows because their
@@ -42,6 +43,7 @@ _PRIORITY: list[str] = [
     # ===== ROUND-8 WINDOW (the driver records ~50 rows) =====
     # (a) new this round — first rows required:
     "incremental_join_view_retractions",  # new: signed-multiplicity join IVM
+    "incremental_minmax_view_retractions",  # new: MIN/MAX multiset-state IVM
     "sim_ann_ivf_full_probe",     # new: IVF n_probe=n_cells == brute force
     "sim_ann_multitable_recall_bound",  # new: LSH recall floor at cos 0.9
     "dedup_ngram_jaccard_capped",  # new: max_shingle_df planted-hot-shingle

@@ -2914,6 +2914,79 @@ def incremental_join_view_retractions(
 
 
 @register(
+    "incremental_minmax_view_retractions",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           min(l.l_quantity) AS min_qty,
+           max(l.l_quantity) AS max_qty
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_quantity < 49
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("incremental", "join", "retraction", "scale"),
+)
+def incremental_minmax_view_retractions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MIN/MAX under retractions via multiset state — the aggregate
+    family the signed-scalar path deliberately excludes (a deleted
+    extremum cannot be undone from (min, max) alone), maintained here
+    with operators/incremental.multiset_state: per-(priority, quantity)
+    value counts fold signed CDC batches by pure addition, zero-count
+    values drop out, and min/max are re-derived over surviving values.
+    The batch deletes every lineitem with l_quantity >= 49 — removing
+    the CURRENT MAXIMUM (50.0, and its runner-up 49.0) from every
+    priority group — so the maintained max must fall back to 48.0,
+    which is exactly the answer scalar state cannot produce; the
+    oracle recomputes over the post-delete tables, so serving the
+    stale max (the classic monoid-state bug this construction forces)
+    hash-fails, as does a count drift. The delta flows through
+    delta_join_signed with an empty order-side batch (the one-sided
+    CDC case: multiplicities ride A_old ⋈ ΔB; the insert-and-delete
+    two-sided case is incremental_join_view_retractions' gate).
+
+    Scale posture: the multiset state is |distinct (key, value)| rows
+    — here at most 5 priorities x 50 quantities = 250 rows regardless
+    of fact count (the value-domain bound that makes MIN/MAX IVM
+    viable); the fold shuffles state rows plus batch-bounded
+    (key, value) partials, and history again appears only as the
+    broadcast-probe side of the delta terms."""
+    from ..operators import incremental
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    )
+    delta_o = o.filter(F.lit(False)).withColumn("_mult", F.lit(1))
+    delta_l = li.filter(F.col("l_quantity") >= 49).withColumn(
+        "_mult", F.lit(-1)
+    )
+    keys = ["o_orderpriority"]
+    state = incremental.multiset_state(
+        o.join(li, "o_orderkey"), keys, "l_quantity"
+    )
+    delta_rows = incremental.delta_join_signed(
+        o, delta_o, li, delta_l, "o_orderkey"
+    )
+    maintained = incremental.finalize_minmax(
+        incremental.merge_multisets(
+            state,
+            incremental.multiset_state(delta_rows, keys, "l_quantity", "_mult"),
+        ),
+        "l_quantity",
+    )
+    return maintained.select(
+        "o_orderpriority",
+        F.col("n_rows").alias("n_items"),
+        F.col("vmin").alias("min_qty"),
+        F.col("vmax").alias("max_qty"),
+    )
+
+
+@register(
     "zorder_bucket_histogram",
     oracle="""
     WITH stats AS (

@@ -164,8 +164,10 @@ def delta_join_signed(
     re-joins A_old ⋈ B_old. Fold the output into a view's signed
     partial state with partial_agg_signed / merge_partials_signed
     (count/sum/avg — the abelian-group aggregates, which absorb
-    retractions by pure addition; min/max are NOT group aggregates and
-    need a multiset state or recompute-on-retract)."""
+    retractions by pure addition); min/max are NOT group aggregates —
+    maintain them with multiset_state / merge_multisets /
+    finalize_minmax (value-count state, the standard MIN/MAX IVM
+    construction)."""
     da = F.broadcast(delta_a) if broadcast_deltas else delta_a
     db = F.broadcast(delta_b) if broadcast_deltas else delta_b
     db_renamed = db.withColumnRenamed(mult_col, "_mult_b")
@@ -240,4 +242,62 @@ def finalize_signed(partial: DataFrame) -> DataFrame:
         F.when(
             F.col("_n_nonnull") > 0, F.col("_sum") / F.col("_n_nonnull")
         ).alias("vavg"),
+    )
+
+
+def multiset_state(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    mult_col: str | None = None,
+) -> DataFrame:
+    """Value-count MULTISET state per key: (keys..., value, _cnt) rows.
+
+    This is the second-tier state that makes min/max maintainable under
+    retractions — the reason finalize_signed excludes them: when the
+    current maximum is deleted, scalar (min, max) state cannot produce
+    the runner-up, but a multiset can (every IVM engine keeps exactly
+    this for MIN/MAX over CDC feeds). State size is |distinct
+    (key, value)| rows — bounded by the value domain per key, not by
+    history row count (a quantity column with 50 distinct values keeps
+    <= 50 rows per key no matter how many billions of facts fold in).
+    `mult_col=None` treats rows as inserts (+1) — use it to build the
+    initial state from the base view; pass the signed column when
+    folding a CDC batch."""
+    m = F.col(mult_col) if mult_col else F.lit(1)
+    return df.groupBy(*keys, value_col).agg(F.sum(m).alias("_cnt"))
+
+
+def merge_multisets(*states: DataFrame) -> DataFrame:
+    """Merge multiset states by (key, value): counts add (retractions
+    subtract), and (key, value) rows that net to zero are dropped so
+    the state never grows with retracted history. Shuffles |distinct
+    (key, value)| rows per input."""
+    if not states:
+        raise ValueError("merge_multisets needs at least one frame")
+    unioned = states[0]
+    for s in states[1:]:
+        unioned = unioned.unionByName(s)
+    group_cols = [c for c in unioned.columns if c != "_cnt"]
+    return (
+        unioned.groupBy(*group_cols)
+        .agg(F.sum("_cnt").alias("_cnt"))
+        .filter(F.col("_cnt") != 0)
+    )
+
+
+def finalize_minmax(state: DataFrame, value_col: str) -> DataFrame:
+    """(keys..., n_rows, vmin, vmax) from multiset state: min/max over
+    the values still present (_cnt > 0), row count as the count sum.
+    Fully-retracted groups have no surviving (key, value) rows and
+    disappear, matching a recompute."""
+    keys = [c for c in state.columns if c not in (value_col, "_cnt")]
+    return (
+        state.filter(F.col("_cnt") > 0)
+        .groupBy(*keys)
+        .agg(
+            F.sum("_cnt").alias("n_rows"),
+            F.min(value_col).alias("vmin"),
+            F.max(value_col).alias("vmax"),
+        )
     )

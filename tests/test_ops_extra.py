@@ -448,3 +448,37 @@ def test_delta_join_signed_retraction_identity(spark):
     # keeps k=4 — assert we did exercise a partial AND verify that a
     # full retraction of one group's key leaves the group consistent
     assert set(got) == {"x", "y"}
+
+def test_multiset_minmax_survives_extremum_deletion(spark):
+    """operators/incremental.multiset_state: deleting a group's unique
+    maximum must surface the runner-up (the answer scalar (min,max)
+    state cannot produce), zero-count values must leave the state, and
+    a fully-retracted group must disappear."""
+    from pyspark.sql import functions as F
+
+    from bigdata_googleplaystore_spark.operators.incremental import (
+        finalize_minmax,
+        merge_multisets,
+        multiset_state,
+    )
+
+    base = spark.createDataFrame(
+        [("x", 10.0), ("x", 10.0), ("x", 7.0), ("x", 3.0), ("y", 5.0)],
+        "grp STRING, v DOUBLE",
+    )
+    state = multiset_state(base, ["grp"], "v")
+    # delete BOTH copies of x's max and y's only row
+    deletes = spark.createDataFrame(
+        [("x", 10.0, -1), ("x", 10.0, -1), ("y", 5.0, -1)],
+        "grp STRING, v DOUBLE, _mult INT",
+    )
+    merged = merge_multisets(
+        state, multiset_state(deletes, ["grp"], "v", "_mult")
+    )
+    # the netted-out (x, 10.0) and (y, 5.0) rows must be GONE from state
+    assert sorted(
+        (r["grp"], r["v"], r["_cnt"]) for r in merged.collect()
+    ) == [("x", 3.0, 1), ("x", 7.0, 1)]
+    out = {r["grp"]: (r["n_rows"], r["vmin"], r["vmax"])
+           for r in finalize_minmax(merged, "v").collect()}
+    assert out == {"x": (2, 3.0, 7.0)}  # max fell back 10.0 -> 7.0; y gone
