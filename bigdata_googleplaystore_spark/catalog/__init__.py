@@ -24,27 +24,30 @@ from .tpch import flagship  # noqa: E402,F401
 # then the remaining never-checked (the next round's rotation head), then
 # the rest of the previously-green set, oldest evidence first.
 #
-# Round-8 window (VERDICT r07 items 2, 4, 5, 6): the 9 queries changed
-# or added this round head the window — the five new gates
+# Round-8 window (VERDICT r07 items 2, 4, 5, 6): the 11 queries
+# changed or added this round head the window — the seven new gates
 # (retraction-capable join IVM via signed multiplicities, MIN/MAX-
-# under-deletes via multiset value-count state, the IVF full-probe ≡
-# brute-force deterministic endpoint, the multi-table LSH recall lower
-# bound at the production 0.9 threshold, and the max_shingle_df
-# hot-shingle cap under a planted-boilerplate oracle)
+# under-deletes via multiset value-count state, the streaming CDC
+# signed materialized view, the IVF full-probe ≡ brute-force
+# deterministic endpoint, the composed IVF-PQ rerank pipeline at the
+# same endpoint, the multi-table LSH recall lower bound at the
+# production 0.9 threshold, and the max_shingle_df hot-shingle cap
+# under a planted-boilerplate oracle)
 # plus the four advisor-touched gates (dpp's probe-row reuse, bloom's
 # isSet-semantics conf restore, zorder's Hadoop-FS footer walk,
 # analyze's metastore cleanup) which need fresh rows because their
 # implementations changed. Then ALL 39 queries whose newest driver row
 # is r03 (the oldest evidence left after r07 closed the pre-r03 gap),
-# then 3 of the 45 r04-stale queries to fill the ~50 window. The
-# remaining 42 r04-stale names sit below the cutoff in r04 insertion
-# order as the r09 rotation head.
+# filling the window at exactly 50. The 45 r04-stale names sit below
+# the cutoff in r04 insertion order as the r09 rotation head.
 _PRIORITY: list[str] = [
     # ===== ROUND-8 WINDOW (the driver records ~50 rows) =====
     # (a) new this round — first rows required:
     "incremental_join_view_retractions",  # new: signed-multiplicity join IVM
     "incremental_minmax_view_retractions",  # new: MIN/MAX multiset-state IVM
+    "stream_cdc_signed_agg_view",  # new: streaming CDC signed MV
     "sim_ann_ivf_full_probe",     # new: IVF n_probe=n_cells == brute force
+    "sim_ann_ivf_pq_rerank",      # new: composed IVF-PQ rerank endpoint
     "sim_ann_multitable_recall_bound",  # new: LSH recall floor at cos 0.9
     "dedup_ngram_jaccard_capped",  # new: max_shingle_df planted-hot-shingle
     # (b) implementation changed this round (r07 advice) — re-gate:
@@ -93,13 +96,11 @@ _PRIORITY: list[str] = [
     "udtf_word_bigrams",
     "window_first_last_nth",
     "window_time_range_rolling",
-    # (d) 3 of the 45 r04-stale queries (r04 insertion order) to fill
-    #     the window:
+    # ===== window cutoff (11 + 39 = 50) — entries below are the r09
+    # rotation head: the 45 r04-stale queries, r04 insertion order:
     "text_char_entropy",
     "logreg_quality_classifier",
     "multimodal_bytes_meta",
-    # ===== window cutoff (~50) — entries below are the r09 rotation
-    # head: the remaining 42 r04-stale queries, r04 insertion order:
     "multimodal_frame_stats",
     "dedup_ngram_jaccard",
     "dedup_simhash_containment",

@@ -914,6 +914,57 @@ def sim_ann_ivf_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_ann_ivf_pq_rerank",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings WHERE embedding IS NOT NULL),
+    q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10),
+    sims AS (
+      SELECT q.query_id, v.vec_id AS cand_id,
+             round(list_dot_product(q.qe, v.e)
+                   / (sqrt(list_dot_product(q.qe, q.qe))
+                      * sqrt(list_dot_product(v.e, v.e))), 4) AS sim
+      FROM q CROSS JOIN v
+    ),
+    ranked AS (
+      SELECT query_id, cand_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, cand_id) AS rn
+      FROM sims
+    )
+    SELECT query_id, cand_id, sim, CAST(rn AS INT) AS rn
+    FROM ranked WHERE rn <= 5
+    """,
+    tags=("llm", "similarity", "ann", "eval"),
+)
+def sim_ann_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED IVF-PQ deployment pipeline (operators/pq.ivf_pq_topk:
+    coarse cells -> PQ-code ADC -> exact rerank) at its deterministic
+    endpoint: n_probe = n_cells and no ADC shortlist cut means every
+    corpus vector flows through cell assignment, PQ encoding, the ADC
+    join, and the exact rerank EXACTLY ONCE, so the output must equal
+    brute-force top-5 — re-derived by the oracle in plain SQL. This
+    gates the composition plumbing end-to-end: a vector dropped or
+    duplicated at any stage boundary (unassigned cell, lost code row,
+    probe-list gap, shortlist off-by-one) breaks the value-for-value
+    equality. The stage-level approximation quality is gated and
+    measured separately (sim_ann_ivf / sim_ann_ivf_full_probe for the
+    cell stage, sim_ann_pq_adc + the measured M-sweep recall curve for
+    ADC); the production-knob recall floor of the composed pipeline is
+    pinned in tests/test_llm_batch2.py. Cost: the rerank-all endpoint
+    scores 10 queries x N — the deliberate price of an equality gate."""
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    queries = e.filter(F.col("vec_id") < 10)
+    from ..operators import pq as pq_ops
+
+    return pq_ops.ivf_pq_topk(
+        e, queries, k=5, n_cells=8, n_probe=8, m=8, shortlist=0, iters=2
+    )
+
+
+@register(
     "sim_ann_multitable_recall_bound",
     oracle="""
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e

@@ -5781,6 +5781,77 @@ def stream_incremental_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_cdc_signed_agg_view",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_rows,
+           CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
+    FROM events
+    WHERE user_id % 5 <> 0 OR user_id IS NULL
+    GROUP BY event_type
+    """,
+    tags=("streaming", "incremental", "retraction", "cdc"),
+)
+def stream_cdc_signed_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC materialized view with RETRACTIONS inside the
+    correctness gate: the change feed is the events table's inserts
+    PLUS a delete record for every event whose user_id % 5 == 0 (the
+    Z-set form a CDC topic delivers), replayed as a bounded file
+    stream in single-file micro-batches (maxFilesPerTrigger=1 over a
+    4-file source) through streaming.run_stream_signed_agg — each
+    batch writes its SIGNED partial into an idempotent `_batch_id`
+    partition, and the read path folds them (read_signed_state). The
+    folded view must hash-match the oracle's direct aggregate over
+    the NET rows (deletes applied; null-user events never retracted).
+    The repartition(4) shuffles inserts and their cancelling deletes
+    into ARBITRARY different micro-batches, so the gate pins exactly
+    what makes signed streaming state correct: the fold is
+    split-invariant (a -1 landing two batches after its +1 nets out
+    in the merge, not in the batch), values are DECIMAL-staged so
+    partial sums are exact under any batch boundary, and a dropped or
+    double-applied batch partition changes n_rows/total and fails.
+
+    At 100 TB this is the streaming face of the delta-rule IVM family
+    (incremental_join_view_retractions gates the batch face): CDC
+    feeds are the norm, not append-only streams, and the signed state
+    means retractions cost the same |keys|-row shuffle per batch as
+    inserts — no compensating reprocessing, no history re-read."""
+    import shutil
+
+    from .. import streaming
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", dec2(F.col("value")).alias("v")
+    )
+    inserts = events.withColumn("_mult", F.lit(1))
+    deletes = events.filter(F.col("user_id") % 5 == 0).withColumn(
+        "_mult", F.lit(-1)
+    )
+    feed = inserts.unionByName(deletes).drop("user_id")
+    src = _stream_src_dir("cdcview", sf_dir)
+    feed.repartition(4).write.mode("overwrite").parquet(src)
+    state = _stream_src_dir("cdcview_state", sf_dir)
+    ckpt = _stream_src_dir("cdcview_ckpt", sf_dir)
+    # fresh state/checkpoint per invocation: a stale checkpoint against a
+    # rewritten source would mark every file already-committed
+    shutil.rmtree(state, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    streaming.run_stream_signed_agg(stream, ["event_type"], "v", state, ckpt)
+    view = streaming.read_signed_state(spark, state)
+    return view.select(
+        "event_type",
+        "n_rows",
+        F.round("total", 2).cast("double").alias("total"),
+    )
+
+
+@register(
     "stream_static_enrich_counts",
     oracle="""
     WITH enriched AS (

@@ -260,3 +260,143 @@ def adc_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "adc_dist", "rank")
     )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 8,
+    n_probe: int = 4,
+    m: int = 8,
+    shortlist: int = 50,
+    iters: int = 2,
+) -> DataFrame:
+    """IVF-PQ two-stage retrieval — the canonical production ANN
+    deployment shape (Jegou et al. 2011), composed from the engine's
+    oracle-gated pieces: coarse IVF cells (kmeans_centroids /
+    assign_to_centroids) prune the corpus to the query's `n_probe`
+    nearest cells; ADC over PQ codes scores the probed candidates
+    without rehydrating vectors and keeps a `shortlist`; an exact
+    cosine RERANK of the shortlist produces the final top-k. Returns
+    (query_id, cand_id, sim, rn) with the same rounded-cosine total
+    tiebreak as cosine_topk/ivf_topk.
+
+    `shortlist=0` disables the ADC cut (every probed candidate is
+    reranked), which gives the pipeline its deterministic ENDPOINT:
+    with n_probe = n_cells and no shortlist, every corpus vector
+    reaches the exact rerank exactly once, so the result EQUALS
+    brute-force search — the property the registered gate
+    sim_ann_ivf_pq_rerank hash-checks against a pure-SQL oracle (any
+    candidate lost or duplicated anywhere in the cell -> code -> ADC ->
+    rerank chain breaks the equality). At production knobs the recall
+    knobs are n_probe (measured curve: tools/ann_recall_probe_r07.py,
+    0.82 -> 1.00) and shortlist/M (ADC recall@10 0.185-0.355 at
+    M=4-16 — why ADC is the candidate stage, and why the rerank is
+    exact).
+
+    100 TB shape: the corpus at rest is (cell, M-byte codes) — cells
+    partition-prune the scan, codes keep it ~64x smaller than vectors,
+    and full-precision vectors are touched only for the per-query
+    shortlist join; centroids and codebooks are model-sized broadcast
+    state."""
+    from pyspark.sql import Window
+
+    from ..functions.vectors import cosine_similarity
+    from . import similarity
+
+    centroids = similarity.kmeans_centroids(
+        corpus, id_col, vec_col, k=n_cells, iters=iters
+    )
+    assigned = similarity.assign_to_centroids(
+        corpus, centroids, id_col, vec_col
+    ).select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"), "cid")
+    books = train_codebooks(corpus, id_col, vec_col, m=m, iters=iters)
+    codes = encode(corpus, books, id_col, vec_col).select(
+        F.col(id_col).alias("cand_id"), "codes"
+    )
+    cells = assigned.join(codes, "cand_id")
+
+    cents_df = F.broadcast(
+        queries.sparkSession.createDataFrame(
+            [(centroids,)], "cents array<array<double>>"
+        )
+    )
+    cell_scored = F.transform(
+        F.col("cents"),
+        lambda c, i: F.struct(
+            cosine_similarity(F.col(vec_col), c).alias("sim"), i.alias("cid")
+        ),
+    )
+    probes = F.slice(F.reverse(F.array_sort(cell_scored)), 1, n_probe)
+    d_sub = len(books[0][0])
+    table = F.transform(
+        F.col("books"),
+        lambda book, s: F.transform(
+            book,
+            lambda c: F.aggregate(
+                F.zip_with(
+                    F.slice(
+                        F.col(vec_col).cast("array<double>"),
+                        s.cast("int") * d_sub + 1,
+                        d_sub,
+                    ),
+                    c,
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        ),
+    )
+    # dist_table/probe list materialized as bound attributes BEFORE the
+    # probe-cell explode so they are computed once per query, not once
+    # per (query, probed cell) row
+    q0 = (
+        queries.crossJoin(cents_df)
+        .crossJoin(F.broadcast(_books_df(queries.sparkSession, books)))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            table.alias("dist_table"),
+            F.transform(probes, lambda s: s["cid"]).alias("probe_cids"),
+        )
+    )
+    q = q0.select(
+        "query_id", "qv", "dist_table", F.explode("probe_cids").alias("cid")
+    )
+    cands = F.broadcast(q).join(cells, "cid")
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("dist_table"),
+            F.col("codes"),
+            lambda t, c: F.element_at(t, c.cast("int") + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    adc_scored = cands.select(
+        "query_id", "qv", "cand_id", "cv", F.round(adc, 6).alias("adc_dist")
+    )
+    if shortlist and shortlist > 0:
+        ws = Window.partitionBy("query_id").orderBy(
+            F.asc("adc_dist"), F.asc("cand_id")
+        )
+        adc_scored = (
+            adc_scored.withColumn("_sl", F.row_number().over(ws))
+            .filter(F.col("_sl") <= shortlist)
+            .drop("_sl")
+        )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cand_id"))
+    return (
+        adc_scored.select(
+            "query_id",
+            "cand_id",
+            F.round(cosine_similarity(F.col("qv"), F.col("cv")), 4).alias("sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "cand_id", "sim", "rn")
+    )

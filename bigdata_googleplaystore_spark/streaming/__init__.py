@@ -263,6 +263,59 @@ def read_incremental_state(spark: SparkSession, state_dir: str) -> DataFrame:
     return incremental.finalize(incremental.merge_partials(partials))
 
 
+def run_stream_signed_agg(
+    stream_df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    mult_col: str = "_mult",
+) -> None:
+    """Streaming CDC materialized view: run_stream_incremental_agg's
+    per-batch-partition protocol over a SIGNED change feed (`mult_col`
+    +1 insert / -1 delete — the Z-set encoding a Debezium-style CDC
+    topic delivers). Each micro-batch writes its signed partial
+    (operators/incremental.partial_agg_signed: count/sum weighted by
+    multiplicity) into its own idempotent `_batch_id` partition;
+    retractions need no special handling anywhere in the streaming
+    machinery because the signed state absorbs them by the same
+    addition that absorbs inserts — deletes arriving in a DIFFERENT
+    micro-batch than the insert they cancel fold correctly because
+    the algebra is split-invariant. History is never re-read; each
+    batch shuffles its own |keys| rows."""
+    from ..operators import incremental
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            incremental.partial_agg_signed(batch_df, keys, value_col, mult_col)
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(state_dir)
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+
+def read_signed_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Fold all per-batch SIGNED partials into the current view: counts
+    and sums add across batches, groups retracted to zero disappear
+    (operators/incremental.finalize_signed)."""
+    from ..operators import incremental
+
+    partials = spark.read.parquet(state_dir).drop("_batch_id")
+    return incremental.finalize_signed(
+        incremental.merge_partials_signed(partials)
+    )
+
+
 def run_stream_to_memory(
     stream_df: DataFrame, name: str, output_mode: str = "complete"
 ) -> DataFrame:

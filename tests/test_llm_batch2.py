@@ -1255,3 +1255,48 @@ def test_pq_planted_fixpoint_codes_and_adc(spark, sf_dir):
     for r in adc:
         assert r["adc_dist"] == 0.0
         assert r["cand_id"] == r["query_id"] + 10_000_000 * r["rank"]
+
+
+def test_ivf_pq_rerank_endpoint_and_production_recall(spark, sf_dir):
+    """operators/pq.ivf_pq_topk: (a) at the deterministic endpoint
+    (n_probe = n_cells, no shortlist cut) the composed cell -> code ->
+    ADC -> rerank pipeline must EQUAL brute-force top-k value-for-value
+    (the property the registered gate sim_ann_ivf_pq_rerank
+    hash-checks against SQL); (b) at production knobs (half the cells
+    probed, shortlist 50, M=8) recall@5 against brute force must clear
+    a floor — the pipeline loses only via cell pruning and the ADC
+    cut, both bounded on this corpus."""
+    from pyspark.sql import functions as F
+
+    from bigdata_googleplaystore_spark.operators import pq, similarity
+    from bigdata_googleplaystore_spark.sources import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    queries = e.filter(F.col("vec_id") < 10)
+    brute = {
+        (r["query_id"], r["cand_id"], r["sim"], r["rn"])
+        for r in similarity.cosine_topk(e, queries, k=5).collect()
+    }
+
+    endpoint = {
+        (r["query_id"], r["cand_id"], r["sim"], r["rn"])
+        for r in pq.ivf_pq_topk(
+            e, queries, k=5, n_cells=8, n_probe=8, m=8, shortlist=0, iters=2
+        ).collect()
+    }
+    assert endpoint == brute
+
+    prod = {
+        (r["query_id"], r["cand_id"])
+        for r in pq.ivf_pq_topk(
+            e, queries, k=5, n_cells=8, n_probe=4, m=8, shortlist=50, iters=2
+        ).collect()
+    }
+    truth_pairs = {(q, c) for q, c, _, _ in brute}
+    recall = len(prod & truth_pairs) / len(truth_pairs)
+    # measured 0.82+ at these knobs on the sf0.001/sf0.01 corpora; the
+    # floor is set where a lost stage (wrong cells, dropped codes)
+    # cannot hide
+    assert recall >= 0.6, recall
