@@ -532,24 +532,37 @@ def test_zorder_payoff_prunes_most_segments(spark, sf_dir):
     assert row["n_segs_needed_zorder"] * 2 < row["n_segs_needed_naive"], row
 
 
-def test_analyze_stats_feed_cbo_join_estimates(spark, sf_dir):
+def test_analyze_stats_feed_cbo_join_estimates(spark, sf_dir, tmp_path):
     """The registered stats gate must see the ANALYZE'd row count through
     the optimizer (stats_visible_to_optimizer), and the stats must
-    PROPAGATE: under spark.sql.cbo.enabled a join over the analyzed
+    PROPAGATE: under spark.sql.cbo.enabled a join over an analyzed
     table plans with a defined cost-based row-count estimate at the join
     root — the input every CBO join-order/broadcast decision reads at
     scale. Without column stats that estimate is undefined (size-only
     fallback), so this pins the statistics actually reaching the
-    cost model, not just the catalog."""
-    import hashlib
-
+    cost model, not just the catalog. The gate drops its scratch
+    catalog table after harvesting (r07 advice), so the propagation
+    check builds and ANALYZEs its own table."""
     from pyspark.sql import functions as F
+
+    from bigdata_googleplaystore_spark.sources import load_table
 
     row = QUERIES["analyze_table_stats"].fn(spark, sf_dir).collect()[0]
     assert row["stats_visible_to_optimizer"] is True
     assert row["row_count"] > 0
 
-    tname = f"stats_orders_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    tname = "stats_cbo_probe_tbl"
+    spark.sql(f"DROP TABLE IF EXISTS {tname}")
+    (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey")
+        .write.mode("overwrite")
+        .option("path", str(tmp_path / "cbo_probe"))
+        .saveAsTable(tname)
+    )
+    spark.sql(
+        f"ANALYZE TABLE {tname} COMPUTE STATISTICS FOR COLUMNS o_orderkey"
+    )
     prev = spark.conf.get("spark.sql.cbo.enabled")
     spark.conf.set("spark.sql.cbo.enabled", "true")
     try:
@@ -562,3 +575,4 @@ def test_analyze_stats_feed_cbo_join_estimates(spark, sf_dir):
         assert int(str(rc.get())) > 0
     finally:
         spark.conf.set("spark.sql.cbo.enabled", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {tname}")
