@@ -398,6 +398,14 @@ def minhash_lsh_pairs(
     pay 16x/256x) and wall-clock 2.07x/6.73x — buckets multiply rather
     than densify. The 4,095-of-4,096 planted pairs found at 16x is
     honest LSH recall (<1 by design, the documented trade).
+
+    Caller contract for the persist() below: build a FRESH frame per
+    pipeline invocation; do not hold one frame object across cache
+    eviction. After clearCache/unpersist, re-executing the retained
+    object re-optimizes WITHOUT the cache boundary and CollapseProject
+    fuses the shingle expression into all 64 hash folds — measured
+    9.2 s vs ~0.9 s fresh-frame for the signature stage at sf0.1
+    (tools/stage_decomp_r08.py).
     """
     if bands < 1 or num_hashes % bands != 0:
         raise ValueError(
