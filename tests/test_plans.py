@@ -576,3 +576,64 @@ def test_analyze_stats_feed_cbo_join_estimates(spark, sf_dir, tmp_path):
     finally:
         spark.conf.set("spark.sql.cbo.enabled", prev)
         spark.sql(f"DROP TABLE IF EXISTS {tname}")
+
+
+def test_signed_ivm_refresh_plan_structure(spark, sf_dir):
+    """The retraction-capable IVM refresh must keep the insert-only
+    path's plan shape (the claim tools/scale_probe_r08.py measures at
+    runtime, pinned here as a static-plan assertion): all three signed
+    delta terms are BroadcastHashJoins with history only ever the probe
+    side, and the hash-shuffle exchanges carry only signed
+    delta-partials + the state fold — never a base table. The
+    large-large recompute twin (broadcast disabled) is
+    test_large_large_joins_sort_merge_with_pushdown_when_no_broadcast's
+    territory; here we pin the refresh."""
+    from pyspark.sql import functions as F
+
+    from bigdata_googleplaystore_spark.operators import incremental
+    from bigdata_googleplaystore_spark.sources import load_table
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    )
+    delta_o = o.filter(F.col("o_orderkey") % 13 == 0).withColumn(
+        "_mult", F.lit(-1)
+    )
+    upd = li.filter(F.col("o_orderkey") % 13 == 1)
+    delta_l = upd.withColumn("_mult", F.lit(-1)).unionByName(
+        upd.withColumn("l_quantity", F.col("l_quantity") + 5).withColumn(
+            "_mult", F.lit(1)
+        )
+    )
+    state = incremental.partial_agg(
+        o.join(li, "o_orderkey"), ["o_orderpriority"], "l_quantity"
+    )
+    refresh = incremental.finalize_signed(
+        incremental.merge_partials_signed(
+            state,
+            incremental.partial_agg_signed(
+                incremental.delta_join_signed(o, delta_o, li, delta_l, "o_orderkey"),
+                ["o_orderpriority"],
+                "l_quantity",
+            ),
+        )
+    )
+    plan = refresh._jdf.queryExecution().executedPlan().toString()
+    # the three delta terms broadcast the batch sides (plus AQE may fold
+    # more); history is never the build side of a shuffle join
+    assert plan.count("BroadcastExchange") >= 3, plan
+    assert "SortMergeJoin" not in plan, plan
+    # the only hash shuffles: partial-agg exchanges on the group key
+    # (delta partials, old-state fold) — bounded by |keys| + batch, not
+    # by base-table row count. The old-state partial_agg contributes
+    # one; the signed fold contributes the rest.
+    shuffles = plan.count("Exchange hashpartitioning")
+    assert shuffles <= 4, f"unexpected extra shuffles ({shuffles}):\n{plan}"
+    # and those exchanges partition on the aggregate key, never the join key
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "o_orderpriority" in m.group(1), m.group(0)
