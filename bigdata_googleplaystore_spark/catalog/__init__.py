@@ -24,15 +24,16 @@ from .tpch import flagship  # noqa: E402,F401
 # then the remaining never-checked (the next round's rotation head), then
 # the rest of the previously-green set, oldest evidence first.
 #
-# Round-8 window (VERDICT r07 items 2, 4, 5, 6): the 11 queries
-# changed or added this round head the window — the seven new gates
+# Round-8 window (VERDICT r07 items 2, 4, 5, 6): the 12 queries
+# changed or added this round head the window — the eight new gates
 # (retraction-capable join IVM via signed multiplicities, MIN/MAX-
 # under-deletes via multiset value-count state, the streaming CDC
 # signed materialized view, the IVF full-probe ≡ brute-force
 # deterministic endpoint, the composed IVF-PQ rerank pipeline at the
 # same endpoint, the multi-table LSH recall lower bound at the
-# production 0.9 threshold, and the max_shingle_df hot-shingle cap
-# under a planted-boilerplate oracle)
+# production 0.9 threshold, the max_shingle_df hot-shingle cap under
+# a planted-boilerplate oracle, and the spark.sql(args=) named-
+# parameter + GROUP BY ALL surface)
 # plus the four advisor-touched gates (dpp's probe-row reuse, bloom's
 # isSet-semantics conf restore, zorder's Hadoop-FS footer walk,
 # analyze's metastore cleanup) which need fresh rows because their
@@ -50,6 +51,7 @@ _PRIORITY: list[str] = [
     "sim_ann_ivf_pq_rerank",      # new: composed IVF-PQ rerank endpoint
     "sim_ann_multitable_recall_bound",  # new: LSH recall floor at cos 0.9
     "dedup_ngram_jaccard_capped",  # new: max_shingle_df planted-hot-shingle
+    "sql_named_params_group_by_all",  # new: spark.sql(args=) + GROUP BY ALL
     # (b) implementation changed this round (r07 advice) — re-gate:
     "dpp_partition_pruned_join",
     "bloom_join_pruning",

@@ -2157,6 +2157,51 @@ def sql_session_vars_params(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sql_named_params_group_by_all",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+             AS total_price
+    FROM orders
+    WHERE o_orderpriority IN ('2-HIGH', '5-LOW') AND o_totalprice >= 100000.0
+    GROUP BY ALL
+    """,
+    tags=("sql", "parameterized", "group-by-all"),
+)
+def sql_named_params_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Client-side parameterized SQL — the `spark.sql(query, args={...})`
+    named-marker API — plus GROUP BY ALL / ORDER BY ALL resolution.
+    This is the surface EXECUTE IMMEDIATE ... USING
+    (sql_session_vars_params) does NOT cover: parameters bound by the
+    Python client as typed literals before parsing (`:prio1` string,
+    `:cut` double — injection-safe templating for application code,
+    vs the SQL-script flow), and the analyzer inferring the grouping
+    set from the non-aggregate select list. The oracle inlines the
+    same constants and grouping columns explicitly, so a mis-bound or
+    type-coerced parameter, or GROUP BY ALL resolving to the wrong
+    column set, changes the groups and hash-fails. ORDER BY ALL is
+    exercised for parse/execution coverage; row order itself is not
+    hashed (the driver compare is order-insensitive)."""
+    from ..sources import register_views
+
+    register_views(spark, sf_dir, tables=("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2)
+                    AS DOUBLE) AS total_price
+        FROM orders
+        WHERE o_orderpriority IN (:prio1, :prio2) AND o_totalprice >= :cut
+        GROUP BY ALL
+        ORDER BY ALL
+        """,
+        args={"prio1": "2-HIGH", "prio2": "5-LOW", "cut": 100000.0},
+    )
+
+
+@register(
     "json_variant_extract",
     oracle="""
     WITH j AS (
