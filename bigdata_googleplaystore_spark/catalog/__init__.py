@@ -38,9 +38,10 @@ from .tpch import flagship  # noqa: E402,F401
 # isSet-semantics conf restore, zorder's Hadoop-FS footer walk,
 # analyze's metastore cleanup) which need fresh rows because their
 # implementations changed. Then ALL 39 queries whose newest driver row
-# is r03 (the oldest evidence left after r07 closed the pre-r03 gap),
-# filling the window at exactly 50. The 45 r04-stale names sit below
-# the cutoff in r04 insertion order as the r09 rotation head.
+# is r03 (the oldest evidence left after r07 closed the pre-r03 gap) —
+# 51 names total; the driver records ~50, so the tail r03 name may
+# roll to r09. The 45 r04-stale names sit below the cutoff in r04
+# insertion order as the r09 rotation head.
 _PRIORITY: list[str] = [
     # ===== ROUND-8 WINDOW (the driver records ~50 rows) =====
     # (a) new this round — first rows required:

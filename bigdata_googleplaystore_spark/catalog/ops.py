@@ -780,7 +780,7 @@ def dpp_partition_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_users"),
         )
 
-    aqe_prev = spark.conf.get("spark.sql.adaptive.enabled")
+    saved_aqe = _save_confs(spark, ["spark.sql.adaptive.enabled"])
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         probe = build()
@@ -793,7 +793,7 @@ def dpp_partition_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         active = "dynamicpruning" in qe.executedPlan().toString().lower()
         n_read = _fact_scan_metric(qe, "events_by_type_dpp", "numPartitions")
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
+        _restore_confs(spark, saved_aqe)
 
     jvm = spark.sparkContext._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
@@ -2329,7 +2329,7 @@ def analyze_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     price, cust = col_stats("o_totalprice"), col_stats("o_custkey")
 
-    cbo_prev = spark.conf.get("spark.sql.cbo.enabled")
+    saved_cbo = _save_confs(spark, ["spark.sql.cbo.enabled"])
     spark.conf.set("spark.sql.cbo.enabled", "true")
     try:
         rc_opt = (
@@ -2342,7 +2342,7 @@ def analyze_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         visible = bool(rc_opt.isDefined())
         row_count = int(str(rc_opt.get())) if visible else -1
     finally:
-        spark.conf.set("spark.sql.cbo.enabled", cbo_prev)
+        _restore_confs(spark, saved_cbo)
 
     # Every statistic is harvested; drop the scratch catalog entry so
     # repeated gate runs don't accumulate one metastore table per sf_dir
