@@ -39,8 +39,8 @@ from .tpch import flagship  # noqa: E402,F401
 # analyze's metastore cleanup) which need fresh rows because their
 # implementations changed. Then ALL 39 queries whose newest driver row
 # is r03 (the oldest evidence left after r07 closed the pre-r03 gap) —
-# 51 names total; the driver records ~50, so the tail r03 name may
-# roll to r09. The 45 r04-stale names sit below the cutoff in r04
+# 53 names total; the driver records ~50, so the last few r03 names
+# may roll to r09. The 45 r04-stale names sit below the cutoff in r04
 # insertion order as the r09 rotation head.
 _PRIORITY: list[str] = [
     # ===== ROUND-8 WINDOW (the driver records ~50 rows) =====
@@ -53,6 +53,8 @@ _PRIORITY: list[str] = [
     "sim_ann_multitable_recall_bound",  # new: LSH recall floor at cos 0.9
     "dedup_ngram_jaccard_capped",  # new: max_shingle_df planted-hot-shingle
     "sql_named_params_group_by_all",  # new: spark.sql(args=) + GROUP BY ALL
+    "incremental_distinct_view_retractions",  # new: COUNT(DISTINCT) IVM
+    "incremental_hll_distinct_view",  # new: HLL sketch-merge distinct MV
     # (b) implementation changed this round (r07 advice) — re-gate:
     "dpp_partition_pruned_join",
     "bloom_join_pruning",

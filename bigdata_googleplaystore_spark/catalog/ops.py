@@ -3032,6 +3032,185 @@ def incremental_minmax_view_retractions(
 
 
 @register(
+    "incremental_distinct_view_retractions",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(count(DISTINCT l.l_quantity) AS BIGINT) AS n_distinct_qty
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_quantity < 45 AND l.l_linenumber < 6
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("incremental", "join", "retraction", "scale"),
+)
+def incremental_distinct_view_retractions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact COUNT(DISTINCT) under retractions — the third aggregate
+    face of the maintained multiset (operators/incremental.
+    finalize_distinct), completing the IVM taxonomy alongside the
+    group aggregates (count/sum/avg, incremental_join_view_retractions)
+    and the monoid extrema (min/max, incremental_minmax_view_
+    retractions). The CDC batch deletes every lineitem with
+    l_quantity >= 45 (values 45–50 vanish ENTIRELY — distinct count
+    must fall) and every lineitem with l_linenumber >= 6 (those rows'
+    quantities survive on other linenumbers — distinct count must
+    NOT fall for them). That split is the IVM content: a distinct-value
+    SET without per-value counts cannot tell the two apart — on a
+    partial delete it either wrongly evicts the value (undercounts) or
+    never evicts (overcounts after full removals); only the net
+    value-count distinguishes last-surviving-row deletes, and the
+    oracle's full recompute over the post-delete tables hash-fails
+    either bug. Deltas flow through delta_join_signed with an empty
+    order-side batch, multiplicities folding by pure addition.
+
+    Scale posture: identical to the min/max gate — ONE maintained
+    multiset of |distinct (key, value)| rows (<= 5 priorities x 44
+    surviving quantities here, value-domain-bounded regardless of
+    fact count) now serves min, max, and count-distinct; the fold
+    shuffles state rows plus batch-bounded (key, value) partials, and
+    history appears only as the broadcast-probe side of the delta
+    terms. The unbounded-domain companion is the HLL sketch tier
+    (incremental_hll_distinct_view)."""
+    from ..operators import incremental
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_linenumber", "l_quantity"
+    )
+    # CDC deletes: full-value removals (quantity >= 45) plus partial
+    # removals (linenumber >= 6) whose values survive on other rows.
+    delta_l = (
+        li.filter((F.col("l_quantity") >= 45) | (F.col("l_linenumber") >= 6))
+        .drop("l_linenumber")
+        .withColumn("_mult", F.lit(-1))
+    )
+    l_old = li.drop("l_linenumber")
+    delta_o = o.filter(F.lit(False)).withColumn("_mult", F.lit(1))
+
+    keys = ["o_orderpriority"]
+    state = incremental.multiset_state(
+        o.join(l_old, "o_orderkey"), keys, "l_quantity"
+    )
+    delta_rows = incremental.delta_join_signed(
+        o, delta_o, l_old, delta_l, "o_orderkey"
+    )
+    maintained = incremental.finalize_distinct(
+        incremental.merge_multisets(
+            state,
+            incremental.multiset_state(delta_rows, keys, "l_quantity", "_mult"),
+        ),
+        "l_quantity",
+    )
+    return maintained.select(
+        "o_orderpriority",
+        F.col("n_rows").cast("bigint").alias("n_items"),
+        F.col("n_distinct").cast("bigint").alias("n_distinct_qty"),
+    )
+
+
+@register(
+    "incremental_hll_distinct_view",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact,
+           true AS merge_consistent,
+           true AS within_tolerance
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("incremental", "sketch", "scale"),
+)
+def incremental_hll_distinct_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct-count materialized view via mergeable HLL
+    sketch state (Spark 3.5+ Datasketches integration: hll_sketch_agg /
+    hll_union_agg / hll_sketch_estimate) — the unbounded-domain
+    companion to the exact multiset tier: where finalize_distinct keeps
+    |distinct (key, value)| rows, the sketch keeps a FIXED <= 2^lgK
+    registers per key no matter the cardinality. The view's state is
+    one sketch per (key, ingest batch); a refresh folds the new batch's
+    sketch in with hll_union_agg and never re-reads history — the
+    canonical 100 TB distinct-users-per-segment pattern. The gate
+    ingests orders as four disjoint batches (o_orderkey % 4),
+    per-batch-sketches each, and checks the invariant an MV refresh
+    schedule actually needs — FOLD-PLAN INVARIANCE: the same four
+    batch sketches folded in batch order, in reverse order, and as a
+    hierarchical re-union of already-unioned state (the compaction
+    shape) must estimate EXACTLY the same value, so merge_consistent
+    is a strict three-way equality, not a tolerance — a sketch
+    double-folded, dropped at a batch boundary, or sensitive to
+    refresh order flips it false and hash-fails. (Deliberately NOT
+    asserted: union-of-sketches == one single-pass sketch. The
+    Datasketches union operator's internal HLL_8 gadget and coupon
+    promotion path make that only approximately true — measured
+    0.5–1.3% apart on this corpus — and no refresh schedule ever
+    compares the two; fold-plan invariance is the identity that makes
+    incremental maintenance safe.) within_tolerance separately bounds
+    the folded estimate against the exact count (lgK=12 standard
+    error ~1.04/sqrt(4096) = 1.6%; gate allows 5%) — insert-only by
+    construction (HLL registers are a max-monoid, no inverse;
+    retractions need the exact multiset tier).
+
+    Scale posture: per-batch partial sketches are built map-side by
+    partial aggregation (the agg buffer IS the sketch); each refresh
+    shuffles |keys| sketches of fixed size; estimates derive at read
+    time like avg from (sum, count). Oracle supplies the exact counts
+    and the two invariants as constants."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_custkey"
+    )
+    batches = [
+        o.filter(F.col("o_orderkey") % 4 == i).groupBy("o_orderpriority").agg(
+            F.hll_sketch_agg("o_custkey").alias("_sk")
+        )
+        for i in range(4)
+    ]
+    def fold(parts: list[DataFrame], alias: str) -> DataFrame:
+        state = parts[0]
+        for p in parts[1:]:
+            state = state.unionByName(p)
+        return state.groupBy("o_orderpriority").agg(
+            F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias(alias)
+        )
+
+    folded = fold(batches, "est_folded")
+    reversed_fold = fold(batches[::-1], "est_reversed")
+    # Compaction shape: re-union sketches that are themselves unions.
+    compact = [
+        batches[i]
+        .unionByName(batches[i + 1])
+        .groupBy("o_orderpriority")
+        .agg(F.hll_union_agg("_sk").alias("_sk"))
+        for i in (0, 2)
+    ]
+    hierarchical = fold(compact, "est_hierarchical")
+    exact = o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_exact")
+    )
+    return (
+        exact.join(F.broadcast(folded), "o_orderpriority")
+        .join(F.broadcast(reversed_fold), "o_orderpriority")
+        .join(F.broadcast(hierarchical), "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            F.col("n_exact").cast("bigint").alias("n_exact"),
+            (
+                (F.col("est_folded") == F.col("est_reversed"))
+                & (F.col("est_folded") == F.col("est_hierarchical"))
+            ).alias("merge_consistent"),
+            (
+                F.abs(
+                    F.col("est_folded") / F.col("n_exact") - F.lit(1.0)
+                )
+                <= F.lit(0.05)
+            ).alias("within_tolerance"),
+        )
+    )
+
+
+@register(
     "zorder_bucket_histogram",
     oracle="""
     WITH stats AS (

@@ -301,3 +301,28 @@ def finalize_minmax(state: DataFrame, value_col: str) -> DataFrame:
             F.max(value_col).alias("vmax"),
         )
     )
+
+
+def finalize_distinct(state: DataFrame, value_col: str) -> DataFrame:
+    """(keys..., n_rows, n_distinct) from multiset state: exact
+    COUNT(DISTINCT value) under retractions. Like min/max, distinct
+    count is not a group aggregate — deleting one row can only lower
+    the count if it was the value's LAST surviving row, which scalar
+    state (or a distinct-value SET without counts) cannot know. The
+    multiset knows: a value is present iff its net count is positive,
+    so n_distinct is simply the surviving (key, value) row count. Same
+    state, same fold, same |distinct (key, value)| size bound as
+    finalize_minmax — one maintained multiset serves min, max, AND
+    count-distinct. (Insert-only approximate tier: per-batch HLL
+    sketches merged with hll_union_agg — see the
+    incremental_hll_distinct_view gate — trade this exactness for
+    fixed 2^lgK-byte state when the value domain is unbounded.)"""
+    keys = [c for c in state.columns if c not in (value_col, "_cnt")]
+    return (
+        state.filter(F.col("_cnt") > 0)
+        .groupBy(*keys)
+        .agg(
+            F.sum("_cnt").alias("n_rows"),
+            F.count(value_col).alias("n_distinct"),
+        )
+    )

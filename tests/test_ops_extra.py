@@ -482,3 +482,36 @@ def test_multiset_minmax_survives_extremum_deletion(spark):
     out = {r["grp"]: (r["n_rows"], r["vmin"], r["vmax"])
            for r in finalize_minmax(merged, "v").collect()}
     assert out == {"x": (2, 3.0, 7.0)}  # max fell back 10.0 -> 7.0; y gone
+
+
+def test_multiset_distinct_partial_vs_last_row_deletes(spark):
+    """operators/incremental.finalize_distinct: deleting ONE of a
+    value's two rows must not lower the distinct count (the value
+    survives), deleting a value's LAST row must lower it, and a
+    fully-retracted group must disappear — the two delete kinds a
+    distinct-value set without counts cannot tell apart."""
+    from bigdata_googleplaystore_spark.operators.incremental import (
+        finalize_distinct,
+        merge_multisets,
+        multiset_state,
+    )
+
+    base = spark.createDataFrame(
+        [("x", 10.0), ("x", 10.0), ("x", 7.0), ("x", 3.0), ("y", 5.0)],
+        "grp STRING, v DOUBLE",
+    )
+    state = multiset_state(base, ["grp"], "v")
+    # partial delete (one of x's two 10.0 rows), last-row delete (x's
+    # only 7.0 row), full group retraction (y's only row)
+    deletes = spark.createDataFrame(
+        [("x", 10.0, -1), ("x", 7.0, -1), ("y", 5.0, -1)],
+        "grp STRING, v DOUBLE, _mult INT",
+    )
+    merged = merge_multisets(
+        state, multiset_state(deletes, ["grp"], "v", "_mult")
+    )
+    out = {r["grp"]: (r["n_rows"], r["n_distinct"])
+           for r in finalize_distinct(merged, "v").collect()}
+    # x: 4 rows -> 2 rows; distinct 3 -> 2 (10.0 SURVIVES its partial
+    # delete, 7.0 is gone); y fully retracted
+    assert out == {"x": (2, 2)}
