@@ -24,22 +24,25 @@ from .tpch import flagship  # noqa: E402,F401
 # then the remaining never-checked (the next round's rotation head), then
 # the rest of the previously-green set, oldest evidence first.
 #
-# Round-8 window (VERDICT r07 items 2, 4, 5, 6): the 12 queries
-# changed or added this round head the window — the eight new gates
+# Round-8 window (VERDICT r07 items 2, 4, 5, 6): the 15 queries
+# changed or added this round head the window — the eleven new gates
 # (retraction-capable join IVM via signed multiplicities, MIN/MAX-
 # under-deletes via multiset value-count state, the streaming CDC
 # signed materialized view, the IVF full-probe ≡ brute-force
 # deterministic endpoint, the composed IVF-PQ rerank pipeline at the
 # same endpoint, the multi-table LSH recall lower bound at the
 # production 0.9 threshold, the max_shingle_df hot-shingle cap under
-# a planted-boilerplate oracle, and the spark.sql(args=) named-
-# parameter + GROUP BY ALL surface)
+# a planted-boilerplate oracle, the spark.sql(args=) named-
+# parameter + GROUP BY ALL surface, COUNT(DISTINCT)-under-retractions
+# via the multiset's third face, the HLL sketch-merge distinct MV on
+# fold-plan invariance, and the applyInPandasWithState per-key top-k
+# stateful streaming gate)
 # plus the four advisor-touched gates (dpp's probe-row reuse, bloom's
 # isSet-semantics conf restore, zorder's Hadoop-FS footer walk,
 # analyze's metastore cleanup) which need fresh rows because their
 # implementations changed. Then ALL 39 queries whose newest driver row
 # is r03 (the oldest evidence left after r07 closed the pre-r03 gap) —
-# 53 names total; the driver records ~50, so the last few r03 names
+# 54 names total; the driver records ~50, so the last few r03 names
 # may roll to r09. The 45 r04-stale names sit below the cutoff in r04
 # insertion order as the r09 rotation head.
 _PRIORITY: list[str] = [
@@ -55,6 +58,7 @@ _PRIORITY: list[str] = [
     "sql_named_params_group_by_all",  # new: spark.sql(args=) + GROUP BY ALL
     "incremental_distinct_view_retractions",  # new: COUNT(DISTINCT) IVM
     "incremental_hll_distinct_view",  # new: HLL sketch-merge distinct MV
+    "stream_stateful_topk_types",  # new: applyInPandasWithState top-k gate
     # (b) implementation changed this round (r07 advice) — re-gate:
     "dpp_partition_pruned_join",
     "bloom_join_pruning",
@@ -101,7 +105,7 @@ _PRIORITY: list[str] = [
     "udtf_word_bigrams",
     "window_first_last_nth",
     "window_time_range_rolling",
-    # ===== window cutoff (11 + 39 = 50) — entries below are the r09
+    # ===== window cutoff (15 + 39 = 54) — entries below are the r09
     # rotation head: the 45 r04-stale queries, r04 insertion order:
     "text_char_entropy",
     "logreg_quality_classifier",

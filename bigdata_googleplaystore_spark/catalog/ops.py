@@ -5940,6 +5940,86 @@ def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_stateful_topk_types",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_type FROM events
+      WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    ),
+    c AS (
+      SELECT user_id, event_type, count(*) AS n
+      FROM ev GROUP BY user_id, event_type
+    ),
+    t AS (
+      SELECT user_id, count(*) AS total_seen FROM ev GROUP BY user_id
+    ),
+    r AS (
+      SELECT user_id, event_type, n,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY n DESC, event_type ASC
+             ) AS rk
+      FROM c
+    )
+    SELECT r.user_id,
+           r.event_type,
+           CAST(r.n AS BIGINT) AS n,
+           CAST(r.rk AS INTEGER) AS rk,
+           CAST(t.total_seen AS BIGINT) AS total_seen
+    FROM r JOIN t ON r.user_id = t.user_id
+    WHERE r.rk <= 3
+    """,
+    tags=("streaming", "stateful", "topk"),
+)
+def stream_stateful_topk_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM stateful streaming operator inside the correctness gate:
+    per-user top-3 event types via applyInPandasWithState
+    (streaming.user_top_types_stream_v1 — arbitrary per-key state the
+    built-in windowed aggregations cannot express: a category->count
+    map folded across micro-batches, re-ranked per batch). The events
+    table replays as a bounded file stream in SINGLE-FILE micro-batches
+    (4-file source, maxFilesPerTrigger=1), so per-key state genuinely
+    survives and accumulates across >= 4 batches; each batch emits the
+    key's refreshed top-k snapshot in update mode, and the gate keeps
+    each key's LATEST snapshot (max total_seen — strictly increasing on
+    every appearance) — which must hash-match the oracle's batch
+    top-3-per-user over the raw table (count desc, type asc tiebreak on
+    both sides). Stale state (a batch's counts dropped), double-applied
+    batches (counts doubled), or a tiebreak drift all change n/rk and
+    hash-fail. This registers the v2-equivalent semantics through the
+    dependency-free v1 state API; the v2 transformWithStateInPandas
+    form of the same operator (typed MapState + eviction cap) is
+    unit-tested in tests/test_streaming.py.
+
+    Scale posture: state is O(keys x categories) map entries sharded by
+    the stream's key hash — the same layout the state store keeps at
+    1000 executors; snapshots are emitted only for keys PRESENT in a
+    batch (update mode), so per-batch output is batch-bounded, not
+    keyspace-bounded. Arrow-batched Python (the state fn sees pandas
+    frames); value_counts folds each batch vectorized."""
+    from .. import streaming
+
+    batch = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    src = _stream_src_dir("topk", sf_dir)
+    batch.repartition(4).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    snaps = streaming.user_top_types_stream_v1(stream, k=3)
+    drained = streaming.run_stream_to_memory(
+        snaps, "cat_stream_topk", "update"
+    )
+    latest = Window.partitionBy("user_id")
+    return (
+        drained.withColumn("_max_seen", F.max("total_seen").over(latest))
+        .filter(F.col("total_seen") == F.col("_max_seen"))
+        .select("user_id", "event_type", "n", "rk", "total_seen")
+    )
+
+
+@register(
     "stream_incremental_agg_view",
     oracle="""
     SELECT event_type,
