@@ -295,7 +295,12 @@ def ivf_pq_topk(
     knobs are n_probe (measured curve: tools/ann_recall_probe_r07.py,
     0.82 -> 1.00) and shortlist/M (ADC recall@10 0.185-0.355 at
     M=4-16 — why ADC is the candidate stage, and why the rerank is
-    exact).
+    exact). The COMPOSED pipeline's end-to-end curve is measured on
+    the real sf0.1 corpus (tools/ivf_pq_recall_probe_r08.py, 16
+    cells, M=8): recall@5 vs exact = 0.460 (probe 2/16, shortlist
+    20) / 0.608 (4/16, 50) / 0.636 (8/16, 50) / 0.900 (8/16,
+    rerank-all-probed) / 1.000 (full probe, asserted) — the ADC
+    shortlist is the cheap knob, the cell probe the recall knob.
 
     100 TB shape: the corpus at rest is (cell, M-byte codes) — cells
     partition-prune the scan, codes keep it ~64x smaller than vectors,
