@@ -24,8 +24,8 @@ from .tpch import flagship  # noqa: E402,F401
 # then the remaining never-checked (the next round's rotation head), then
 # the rest of the previously-green set, oldest evidence first.
 #
-# Round-8 window (VERDICT r07 items 2, 4, 5, 6): the 15 queries
-# changed or added this round head the window — the eleven new gates
+# Round-8 window (VERDICT r07 items 2, 4, 5, 6): the 16 queries
+# changed or added this round head the window — the twelve new gates
 # (retraction-capable join IVM via signed multiplicities, MIN/MAX-
 # under-deletes via multiset value-count state, the streaming CDC
 # signed materialized view, the IVF full-probe ≡ brute-force
@@ -35,14 +35,14 @@ from .tpch import flagship  # noqa: E402,F401
 # a planted-boilerplate oracle, the spark.sql(args=) named-
 # parameter + GROUP BY ALL surface, COUNT(DISTINCT)-under-retractions
 # via the multiset's third face, the HLL sketch-merge distinct MV on
-# fold-plan invariance, and the applyInPandasWithState per-key top-k
-# stateful streaming gate)
+# fold-plan invariance, the applyInPandasWithState per-key top-k
+# stateful streaming gate, and the time-travel as-of-version MV read)
 # plus the four advisor-touched gates (dpp's probe-row reuse, bloom's
 # isSet-semantics conf restore, zorder's Hadoop-FS footer walk,
 # analyze's metastore cleanup) which need fresh rows because their
 # implementations changed. Then ALL 39 queries whose newest driver row
 # is r03 (the oldest evidence left after r07 closed the pre-r03 gap) —
-# 54 names total; the driver records ~50, so the last few r03 names
+# 55 names total; the driver records ~50, so the last few r03 names
 # may roll to r09. The 45 r04-stale names sit below the cutoff in r04
 # insertion order as the r09 rotation head.
 _PRIORITY: list[str] = [
@@ -59,6 +59,7 @@ _PRIORITY: list[str] = [
     "incremental_distinct_view_retractions",  # new: COUNT(DISTINCT) IVM
     "incremental_hll_distinct_view",  # new: HLL sketch-merge distinct MV
     "stream_stateful_topk_types",  # new: applyInPandasWithState top-k gate
+    "mv_time_travel_read",  # new: as-of-version MV read, partition-pruned
     # (b) implementation changed this round (r07 advice) — re-gate:
     "dpp_partition_pruned_join",
     "bloom_join_pruning",
@@ -105,7 +106,7 @@ _PRIORITY: list[str] = [
     "udtf_word_bigrams",
     "window_first_last_nth",
     "window_time_range_rolling",
-    # ===== window cutoff (15 + 39 = 54) — entries below are the r09
+    # ===== window cutoff (16 + 39 = 55) — entries below are the r09
     # rotation head: the 45 r04-stale queries, r04 insertion order:
     "text_char_entropy",
     "logreg_quality_classifier",

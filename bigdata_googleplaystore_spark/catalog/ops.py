@@ -6085,6 +6085,81 @@ def stream_incremental_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mv_time_travel_read",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_rows,
+           CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total,
+           CAST(round(min(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS vmin,
+           CAST(round(max(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS vmax
+    FROM events
+    WHERE event_id % 4 <= 1
+    GROUP BY event_type
+    """,
+    tags=("incremental", "materialized-view", "time-travel", "scale"),
+)
+def mv_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-TRAVEL over the incremental materialized view: four ingest
+    batches (event_id % 4 — SQL-derivable batch membership, the daily-
+    partition-lands shape) each write their mergeable partial into
+    their own immutable `_batch_id` partition (the same per-batch
+    protocol the streaming MV gates exercise), then the gate reads the
+    view AS OF VERSION 1 — folding only batches 0–1 via
+    streaming.read_incremental_state_asof — AFTER all four batches have
+    landed. The result must hash-match the oracle's direct aggregate
+    over only the first two batches' rows: a reader that ignores the
+    version pin folds batches 2–3 and inflates every n_rows/total; a
+    writer that let a later batch clobber an earlier partition breaks
+    min/max. This is dataset REPRODUCIBILITY recovered from plain
+    partitioned parquet — pin a training run to version v and the
+    exact view it trained on stays reconstructible forever, no
+    transactional table format required.
+
+    Exactness across the version boundary: the value column is staged
+    DECIMAL(12,2) before the per-batch partial sum (split-invariant
+    fold, same as stream_incremental_agg_view). Scale posture:
+    _batch_id is a partition column, so the as-of predicate PRUNES
+    newer partitions at the scan (plan-asserted in
+    tests/test_plans.py) — a version read costs O(partials up to v),
+    never O(all history), and each backfill batch shuffles only its
+    own |keys| partial rows."""
+    import shutil
+
+    from .. import streaming
+    from ..operators import incremental
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", dec2(F.col("value")).alias("v")
+    )
+    state = _stream_src_dir("ttravel_state", sf_dir)
+    shutil.rmtree(state, ignore_errors=True)
+    # Backfill: each batch commits its own immutable partition — the
+    # same idempotent protocol run_stream_incremental_agg's foreachBatch
+    # writer uses (dynamic partition overwrite on _batch_id).
+    for bid in range(4):
+        (
+            incremental.partial_agg(
+                ev.filter(F.col("event_id") % 4 == bid).drop("event_id"),
+                ["event_type"],
+                "v",
+            )
+            .withColumn("_batch_id", F.lit(bid))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(state)
+        )
+    view = streaming.read_incremental_state_asof(spark, state, as_of_batch=1)
+    return view.select(
+        "event_type",
+        "n_rows",
+        F.round("total", 2).cast("double").alias("total"),
+        F.round("vmin", 2).cast("double").alias("vmin"),
+        F.round("vmax", 2).cast("double").alias("vmax"),
+    )
+
+
+@register(
     "stream_cdc_signed_agg_view",
     oracle="""
     SELECT event_type,

@@ -263,6 +263,32 @@ def read_incremental_state(spark: SparkSession, state_dir: str) -> DataFrame:
     return incremental.finalize(incremental.merge_partials(partials))
 
 
+def read_incremental_state_asof(
+    spark: SparkSession, state_dir: str, as_of_batch: int
+) -> DataFrame:
+    """TIME-TRAVEL read: the aggregate view exactly as it stood after
+    `as_of_batch` was committed — fold only partials with
+    _batch_id <= as_of_batch. Because every batch owns its own
+    immutable partition, any historical version stays reconstructible
+    after later batches land; pinning a training run to a version
+    makes the dataset REPRODUCIBLE (the lineage primitive a
+    transactional table format gives you, recovered here from plain
+    partitioned parquet).
+
+    Scale posture: _batch_id is a PARTITION column, so the as-of
+    predicate prunes newer partitions at the scan — a version read
+    costs O(partials up to that version), never O(all history), and
+    the fold is the same |keys|-row shuffle as the latest-read path."""
+    from ..operators import incremental
+
+    partials = (
+        spark.read.parquet(state_dir)
+        .filter(F.col("_batch_id") <= as_of_batch)
+        .drop("_batch_id")
+    )
+    return incremental.finalize(incremental.merge_partials(partials))
+
+
 def run_stream_signed_agg(
     stream_df: DataFrame,
     keys: list[str],

@@ -637,3 +637,61 @@ def test_signed_ivm_refresh_plan_structure(spark, sf_dir):
 
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "o_orderpriority" in m.group(1), m.group(0)
+
+
+def test_asof_state_read_prunes_newer_batch_partitions(spark, tmp_path):
+    """streaming.read_incremental_state_asof: the version predicate must
+    reach the state scan as a PartitionFilters entry on _batch_id, and
+    the files actually listed must all live under batches <= v — the
+    physical proof that a time-travel read costs O(partials up to v),
+    not O(all history)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_googleplaystore_spark import streaming
+    from bigdata_googleplaystore_spark.operators import incremental
+
+    state = str(tmp_path / "state")
+    for bid in range(4):
+        base = spark.createDataFrame(
+            [("a", float(bid)), ("b", float(bid) + 0.5)], "k STRING, v DOUBLE"
+        )
+        (
+            incremental.partial_agg(base, ["k"], "v")
+            .withColumn("_batch_id", F.lit(bid))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(state)
+        )
+    # plan with AQE off: AdaptiveSparkPlanExec hides its final plan from
+    # children() traversal (same caveat as ops._fact_scan_metric)
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        view = streaming.read_incremental_state_asof(spark, state, as_of_batch=1)
+        plan = view._jdf.queryExecution().executedPlan().toString()
+        pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+        assert pf and any("_batch_id" in ln for ln in pf), plan
+        # physical metric: the scan must touch exactly the 2 surviving
+        # partitions (batches 0-1), not all 4
+        rows = view.collect()
+        total = 0
+
+        def walk(node):
+            nonlocal total
+            if "Scan" in node.nodeName():
+                it = node.metrics().iterator()
+                while it.hasNext():
+                    kv = it.next()
+                    if kv._1() == "numPartitions":
+                        total += kv._2().value()
+            for i in range(node.children().size()):
+                walk(node.children().apply(i))
+
+        walk(view._jdf.queryExecution().executedPlan())
+        assert total == 2, plan
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    # value check: as-of-1 folds exactly batches 0-1
+    got = {r["k"]: (r["n_rows"], r["total"]) for r in rows}
+    assert got == {"a": (2, 1.0), "b": (2, 2.0)}
