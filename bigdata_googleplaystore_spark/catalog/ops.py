@@ -6133,21 +6133,18 @@ def mv_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     state = _stream_src_dir("ttravel_state", sf_dir)
     shutil.rmtree(state, ignore_errors=True)
-    # Backfill: each batch commits its own immutable partition — the
-    # same idempotent protocol run_stream_incremental_agg's foreachBatch
-    # writer uses (dynamic partition overwrite on _batch_id).
+    # Backfill: each batch commits its own immutable partition through
+    # the SAME writer the streaming MVs use (streaming.
+    # write_batch_partition — one protocol definition, no drift).
     for bid in range(4):
-        (
+        streaming.write_batch_partition(
             incremental.partial_agg(
                 ev.filter(F.col("event_id") % 4 == bid).drop("event_id"),
                 ["event_type"],
                 "v",
-            )
-            .withColumn("_batch_id", F.lit(bid))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("_batch_id")
-            .parquet(state)
+            ),
+            state,
+            bid,
         )
     view = streaming.read_incremental_state_asof(spark, state, as_of_batch=1)
     return view.select(

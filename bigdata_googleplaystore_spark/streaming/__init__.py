@@ -186,6 +186,35 @@ def user_running_totals_stream(
     )
 
 
+def write_batch_partition(df: DataFrame, out_dir: str, batch_id: int) -> None:
+    """THE idempotent per-batch write protocol every batch-partitioned
+    sink and state table here shares: the batch's rows land in their own
+    `_batch_id=<id>` partition via dynamic partition overwrite, so a
+    replayed batch rewrites the same directory instead of appending
+    duplicates — exactly-once without transactions. Single definition so
+    the streaming writers, the batch backfill path, and any future
+    compaction job cannot drift from each other."""
+    (
+        df.withColumn("_batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_batch_id")
+        .parquet(out_dir)
+    )
+
+
+def _read_state_partials(
+    spark: SparkSession, state_dir: str, as_of_batch: int | None = None
+) -> DataFrame:
+    """Per-batch partial-state rows, optionally pinned to a version
+    (_batch_id <= as_of_batch), with the partition column dropped —
+    the single read path under every latest/as-of/signed state fold."""
+    partials = spark.read.parquet(state_dir)
+    if as_of_batch is not None:
+        partials = partials.filter(F.col("_batch_id") <= as_of_batch)
+    return partials.drop("_batch_id")
+
+
 def run_stream_foreach_batch_parquet(
     stream_df: DataFrame, out_dir: str, checkpoint_dir: str
 ) -> None:
@@ -199,13 +228,7 @@ def run_stream_foreach_batch_parquet(
     transactional or idempotent semantics."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        (
-            batch_df.withColumn("_batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("_batch_id")
-            .parquet(out_dir)
-        )
+        write_batch_partition(batch_df, out_dir, batch_id)
 
     q = (
         stream_df.writeStream.foreachBatch(write_batch)
@@ -237,13 +260,10 @@ def run_stream_incremental_agg(
     from ..operators import incremental
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        (
-            incremental.partial_agg(batch_df, keys, value_col)
-            .withColumn("_batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("_batch_id")
-            .parquet(state_dir)
+        write_batch_partition(
+            incremental.partial_agg(batch_df, keys, value_col),
+            state_dir,
+            batch_id,
         )
 
     q = (
@@ -259,7 +279,7 @@ def read_incremental_state(spark: SparkSession, state_dir: str) -> DataFrame:
     """Fold all per-batch partials into the current aggregate view."""
     from ..operators import incremental
 
-    partials = spark.read.parquet(state_dir).drop("_batch_id")
+    partials = _read_state_partials(spark, state_dir)
     return incremental.finalize(incremental.merge_partials(partials))
 
 
@@ -281,11 +301,7 @@ def read_incremental_state_asof(
     the fold is the same |keys|-row shuffle as the latest-read path."""
     from ..operators import incremental
 
-    partials = (
-        spark.read.parquet(state_dir)
-        .filter(F.col("_batch_id") <= as_of_batch)
-        .drop("_batch_id")
-    )
+    partials = _read_state_partials(spark, state_dir, as_of_batch)
     return incremental.finalize(incremental.merge_partials(partials))
 
 
@@ -312,13 +328,10 @@ def run_stream_signed_agg(
     from ..operators import incremental
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        (
-            incremental.partial_agg_signed(batch_df, keys, value_col, mult_col)
-            .withColumn("_batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("_batch_id")
-            .parquet(state_dir)
+        write_batch_partition(
+            incremental.partial_agg_signed(batch_df, keys, value_col, mult_col),
+            state_dir,
+            batch_id,
         )
 
     q = (
@@ -336,7 +349,7 @@ def read_signed_state(spark: SparkSession, state_dir: str) -> DataFrame:
     (operators/incremental.finalize_signed)."""
     from ..operators import incremental
 
-    partials = spark.read.parquet(state_dir).drop("_batch_id")
+    partials = _read_state_partials(spark, state_dir)
     return incremental.finalize_signed(
         incremental.merge_partials_signed(partials)
     )

@@ -665,7 +665,12 @@ def test_asof_state_read_prunes_newer_batch_partitions(spark, tmp_path):
         )
     # plan with AQE off: AdaptiveSparkPlanExec hides its final plan from
     # children() traversal (same caveat as ops._fact_scan_metric)
-    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    from bigdata_googleplaystore_spark.catalog.ops import (
+        _restore_confs,
+        _save_confs,
+    )
+
+    saved = _save_confs(spark, ["spark.sql.adaptive.enabled"])
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         view = streaming.read_incremental_state_asof(spark, state, as_of_batch=1)
@@ -691,7 +696,7 @@ def test_asof_state_read_prunes_newer_batch_partitions(spark, tmp_path):
         walk(view._jdf.queryExecution().executedPlan())
         assert total == 2, plan
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", prev)
+        _restore_confs(spark, saved)
     # value check: as-of-1 folds exactly batches 0-1
     got = {r["k"]: (r["n_rows"], r["total"]) for r in rows}
     assert got == {"a": (2, 1.0), "b": (2, 2.0)}
