@@ -515,3 +515,80 @@ def test_multiset_distinct_partial_vs_last_row_deletes(spark):
     # x: 4 rows -> 2 rows; distinct 3 -> 2 (10.0 SURVIVES its partial
     # delete, 7.0 is gone); y fully retracted
     assert out == {"x": (2, 2)}
+
+
+def test_multiset_state_matches_counter_model_under_random_cdc(spark):
+    """Property (hypothesis): for ANY base multiset and ANY valid CDC
+    feed (deletes only of present rows, arbitrary inserts, split across
+    TWO delta batches folded separately), finalize_minmax and
+    finalize_distinct over the merged state must match a plain
+    collections.Counter reference model — the whole Z-set multiset
+    algebra (state build, signed fold, zero-count eviction, group
+    disappearance) checked against an independent implementation, not
+    against itself."""
+    from collections import Counter
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from bigdata_googleplaystore_spark.operators.incremental import (
+        finalize_distinct,
+        finalize_minmax,
+        merge_multisets,
+        multiset_state,
+    )
+
+    row = st.tuples(st.sampled_from(["a", "b"]), st.sampled_from([1.0, 2.0, 3.0]))
+
+    @settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(
+        base=st.lists(row, min_size=1, max_size=12),
+        delete_idx=st.sets(st.integers(min_value=0, max_value=11)),
+        inserts=st.lists(row, max_size=6),
+        split=st.integers(min_value=0, max_value=6),
+    )
+    def check(base, delete_idx, inserts, split):
+        deletes = [base[i] for i in delete_idx if i < len(base)]
+        model = Counter(base)
+        model.subtract(deletes)
+        model.update(inserts)
+        # two delta batches: deletes in one, inserts split across both
+        d1 = [(g, v, -1) for g, v in deletes] + [
+            (g, v, 1) for g, v in inserts[:split]
+        ]
+        d2 = [(g, v, 1) for g, v in inserts[split:]]
+        schema = "grp STRING, v DOUBLE, _mult INT"
+        states = [multiset_state(spark.createDataFrame(base, "grp STRING, v DOUBLE"), ["grp"], "v")]
+        for d in (d1, d2):
+            if d:
+                states.append(
+                    multiset_state(
+                        spark.createDataFrame(d, schema), ["grp"], "v", "_mult"
+                    )
+                )
+        merged = merge_multisets(*states)
+        # reference per-group answers over surviving (count > 0) values
+        surviving: dict[str, list[tuple[float, int]]] = {}
+        for (g, v), c in model.items():
+            assert c >= 0  # valid CDC by construction
+            if c > 0:
+                surviving.setdefault(g, []).append((v, c))
+        want_minmax = {
+            g: (sum(c for _, c in vals), min(v for v, _ in vals), max(v for v, _ in vals))
+            for g, vals in surviving.items()
+        }
+        want_distinct = {
+            g: (sum(c for _, c in vals), len(vals)) for g, vals in surviving.items()
+        }
+        got_minmax = {
+            r["grp"]: (r["n_rows"], r["vmin"], r["vmax"])
+            for r in finalize_minmax(merged, "v").collect()
+        }
+        got_distinct = {
+            r["grp"]: (r["n_rows"], r["n_distinct"])
+            for r in finalize_distinct(merged, "v").collect()
+        }
+        assert got_minmax == want_minmax
+        assert got_distinct == want_distinct
+
+    check()
