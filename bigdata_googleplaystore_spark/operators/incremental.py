@@ -233,12 +233,17 @@ def finalize_signed(partial: DataFrame) -> DataFrame:
     """User-facing (count, sum, avg) from signed partial state. Groups
     whose every row was retracted net to _n = 0 and are DROPPED — a
     full recompute over the post-change tables would have no such
-    group, and emitting a zero row instead would diverge from it."""
+    group, and emitting a zero row instead would diverge from it.
+    Likewise, a group whose every NON-NULL row was retracted nets
+    _n_nonnull = 0 with _sum = 0.0, but SQL's SUM over zero non-null
+    rows is NULL — so total is nulled on that condition to stay
+    recompute-exact (caught by the hypothesis model test in
+    tests/test_ops_extra.py, not by the integer-valued gates)."""
     keys = [c for c in partial.columns if c not in _SIGNED_STATE_COLS]
     return partial.filter(F.col("_n") > 0).select(
         *keys,
         F.col("_n").alias("n_rows"),
-        F.col("_sum").alias("total"),
+        F.when(F.col("_n_nonnull") > 0, F.col("_sum")).alias("total"),
         F.when(
             F.col("_n_nonnull") > 0, F.col("_sum") / F.col("_n_nonnull")
         ).alias("vavg"),

@@ -592,3 +592,76 @@ def test_multiset_state_matches_counter_model_under_random_cdc(spark):
         assert got_distinct == want_distinct
 
     check()
+
+
+def test_signed_partials_match_counter_model_under_random_cdc(spark):
+    """Property (hypothesis): the signed SCALAR state (partial_agg ->
+    merge_partials_signed -> finalize_signed) must match an independent
+    Python reference over any base + valid CDC feed, including NULL
+    values (count vs non-null count diverge), fully-retracted groups
+    (dropped), and deltas split across two batches."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from bigdata_googleplaystore_spark.operators.incremental import (
+        finalize_signed,
+        merge_partials_signed,
+        partial_agg,
+        partial_agg_signed,
+    )
+
+    row = st.tuples(
+        st.sampled_from(["a", "b"]),
+        st.sampled_from([1.0, 2.0, 3.0, None]),
+    )
+
+    @settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(
+        base=st.lists(row, min_size=1, max_size=12),
+        delete_idx=st.sets(st.integers(min_value=0, max_value=11)),
+        inserts=st.lists(row, max_size=6),
+        split=st.integers(min_value=0, max_value=6),
+    )
+    def check(base, delete_idx, inserts, split):
+        deletes = [base[i] for i in delete_idx if i < len(base)]
+        d1 = [(g, v, -1) for g, v in deletes] + [
+            (g, v, 1) for g, v in inserts[:split]
+        ]
+        d2 = [(g, v, 1) for g, v in inserts[split:]]
+        schema = "grp STRING, v DOUBLE, _mult INT"
+        states = [
+            partial_agg(
+                spark.createDataFrame(base, "grp STRING, v DOUBLE"), ["grp"], "v"
+            )
+        ]
+        for d in (d1, d2):
+            if d:
+                states.append(
+                    partial_agg_signed(
+                        spark.createDataFrame(d, schema), ["grp"], "v"
+                    )
+                )
+        got = {
+            r["grp"]: (r["n_rows"], r["total"], r["vavg"])
+            for r in finalize_signed(merge_partials_signed(*states)).collect()
+        }
+        # reference model over the net surviving rows
+        from collections import Counter
+
+        net = Counter(base)
+        net.subtract(deletes)
+        net.update(inserts)
+        want = {}
+        for grp in ("a", "b"):
+            rows = [(v, c) for (g, v), c in net.items() if g == grp and c != 0]
+            n = sum(c for _, c in rows)
+            if n == 0:
+                continue  # fully retracted -> dropped, like a recompute
+            nonnull = [(v, c) for v, c in rows if v is not None]
+            nn = sum(c for _, c in nonnull)
+            # SQL SUM/AVG over zero non-null rows is NULL
+            total = sum(v * c for v, c in nonnull) if nn > 0 else None
+            want[grp] = (n, total, None if nn == 0 else total / nn)
+        assert got == want
+
+    check()
