@@ -665,3 +665,79 @@ def test_signed_partials_match_counter_model_under_random_cdc(spark):
         assert got == want
 
     check()
+
+
+def test_delta_join_signed_matches_model_under_random_two_sided_cdc(spark):
+    """Property (hypothesis): the bilinear delta rule maintains the
+    joined view exactly under ANY two-sided CDC feed — random deletes
+    of present rows and random inserts on BOTH join sides — checked
+    against an independent Counter model of the recomputed post-change
+    join (per-key counts multiply: |A'_k| x |B'_k| rows, each carrying
+    its B-side value). Randomization covers the interaction cases the
+    fixed gates plant by hand: delete x delete in the cross term,
+    key appearing only in a delta, groups vanishing entirely."""
+    from collections import Counter
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from bigdata_googleplaystore_spark.operators.incremental import (
+        delta_join_signed,
+        finalize_signed,
+        merge_partials_signed,
+        partial_agg,
+        partial_agg_signed,
+    )
+
+    a_row = st.sampled_from([(k,) for k in (1, 2, 3)])
+    b_row = st.tuples(st.sampled_from([1, 2, 3]), st.sampled_from([1.0, 2.0, 5.0]))
+
+    @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(
+        a=st.lists(a_row, min_size=1, max_size=6),
+        b=st.lists(b_row, min_size=1, max_size=6),
+        a_del=st.sets(st.integers(min_value=0, max_value=5)),
+        b_del=st.sets(st.integers(min_value=0, max_value=5)),
+        a_ins=st.lists(a_row, max_size=3),
+        b_ins=st.lists(b_row, max_size=3),
+    )
+    def check(a, b, a_del, b_del, a_ins, b_ins):
+        a_deletes = [a[i] for i in a_del if i < len(a)]
+        b_deletes = [b[i] for i in b_del if i < len(b)]
+        a_df = spark.createDataFrame(a, "k INT")
+        b_df = spark.createDataFrame(b, "k INT, y DOUBLE")
+        da = spark.createDataFrame(
+            [(k, -1) for (k,) in a_deletes] + [(k, 1) for (k,) in a_ins],
+            "k INT, _mult INT",
+        )
+        db = spark.createDataFrame(
+            [(k, y, -1) for k, y in b_deletes] + [(k, y, 1) for k, y in b_ins],
+            "k INT, y DOUBLE, _mult INT",
+        )
+        old_state = partial_agg(a_df.join(b_df, "k"), ["k"], "y")
+        delta = delta_join_signed(a_df, da, b_df, db, "k")
+        got = {
+            r["k"]: (r["n_rows"], r["total"])
+            for r in finalize_signed(
+                merge_partials_signed(old_state, partial_agg_signed(delta, ["k"], "y"))
+            ).collect()
+        }
+        # model: recompute A' join B' per key
+        a_net = Counter(k for (k,) in a)
+        a_net.subtract(k for (k,) in a_deletes)
+        a_net.update(k for (k,) in a_ins)
+        b_net = Counter(b)
+        b_net.subtract(b_deletes)
+        b_net.update(b_ins)
+        want = {}
+        for k in (1, 2, 3):
+            na = a_net[k]
+            b_rows = [(y, c) for (bk, y), c in b_net.items() if bk == k and c != 0]
+            nb = sum(c for _, c in b_rows)
+            n = na * nb
+            if n == 0:
+                continue
+            want[k] = (n, na * sum(y * c for y, c in b_rows))
+        assert got == want
+
+    check()
