@@ -741,3 +741,55 @@ def test_delta_join_signed_matches_model_under_random_two_sided_cdc(spark):
         assert got == want
 
     check()
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Property (hypothesis): the union-marker as-of join must agree with
+    an INDEPENDENT implementation of the same semantics — pandas
+    merge_asof (backward, inclusive) — on random tables. Right-side
+    (key, ts) pairs are generated unique so both implementations' tie
+    rules coincide; left timestamps repeat freely and may precede every
+    right row (null match)."""
+    import pandas as pd
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from bigdata_googleplaystore_spark.operators.asof import asof_join
+
+    left_row = st.tuples(
+        st.sampled_from([1, 2]), st.integers(min_value=0, max_value=20)
+    )
+    right_pair = st.tuples(
+        st.sampled_from([1, 2]), st.integers(min_value=0, max_value=20)
+    )
+
+    @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(
+        left=st.lists(left_row, min_size=1, max_size=10),
+        right_keys=st.sets(right_pair, min_size=1, max_size=10),
+    )
+    def check(left, right_keys):
+        right = [(k, t, float(k * 100 + t)) for k, t in sorted(right_keys)]
+        ldf = spark.createDataFrame(
+            [(k, t, i) for i, (k, t) in enumerate(left)], "k INT, ts INT, lid INT"
+        )
+        rdf = spark.createDataFrame(right, "k INT, ts INT, val DOUBLE")
+        got = sorted(
+            (r["k"], r["ts"], r["lid"], r["val"])
+            for r in asof_join(ldf, rdf, "k", "ts", ["val"], tiebreak="lid").collect()
+        )
+        lpd = pd.DataFrame(
+            [(k, t, i) for i, (k, t) in enumerate(left)],
+            columns=["k", "ts", "lid"],
+        ).sort_values("ts", kind="stable")
+        rpd = pd.DataFrame(right, columns=["k", "ts", "val"]).sort_values(
+            "ts", kind="stable"
+        )
+        m = pd.merge_asof(lpd, rpd, on="ts", by="k", direction="backward")
+        want = sorted(
+            (int(r.k), int(r.ts), int(r.lid), None if pd.isna(r.val) else float(r.val))
+            for r in m.itertuples()
+        )
+        assert got == want
+
+    check()
