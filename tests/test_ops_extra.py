@@ -793,3 +793,47 @@ def test_asof_join_matches_pandas_merge_asof(spark):
         assert got == want
 
     check()
+
+
+def test_connected_components_match_union_find(spark):
+    """Property (hypothesis): iterative min-label propagation over random
+    edge lists must produce exactly the components a trivially-correct
+    union-find computes — including long path-shaped components that
+    need several propagation rounds, and the min-node-id component
+    labeling contract."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from bigdata_googleplaystore_spark.operators.dedup import connected_components
+
+    edge = st.tuples(
+        st.integers(min_value=0, max_value=15), st.integers(min_value=0, max_value=15)
+    )
+
+    @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(edges=st.lists(edge, min_size=1, max_size=25))
+    def check(edges):
+        df = spark.createDataFrame(edges, "doc_a INT, doc_b INT")
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(df).collect()
+        }
+        # reference: union-find with path compression
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        comps: dict[int, list[int]] = {}
+        for n in parent:
+            comps.setdefault(find(n), []).append(n)
+        want = {n: min(members) for members in comps.values() for n in members}
+        assert got == want
+
+    check()
