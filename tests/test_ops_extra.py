@@ -837,3 +837,81 @@ def test_connected_components_match_union_find(spark):
         assert got == want
 
     check()
+
+
+def test_triangle_count_matches_brute_force(spark):
+    """Property (hypothesis): both triangle-count methods (edge-iterator
+    and wedge-join, each built on the degree-ordered orientation) must
+    equal a brute-force triple enumeration on random graphs — self-loops
+    and duplicate/reversed edges included, which the canonicalization
+    must absorb."""
+    from itertools import combinations
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from bigdata_googleplaystore_spark.operators.graph import triangle_count
+
+    edge = st.tuples(
+        st.integers(min_value=0, max_value=12), st.integers(min_value=0, max_value=12)
+    )
+
+    @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(edges=st.lists(edge, min_size=1, max_size=30))
+    def check(edges):
+        und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+        nodes = {n for e in und for n in e}
+        want = sum(
+            1
+            for x, y, z in combinations(sorted(nodes), 3)
+            if (x, y) in und and (x, z) in und and (y, z) in und
+        )
+        df = spark.createDataFrame(edges, "a INT, b INT")
+        for method in ("edge_iter", "wedge"):
+            row = triangle_count(df, method=method).collect()[0]
+            assert row["n_triangles"] == want, (method, sorted(und))
+            assert row["n_edges"] == len(und) and row["n_nodes"] == len(nodes)
+
+    check()
+
+
+def test_pagerank_matches_python_model(spark):
+    """Property (hypothesis): the DataFrame PageRank iteration must match
+    a plain-Python reference of the same unnormalized recurrence
+    (rank = (1-d) + d * sum of in-contributions, duplicate edges each
+    contributing) on random digraphs, within float tolerance."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from bigdata_googleplaystore_spark.operators.graph import pagerank
+
+    edge = st.tuples(
+        st.integers(min_value=0, max_value=8), st.integers(min_value=0, max_value=8)
+    )
+
+    @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(edges=st.lists(edge, min_size=1, max_size=15))
+    def check(edges):
+        d = 0.85
+        iters = 5
+        got = {
+            r["node"]: r["rank"]
+            for r in pagerank(
+                spark.createDataFrame(edges, "src INT, dst INT"), iterations=iters
+            ).collect()
+        }
+        nodes = {n for e in edges for n in e}
+        out_deg: dict[int, int] = {}
+        for s, _ in edges:
+            out_deg[s] = out_deg.get(s, 0) + 1
+        rank = {n: 1.0 for n in nodes}
+        for _ in range(iters):
+            in_sum = {n: 0.0 for n in nodes}
+            for s, t in edges:
+                in_sum[t] += rank[s] / out_deg[s]
+            rank = {n: (1.0 - d) + d * in_sum[n] for n in nodes}
+        assert set(got) == nodes
+        for n in nodes:
+            assert abs(got[n] - rank[n]) < 1e-9, (n, got[n], rank[n])
+
+    check()
