@@ -915,3 +915,44 @@ def test_pagerank_matches_python_model(spark):
             assert abs(got[n] - rank[n]) < 1e-9, (n, got[n], rank[n])
 
     check()
+
+
+def test_winnow_rows_match_python_reference(spark):
+    """Property (hypothesis): the staged winnowing pipeline (lower ->
+    char k-grams -> md5 -> window minima -> distinct) must reproduce a
+    direct Python implementation of the Schleimer et al. scheme on
+    random texts — including the short-document fallback (>= 1 gram but
+    < w hashes -> global min) and empty-gram docs (no fingerprints)."""
+    import hashlib
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from bigdata_googleplaystore_spark.operators.dedup import winnow_rows
+
+    text = st.text(alphabet="abC xyZ.", min_size=0, max_size=30)
+    K, W = 5, 3
+
+    def reference(t: str) -> set[str]:
+        t = t.lower()
+        grams = [t[i : i + K] for i in range(len(t) - K + 1)]
+        hs = [hashlib.md5(g.encode()).hexdigest() for g in grams]
+        if not hs:
+            return set()
+        if len(hs) < W:
+            return {min(hs)}
+        return {min(hs[i : i + W]) for i in range(len(hs) - W + 1)}
+
+    @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(texts=st.lists(text, min_size=1, max_size=6))
+    def check(texts):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id INT, body STRING"
+        )
+        got: dict[int, set] = {}
+        for r in winnow_rows(df, "doc_id", "body", k=K, w=W).collect():
+            got.setdefault(r["doc"], set()).add(r["fp"])
+        want = {i: reference(t) for i, t in enumerate(texts) if reference(t)}
+        assert got == want
+
+    check()
