@@ -956,3 +956,52 @@ def test_winnow_rows_match_python_reference(spark):
         assert got == want
 
     check()
+
+
+def test_jaccard_pairs_match_python_model(spark):
+    """Property (hypothesis): the inverted-index n-gram Jaccard join must
+    produce exactly the pairs a brute-force Python model finds — same
+    shingle sets (whitespace tokens, word 3-grams, distinct), same
+    |inter|/|union| values, same threshold cut — on random small corpora
+    with forced vocabulary overlap. Docs with < n tokens have empty
+    shingle sets and must never pair."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from bigdata_googleplaystore_spark.operators.dedup import jaccard_pairs
+
+    doc = st.lists(
+        st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=0, max_size=6
+    ).map(" ".join)
+
+    def sh(t: str) -> frozenset:
+        toks = t.strip().lower().split() or [""]
+        return frozenset(
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        )
+
+    @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(docs=st.lists(doc, min_size=2, max_size=6))
+    def check(docs):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(docs)], "doc_id INT, body STRING"
+        )
+        got = {
+            tuple(sorted((r["doc_a"], r["doc_b"]))): r["jaccard"]
+            for r in jaccard_pairs(df, "doc_id", "body", n=3, threshold=0.3).collect()
+        }
+        want = {}
+        sets = {i: sh(t) for i, t in enumerate(docs)}
+        for a in range(len(docs)):
+            for b in range(a + 1, len(docs)):
+                inter = len(sets[a] & sets[b])
+                if inter == 0:
+                    continue
+                j = inter / len(sets[a] | sets[b])
+                if round(j, 6) >= 0.3:
+                    want[(a, b)] = j
+        assert set(got) == set(want)
+        for p, j in want.items():
+            assert abs(got[p] - j) < 1e-6, (p, got[p], j)
+
+    check()
