@@ -1005,3 +1005,59 @@ def test_jaccard_pairs_match_python_model(spark):
             assert abs(got[p] - j) < 1e-6, (p, got[p], j)
 
     check()
+
+
+def test_cosine_topk_matches_numpy_model(spark):
+    """Property (hypothesis): the exact brute-force cosine top-k must
+    reproduce a numpy model applying the operator's documented contract
+    — cosine rounded HALF_UP to 4 decimals, rank by (sim desc, cand_id
+    asc) — on random integer vectors (non-zero, so cosine is defined)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from bigdata_googleplaystore_spark.operators.similarity import cosine_topk
+
+    vec = st.lists(
+        st.integers(min_value=-3, max_value=3), min_size=3, max_size=3
+    ).filter(lambda v: any(v))
+
+    @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(
+        corpus=st.lists(vec, min_size=1, max_size=8),
+        queries=st.lists(vec, min_size=1, max_size=3),
+    )
+    def check(corpus, queries):
+        cdf = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(corpus)],
+            "vec_id INT, embedding ARRAY<DOUBLE>",
+        )
+        qdf = spark.createDataFrame(
+            [(100 + i, [float(x) for x in v]) for i, v in enumerate(queries)],
+            "vec_id INT, embedding ARRAY<DOUBLE>",
+        )
+        got = sorted(
+            (r["query_id"], r["rn"], r["cand_id"], r["sim"])
+            for r in cosine_topk(cdf, qdf, k=4).collect()
+        )
+        want = []
+        for qi, q in enumerate(queries):
+            qa = np.array(q, dtype=np.float64)
+            sims = []
+            for ci, c in enumerate(corpus):
+                ca = np.array(c, dtype=np.float64)
+                cos = float(qa @ ca) / (
+                    float(np.linalg.norm(qa)) * float(np.linalg.norm(ca))
+                )
+                r4 = float(
+                    Decimal(repr(cos)).quantize(Decimal("0.0001"), ROUND_HALF_UP)
+                )
+                sims.append((ci, r4))
+            sims.sort(key=lambda t: (-t[1], t[0]))
+            for rn, (ci, s) in enumerate(sims[:4], start=1):
+                want.append((100 + qi, rn, ci, s))
+        assert got == sorted(want)
+
+    check()
