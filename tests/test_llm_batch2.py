@@ -1300,3 +1300,38 @@ def test_ivf_pq_rerank_endpoint_and_production_recall(spark, sf_dir):
     # floor is set where a lost stage (wrong cells, dropped codes)
     # cannot hide
     assert recall >= 0.6, recall
+
+
+def test_bpe_merges_match_reference_on_random_tied_vocabs(spark):
+    """Property (hypothesis): the trainer equals the pure-Python
+    reference on RANDOM tiny-alphabet vocabularies, where pair-count
+    TIES are pervasive — the tie-rule coverage the real-corpus test
+    (one corpus) and the planted tie-free oracle deliberately lack.
+    Both the driver-side hybrid path and the distributed loop
+    (driver_vocab_limit=0) must match merge-for-merge."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from bigdata_googleplaystore_spark.operators import bpe
+
+    word = st.text(alphabet="ab", min_size=1, max_size=4)
+
+    @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(
+        wf=st.dictionaries(
+            word, st.integers(min_value=1, max_value=5), min_size=1, max_size=6
+        )
+    )
+    def check(wf):
+        expected = _reference_bpe(wf, n_merges=6, min_freq=2)
+        words = spark.createDataFrame(list(wf.items()), "word STRING, freq BIGINT")
+        for limit in (65_536, 0):
+            got = [
+                (r["merge_rank"], r["left"], r["right"], r["pair_freq"])
+                for r in bpe.learn_bpe_merges(
+                    spark, words, 6, 2, driver_vocab_limit=limit
+                ).collect()
+            ]
+            assert got == expected, (limit, wf)
+
+    check()
