@@ -3112,6 +3112,95 @@ def incremental_distinct_view_retractions(
 
 
 @register(
+    "incremental_topn_view_retractions",
+    oracle="""
+    WITH survivors AS (
+      SELECT o.o_orderpriority, l.l_quantity AS qty,
+             CAST(count(*) AS BIGINT) AS n_rows
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      WHERE l.l_quantity < 48 AND l.l_linenumber < 6
+      GROUP BY o.o_orderpriority, l.l_quantity
+    ),
+    ranked AS (
+      SELECT o_orderpriority, qty, n_rows,
+             CAST(row_number() OVER (PARTITION BY o_orderpriority
+                                     ORDER BY qty DESC) AS BIGINT) AS rnk
+      FROM survivors
+    )
+    SELECT o_orderpriority, rnk, qty, n_rows FROM ranked WHERE rnk <= 3
+    """,
+    tags=("incremental", "join", "retraction", "topn", "scale"),
+)
+def incremental_topn_view_retractions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-N per group under retractions — the fourth aggregate face of
+    the maintained multiset (operators/incremental.finalize_topn),
+    completing the IVM taxonomy: group aggregates (count/sum/avg,
+    incremental_join_view_retractions), extrema (min/max,
+    incremental_minmax_view_retractions), distinct count
+    (incremental_distinct_view_retractions), and now ORDER BY value
+    DESC LIMIT 3 per priority. The CDC batch deletes every lineitem
+    with l_quantity >= 48 — evicting the ENTIRE current top-3 value
+    set {48, 49, 50} from every priority group, so the maintained
+    ranking must surface {47, 46, 45}, three values scalar top-n state
+    never retained — and every lineitem with l_linenumber >= 6, whose
+    quantities survive on other rows, so the surviving values' emitted
+    multiplicities must also shift. A stale cached ranking, a
+    set-without-counts eviction bug, or a count drift on the survivors
+    all diverge from the oracle's full recompute over the post-delete
+    tables and hash-fail. Deltas flow through delta_join_signed with an
+    empty order-side batch; ranking over distinct values makes
+    row_number tie-free and the output deterministic.
+
+    Scale posture: same as the sibling gates — ONE multiset of
+    |distinct (key, value)| rows (value-domain-bounded: <= 5 priorities
+    x 47 surviving quantities here, regardless of fact count) serves
+    min, max, count-distinct AND top-n; the rank window runs over that
+    state, never over raw history, and history appears only as the
+    broadcast-probe side of the delta terms."""
+    from ..operators import incremental
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_linenumber", "l_quantity"
+    )
+    # CDC deletes: the whole current top-3 value band (quantity >= 48)
+    # plus partial removals (linenumber >= 6) that only shift counts.
+    delta_l = (
+        li.filter((F.col("l_quantity") >= 48) | (F.col("l_linenumber") >= 6))
+        .drop("l_linenumber")
+        .withColumn("_mult", F.lit(-1))
+    )
+    l_old = li.drop("l_linenumber")
+    delta_o = o.filter(F.lit(False)).withColumn("_mult", F.lit(1))
+
+    keys = ["o_orderpriority"]
+    state = incremental.multiset_state(
+        o.join(l_old, "o_orderkey"), keys, "l_quantity"
+    )
+    delta_rows = incremental.delta_join_signed(
+        o, delta_o, l_old, delta_l, "o_orderkey"
+    )
+    maintained = incremental.finalize_topn(
+        incremental.merge_multisets(
+            state,
+            incremental.multiset_state(delta_rows, keys, "l_quantity", "_mult"),
+        ),
+        "l_quantity",
+        n=3,
+    )
+    return maintained.select(
+        "o_orderpriority",
+        F.col("rnk").cast("bigint").alias("rnk"),
+        F.col("l_quantity").alias("qty"),
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+    )
+
+
+@register(
     "incremental_hll_distinct_view",
     oracle="""
     SELECT o_orderpriority,
@@ -5015,6 +5104,98 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_watermark_late_drop",
+    oracle="""
+    WITH cutoff AS (
+      SELECT date_trunc('day', min(ts)) + INTERVAL 1 DAY AS c FROM events
+    )
+    SELECT date_trunc('hour', ts) AS window_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           TRUE AS straggler_dropped
+    FROM events, cutoff
+    WHERE ts < cutoff.c
+    GROUP BY date_trunc('hour', ts)
+    """,
+    tags=("streaming", "watermark", "late-data"),
+)
+def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark LATE-DATA semantics inside the correctness gate (the
+    append-mode contract every late-data SLA rests on; previously pinned
+    only by tests/test_streaming.py): the events table's first day plus
+    the single newest event stream as micro-batch 1 of an append-mode
+    1-hour-windowed count with a 1-hour watermark; once the watermark
+    has advanced to (newest - 1h), micro-batch 2 delivers ONE straggler
+    — the earliest second-day event, now ~29 days behind the watermark,
+    whose window was long since finalized and evicted. The straggler
+    must be DROPPED (counted in numRowsDroppedByWatermark, surfaced as
+    the oracle-checked `straggler_dropped` flag): if it instead opened
+    a new window or re-opened the old one, an extra second-day row
+    appears and the gate rows-fails. The drained sink must then hold
+    exactly the day-one hourly windows with FULL counts — each window
+    emitted at most once, after the watermark passed its end — while
+    the newest event's own window, still open when the bounded stream
+    drains (its end always exceeds newest - 1h), must NOT be emitted:
+    append mode emits only finalized windows. Batch boundaries are
+    imposed by sequential file writes with processAllAvailable between
+    them — no mtime ordering, no single-file races.
+
+    Scale posture: the watermark is the mechanism that makes unbounded
+    streaming aggregation viable at all — state for closed windows is
+    evicted instead of accumulating forever, and arbitrarily-late data
+    costs O(1) (a counter bump) instead of a state rebuild. The gate
+    pins that eviction is REAL (the straggler finds no state to rejoin)
+    and exact-once emission holds across watermark advances."""
+    import shutil
+
+    from .. import streaming
+
+    e = load_table(spark, sf_dir, "events").select("ts")
+    row = e.agg(
+        F.date_trunc("day", F.min("ts")).alias("d0"), F.max("ts").alias("mx")
+    ).collect()[0]
+    import datetime as dt
+
+    cutoff, mx = row["d0"] + dt.timedelta(days=1), row["mx"]
+
+    src = _stream_src_dir("wmlate", sf_dir)
+    shutil.rmtree(src, ignore_errors=True)
+    # micro-batch 1: day-one events + the newest event (advances the
+    # watermark to mx - 1h once the batch commits)
+    e.filter((F.col("ts") < F.lit(cutoff)) | (F.col("ts") == F.lit(mx))).write.parquet(
+        src
+    )
+    schema = spark.read.parquet(src).schema
+    counts = streaming.windowed_counts(
+        spark.readStream.schema(schema).parquet(src),
+        "1 hour",
+        watermark="1 hour",
+    )
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("cat_stream_wmlate")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    # micro-batch 2: ONE straggler from day two — ~29 days late
+    e.filter(F.col("ts") >= F.lit(cutoff)).orderBy("ts").limit(1).write.mode(
+        "append"
+    ).parquet(src)
+    q.processAllAvailable()
+    dropped = sum(
+        so["numRowsDroppedByWatermark"]
+        for p in (q.recentProgress or [])
+        for so in p["stateOperators"]
+    )
+    q.stop()
+    return spark.table("cat_stream_wmlate").select(
+        F.col("w_start").alias("window_start"),
+        "n_events",
+        F.lit(dropped == 1).alias("straggler_dropped"),
+    )
+
+
+@register(
     "pivot_multi_agg",
     oracle="""
     SELECT user_id,
@@ -6696,6 +6877,94 @@ def value_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (e["value"] >= bands["lo"]) & (e["value"] < bands["hi"]),
     )
     return j.groupBy("band").agg(
+        F.count("*").alias("n_events"),
+        money_sum(dec2(F.col("value"))).alias("total_value"),
+    )
+
+
+@register(
+    "range_join_bucket_decomposed",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(floor(max(value) / 10) AS BIGINT) AS mi
+      FROM events WHERE value IS NOT NULL
+    ),
+    iv AS (
+      SELECT CAST(unnest(generate_series(0, mi)) AS BIGINT) AS interval_id
+      FROM bounds
+    ),
+    intervals AS (
+      SELECT interval_id,
+             CAST(10 * interval_id AS DOUBLE) AS lo,
+             CAST(10 * interval_id + 25 AS DOUBLE) AS hi
+      FROM iv
+    )
+    SELECT i.interval_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(round(sum(CAST(e.value AS DECIMAL(12,2))), 2) AS DOUBLE)
+             AS total_value
+    FROM events e JOIN intervals i
+      ON e.value >= i.lo AND e.value < i.hi
+    WHERE e.value IS NOT NULL
+    GROUP BY i.interval_id
+    """,
+    tags=("join", "range", "bucket", "scale"),
+)
+def range_join_bucket_decomposed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range join (NO equi key) via bucket decomposition, driver-
+    checked end-to-end: every event value is matched into OVERLAPPING
+    half-open intervals [10i, 10i + 25) — each point lands in 1-3
+    intervals, so the join is genuinely many-to-many — through
+    operators/rangejoin.interval_join's bucket path: points map to one
+    width-25 bucket, intervals explode to every bucket they overlap,
+    the engine equi-joins on bucket, and the exact range predicate
+    filters residuals. The oracle runs the naive BETWEEN join (DuckDB
+    plans its own IEJoin), so any decomposition bug — a point matched
+    in a neighbor bucket, an interval's bucket span off by one at
+    either boundary, the exclusive end admitting hi itself — changes
+    per-interval counts/sums and hash-fails. The interval set derives
+    from max(value), keeping the gate SF-invariant.
+
+    Scale posture: a bare `p BETWEEN lo AND hi` join with no equi key
+    is a BroadcastNestedLoopJoin — O(|points| x |intervals|), the plan
+    that dies first at 100 TB (value_band_join keeps it deliberately
+    for a 4-row dim; asserted NLJ-free for THIS query in
+    tests/test_rangejoin.py). The decomposition replaces it with an
+    equi-join on the bucket id: cost O(|points| + |intervals| x
+    spanned_buckets + |true matches|), shuffle-partitionable on bucket
+    like any hash join, with bucket_width ~ interval length bounding
+    the explode factor at O(1). Here the interval side is tiny (a few
+    hundred rows off one max(value) scan) so Catalyst broadcasts the
+    bucket join's build side; with millions of intervals the same plan
+    degrades gracefully to a shuffled hash join on bucket — the point
+    of the pattern. The events scan reads only [value]."""
+    from ..operators.rangejoin import interval_join
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("value")
+    )
+    mi = e.agg(F.floor(F.max("value") / 10).cast("long").alias("mi"))
+    intervals = mi.select(
+        F.explode(F.sequence(F.lit(0).cast("long"), F.col("mi"))).alias(
+            "interval_id"
+        )
+    ).select(
+        "interval_id",
+        (F.col("interval_id") * 10).cast("double").alias("lo"),
+        (F.col("interval_id") * 10 + 25).cast("double").alias("hi"),
+    )
+    j = interval_join(
+        e,
+        intervals,
+        point_col="value",
+        start_col="lo",
+        end_col="hi",
+        bucket_width=25.0,
+        end_inclusive=False,
+    )
+    return j.groupBy("interval_id").agg(
         F.count("*").alias("n_events"),
         money_sum(dec2(F.col("value"))).alias("total_value"),
     )

@@ -308,6 +308,35 @@ def finalize_minmax(state: DataFrame, value_col: str) -> DataFrame:
     )
 
 
+def finalize_topn(state: DataFrame, value_col: str, n: int) -> DataFrame:
+    """(keys..., rnk, value, n_rows) from multiset state: the top-n
+    DISTINCT values per key (value descending, rnk 1..n) with each
+    value's surviving multiplicity — ORDER BY value DESC LIMIT n per
+    group, maintained under retractions. Top-n is the fourth aggregate
+    face the multiset serves and, like min/max, it is not a group
+    aggregate: when the current #1 value's last surviving row is
+    deleted, scalar top-n state cannot produce the value that was #(n+1)
+    — the multiset can, because every surviving value is still present
+    with its net count (min/max is just the n=1 special case of this).
+
+    Determinism: ranking is over DISTINCT values (one state row per
+    (key, value)), so row_number has no ties to break arbitrarily.
+
+    Scale posture: the rank window partitions by key over the multiset
+    state — |distinct (key, value)| rows, value-domain-bounded
+    regardless of fact count — never over raw history."""
+    from pyspark.sql import Window
+
+    keys = [c for c in state.columns if c not in (value_col, "_cnt")]
+    w = Window.partitionBy(*keys).orderBy(F.col(value_col).desc())
+    return (
+        state.filter(F.col("_cnt") > 0)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= n)
+        .select(*keys, "rnk", value_col, F.col("_cnt").alias("n_rows"))
+    )
+
+
 def finalize_distinct(state: DataFrame, value_col: str) -> DataFrame:
     """(keys..., n_rows, n_distinct) from multiset state: exact
     COUNT(DISTINCT value) under retractions. Like min/max, distinct

@@ -40,15 +40,20 @@ def interval_join(
     equi_keys: list[str] | None = None,
     bucket_width: float | None = None,
     how: str = "inner",
+    end_inclusive: bool = True,
 ) -> DataFrame:
     """All (point, interval) pairs with start <= point <= end (inclusive
-    both ends), optionally also matching on `equi_keys`.
+    both ends; pass `end_inclusive=False` for half-open [start, end)
+    intervals — the tiling-band convention that keeps boundary points
+    from matching two adjacent intervals), optionally also matching on
+    `equi_keys`.
 
     Column names must be disjoint apart from `equi_keys` (rename inputs).
     Timestamps are supported: bucketing casts via unix seconds, so pass
     `bucket_width` in seconds for timestamp domains."""
     p_ts = F.col(point_col)
-    cond = (p_ts >= F.col(start_col)) & (p_ts <= F.col(end_col))
+    upper = p_ts <= F.col(end_col) if end_inclusive else p_ts < F.col(end_col)
+    cond = (p_ts >= F.col(start_col)) & upper
 
     if equi_keys:
         # The range predicate must live IN the join condition, not a

@@ -517,12 +517,47 @@ def test_multiset_distinct_partial_vs_last_row_deletes(spark):
     assert out == {"x": (2, 2)}
 
 
+def test_multiset_topn_surfaces_runner_ups_after_band_delete(spark):
+    """operators/incremental.finalize_topn: deleting the ENTIRE current
+    top-2 value band must surface the runner-up values with their
+    surviving counts (the answer scalar top-n state never retained),
+    ranks must be tie-free (distinct values), a group with fewer than n
+    surviving values emits only what survives, and a fully-retracted
+    group disappears."""
+    from bigdata_googleplaystore_spark.operators.incremental import (
+        finalize_topn,
+        merge_multisets,
+        multiset_state,
+    )
+
+    base = spark.createDataFrame(
+        [("x", 10.0), ("x", 10.0), ("x", 9.0), ("x", 7.0), ("x", 3.0),
+         ("y", 5.0), ("y", 1.0)],
+        "grp STRING, v DOUBLE",
+    )
+    state = multiset_state(base, ["grp"], "v")
+    # delete x's whole top band {10.0 x2, 9.0} and ALL of y
+    deletes = spark.createDataFrame(
+        [("x", 10.0, -2), ("x", 9.0, -1), ("y", 5.0, -1), ("y", 1.0, -1)],
+        "grp STRING, v DOUBLE, _mult INT",
+    )
+    merged = merge_multisets(
+        state, multiset_state(deletes, ["grp"], "v", "_mult")
+    )
+    got = sorted(
+        (r["grp"], r["rnk"], r["v"], r["n_rows"])
+        for r in finalize_topn(merged, "v", n=2).collect()
+    )
+    # x's top-2 is now the former runner-ups; y is gone entirely
+    assert got == [("x", 1, 7.0, 1), ("x", 2, 3.0, 1)]
+
+
 def test_multiset_state_matches_counter_model_under_random_cdc(spark):
     """Property (hypothesis): for ANY base multiset and ANY valid CDC
     feed (deletes only of present rows, arbitrary inserts, split across
-    TWO delta batches folded separately), finalize_minmax and
-    finalize_distinct over the merged state must match a plain
-    collections.Counter reference model — the whole Z-set multiset
+    TWO delta batches folded separately), finalize_minmax,
+    finalize_distinct, and finalize_topn over the merged state must
+    match a plain collections.Counter reference model — the whole Z-set multiset
     algebra (state build, signed fold, zero-count eviction, group
     disappearance) checked against an independent implementation, not
     against itself."""
@@ -534,6 +569,7 @@ def test_multiset_state_matches_counter_model_under_random_cdc(spark):
     from bigdata_googleplaystore_spark.operators.incremental import (
         finalize_distinct,
         finalize_minmax,
+        finalize_topn,
         merge_multisets,
         multiset_state,
     )
@@ -588,8 +624,21 @@ def test_multiset_state_matches_counter_model_under_random_cdc(spark):
             r["grp"]: (r["n_rows"], r["n_distinct"])
             for r in finalize_distinct(merged, "v").collect()
         }
+        # top-2 distinct values desc with surviving counts, rnk 1..2
+        want_topn = {
+            (g, rnk): (v, c)
+            for g, vals in surviving.items()
+            for rnk, (v, c) in enumerate(
+                sorted(vals, key=lambda vc: -vc[0])[:2], start=1
+            )
+        }
+        got_topn = {
+            (r["grp"], r["rnk"]): (r["v"], r["n_rows"])
+            for r in finalize_topn(merged, "v", n=2).collect()
+        }
         assert got_minmax == want_minmax
         assert got_distinct == want_distinct
+        assert got_topn == want_topn
 
     check()
 
