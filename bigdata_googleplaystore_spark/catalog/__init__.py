@@ -46,19 +46,23 @@ from .tpch import flagship  # noqa: E402,F401
 # may roll to r09. The 45 r04-stale names sit below the cutoff in r04
 # insertion order as the r09 rotation head.
 #
-# Late-round additions (continuation session): three more new gates
+# Late-round additions (continuation session): five more new gates
 # head the window — top-N-per-group IVM under retractions (the fourth
 # face of the maintained multiset), the bucket-decomposed pure range
-# join (the NLJ-free scale path, previously unit-test-only), and the
-# append-mode watermark late-drop streaming gate. 58 names now sit
-# above the cutoff; the driver records ~50, so the last few r03 names
-# roll to r09 alongside the staged r04 block.
+# join (the NLJ-free scale path, previously unit-test-only), the
+# append-mode watermark late-drop streaming gate, the streaming CDC
+# multiset MV (min/max under cross-batch retractions), and MV state
+# compaction (the VACUUM face of the per-batch state protocol). 60
+# names now sit above the cutoff; the driver records ~50, so the last
+# r03 names roll to r09 alongside the staged r04 block.
 _PRIORITY: list[str] = [
     # ===== ROUND-8 WINDOW (the driver records ~50 rows) =====
     # (a) new this round — first rows required:
     "incremental_topn_view_retractions",  # new: top-N multiset-state IVM
     "range_join_bucket_decomposed",  # new: pure range join, bucketed
     "stream_watermark_late_drop",  # new: append-mode late-data drop
+    "stream_cdc_minmax_view",  # new: streaming CDC multiset MV
+    "mv_state_compaction",  # new: state-table compaction/VACUUM
     "incremental_join_view_retractions",  # new: signed-multiplicity join IVM
     "incremental_minmax_view_retractions",  # new: MIN/MAX multiset-state IVM
     "stream_cdc_signed_agg_view",  # new: streaming CDC signed MV

@@ -6409,6 +6409,148 @@ def stream_cdc_signed_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_cdc_minmax_view",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(value) AS vmin,
+           max(value) AS vmax
+    FROM events
+    WHERE value IS NULL OR value < 100
+    GROUP BY event_type
+    """,
+    tags=("streaming", "incremental", "retraction", "scale"),
+)
+def stream_cdc_minmax_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC materialized view for the MULTISET aggregate tier:
+    stream_cdc_signed_agg_view gates the scalar (count/sum) face of
+    streaming retractions; this gate streams the SAME kind of Z-set
+    feed — every event inserted, every event with value >= 100 also
+    deleted, removing each type's entire top value band (maxima fall
+    from ~300-560 down below 100) — through
+    streaming.run_stream_multiset_agg: each micro-batch (single-file
+    triggers over a repartition(4) source, so inserts and their
+    cancelling deletes land in ARBITRARY different batches) writes its
+    per-(type, value) net counts into an idempotent `_batch_id`
+    partition, and read_multiset_minmax folds them. The maintained
+    min/max/count must hash-match the oracle's recompute over the net
+    rows: serving a stale pre-delete maximum (the scalar-state bug the
+    multiset tier exists to fix), losing a batch partition, or folding
+    a delete as an insert all diverge. Split-invariance is the load-
+    bearing property — a -1 arriving batches after its +1 nets out in
+    the read-side merge, not inside any single batch.
+
+    At 100 TB: per-batch state written is |distinct (key, value) in
+    the batch| rows, the fold shuffles state rows only, and the same
+    maintained multiset serves min/max, count-distinct, and top-n
+    readers (the batch-face siblings: incremental_minmax/
+    distinct/topn_view_retractions)."""
+    import shutil
+
+    from .. import streaming
+
+    events = load_table(spark, sf_dir, "events").select("event_type", "value")
+    inserts = events.withColumn("_mult", F.lit(1))
+    deletes = events.filter(F.col("value") >= 100).withColumn(
+        "_mult", F.lit(-1)
+    )
+    feed = inserts.unionByName(deletes)
+    src = _stream_src_dir("cdcminmax", sf_dir)
+    feed.repartition(4).write.mode("overwrite").parquet(src)
+    state = _stream_src_dir("cdcminmax_state", sf_dir)
+    ckpt = _stream_src_dir("cdcminmax_ckpt", sf_dir)
+    shutil.rmtree(state, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    streaming.run_stream_multiset_agg(
+        stream, ["event_type"], "value", state, ckpt
+    )
+    view = streaming.read_multiset_minmax(spark, state, "value")
+    return view.select(
+        "event_type",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("vmin").alias("vmin"),
+        F.col("vmax").alias("vmax"),
+    )
+
+
+@register(
+    "mv_state_compaction",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+             AS total_price,
+           TRUE AS partitions_pruned
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("incremental", "compaction", "scale"),
+)
+def mv_state_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-table compaction closing the incremental-MV lifecycle
+    (write → read → time-travel → COMPACT): four backfill batches
+    (orders split by o_orderkey % 4) land as per-batch partial-state
+    partitions via the shared write_batch_partition protocol, then
+    streaming.compact_state_partials merges partitions 0..2 into one
+    base stored at `_batch_id=2` and deletes the two older directories
+    through the Hadoop FileSystem API. The read path is UNCHANGED —
+    read_incremental_state folds (base ⊕ batch 3) by the same
+    associative merge — and must still hash-match the oracle's direct
+    aggregate over all of orders; the `partitions_pruned` flag
+    additionally pins the physical outcome (exactly 2 partitions
+    removed, exactly {2, 3} remaining on disk), so a compaction that
+    silently dropped or double-counted a batch fails twice over. The
+    documented trade — as-of reads below the compaction horizon are
+    gone (mv_time_travel_read gates the pre-compaction capability) —
+    is the same retention boundary a transactional format's VACUUM
+    draws.
+
+    At 100 TB: a per-micro-batch state table accumulates files without
+    bound; compaction caps read fan-in at O(1 base + recent batches)
+    while itself shuffling only |keys| partial rows, never raw
+    history."""
+    import shutil
+
+    from .. import streaming
+    from ..operators import incremental
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", dec2(F.col("o_totalprice")).alias("v")
+    )
+    state = _stream_src_dir("compactstate", sf_dir)
+    shutil.rmtree(state, ignore_errors=True)
+    for b in range(4):
+        batch = o.filter(F.col("o_orderkey") % 4 == b).drop("o_orderkey")
+        streaming.write_batch_partition(
+            incremental.partial_agg(batch, ["o_orderpriority"], "v"), state, b
+        )
+    removed = streaming.compact_state_partials(spark, state, upto_batch=2)
+
+    jvm = spark.sparkContext._jvm
+    hroot = jvm.org.apache.hadoop.fs.Path(state)
+    fs = hroot.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    remaining = sorted(
+        int(st.getPath().getName().split("=", 1)[1])
+        for st in fs.listStatus(hroot)
+        if st.isDirectory() and st.getPath().getName().startswith("_batch_id=")
+    )
+    ok = removed == 2 and remaining == [2, 3]
+
+    view = streaming.read_incremental_state(spark, state)
+    return view.select(
+        "o_orderpriority",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.round("total", 2).cast("double").alias("total_price"),
+        F.lit(ok).alias("partitions_pruned"),
+    )
+
+
+@register(
     "stream_static_enrich_counts",
     oracle="""
     WITH enriched AS (

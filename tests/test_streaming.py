@@ -599,3 +599,79 @@ def test_top_types_processor_eviction_order_with_fake_state(spark):
     assert list(out["event_type"]) == ["a", "b"]
     assert list(out["n"]) == [3, 2]
     assert list(out["total_seen"]) == [7]*2  # a=3 + b=2 + d=2
+
+
+def test_compact_state_partials_scalar_roundtrip(spark, tmp_path):
+    """streaming.compact_state_partials over SCALAR partial state: the
+    folded view must be unchanged after compacting batches 0..2 into a
+    base at _batch_id=2, exactly 2 old partitions must be removed with
+    {2, 3} remaining on disk, and an as-of read at the compaction
+    horizon must still work while one BELOW it now reflects the merged
+    base (the documented retention trade)."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from bigdata_googleplaystore_spark.operators import incremental
+
+    state = str(tmp_path / "scalar_state")
+    rows = [("a", float(i)) for i in range(8)] + [("b", 100.0), ("b", None)]
+    df = spark.createDataFrame(rows, "grp STRING, v DOUBLE")
+    for b in range(4):
+        streaming.write_batch_partition(
+            incremental.partial_agg(
+                df.filter(F.abs(F.hash("grp", "v")) % 4 == b), ["grp"], "v"
+            ),
+            state,
+            b,
+        )
+    before = {
+        (r["grp"]): (r["n_rows"], r["total"], r["vmin"], r["vmax"])
+        for r in streaming.read_incremental_state(spark, state).collect()
+    }
+    removed = streaming.compact_state_partials(spark, state, upto_batch=2)
+    assert removed == 2
+    dirs = sorted(
+        int(p.rsplit("=", 1)[1])
+        for p in glob.glob(f"{state}/_batch_id=*")
+    )
+    assert dirs == [2, 3]
+    after = {
+        (r["grp"]): (r["n_rows"], r["total"], r["vmin"], r["vmax"])
+        for r in streaming.read_incremental_state(spark, state).collect()
+    }
+    assert after == before
+    # as-of AT the horizon equals the first-three-batches fold; BELOW it
+    # is gone (the merged base subsumed batches 0 and 1)
+    asof = streaming.read_incremental_state_asof(spark, state, 2)
+    assert asof.count() > 0
+    below = streaming.read_incremental_state_asof(spark, state, 1)
+    assert below.count() == 0
+
+
+def test_compact_state_partials_multiset_dispatch(spark, tmp_path):
+    """compact_state_partials must dispatch on the _cnt column and merge
+    MULTISET state with merge_multisets: after compaction the min/max
+    read is unchanged, including a runner-up max produced by a
+    retraction whose -1 landed in a different batch than its +1."""
+    from bigdata_googleplaystore_spark.operators import incremental
+
+    state = str(tmp_path / "ms_state")
+    b0 = spark.createDataFrame(
+        [("x", 9.0, 1), ("x", 7.0, 1), ("y", 2.0, 1)],
+        "grp STRING, v DOUBLE, _mult INT",
+    )
+    b1 = spark.createDataFrame([("x", 9.0, -1)], "grp STRING, v DOUBLE, _mult INT")
+    b2 = spark.createDataFrame([("y", 3.0, 1)], "grp STRING, v DOUBLE, _mult INT")
+    for i, b in enumerate([b0, b1, b2]):
+        streaming.write_batch_partition(
+            incremental.multiset_state(b, ["grp"], "v", "_mult"), state, i
+        )
+    removed = streaming.compact_state_partials(spark, state, upto_batch=1)
+    assert removed == 1
+    out = {
+        r["grp"]: (r["n_rows"], r["vmin"], r["vmax"])
+        for r in streaming.read_multiset_minmax(spark, state, "v").collect()
+    }
+    # x's 9.0 was retracted across batches -> max falls back to 7.0
+    assert out == {"x": (1, 7.0, 7.0), "y": (2, 2.0, 3.0)}
