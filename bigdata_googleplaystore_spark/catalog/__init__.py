@@ -51,10 +51,11 @@ from .tpch import flagship  # noqa: E402,F401
 # face of the maintained multiset), the bucket-decomposed pure range
 # join (the NLJ-free scale path, previously unit-test-only), the
 # append-mode watermark late-drop streaming gate, the streaming CDC
-# multiset MV (min/max under cross-batch retractions), and MV state
-# compaction (the VACUUM face of the per-batch state protocol). 60
-# names now sit above the cutoff; the driver records ~50, so the last
-# r03 names roll to r09 alongside the staged r04 block.
+# multiset MV (min/max under cross-batch retractions), MV state
+# compaction (the VACUUM face of the per-batch state protocol),
+# PERMISSIVE corrupt-record JSON parsing, and the null-safe equi-join.
+# 62 names now sit above the cutoff; the driver records ~50, so the
+# last r03 names roll to r09 alongside the staged r04 block.
 _PRIORITY: list[str] = [
     # ===== ROUND-8 WINDOW (the driver records ~50 rows) =====
     # (a) new this round — first rows required:
@@ -63,6 +64,8 @@ _PRIORITY: list[str] = [
     "stream_watermark_late_drop",  # new: append-mode late-data drop
     "stream_cdc_minmax_view",  # new: streaming CDC multiset MV
     "mv_state_compaction",  # new: state-table compaction/VACUUM
+    "json_corrupt_record_permissive",  # new: malformed-JSON quarantine
+    "null_safe_join_grouping",  # new: eqNullSafe hash join
     "incremental_join_view_retractions",  # new: signed-multiplicity join IVM
     "incremental_minmax_view_retractions",  # new: MIN/MAX multiset-state IVM
     "stream_cdc_signed_agg_view",  # new: streaming CDC signed MV

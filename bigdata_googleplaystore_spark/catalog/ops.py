@@ -1286,6 +1286,125 @@ def json_extract_field(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "json_corrupt_record_permissive",
+    oracle="""
+    WITH payload AS (
+      SELECT event_type,
+             CASE WHEN event_id % 7 = 0 THEN substr(props, 1, 4)
+                  ELSE props END AS raw,
+             event_id % 7 = 0 AS is_corrupt
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) FILTER (WHERE is_corrupt) AS BIGINT) AS n_corrupt,
+           CAST(count(*) FILTER (WHERE NOT is_corrupt) AS BIGINT) AS n_parsed,
+           CAST(sum(CASE WHEN NOT is_corrupt
+                         THEN CAST(json_extract_string(raw, '$.k') AS BIGINT)
+                         END) AS BIGINT) AS k_total
+    FROM payload GROUP BY event_type
+    """,
+    tags=("json", "quality", "error-handling"),
+)
+def json_corrupt_record_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE-mode malformed-JSON handling for from_json — the
+    dirty-data contract every event pipeline needs (the CSV twin lives
+    in sources/__init__.py's PERMISSIVE/DROPMALFORMED/FAILFAST reader):
+    every 7th event's props payload is truncated to '{"k' — invalid
+    JSON — and parsed with from_json under PERMISSIVE mode with a
+    declared _corrupt_record column. The contract, all three clauses
+    value-checked: a malformed row is NOT dropped (PERMISSIVE ≠
+    DROPMALFORMED — per-type totals include it), its data fields come
+    back NULL, and the raw unparsed text is preserved verbatim in
+    _corrupt_record for quarantine/repair; well-formed rows parse with
+    _corrupt_record NULL, so classifying on that column splits the
+    feed exactly as the oracle's planted modulus does, and the parsed
+    rows' k-sum proves values weren't nulled collaterally. FAILFAST's
+    raise-on-first-corruption is unit-tested (tests/test_ops_extra.py)
+    — an exception is not oracle-expressible.
+
+    Scale posture: from_json is a JVM codegen expression — corruption
+    handling costs nothing extra, stays map-side, and quarantining
+    becomes a partitioned write on `_corrupt_record IS NOT NULL` with
+    no second parse pass."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.when(
+            F.col("event_id") % 7 == 0, F.substring("props", 1, 4)
+        ).otherwise(F.col("props")).alias("raw"),
+    )
+    parsed = e.select(
+        "event_type",
+        "raw",
+        F.from_json(
+            "raw",
+            "k LONG, _corrupt_record STRING",
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
+        ).alias("j"),
+    )
+    # the three-way contract: corrupt rows keep their raw text in
+    # _corrupt_record (verbatim — checked by equality with the input),
+    # parsed rows have it null and k populated
+    flagged = parsed.select(
+        "event_type",
+        (F.col("j._corrupt_record").isNotNull()
+         & (F.col("j._corrupt_record") == F.col("raw"))).alias("is_corrupt"),
+        F.col("j.k").alias("k"),
+    )
+    return flagged.groupBy("event_type").agg(
+        F.count_if(F.col("is_corrupt")).alias("n_corrupt"),
+        F.count_if(~F.col("is_corrupt")).alias("n_parsed"),
+        F.sum(F.when(~F.col("is_corrupt"), F.col("k"))).alias("k_total"),
+    )
+
+
+@register(
+    "null_safe_join_grouping",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS k,
+             n_chars
+      FROM documents
+    ),
+    dim AS (
+      SELECT k, CAST(count(*) AS BIGINT) AS grp_size
+      FROM keyed GROUP BY k
+    )
+    SELECT d.doc_id, m.grp_size
+    FROM keyed d JOIN dim m ON d.k IS NOT DISTINCT FROM m.k
+    """,
+    tags=("join", "null-semantics", "sql"),
+)
+def null_safe_join_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-SAFE equi-join (`<=>` / IS NOT DISTINCT FROM): every 7th
+    document's language key is nulled, a per-key dimension (including
+    the NULL group) is derived, and the join uses eqNullSafe so the
+    NULL-keyed documents MATCH the NULL dimension row — under an
+    ordinary equality join those rows silently vanish (NULL = NULL is
+    NULL), which is the classic lost-rows bug in pipelines that join on
+    nullable enrichment keys. The oracle joins with ANSI IS NOT
+    DISTINCT FROM; a plain-equality implementation rows-fails (the
+    doc_id%7 rows disappear), and a coalesce-to-sentinel shortcut that
+    collides NULL with a real value changes group sizes and hash-fails.
+
+    Scale posture: Spark plans eqNullSafe as a HASH join (the key is
+    hashable null-safely: EqualNullSafe is a valid equi-join condition,
+    not a nested-loop residual), so the null-safe form keeps the same
+    shuffle/broadcast shapes as plain equality — asserted for this gate
+    in tests/test_ops_extra.py."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.lit(None)).otherwise(
+            F.col("lang")
+        ).alias("k"),
+    )
+    dim = d.groupBy("k").agg(F.count("*").alias("grp_size"))
+    return d.join(dim, d["k"].eqNullSafe(dim["k"])).select(
+        "doc_id", "grp_size"
+    )
+
+
+@register(
     "array_l2_norm",
     oracle="""
     SELECT vec_id,

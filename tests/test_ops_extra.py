@@ -1110,3 +1110,55 @@ def test_cosine_topk_matches_numpy_model(spark):
         assert got == sorted(want)
 
     check()
+
+
+def test_from_json_failfast_raises_on_corrupt(spark):
+    """The FAILFAST face of json_corrupt_record_permissive's contract:
+    the same truncated payload that PERMISSIVE quarantines must abort
+    the job under mode=FAILFAST (an exception is not oracle-expressible,
+    so it is pinned here)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([('{"k',), ('{"k": 3}',)], "raw STRING")
+    bad = df.select(
+        F.from_json("raw", "k LONG", {"mode": "FAILFAST"}).alias("j")
+    )
+    with pytest.raises(Exception, match="(?i)malformed|failfast"):
+        bad.collect()
+    # sanity: the well-formed row alone parses fine under FAILFAST
+    ok = spark.createDataFrame([('{"k": 3}',)], "raw STRING").select(
+        F.from_json("raw", "k LONG", {"mode": "FAILFAST"}).alias("j")
+    )
+    assert ok.collect()[0]["j"]["k"] == 3
+
+
+def test_null_safe_join_plans_hash_join(spark, sf_dir):
+    """null_safe_join_grouping's scale claim on the actual plan:
+    EqualNullSafe is a legal equi-join key, so Spark must plan a HASH
+    join (broadcast or shuffled), not a BroadcastNestedLoopJoin with
+    the null-safe predicate as a residual — and the join must keep the
+    NULL-keyed rows an ordinary equality join drops."""
+    from pyspark.sql import functions as F
+
+    from bigdata_googleplaystore_spark.catalog import QUERIES
+    from bigdata_googleplaystore_spark.sources import load_table
+
+    df = QUERIES["null_safe_join_grouping"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.lit(None)).otherwise(
+            F.col("lang")
+        ).alias("k"),
+    )
+    n_docs, n_nulled = d.count(), d.filter(F.col("k").isNull()).count()
+    assert n_nulled > 0
+    # null-safe join keeps every document; plain equality loses the nulled
+    dim = d.groupBy("k").agg(F.count("*").alias("grp_size"))
+    assert df.count() == n_docs
+    plain = d.join(dim.withColumnRenamed("k", "k2"), F.col("k") == F.col("k2"))
+    assert plain.count() == n_docs - n_nulled
