@@ -7198,7 +7198,15 @@ def range_join_bucket_decomposed(spark: SparkSession, sf_dir: str) -> DataFrame:
     hundred rows off one max(value) scan) so Catalyst broadcasts the
     bucket join's build side; with millions of intervals the same plan
     degrades gracefully to a shuffled hash join on bucket — the point
-    of the pattern. The events scan reads only [value]."""
+    of the pattern. The events scan reads only [value].
+
+    Measured (tools/scale_probe_r08c.py, sf0.1, 100k points, interval
+    count swept 512→2048→8192, median-of-3, equal match counts
+    asserted): the naive NLJ goes 0.43s → 1.17s → 29.6s while the
+    decomposed join goes 0.28s → 0.50s → 2.9s — the speedup widens
+    1.5× → 2.4× → 10.2× as the interval side grows, with the bucket
+    path tracking the match count (the O(|P| + |I| + matches) bound)
+    and the NLJ tracking |P| x |I|."""
     from ..operators.rangejoin import interval_join
 
     e = (
