@@ -435,6 +435,14 @@ def compact_state_partials(
     through the Hadoop FileSystem API, so the table may live on
     hdfs:// or s3a:// paths, not only local disk.
 
+    Measured (tools/scale_probe_r08d.py, sf0.1 orders, 64 batches
+    compacted to 1 base + 8 recent): file fan-in 64 -> 8 and the
+    latest-view fold 0.515s -> 0.273s with the folded values asserted
+    identical; the 0.96s compaction amortizes over every future read.
+    At a batch-per-minute cadence an uncompacted month is ~43k
+    partitions — listing/footer overhead dominates reads long before
+    data volume does.
+
     Returns the number of old partitions removed."""
     from ..operators import incremental
 
