@@ -219,3 +219,68 @@ def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+def test_window_spills_to_disk_and_stays_correct(spark, sf_dir):
+    """Spill-awareness, demonstrated rather than asserted in prose: with
+    the window operator's in-memory buffer threshold forced tiny, a
+    whole-table window aggregation must SPILL (the Window node's spill
+    metric > 0) and still produce exactly the no-spill answer — the
+    property that lets a fixed-memory executor survive a partition that
+    outgrows its buffer at 100 TB instead of OOMing. (Sort/agg/join
+    spill through the same UnsafeExternalSorter machinery; the window
+    threshold is the one knob that forces the path deterministically at
+    test scale.) AQE is disabled for the measured run because
+    AdaptiveSparkPlanExec hides the final plan from children()
+    traversal — same caveat as ops._fact_scan_metric."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from bigdata_googleplaystore_spark.sources import load_table
+
+    def build():
+        o = load_table(spark, sf_dir, "orders")
+        w = Window.partitionBy("o_orderstatus").orderBy("o_orderkey")
+        return o.select(
+            "o_orderkey",
+            F.sum("o_totalprice").over(w).alias("running"),
+        ).agg(F.sum("running").alias("s"), F.count("*").alias("n"))
+
+    baseline = build().collect()[0]
+
+    overrides = {
+        # rows per partition before the buffer leaves the in-memory
+        # array (default 4096 — larger than any sf0.001 partition), then
+        # rows before the external sorter spills to disk
+        "spark.sql.windowExec.buffer.in.memory.threshold": "16",
+        "spark.sql.windowExec.buffer.spill.threshold": "16",
+        "spark.sql.adaptive.enabled": "false",
+    }
+    prev = {k: spark.conf.get(k, None) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        df = build()
+        spilled = df.collect()[0]
+        assert (spilled["n"], round(spilled["s"], 2)) == (
+            baseline["n"],
+            round(baseline["s"], 2),
+        )
+        found = []
+
+        def walk(node):
+            it = node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                if "spill" in kv._1().lower():
+                    found.append((node.nodeName(), kv._1(), kv._2().value()))
+            for i in range(node.children().size()):
+                walk(node.children().apply(i))
+
+        walk(df._jdf.queryExecution().executedPlan())
+        assert any(v > 0 for _node, _name, v in found), found
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

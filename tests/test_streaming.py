@@ -675,3 +675,55 @@ def test_compact_state_partials_multiset_dispatch(spark, tmp_path):
     }
     # x's 9.0 was retracted across batches -> max falls back to 7.0
     assert out == {"x": (1, 7.0, 7.0), "y": (2, 2.0, 3.0)}
+
+
+def test_compaction_invariant_under_random_batches_and_horizon(spark, tmp_path):
+    """Property (hypothesis): for ANY random sequence of signed batches
+    over a small key/value domain and ANY compaction horizon, the signed
+    fold over the compacted state must equal the fold over the original
+    per-batch state — compaction is pure merge-associativity, so no
+    (batches, horizon) choice may change the view. Uses the SIGNED
+    scalar schema (the dispatch branch the two example-based tests
+    don't cover)."""
+    import shutil
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from bigdata_googleplaystore_spark.operators import incremental
+
+    row = st.tuples(
+        st.sampled_from(["a", "b"]),
+        st.sampled_from([1.0, 2.0, None]),
+        st.sampled_from([1, 1, 1, -1]),  # inserts dominate: valid-ish CDC
+    )
+    batch = st.lists(row, min_size=1, max_size=5)
+
+    @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(batches=st.lists(batch, min_size=2, max_size=5), data=st.data())
+    def check(batches, data):
+        horizon = data.draw(
+            st.integers(min_value=0, max_value=len(batches) - 1)
+        )
+        state = str(tmp_path / "prop_state")
+        shutil.rmtree(state, ignore_errors=True)
+        for i, b in enumerate(batches):
+            df = spark.createDataFrame(
+                b, "grp STRING, v DOUBLE, _mult INT"
+            )
+            streaming.write_batch_partition(
+                incremental.partial_agg_signed(df, ["grp"], "v"), state, i
+            )
+
+        def snap():
+            return sorted(
+                (r["grp"], r["n_rows"], r["total"], r["vavg"])
+                for r in streaming.read_signed_state(spark, state).collect()
+            )
+
+        before = snap()
+        removed = streaming.compact_state_partials(spark, state, horizon)
+        assert removed == horizon  # partitions 0..horizon-1 removed
+        assert snap() == before
+
+    check()
