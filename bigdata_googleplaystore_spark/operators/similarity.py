@@ -287,11 +287,25 @@ def ivf_topk(
     n_cells: int = 16,
     n_probe: int = 4,
     iters: int = 2,
+    centroids: list | None = None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: k-means cells over the corpus, each query
     probes its `n_probe` nearest cells, exact cosine rank within the
     probed candidates. The 100 TB shape: the corpus partitions by cell
-    (cluster-prunable at rest), and query cost is |probed cells| not |N|.
+    (cluster-prunable at rest), and query cost is |probed cells| not |N|
+    — with n_cells scaled ~sqrt(N) (cell size held constant), per-query
+    candidates grow O(n_probe * sqrt(N)) vs brute force's O(N)
+    (measured across two corpus octaves in tools/ann_cost_probe_r08.py).
+    Pass pre-trained `centroids` (a kmeans_centroids result) to reuse an
+    index across query batches — production trains once per corpus
+    version and amortizes; omitting it trains inline. Pass `assigned`
+    (an assign_to_centroids result selected to (cand_id, cv, cid),
+    e.g. the corpus stored partitioned by cell) to skip the per-call
+    corpus assignment too — that O(N x n_cells) pass is INDEX BUILD
+    work, and rebuilding it per query batch inverts the cost advantage
+    once n_cells > |queries| (measured in tools/ann_cost_probe_r08.py:
+    the stored-index query path is what scales O(n_probe * sqrt(N))).
     Recall < 1 by design: measured on the real sf0.1 corpus
     (tools/ann_recall_probe_r07.py) recall@10 sweeps 0.82 -> 1.00 as
     n_probe goes 1 -> n_cells, and the deterministic endpoint — at
@@ -299,10 +313,13 @@ def ivf_topk(
     against a pure-SQL exact oracle (sim_ann_ivf_full_probe,
     catalog/llm.py) in addition to the planted top-1 gate
     (sim_ann_ivf)."""
-    centroids = kmeans_centroids(corpus, id_col, vec_col, k=n_cells, iters=iters)
-    c_assigned = assign_to_centroids(corpus, centroids, id_col, vec_col).select(
-        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"), "cid"
-    )
+    if centroids is None:
+        centroids = kmeans_centroids(corpus, id_col, vec_col, k=n_cells, iters=iters)
+    if assigned is None:
+        assigned = assign_to_centroids(corpus, centroids, id_col, vec_col).select(
+            F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"), "cid"
+        )
+    c_assigned = assigned
     cents_df = F.broadcast(
         queries.sparkSession.createDataFrame(
             [(centroids,)], "cents array<array<double>>"
