@@ -53,9 +53,10 @@ from .tpch import flagship  # noqa: E402,F401
 # append-mode watermark late-drop streaming gate, the streaming CDC
 # multiset MV (min/max under cross-batch retractions), MV state
 # compaction (the VACUUM face of the per-batch state protocol),
-# PERMISSIVE corrupt-record JSON parsing, and the null-safe equi-join.
-# 62 names now sit above the cutoff; the driver records ~50, so the
-# last r03 names roll to r09 alongside the staged r04 block.
+# PERMISSIVE corrupt-record JSON parsing, the null-safe equi-join,
+# and the stored-index IVF reuse endpoint. 63 names now sit above the
+# cutoff; the driver records ~50, so the last r03 names roll to r09
+# alongside the staged r04 block.
 _PRIORITY: list[str] = [
     # ===== ROUND-8 WINDOW (the driver records ~50 rows) =====
     # (a) new this round — first rows required:
@@ -66,6 +67,7 @@ _PRIORITY: list[str] = [
     "mv_state_compaction",  # new: state-table compaction/VACUUM
     "json_corrupt_record_permissive",  # new: malformed-JSON quarantine
     "null_safe_join_grouping",  # new: eqNullSafe hash join
+    "sim_ann_ivf_index_reuse",  # new: stored-index IVF across batches
     "incremental_join_view_retractions",  # new: signed-multiplicity join IVM
     "incremental_minmax_view_retractions",  # new: MIN/MAX multiset-state IVM
     "stream_cdc_signed_agg_view",  # new: streaming CDC signed MV

@@ -914,6 +914,73 @@ def sim_ann_ivf_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_ann_ivf_index_reuse",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings WHERE embedding IS NOT NULL),
+    q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 20),
+    sims AS (
+      SELECT q.query_id, v.vec_id AS cand_id,
+             round(list_dot_product(q.qe, v.e)
+                   / (sqrt(list_dot_product(q.qe, q.qe))
+                      * sqrt(list_dot_product(v.e, v.e))), 4) AS sim
+      FROM q CROSS JOIN v
+    ),
+    ranked AS (
+      SELECT query_id, cand_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, cand_id) AS rn
+      FROM sims
+    )
+    SELECT query_id, cand_id, sim, CAST(rn AS INT) AS rn
+    FROM ranked WHERE rn <= 5
+    """,
+    tags=("llm", "similarity", "ann", "eval"),
+)
+def sim_ann_ivf_index_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STORED-INDEX contract of ivf_topk (the `centroids=` /
+    `assigned=` parameters, the deployment shape where an index is
+    trained once per corpus version and amortized across query
+    batches — tools/ann_cost_probe_r08.py measures why: rebuilding the
+    O(N x n_cells) assignment per batch inverts the cost advantage
+    once n_cells > |queries|): k-means centroids and the corpus-to-cell
+    assignment are built ONCE, then TWO disjoint query batches (ids
+    0-9 and 10-19) run against the same stored index at the full-probe
+    deterministic endpoint, and their union must equal brute-force
+    top-5 for all 20 queries per the oracle's plain-SQL recompute.
+    What full probe makes this pin: with every cell probed, the result
+    is exact IFF the stored assignment holds every corpus vector
+    exactly once — a vector dropped from its cell, duplicated across
+    cells, or an assignment staled between the two batches changes
+    some (query_id, cand_id, sim, rn) tuple and hash-fails. The
+    probe-selection recall trade at n_probe < n_cells is gated by
+    sim_ann_ivf; the endpoint algebra by sim_ann_ivf_full_probe; THIS
+    gate adds the index round trip across batches."""
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    cents = similarity.kmeans_centroids(e, "vec_id", "embedding", k=8, iters=2)
+    assigned = similarity.assign_to_centroids(
+        e, cents, "vec_id", "embedding"
+    ).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("cv"),
+        "cid",
+    )
+    batch1 = e.filter(F.col("vec_id") < 10)
+    batch2 = e.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 20))
+    out1 = similarity.ivf_topk(
+        e, batch1, k=5, n_cells=8, n_probe=8,
+        centroids=cents, assigned=assigned,
+    )
+    out2 = similarity.ivf_topk(
+        e, batch2, k=5, n_cells=8, n_probe=8,
+        centroids=cents, assigned=assigned,
+    )
+    return out1.unionByName(out2)
+
+
+@register(
     "sim_ann_ivf_pq_rerank",
     oracle="""
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
