@@ -6533,7 +6533,8 @@ def stream_cdc_signed_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n_rows,
            min(value) AS vmin,
-           max(value) AS vmax
+           max(value) AS vmax,
+           CAST(count(DISTINCT value) AS BIGINT) AS n_distinct_vals
     FROM events
     WHERE value IS NULL OR value < 100
     GROUP BY event_type
@@ -6559,11 +6560,20 @@ def stream_cdc_minmax_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     bearing property — a -1 arriving batches after its +1 nets out in
     the read-side merge, not inside any single batch.
 
+    One state, two read faces checked here: the SAME folded multiset
+    (streaming.read_multiset_state, one stream run, one state table)
+    serves both finalize_minmax AND finalize_distinct — the gate emits
+    min/max/count and the exact distinct-value count side by side, and
+    the oracle recomputes both from the net rows, pinning that a
+    single maintained multiset really does serve the whole
+    non-invertible aggregate family in streaming (top-n is the same
+    frame through finalize_topn, property-tested in
+    tests/test_ops_extra.py).
+
     At 100 TB: per-batch state written is |distinct (key, value) in
-    the batch| rows, the fold shuffles state rows only, and the same
-    maintained multiset serves min/max, count-distinct, and top-n
-    readers (the batch-face siblings: incremental_minmax/
-    distinct/topn_view_retractions)."""
+    the batch| rows and the fold shuffles state rows only (the
+    batch-face siblings: incremental_minmax/distinct/topn_view_
+    retractions)."""
     import shutil
 
     from .. import streaming
@@ -6589,12 +6599,19 @@ def stream_cdc_minmax_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming.run_stream_multiset_agg(
         stream, ["event_type"], "value", state, ckpt
     )
-    view = streaming.read_multiset_minmax(spark, state, "value")
-    return view.select(
+    from ..operators import incremental
+
+    folded = streaming.read_multiset_state(spark, state)
+    minmax = incremental.finalize_minmax(folded, "value")
+    distinct = incremental.finalize_distinct(folded, "value").select(
+        "event_type", F.col("n_distinct").alias("n_distinct_vals")
+    )
+    return minmax.join(distinct, "event_type").select(
         "event_type",
         F.col("n_rows").cast("bigint").alias("n_rows"),
         F.col("vmin").alias("vmin"),
         F.col("vmax").alias("vmax"),
+        F.col("n_distinct_vals").cast("bigint").alias("n_distinct_vals"),
     )
 
 

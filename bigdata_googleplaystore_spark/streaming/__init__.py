@@ -392,19 +392,28 @@ def run_stream_multiset_agg(
     q.stop()
 
 
+def read_multiset_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Fold all per-batch multiset partials into the current net
+    (keys..., value, _cnt) state: counts add across batches, rows
+    netted to zero drop out. This ONE folded frame serves every
+    multiset reader — finalize_minmax, finalize_distinct,
+    finalize_topn — so a stream maintains all the non-invertible
+    aggregates with a single state table."""
+    from ..operators import incremental
+
+    return incremental.merge_multisets(_read_state_partials(spark, state_dir))
+
+
 def read_multiset_minmax(
     spark: SparkSession, state_dir: str, value_col: str
 ) -> DataFrame:
-    """Fold all per-batch multiset partials and derive (n_rows, vmin,
-    vmax) per key over the SURVIVING values: counts add across batches,
-    (key, value) rows netted to zero drop out, fully-retracted groups
-    disappear (operators/incremental.finalize_minmax). The same folded
-    state also serves finalize_distinct / finalize_topn readers."""
+    """(n_rows, vmin, vmax) per key over the folded multiset state's
+    SURVIVING values — fully-retracted groups disappear
+    (operators/incremental.finalize_minmax)."""
     from ..operators import incremental
 
-    partials = _read_state_partials(spark, state_dir)
     return incremental.finalize_minmax(
-        incremental.merge_multisets(partials), value_col
+        read_multiset_state(spark, state_dir), value_col
     )
 
 
