@@ -54,7 +54,8 @@ from .tpch import flagship  # noqa: E402,F401
 # multiset MV (min/max under cross-batch retractions), MV state
 # compaction (the VACUUM face of the per-batch state protocol),
 # PERMISSIVE corrupt-record JSON parsing, the null-safe equi-join,
-# and the stored-index IVF reuse endpoint. 63 names now sit above the
+# the stored-index IVF reuse endpoint, the TABLE-argument polymorphic
+# UDTF, and the IDENTIFIER() clause. 65 names now sit above the
 # cutoff; the driver records ~50, so the last r03 names roll to r09
 # alongside the staged r04 block.
 _PRIORITY: list[str] = [
@@ -68,6 +69,8 @@ _PRIORITY: list[str] = [
     "json_corrupt_record_permissive",  # new: malformed-JSON quarantine
     "null_safe_join_grouping",  # new: eqNullSafe hash join
     "sim_ann_ivf_index_reuse",  # new: stored-index IVF across batches
+    "udtf_table_argument",  # new: polymorphic TABLE(...) PARTITION BY UDTF
+    "sql_identifier_clause",  # new: injection-safe IDENTIFIER() binding
     "incremental_join_view_retractions",  # new: signed-multiplicity join IVM
     "incremental_minmax_view_retractions",  # new: MIN/MAX multiset-state IVM
     "stream_cdc_signed_agg_view",  # new: streaming CDC signed MV

@@ -4432,6 +4432,104 @@ def udtf_word_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "udtf_table_argument",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM documents GROUP BY lang
+    """,
+    tags=("udtf", "sql", "table-function"),
+)
+def udtf_table_argument(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic table function: a Python UDTF consuming a TABLE
+    argument with PARTITION BY (`FROM summarize(TABLE(documents)
+    PARTITION BY lang)`) — the SQL-standard PTF surface Spark added for
+    exactly the custom-per-group-operator niche applyInPandas serves on
+    the DataFrame side. Each partition's rows stream through eval() and
+    terminate() emits one summary row, so the gate value-checks the
+    whole contract against a plain GROUP BY oracle: partition routing
+    (a row delivered to the wrong group shifts two groups' counts),
+    per-partition state isolation (leaked state across partitions
+    inflates later groups), and the terminate-once protocol (a double
+    emit duplicates a group and rows-fails).
+
+    Scale posture: PARTITION BY shuffles once on the key and each
+    partition streams through the UDTF row-python — the row-at-a-time
+    slow path, priced exactly like udtf_word_bigrams: for an aggregate
+    this simple use groupBy/agg (JVM, combinable); the PTF form is for
+    genuinely custom per-group logic (sequence models, sessionizers)
+    and this gate is its API-surface coverage."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="lang string, n_docs bigint, total_chars bigint, max_chars bigint")
+    class LangStats:
+        def __init__(self):
+            self.lang = None
+            self.n = 0
+            self.total = 0
+            self.mx = None
+
+        def eval(self, row):
+            self.lang = row["lang"]
+            self.n += 1
+            nc = row["n_chars"]
+            self.total += nc
+            self.mx = nc if self.mx is None else max(self.mx, nc)
+
+        def terminate(self):
+            yield self.lang, self.n, self.total, self.mx
+
+    spark.udtf.register("lang_stats", LangStats)
+    from ..sources import register_views
+
+    register_views(spark, sf_dir, tables=("documents",))
+    return spark.sql(
+        "SELECT * FROM lang_stats(TABLE(documents) PARTITION BY lang)"
+    )
+
+
+@register(
+    "sql_identifier_clause",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+             AS total_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("sql", "identifier", "injection-safe"),
+)
+def sql_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IDENTIFIER() clause: table AND column names bound from
+    parameters as identifiers, not string-spliced SQL — the
+    injection-safe way to write the "same rollup over N tables/columns"
+    template every metadata-driven pipeline contains (the value
+    companion to sql_session_vars_params, which binds VALUES via
+    EXECUTE IMMEDIATE USING; identifiers need IDENTIFIER() because a
+    bound value parameter cannot name a table). A malicious
+    'orders; DROP ...' string fails to parse as an identifier here
+    instead of executing. JVM-side and optimizer-transparent: after
+    binding, the plan is byte-identical to the literal query — pushdown
+    and pruning see a normal column reference."""
+    from ..sources import register_views
+
+    register_views(spark, sf_dir, tables=("orders",))
+    return spark.sql(
+        """
+        SELECT IDENTIFIER(:grp) AS o_orderpriority,
+               count(*) AS n_orders,
+               CAST(round(sum(CAST(IDENTIFIER(:val) AS DECIMAL(12,2))), 2)
+                    AS DOUBLE) AS total_price
+        FROM IDENTIFIER(:tbl)
+        GROUP BY IDENTIFIER(:grp)
+        """,
+        args={"grp": "o_orderpriority", "val": "o_totalprice", "tbl": "orders"},
+    )
+
+
+@register(
     "data_quality_audit",
     oracle="""
     SELECT check_name, n_bad, n_total, n_bad = 0 AS ok FROM (
