@@ -183,7 +183,16 @@ def embedding_near_pairs_ann(
 
     At 100 TB: the signature pass is one Arrow matmul scan; the bucket
     join shuffles (table, bucket, id) triples; only candidate pairs touch
-    vectors again (joined by id, shuffle on id)."""
+    vectors again (joined by id, shuffle on id). SIZE n_planes WITH THE
+    CORPUS: buckets per table = 2^n_planes, so a fixed plane count lets
+    bucket occupancy — and the bucketed self-join's
+    sum-of-bucket-sizes-squared cost — grow quadratically. Measured
+    (tools/scale_probe_r08e.py, 2k->32k vectors, replica families so
+    true pairs grow quadratically): with n_planes ~ log2(N/250)
+    (occupancy pinned ~250) wall grows 1.0x/2.2x/15.5x at 1x/4x/16x —
+    linear — at 99.93% recall of the 240k planted pairs; with
+    n_planes=4 held fixed, the 16x cell did not complete in 10 minutes
+    on local[32]."""
     sigs = hyperplane_signature_tables(
         df, id_col, vec_col, n_planes, dim, n_tables, seed
     )
