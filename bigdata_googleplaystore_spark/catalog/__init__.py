@@ -46,7 +46,7 @@ from .tpch import flagship  # noqa: E402,F401
 # may roll to r09. The 45 r04-stale names sit below the cutoff in r04
 # insertion order as the r09 rotation head.
 #
-# Late-round additions (continuation session): five more new gates
+# Late-round additions (continuation session): TEN more new gates
 # head the window — top-N-per-group IVM under retractions (the fourth
 # face of the maintained multiset), the bucket-decomposed pure range
 # join (the NLJ-free scale path, previously unit-test-only), the

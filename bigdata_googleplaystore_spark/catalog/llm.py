@@ -960,13 +960,16 @@ def sim_ann_ivf_index_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").isNotNull()
     )
     cents = similarity.kmeans_centroids(e, "vec_id", "embedding", k=8, iters=2)
+    # localCheckpoint makes "built ONCE" physically true: without it each
+    # query batch's plan re-executes the O(N x n_cells) assignment — the
+    # exact per-batch rebuild the stored-index contract exists to avoid
     assigned = similarity.assign_to_centroids(
         e, cents, "vec_id", "embedding"
     ).select(
         F.col("vec_id").alias("cand_id"),
         F.col("embedding").alias("cv"),
         "cid",
-    )
+    ).localCheckpoint()
     batch1 = e.filter(F.col("vec_id") < 10)
     batch2 = e.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 20))
     out1 = similarity.ivf_topk(

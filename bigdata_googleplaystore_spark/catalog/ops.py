@@ -6699,7 +6699,10 @@ def stream_cdc_minmax_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ..operators import incremental
 
-    folded = streaming.read_multiset_state(spark, state)
+    # localCheckpoint: ONE parquet scan + merge shuffle of the state,
+    # shared by both read faces (uncached, each finalize would re-read
+    # and re-fold the whole table — advisor-grade waste on every run)
+    folded = streaming.read_multiset_state(spark, state).localCheckpoint()
     minmax = incremental.finalize_minmax(folded, "value")
     distinct = incremental.finalize_distinct(folded, "value").select(
         "event_type", F.col("n_distinct").alias("n_distinct_vals")
@@ -6731,18 +6734,22 @@ def mv_state_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     (orders split by o_orderkey % 4) land as per-batch partial-state
     partitions via the shared write_batch_partition protocol, then
     streaming.compact_state_partials merges partitions 0..2 into one
-    base stored at `_batch_id=2` and deletes the two older directories
-    through the Hadoop FileSystem API. The read path is UNCHANGED —
-    read_incremental_state folds (base ⊕ batch 3) by the same
-    associative merge — and must still hash-match the oracle's direct
-    aggregate over all of orders; the `partitions_pruned` flag
-    additionally pins the physical outcome (exactly 2 partitions
-    removed, exactly {2, 3} remaining on disk), so a compaction that
-    silently dropped or double-counted a batch fails twice over. The
-    documented trade — as-of reads below the compaction horizon are
-    gone (mv_time_travel_read gates the pre-compaction capability) —
-    is the same retention boundary a transactional format's VACUUM
-    draws.
+    base stored at the RESERVED id `_batch_id=-3`
+    (streaming.compact_base_id(2) — negative, outside the id space
+    micro-batches write, so a post-compaction batch replay can never
+    overwrite the merged history) and deletes the three subsumed
+    directories through the Hadoop FileSystem API. The read path is
+    UNCHANGED — read_incremental_state folds (base ⊕ batch 3) by the
+    same associative merge — and must still hash-match the oracle's
+    direct aggregate over all of orders; the `partitions_pruned` flag
+    additionally pins the physical outcome (exactly 3 partitions
+    subsumed and removed, exactly {-3, 3} remaining on disk, listed
+    via the SAME streaming.list_batch_partitions helper the operator
+    uses), so a compaction that silently dropped or double-counted a
+    batch fails twice over. The documented trade — as-of reads below
+    the compaction horizon floor to the horizon version
+    (mv_time_travel_read gates the pre-compaction capability) — is the
+    same retention boundary a transactional format's VACUUM draws.
 
     At 100 TB: a per-micro-batch state table accumulates files without
     bound; compaction caps read fan-in at O(1 base + recent batches)
@@ -6764,16 +6771,8 @@ def mv_state_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             incremental.partial_agg(batch, ["o_orderpriority"], "v"), state, b
         )
     removed = streaming.compact_state_partials(spark, state, upto_batch=2)
-
-    jvm = spark.sparkContext._jvm
-    hroot = jvm.org.apache.hadoop.fs.Path(state)
-    fs = hroot.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-    remaining = sorted(
-        int(st.getPath().getName().split("=", 1)[1])
-        for st in fs.listStatus(hroot)
-        if st.isDirectory() and st.getPath().getName().startswith("_batch_id=")
-    )
-    ok = removed == 2 and remaining == [2, 3]
+    remaining = streaming.list_batch_partitions(spark, state)
+    ok = removed == 3 and remaining == [streaming.compact_base_id(2), 3]
 
     view = streaming.read_incremental_state(spark, state)
     return view.select(

@@ -322,6 +322,15 @@ def ivf_topk(
     against a pure-SQL exact oracle (sim_ann_ivf_full_probe,
     catalog/llm.py) in addition to the planted top-1 gate
     (sim_ann_ivf)."""
+    if assigned is not None and centroids is None:
+        # an assignment's cids only mean anything relative to the
+        # centroids that produced them — retraining k-means inline here
+        # would silently pair fresh probe centroids with stale cell
+        # contents and return arbitrary neighbors
+        raise ValueError(
+            "ivf_topk: `assigned` requires the matching `centroids` — "
+            "pass both halves of the stored index"
+        )
     if centroids is None:
         centroids = kmeans_centroids(corpus, id_col, vec_col, k=n_cells, iters=iters)
     if assigned is None:

@@ -215,6 +215,34 @@ def _read_state_partials(
     return partials.drop("_batch_id")
 
 
+def _run_stream_to_batch_partitions(
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    transform=None,
+) -> None:
+    """THE foreachBatch runner every batch-partitioned sink here shares:
+    each micro-batch (optionally passed through `transform(batch_df)`
+    first — the partial-state builders plug in there) lands in its own
+    idempotent `_batch_id` partition via write_batch_partition, then the
+    bounded stream drains and stops. One definition, so runner-level
+    changes (trigger options, error handling) cannot drift across the
+    raw-sink, scalar-, signed-, and multiset-state writers."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if transform is not None:
+            batch_df = transform(batch_df)
+        write_batch_partition(batch_df, out_dir, batch_id)
+
+    q = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+
 def run_stream_foreach_batch_parquet(
     stream_df: DataFrame, out_dir: str, checkpoint_dir: str
 ) -> None:
@@ -226,17 +254,7 @@ def run_stream_foreach_batch_parquet(
     pattern generalizes to JDBC upserts / MERGE sinks — foreachBatch is
     the extension point Structured Streaming gives you for any sink with
     transactional or idempotent semantics."""
-
-    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        write_batch_partition(batch_df, out_dir, batch_id)
-
-    q = (
-        stream_df.writeStream.foreachBatch(write_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
+    _run_stream_to_batch_partitions(stream_df, out_dir, checkpoint_dir)
 
 
 def run_stream_incremental_agg(
@@ -259,20 +277,12 @@ def run_stream_incremental_agg(
     without changing reader semantics."""
     from ..operators import incremental
 
-    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        write_batch_partition(
-            incremental.partial_agg(batch_df, keys, value_col),
-            state_dir,
-            batch_id,
-        )
-
-    q = (
-        stream_df.writeStream.foreachBatch(write_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .start()
+    _run_stream_to_batch_partitions(
+        stream_df,
+        state_dir,
+        checkpoint_dir,
+        transform=lambda b: incremental.partial_agg(b, keys, value_col),
     )
-    q.processAllAvailable()
-    q.stop()
 
 
 def read_incremental_state(spark: SparkSession, state_dir: str) -> DataFrame:
@@ -298,7 +308,12 @@ def read_incremental_state_asof(
     Scale posture: _batch_id is a PARTITION column, so the as-of
     predicate prunes newer partitions at the scan — a version read
     costs O(partials up to that version), never O(all history), and
-    the fold is the same |keys|-row shuffle as the latest-read path."""
+    the fold is the same |keys|-row shuffle as the latest-read path.
+
+    After compaction (compact_state_partials), versions below the
+    compaction horizon are gone; their as-of reads FLOOR to the
+    horizon version, because the merged base's reserved negative
+    _batch_id passes every as-of filter."""
     from ..operators import incremental
 
     partials = _read_state_partials(spark, state_dir, as_of_batch)
@@ -327,20 +342,14 @@ def run_stream_signed_agg(
     batch shuffles its own |keys| rows."""
     from ..operators import incremental
 
-    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        write_batch_partition(
-            incremental.partial_agg_signed(batch_df, keys, value_col, mult_col),
-            state_dir,
-            batch_id,
-        )
-
-    q = (
-        stream_df.writeStream.foreachBatch(write_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .start()
+    _run_stream_to_batch_partitions(
+        stream_df,
+        state_dir,
+        checkpoint_dir,
+        transform=lambda b: incremental.partial_agg_signed(
+            b, keys, value_col, mult_col
+        ),
     )
-    q.processAllAvailable()
-    q.stop()
 
 
 def read_signed_state(spark: SparkSession, state_dir: str) -> DataFrame:
@@ -376,20 +385,14 @@ def run_stream_multiset_agg(
     rows; history is never re-read."""
     from ..operators import incremental
 
-    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        write_batch_partition(
-            incremental.multiset_state(batch_df, keys, value_col, mult_col),
-            state_dir,
-            batch_id,
-        )
-
-    q = (
-        stream_df.writeStream.foreachBatch(write_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .start()
+    _run_stream_to_batch_partitions(
+        stream_df,
+        state_dir,
+        checkpoint_dir,
+        transform=lambda b: incremental.multiset_state(
+            b, keys, value_col, mult_col
+        ),
     )
-    q.processAllAvailable()
-    q.stop()
 
 
 def read_multiset_state(spark: SparkSession, state_dir: str) -> DataFrame:
@@ -417,12 +420,42 @@ def read_multiset_minmax(
     )
 
 
+def list_batch_partitions(spark: SparkSession, state_dir: str) -> list[int]:
+    """The `_batch_id=<n>` partition ids present in a state table,
+    sorted, via the Hadoop FileSystem API (works on hdfs://s3a: paths).
+    Single definition shared by compaction and its gate so the listing
+    route cannot drift from the operator it verifies."""
+    jvm = spark.sparkContext._jvm
+    hroot = jvm.org.apache.hadoop.fs.Path(state_dir)
+    fs = hroot.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return sorted(
+        int(st.getPath().getName().split("=", 1)[1])
+        for st in fs.listStatus(hroot)
+        if st.isDirectory() and st.getPath().getName().startswith("_batch_id=")
+    )
+
+
+def compact_base_id(upto_batch: int) -> int:
+    """The RESERVED partition id a compacted base lands at:
+    -(upto_batch + 1). Streaming micro-batch ids are always >= 0, so a
+    batch replayed after compaction can never overwrite the base with
+    its own partial (write_batch_partition's idempotent overwrite
+    targets the replayed id's own directory) — at worst a replay of an
+    already-compacted id double-counts that ONE batch, it cannot
+    destroy the merged history. Negative and bijective in the horizon,
+    so the horizon stays readable off the directory name."""
+    return -(upto_batch + 1)
+
+
 def compact_state_partials(
     spark: SparkSession, state_dir: str, upto_batch: int
 ) -> int:
     """State-table COMPACTION: merge every `_batch_id <= upto_batch`
-    partial partition into ONE base partition stored at
-    `_batch_id=upto_batch`, then delete the now-redundant older
+    partial partition (including any earlier compacted base) into ONE
+    base partition stored at the RESERVED id `compact_base_id(
+    upto_batch)` — negative, outside the id space streams write, so a
+    micro-batch replayed after compaction overwrites its own directory
+    and never the base — then delete the now-redundant older
     partitions. Readers are untouched — the fold operators are
     associative, so (merged base) ⊕ (newer partials) equals the
     original chain; `read_incremental_state` and friends work unchanged
@@ -431,9 +464,19 @@ def compact_state_partials(
     merge_multisets, scalar partials (`_min`/`_max` present) with
     merge_partials, signed partials with merge_partials_signed.
 
+    Replay contract: compact only behind the stream's COMMITTED
+    checkpoint offset. A replay of an id <= the horizon (possible only
+    when that contract is violated) adds a duplicate partial next to
+    the base that already folded it — double-counting that one batch —
+    rather than destroying history; ids > the horizon replay
+    idempotently as always.
+
     The TRADE, stated plainly: as-of reads BELOW `upto_batch` are no
     longer reconstructible — compaction is the retention boundary
-    (exactly a transactional format's VACUUM horizon). Pick
+    (exactly a transactional format's VACUUM horizon). Because the
+    base's negative id passes every `_batch_id <= v` as-of filter, an
+    as-of read below the horizon FLOORS to the horizon version (the
+    nearest surviving one) instead of returning empty. Pick
     `upto_batch` behind every version any consumer still pins.
 
     Scale posture: a state table accumulating one partition per
@@ -445,7 +488,7 @@ def compact_state_partials(
     hdfs:// or s3a:// paths, not only local disk.
 
     Measured (tools/scale_probe_r08d.py, sf0.1 orders, 64 batches
-    compacted to 1 base + 8 recent): file fan-in 64 -> 8 and the
+    compacted to 1 base + 7 recent): file fan-in 64 -> 8 and the
     latest-view fold 0.515s -> 0.273s with the folded values asserted
     identical; the 0.96s compaction amortizes over every future read.
     At a batch-per-minute cadence an uncompacted month is ~43k
@@ -463,33 +506,34 @@ def compact_state_partials(
     else:
         base = incremental.merge_partials_signed(partials)
 
+    base_id = compact_base_id(upto_batch)
+    # every partition the merged base subsumes: ids <= upto_batch,
+    # including any earlier (more-negative-than-new) compacted base
+    old_ids = [
+        b
+        for b in list_batch_partitions(spark, state_dir)
+        if b <= upto_batch and b != base_id
+    ]
+    # Swap protocol: stage the merged base OUTSIDE the table, delete the
+    # subsumed partitions, write the base partition from the staged
+    # copy. The swap is NOT atomic — a crash between the delete and the
+    # final write leaves the table missing the merged history (the
+    # staged copy holds it for recovery). A production deployment wraps
+    # this in a manifest commit (or a transactional table format); the
+    # operator keeps the merge/retention semantics and the FS
+    # mechanics, which is what the gate checks.
     jvm = spark.sparkContext._jvm
     hroot = jvm.org.apache.hadoop.fs.Path(state_dir)
     fs = hroot.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-    old = [
-        st.getPath()
-        for st in fs.listStatus(hroot)
-        if st.isDirectory()
-        and st.getPath().getName().startswith("_batch_id=")
-        and int(st.getPath().getName().split("=", 1)[1]) < upto_batch
-    ]
-    # Swap protocol: stage the merged base OUTSIDE the table, delete the
-    # old partitions, overwrite the upto partition from the staged copy.
-    # The swap is NOT atomic — a crash between the delete and the final
-    # overwrite leaves the upto partition stale with the olds gone (the
-    # staged copy holds the full merged base for recovery). A production
-    # deployment wraps this in a manifest commit (or a transactional
-    # table format); the operator keeps the merge/retention semantics
-    # and the FS mechanics, which is what the gate checks.
     tmp = state_dir.rstrip("/") + "__compact_tmp"
     base.write.mode("overwrite").parquet(tmp)
-    for p in old:
-        fs.delete(p, True)
+    for b in old_ids:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(state_dir, f"_batch_id={b}"), True)
     write_batch_partition(
-        spark.read.parquet(tmp).drop("_batch_id"), state_dir, upto_batch
+        spark.read.parquet(tmp).drop("_batch_id"), state_dir, base_id
     )
     fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
-    return len(old)
+    return len(old_ids)
 
 
 def run_stream_to_memory(

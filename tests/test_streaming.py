@@ -604,10 +604,12 @@ def test_top_types_processor_eviction_order_with_fake_state(spark):
 def test_compact_state_partials_scalar_roundtrip(spark, tmp_path):
     """streaming.compact_state_partials over SCALAR partial state: the
     folded view must be unchanged after compacting batches 0..2 into a
-    base at _batch_id=2, exactly 2 old partitions must be removed with
-    {2, 3} remaining on disk, and an as-of read at the compaction
-    horizon must still work while one BELOW it now reflects the merged
-    base (the documented retention trade)."""
+    base at the reserved id _batch_id=-3 (compact_base_id(2) — outside
+    the id space micro-batches write, so a replayed batch can never
+    clobber the merged history), exactly 3 subsumed partitions must be
+    removed with {-3, 3} remaining on disk, and an as-of read at the
+    compaction horizon must still work while one BELOW it FLOORS to the
+    horizon version (the documented retention trade)."""
     import glob
 
     from pyspark.sql import functions as F
@@ -630,23 +632,30 @@ def test_compact_state_partials_scalar_roundtrip(spark, tmp_path):
         for r in streaming.read_incremental_state(spark, state).collect()
     }
     removed = streaming.compact_state_partials(spark, state, upto_batch=2)
-    assert removed == 2
+    assert removed == 3
     dirs = sorted(
         int(p.rsplit("=", 1)[1])
         for p in glob.glob(f"{state}/_batch_id=*")
     )
-    assert dirs == [2, 3]
+    assert dirs == [streaming.compact_base_id(2), 3] == [-3, 3]
+    assert dirs == streaming.list_batch_partitions(spark, state)
     after = {
         (r["grp"]): (r["n_rows"], r["total"], r["vmin"], r["vmax"])
         for r in streaming.read_incremental_state(spark, state).collect()
     }
     assert after == before
-    # as-of AT the horizon equals the first-three-batches fold; BELOW it
-    # is gone (the merged base subsumed batches 0 and 1)
-    asof = streaming.read_incremental_state_asof(spark, state, 2)
-    assert asof.count() > 0
-    below = streaming.read_incremental_state_asof(spark, state, 1)
-    assert below.count() == 0
+
+    def snap_asof(v):
+        return sorted(
+            map(tuple, streaming.read_incremental_state_asof(spark, state, v).collect())
+        )
+
+    # as-of AT the horizon equals the merged base's fold; BELOW it the
+    # original versions are gone and the read FLOORS to the horizon
+    horizon = snap_asof(2)
+    assert len(horizon) > 0
+    assert snap_asof(1) == horizon
+    assert snap_asof(0) == horizon
 
 
 def test_compact_state_partials_multiset_dispatch(spark, tmp_path):
@@ -668,7 +677,7 @@ def test_compact_state_partials_multiset_dispatch(spark, tmp_path):
             incremental.multiset_state(b, ["grp"], "v", "_mult"), state, i
         )
     removed = streaming.compact_state_partials(spark, state, upto_batch=1)
-    assert removed == 1
+    assert removed == 2  # batches 0 and 1 subsumed into the -2 base
     out = {
         r["grp"]: (r["n_rows"], r["vmin"], r["vmax"])
         for r in streaming.read_multiset_minmax(spark, state, "v").collect()
@@ -723,7 +732,51 @@ def test_compaction_invariant_under_random_batches_and_horizon(spark, tmp_path):
 
         before = snap()
         removed = streaming.compact_state_partials(spark, state, horizon)
-        assert removed == horizon  # partitions 0..horizon-1 removed
+        assert removed == horizon + 1  # partitions 0..horizon subsumed
         assert snap() == before
 
     check()
+
+
+def test_compacted_base_survives_batch_replay(spark, tmp_path):
+    """The replay-collision hazard compact_base_id exists for: a
+    micro-batch whose id was already folded into the compacted base
+    gets replayed (checkpoint lost — a violation of the compact-only-
+    behind-the-committed-offset contract). Because the base lives at a
+    reserved NEGATIVE id, the replay overwrites only its own directory:
+    the merged history must survive intact, with the replayed batch
+    double-counted (the documented worst case) — never the
+    pre-compaction batches silently destroyed, which is what storing
+    the base at _batch_id=horizon allowed."""
+    from pyspark.sql import functions as F
+
+    from bigdata_googleplaystore_spark.operators import incremental
+
+    state = str(tmp_path / "replay_state")
+    batches = [
+        [("a", 1.0), ("b", 2.0)],   # batch 0
+        [("a", 3.0)],               # batch 1
+        [("b", 4.0)],               # batch 2 (the one we replay)
+    ]
+    frames = [
+        incremental.partial_agg(
+            spark.createDataFrame(b, "grp STRING, v DOUBLE"), ["grp"], "v"
+        )
+        for b in batches
+    ]
+    for i, f in enumerate(frames):
+        streaming.write_batch_partition(f, state, i)
+    streaming.compact_state_partials(spark, state, upto_batch=2)
+    assert streaming.list_batch_partitions(spark, state) == [-3]
+
+    # replay batch 2: foreachBatch would call write_batch_partition with
+    # the SAME id — it must land at _batch_id=2, not over the base
+    streaming.write_batch_partition(frames[2], state, 2)
+    assert streaming.list_batch_partitions(spark, state) == [-3, 2]
+
+    got = {
+        r["grp"]: (r["n_rows"], r["total"])
+        for r in streaming.read_incremental_state(spark, state).collect()
+    }
+    # history intact; batch 2 double-counted (b gains one extra 4.0 row)
+    assert got == {"a": (2, 4.0), "b": (3, 10.0)}

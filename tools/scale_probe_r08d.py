@@ -5,7 +5,7 @@ semantics on a 4-batch toy; this probe measures the cost claim on a
 64-batch state table at sf0.1: a per-micro-batch MV state accumulates one
 partition (and >= one file) per batch, so the LATEST-view fold reads
 O(batches) files forever. After compacting batches 0..55 into one base,
-the same read touches 1 base + 8 recent partitions. Files read and wall
+the same read touches 1 base + 7 recent partitions. Files read and wall
 time are harvested for both, plus the folded view equality — the read
 path is untouched by design, so the numbers isolate pure fan-in.
 

@@ -40,6 +40,10 @@ SWEEP = (8, 32, 128, 1024)
 
 
 def _run(spark) -> float:
+    # per-cell warmup: each conf change alters the physical plan, so the
+    # warmup must run UNDER the cell's confs or the first timed run pays
+    # plan-compile/first-shuffle overhead the others don't
+    QUERIES[QUERY].fn(spark, SF).write.format("noop").mode("overwrite").save()
     runs = []
     for _ in range(3):
         df = QUERIES[QUERY].fn(spark, SF)
