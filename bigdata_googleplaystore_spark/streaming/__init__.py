@@ -507,13 +507,20 @@ def compact_state_partials(
         base = incremental.merge_partials_signed(partials)
 
     base_id = compact_base_id(upto_batch)
+    listed = list_batch_partitions(spark, state_dir)
+    # the horizon can only move FORWARD: an existing base at horizon H
+    # (id -(H+1)) folded batches through H, so "compacting" to an
+    # earlier upto would relabel version-H data as an older version
+    prev_horizon = max((-(b) - 1 for b in listed if b < 0), default=-1)
+    if upto_batch < prev_horizon:
+        raise ValueError(
+            f"compact_state_partials: upto_batch={upto_batch} is behind "
+            f"the existing compaction horizon {prev_horizon} — the "
+            "horizon only moves forward"
+        )
     # every partition the merged base subsumes: ids <= upto_batch,
     # including any earlier (more-negative-than-new) compacted base
-    old_ids = [
-        b
-        for b in list_batch_partitions(spark, state_dir)
-        if b <= upto_batch and b != base_id
-    ]
+    old_ids = [b for b in listed if b <= upto_batch and b != base_id]
     # Swap protocol: stage the merged base OUTSIDE the table, delete the
     # subsumed partitions, write the base partition from the staged
     # copy. The swap is NOT atomic — a crash between the delete and the
