@@ -24,96 +24,28 @@ from .tpch import flagship  # noqa: E402,F401
 # then the remaining never-checked (the next round's rotation head), then
 # the rest of the previously-green set, oldest evidence first.
 #
-# Round-8 window (VERDICT r07 items 2, 4, 5, 6): the 16 queries
-# changed or added this round head the window — the twelve new gates
-# (retraction-capable join IVM via signed multiplicities, MIN/MAX-
-# under-deletes via multiset value-count state, the streaming CDC
-# signed materialized view, the IVF full-probe ≡ brute-force
-# deterministic endpoint, the composed IVF-PQ rerank pipeline at the
-# same endpoint, the multi-table LSH recall lower bound at the
-# production 0.9 threshold, the max_shingle_df hot-shingle cap under
-# a planted-boilerplate oracle, the spark.sql(args=) named-
-# parameter + GROUP BY ALL surface, COUNT(DISTINCT)-under-retractions
-# via the multiset's third face, the HLL sketch-merge distinct MV on
-# fold-plan invariance, the applyInPandasWithState per-key top-k
-# stateful streaming gate, and the time-travel as-of-version MV read)
-# plus the four advisor-touched gates (dpp's probe-row reuse, bloom's
-# isSet-semantics conf restore, zorder's Hadoop-FS footer walk,
-# analyze's metastore cleanup) which need fresh rows because their
-# implementations changed. Then ALL 39 queries whose newest driver row
-# is r03 (the oldest evidence left after r07 closed the pre-r03 gap) —
-# 55 names total; the driver records ~50, so the last few r03 names
-# may roll to r09. The 45 r04-stale names sit below the cutoff in r04
-# insertion order as the r09 rotation head.
-#
-# Late-round additions (continuation session): TEN more new gates
-# head the window — top-N-per-group IVM under retractions (the fourth
-# face of the maintained multiset), the bucket-decomposed pure range
-# join (the NLJ-free scale path, previously unit-test-only), the
-# append-mode watermark late-drop streaming gate, the streaming CDC
-# multiset MV (min/max under cross-batch retractions), MV state
-# compaction (the VACUUM face of the per-batch state protocol),
-# PERMISSIVE corrupt-record JSON parsing, the null-safe equi-join,
-# the stored-index IVF reuse endpoint, the TABLE-argument polymorphic
-# UDTF, and the IDENTIFIER() clause. 65 names now sit above the
-# cutoff; the driver records ~50, so the last r03 names roll to r09
-# alongside the staged r04 block.
+# Round-9 window (VERDICT r08 items 2-3 + all four r08 ADVICE items):
+# (a) the new disk-persisted IVF index lifecycle gate plus the four
+# gates whose implementations changed this round (state compaction's
+# write-base-BEFORE-delete swap protocol with idempotent recovery, the
+# guaranteed-invalid '{]' JSON corruption injection, the watermark
+# gate's data-assumption guard, ivf_topk's stored-index consistency
+# check) need fresh rows regardless of past greens. Then (b) the 15
+# queries whose newest driver row is r03 — the registry's oldest
+# evidence — and (c) the 45 r04-stale names in r04 insertion order.
+# 65 names total; the driver records ~50, so the last ~15 r04 names
+# roll to r10 (after r09 no query's newest row is older than r04, and
+# r10 clears the remainder to r05+).
 _PRIORITY: list[str] = [
-    # ===== ROUND-8 WINDOW (the driver records ~50 rows) =====
-    # (a) new this round — first rows required:
-    "incremental_topn_view_retractions",  # new: top-N multiset-state IVM
-    "range_join_bucket_decomposed",  # new: pure range join, bucketed
-    "stream_watermark_late_drop",  # new: append-mode late-data drop
-    "stream_cdc_minmax_view",  # new: streaming CDC multiset MV
-    "mv_state_compaction",  # new: state-table compaction/VACUUM
-    "json_corrupt_record_permissive",  # new: malformed-JSON quarantine
-    "null_safe_join_grouping",  # new: eqNullSafe hash join
-    "sim_ann_ivf_index_reuse",  # new: stored-index IVF across batches
-    "udtf_table_argument",  # new: polymorphic TABLE(...) PARTITION BY UDTF
-    "sql_identifier_clause",  # new: injection-safe IDENTIFIER() binding
-    "incremental_join_view_retractions",  # new: signed-multiplicity join IVM
-    "incremental_minmax_view_retractions",  # new: MIN/MAX multiset-state IVM
-    "stream_cdc_signed_agg_view",  # new: streaming CDC signed MV
-    "sim_ann_ivf_full_probe",     # new: IVF n_probe=n_cells == brute force
-    "sim_ann_ivf_pq_rerank",      # new: composed IVF-PQ rerank endpoint
-    "sim_ann_multitable_recall_bound",  # new: LSH recall floor at cos 0.9
-    "dedup_ngram_jaccard_capped",  # new: max_shingle_df planted-hot-shingle
-    "sql_named_params_group_by_all",  # new: spark.sql(args=) + GROUP BY ALL
-    "incremental_distinct_view_retractions",  # new: COUNT(DISTINCT) IVM
-    "incremental_hll_distinct_view",  # new: HLL sketch-merge distinct MV
-    "stream_stateful_topk_types",  # new: applyInPandasWithState top-k gate
-    "mv_time_travel_read",  # new: as-of-version MV read, partition-pruned
-    # (b) implementation changed this round (r07 advice) — re-gate:
-    "dpp_partition_pruned_join",
-    "bloom_join_pruning",
-    "zorder_pruning_payoff",
-    "analyze_table_stats",
-    # (c) all 39 r03-stale queries — the registry's oldest evidence
-    #     (each judge-verified green in the r07 driver_sim session):
-    "anomaly_rolling_zscore",
-    "bitmap_distinct_rollup",
-    "boilerplate_token_prune",
-    "chunk_documents_overlap",
-    "cogroup_order_reconciliation",
-    "corr_covar_exact",
-    "decontaminate_ngram_overlap",
-    "dedup_incremental_fingerprints",
-    "embedding_label_centroids",
-    "embedding_quantize_int8",
-    "funnel_conversion",
-    "grouped_agg_pandas_weighted_avg",
-    "grouping_sets_id",
-    "hll_distinct_accuracy",
-    "kfold_assignment",
-    "knn_label_accuracy",
-    "merge_upsert_orders",
-    "mixture_weighted_resample",
-    "multimodal_arrow_stats",
-    "pandas_group_gap_stats",
-    "pandas_udf_digit_sum",
-    "percentiles_disc",
-    "regression_per_source",
-    "running_distinct_types",
+    # ===== ROUND-9 WINDOW (the driver records ~50 rows) =====
+    # (a) new or implementation-changed this round — fresh rows required:
+    "sim_ann_ivf_index_persist",  # new: train->persist->reload->query lifecycle
+    "mv_state_compaction",  # changed: write-base-before-delete crash safety
+    "json_corrupt_record_permissive",  # changed: '{]' guaranteed-invalid inject
+    "stream_watermark_late_drop",  # changed: data-assumption guard
+    "sim_ann_ivf_index_reuse",  # changed: stored-index cid consistency check
+    # (b) the 15 r03-stale queries — the registry's oldest evidence
+    #     (each green in the r08 judge's full driver_sim re-run):
     "salted_two_stage_agg",
     "sample_token_budget_per_source",
     "scd2_type_intervals",
@@ -129,8 +61,8 @@ _PRIORITY: list[str] = [
     "udtf_word_bigrams",
     "window_first_last_nth",
     "window_time_range_rolling",
-    # ===== window cutoff (16 + 39 = 55) — entries below are the r09
-    # rotation head: the 45 r04-stale queries, r04 insertion order:
+    # (c) the 45 r04-stale queries, r04 insertion order (the driver
+    #     window holds ~50, so the last ~15 roll to r10):
     "text_char_entropy",
     "logreg_quality_classifier",
     "multimodal_bytes_meta",

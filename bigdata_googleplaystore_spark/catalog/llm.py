@@ -984,6 +984,65 @@ def sim_ann_ivf_index_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_ann_ivf_index_persist",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings WHERE embedding IS NOT NULL),
+    q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10),
+    sims AS (
+      SELECT q.query_id, v.vec_id AS cand_id,
+             round(list_dot_product(q.qe, v.e)
+                   / (sqrt(list_dot_product(q.qe, q.qe))
+                      * sqrt(list_dot_product(v.e, v.e))), 4) AS sim
+      FROM q CROSS JOIN v
+    ),
+    ranked AS (
+      SELECT query_id, cand_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, cand_id) AS rn
+      FROM sims
+    )
+    SELECT query_id, cand_id, sim, CAST(rn AS INT) AS rn
+    FROM ranked WHERE rn <= 5
+    """,
+    tags=("llm", "similarity", "ann", "eval", "index"),
+)
+def sim_ann_ivf_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full IVF index LIFECYCLE across a process boundary (r08
+    verdict item 3 — sim_ann_ivf_index_reuse pins the stored-index
+    query path within one session; this gate adds the disk round
+    trip): write_ivf_index trains and persists both halves (centroids
+    parquet + cid-partitioned assignments parquet), read_ivf_index
+    reloads them with NOTHING shared with the training lineage except
+    bytes on disk — exactly a fresh session's view — and the reloaded
+    index serves a query batch at the full-probe deterministic
+    endpoint, which must equal brute-force top-5 per the oracle's
+    plain-SQL recompute. What the round trip pins beyond reuse: the
+    parquet schema of both halves, centroid-order preservation (a cid
+    permuted on read re-aims every probe — the contiguity check in
+    read_ivf_index plus value equality here), double-precision
+    fidelity through write/read, and the partitionBy(cid) layout
+    serving the same rows it was handed. The stored-index consistency
+    check (assigned cids must fit the centroid count, r08 advice) is
+    unit-tested in tests/test_llm_batch2.py."""
+    from .ops import _stream_src_dir
+
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    idx = _stream_src_dir("ivf_index", sf_dir)
+    similarity.write_ivf_index(
+        e, idx, "vec_id", "embedding", n_cells=8, iters=2
+    )
+    cents, assigned = similarity.read_ivf_index(spark, idx)
+    queries = e.filter(F.col("vec_id") < 10)
+    return similarity.ivf_topk(
+        e, queries, k=5, n_cells=8, n_probe=8,
+        centroids=cents, assigned=assigned,
+    )
+
+
+@register(
     "sim_ann_ivf_pq_rerank",
     oracle="""
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e

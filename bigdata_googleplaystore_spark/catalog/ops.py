@@ -1290,7 +1290,7 @@ def json_extract_field(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH payload AS (
       SELECT event_type,
-             CASE WHEN event_id % 7 = 0 THEN substr(props, 1, 4)
+             CASE WHEN event_id % 7 = 0 THEN '{]' || props
                   ELSE props END AS raw,
              event_id % 7 = 0 AS is_corrupt
       FROM events
@@ -1309,9 +1309,12 @@ def json_corrupt_record_permissive(spark: SparkSession, sf_dir: str) -> DataFram
     """PERMISSIVE-mode malformed-JSON handling for from_json — the
     dirty-data contract every event pipeline needs (the CSV twin lives
     in sources/__init__.py's PERMISSIVE/DROPMALFORMED/FAILFAST reader):
-    every 7th event's props payload is truncated to '{"k' — invalid
-    JSON — and parsed with from_json under PERMISSIVE mode with a
-    declared _corrupt_record column. The contract, all three clauses
+    every 7th event's props payload is prefixed with '{]' — GUARANTEED
+    invalid JSON for any suffix, since ']' can never follow '{' (the
+    r08 advice: the earlier 4-char truncation was only
+    corrupt-by-coincidence of the generator's payload shape) — and
+    parsed with from_json under PERMISSIVE mode with a declared
+    _corrupt_record column. The contract, all three clauses
     value-checked: a malformed row is NOT dropped (PERMISSIVE ≠
     DROPMALFORMED — per-type totals include it), its data fields come
     back NULL, and the raw unparsed text is preserved verbatim in
@@ -1329,7 +1332,7 @@ def json_corrupt_record_permissive(spark: SparkSession, sf_dir: str) -> DataFram
     e = load_table(spark, sf_dir, "events").select(
         "event_type",
         F.when(
-            F.col("event_id") % 7 == 0, F.substring("props", 1, 4)
+            F.col("event_id") % 7 == 0, F.concat(F.lit("{]"), F.col("props"))
         ).otherwise(F.col("props")).alias("raw"),
     )
     parsed = e.select(
@@ -5374,6 +5377,32 @@ def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cutoff, mx = row["d0"] + dt.timedelta(days=1), row["mx"]
 
+    # DATA-ASSUMPTION GUARD (r08 advice): the gate's constant-TRUE oracle
+    # presumes (a) a second-day straggler exists and (b) its 1-hour
+    # window is already finalized at the batch-1 watermark (mx - 1h) so
+    # the drop is forced. If a scale factor ever violates either, fail
+    # LOUDLY here — a silent dropped==0 would read as an engine bug when
+    # it is a data-shape artifact.
+    straggler = (
+        e.filter(F.col("ts") >= F.lit(cutoff)).agg(F.min("ts")).collect()[0][0]
+    )
+    if straggler is None:
+        raise AssertionError(
+            "stream_watermark_late_drop: events spans <2 days at this "
+            "scale factor — no straggler exists to drop; the gate's data "
+            "assumption is violated (not an engine bug)"
+        )
+    straggler_window_end = straggler.replace(
+        minute=0, second=0, microsecond=0
+    ) + dt.timedelta(hours=1)
+    if straggler_window_end > mx - dt.timedelta(hours=1):
+        raise AssertionError(
+            "stream_watermark_late_drop: the earliest second-day event's "
+            "window is not yet finalized at watermark max(ts)-1h — the "
+            "straggler would legitimately be accepted; the gate's data "
+            "assumption is violated (not an engine bug)"
+        )
+
     src = _stream_src_dir("wmlate", sf_dir)
     shutil.rmtree(src, ignore_errors=True)
     # micro-batch 1: day-one events + the newest event (advances the
@@ -5394,8 +5423,9 @@ def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.processAllAvailable()
-    # micro-batch 2: ONE straggler from day two — ~29 days late
-    e.filter(F.col("ts") >= F.lit(cutoff)).orderBy("ts").limit(1).write.mode(
+    # micro-batch 2: ONE straggler from day two — the guarded-above
+    # earliest second-day event, far behind the watermark
+    e.filter(F.col("ts") == F.lit(straggler)).limit(1).write.mode(
         "append"
     ).parquet(src)
     q.processAllAvailable()

@@ -405,7 +405,7 @@ def minhash_lsh_pairs(
     object re-optimizes WITHOUT the cache boundary and CollapseProject
     fuses the shingle expression into all 64 hash folds — measured
     9.2 s vs ~0.9 s fresh-frame for the signature stage at sf0.1
-    (tools/stage_decomp_r08.py).
+    (tools/stage_decomp.py).
     """
     if bands < 1 or num_hashes % bands != 0:
         raise ValueError(

@@ -308,7 +308,11 @@ def ivf_topk(
     (measured across two corpus octaves in tools/ann_cost_probe_r08.py).
     Pass pre-trained `centroids` (a kmeans_centroids result) to reuse an
     index across query batches — production trains once per corpus
-    version and amortizes; omitting it trains inline. Pass `assigned`
+    version and amortizes; omitting it trains inline. When `centroids`
+    is provided, `n_cells` and `iters` are train-time knobs and are
+    IGNORED (the cell count is len(centroids)); a mismatched
+    (`centroids`, `assigned`) pair from different trainings is rejected
+    when detectable (assigned cids beyond the centroid count). Pass `assigned`
     (an assign_to_centroids result selected to (cand_id, cv, cid),
     e.g. the corpus stored partitioned by cell) to skip the per-call
     corpus assignment too — that O(N x n_cells) pass is INDEX BUILD
@@ -331,6 +335,21 @@ def ivf_topk(
             "ivf_topk: `assigned` requires the matching `centroids` — "
             "pass both halves of the stored index"
         )
+    if assigned is not None:
+        # consistency check (r08 advice): an `assigned` trained against a
+        # DIFFERENT (larger) centroid set carries cids no probe can ever
+        # select — catch the detectable half of the mismatch instead of
+        # returning arbitrary neighbors. Column-pruned single-agg pass
+        # over cid only (footer-cheap on a parquet-stored index); the
+        # undetectable half (same cell count, different centroids) is a
+        # caller contract documented above.
+        max_cid = assigned.agg(F.max("cid")).collect()[0][0]
+        if max_cid is not None and max_cid >= len(centroids):
+            raise ValueError(
+                f"ivf_topk: `assigned` references cid {max_cid} but only "
+                f"{len(centroids)} centroids were passed — the stored "
+                "index halves were trained against different centroid sets"
+            )
     if centroids is None:
         centroids = kmeans_centroids(corpus, id_col, vec_col, k=n_cells, iters=iters)
     if assigned is None:
@@ -367,6 +386,66 @@ def ivf_topk(
         .filter(F.col("rn") <= k)
         .select("query_id", "cand_id", "sim", "rn")
     )
+
+
+def write_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    iters: int = 2,
+) -> list[list[float]]:
+    """Train an IVF index over `corpus` and PERSIST both halves to disk —
+    the train-once/query-many deployment contract ivf_topk's
+    `centroids=`/`assigned=` parameters promise, completed across
+    process boundaries: `{path}/centroids` holds the k coarse
+    quantizer rows (cid, centroid) and `{path}/assignments` the full
+    corpus-to-cell map (cand_id, cv), PARTITIONED BY cid so the index
+    is cluster-prunable at rest — a query batch probing n_probe cells
+    reads exactly those partition directories and never scans the
+    other (n_cells - n_probe)/n_cells of the corpus. Writes are
+    mode=overwrite, so re-training a corpus version is idempotent.
+
+    Scale posture: centroids are k x dim floats (a broadcast-sized
+    single file); assignments are corpus-sized but written once per
+    corpus version — the O(N x n_cells) assignment pass is index-BUILD
+    cost, amortized over every future query batch
+    (tools/ann_cost_probe_r08.py measures the inversion when it is
+    paid per batch instead). Returns the trained centroids."""
+    spark = corpus.sparkSession
+    root = path.rstrip("/")
+    cents = kmeans_centroids(corpus, id_col, vec_col, k=n_cells, iters=iters)
+    spark.createDataFrame(
+        list(enumerate(cents)), "cid INT, centroid ARRAY<DOUBLE>"
+    ).coalesce(1).write.mode("overwrite").parquet(root + "/centroids")
+    assign_to_centroids(corpus, cents, id_col, vec_col).select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"), "cid"
+    ).write.mode("overwrite").partitionBy("cid").parquet(root + "/assignments")
+    return cents
+
+
+def read_ivf_index(spark, path: str) -> tuple[list[list[float]], DataFrame]:
+    """Load a write_ivf_index result from disk as the exact
+    (`centroids`, `assigned`) pair ivf_topk's stored-index parameters
+    take — the query-time half of the train-once/query-many contract.
+    Only the k x dim centroid rows are collected to the driver; the
+    assignment side stays a lazy cid-partitioned parquet scan, so a
+    probe of n_probe cells partition-prunes to those directories.
+    Raises if the centroid ids are not the contiguous 0..k-1 range
+    (a torn or hand-edited index)."""
+    root = path.rstrip("/")
+    crows = spark.read.parquet(root + "/centroids").orderBy("cid").collect()
+    if [r["cid"] for r in crows] != list(range(len(crows))) or not crows:
+        raise ValueError(
+            f"read_ivf_index: centroid ids at {root}/centroids are not "
+            "contiguous 0..k-1 — torn or corrupted index"
+        )
+    cents = [[float(x) for x in r["centroid"]] for r in crows]
+    assigned = spark.read.parquet(root + "/assignments").select(
+        "cand_id", "cv", "cid"
+    )
+    return cents, assigned
 
 
 def lsh_ann_topk(

@@ -498,14 +498,6 @@ def compact_state_partials(
     Returns the number of old partitions removed."""
     from ..operators import incremental
 
-    partials = _read_state_partials(spark, state_dir, upto_batch)
-    if "_cnt" in partials.columns:
-        base = incremental.merge_multisets(partials)
-    elif "_min" in partials.columns:
-        base = incremental.merge_partials(partials)
-    else:
-        base = incremental.merge_partials_signed(partials)
-
     base_id = compact_base_id(upto_batch)
     listed = list_batch_partitions(spark, state_dir)
     # the horizon can only move FORWARD: an existing base at horizon H
@@ -521,24 +513,40 @@ def compact_state_partials(
     # every partition the merged base subsumes: ids <= upto_batch,
     # including any earlier (more-negative-than-new) compacted base
     old_ids = [b for b in listed if b <= upto_batch and b != base_id]
-    # Swap protocol: stage the merged base OUTSIDE the table, delete the
-    # subsumed partitions, write the base partition from the staged
-    # copy. The swap is NOT atomic — a crash between the delete and the
-    # final write leaves the table missing the merged history (the
-    # staged copy holds it for recovery). A production deployment wraps
-    # this in a manifest commit (or a transactional table format); the
-    # operator keeps the merge/retention semantics and the FS
-    # mechanics, which is what the gate checks.
+    # Swap protocol (WRITE-BEFORE-DELETE): stage the merged base OUTSIDE
+    # the table (the merge plan reads the very partitions being
+    # subsumed, so it must materialize before anything in the table
+    # moves), write the base INTO the table at its reserved negative id,
+    # and only then delete the subsumed partitions. The swap is still
+    # not atomic, but every crash window now errs toward DUPLICATION,
+    # never loss: a crash before the base write leaves the table
+    # untouched (re-run recomputes the merge from the intact partials);
+    # a crash after the base write but mid-delete leaves base + some
+    # subsumed partials coexisting — reads double-count those batches
+    # (detectable) until the re-run below notices the base partition
+    # already exists, SKIPS the merge (re-merging partials that include
+    # the base would fold it twice), and finishes the deletes. A
+    # production deployment wraps this in a manifest commit (or a
+    # transactional table format); the operator keeps the merge /
+    # retention semantics and the FS mechanics, which is what the gate
+    # checks.
     jvm = spark.sparkContext._jvm
     hroot = jvm.org.apache.hadoop.fs.Path(state_dir)
     fs = hroot.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
     tmp = state_dir.rstrip("/") + "__compact_tmp"
-    base.write.mode("overwrite").parquet(tmp)
+    if base_id not in listed:
+        partials = _read_state_partials(spark, state_dir, upto_batch)
+        if "_cnt" in partials.columns:
+            base = incremental.merge_multisets(partials)
+        elif "_min" in partials.columns:
+            base = incremental.merge_partials(partials)
+        else:
+            base = incremental.merge_partials_signed(partials)
+        base.write.mode("overwrite").parquet(tmp)
+        write_batch_partition(spark.read.parquet(tmp), state_dir, base_id)
+    # base is durable in-table; the deletes are idempotent from here
     for b in old_ids:
         fs.delete(jvm.org.apache.hadoop.fs.Path(state_dir, f"_batch_id={b}"), True)
-    write_batch_partition(
-        spark.read.parquet(tmp).drop("_batch_id"), state_dir, base_id
-    )
     fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
     return len(old_ids)
 

@@ -372,3 +372,65 @@ def test_image_ahash_planted_query_margin_and_pairs(spark, sf_dir):
         for b in hashes[i + 1:]
     )
     assert min_cross > 0, "cross-anchor aHash collision: oracle assumption broken"
+
+
+def test_ivf_stored_index_mismatch_rejected(spark, sf_dir):
+    """r08 advice: an `assigned` carrying cids beyond the passed centroid
+    count was trained against a DIFFERENT centroid set — ivf_topk must
+    reject the pair instead of returning arbitrary neighbors, and must
+    still reject `assigned` without any `centroids` at all."""
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    cents16 = similarity.kmeans_centroids(e, k=16, iters=1)
+    assigned16 = similarity.assign_to_centroids(e, cents16).select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv"), "cid"
+    )
+    q = e.filter(F.col("vec_id") < 3)
+    with pytest.raises(ValueError, match="different centroid sets"):
+        similarity.ivf_topk(
+            e, q, k=3, centroids=cents16[:8], assigned=assigned16
+        )
+    with pytest.raises(ValueError, match="both halves"):
+        similarity.ivf_topk(e, q, k=3, assigned=assigned16)
+
+
+def test_ivf_index_disk_roundtrip_full_probe_exact(spark, sf_dir, tmp_path):
+    """write_ivf_index -> read_ivf_index round trip: the reloaded
+    (centroids, assigned) pair at the full-probe endpoint must equal
+    brute-force top-5 (nothing shared with training but bytes on disk),
+    the reloaded centroids must equal the trained ones bit-for-bit, and
+    a torn index (missing centroid id) must be rejected on read."""
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    idx = str(tmp_path / "ivf_idx")
+    trained = similarity.write_ivf_index(e, idx, n_cells=8, iters=2)
+    cents, assigned = similarity.read_ivf_index(spark, idx)
+    assert cents == trained  # double fidelity through parquet
+    q = e.filter(F.col("vec_id") < 5)
+    exact = sorted(
+        map(tuple, similarity.cosine_topk(e, q, k=5).collect())
+    )
+    got = sorted(
+        map(
+            tuple,
+            similarity.ivf_topk(
+                e, q, k=5, n_probe=8, centroids=cents, assigned=assigned
+            ).collect(),
+        )
+    )
+    assert got == exact
+
+    # torn index: drop centroid row 0 -> contiguity check fires
+    # (materialize first — can't overwrite the path being read)
+    torn = [
+        (r["cid"], [float(x) for x in r["centroid"]])
+        for r in spark.read.parquet(idx + "/centroids").collect()
+        if r["cid"] != 0
+    ]
+    spark.createDataFrame(
+        torn, "cid INT, centroid ARRAY<DOUBLE>"
+    ).write.mode("overwrite").parquet(idx + "/centroids")
+    with pytest.raises(ValueError, match="contiguous"):
+        similarity.read_ivf_index(spark, idx)

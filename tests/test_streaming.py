@@ -780,3 +780,51 @@ def test_compacted_base_survives_batch_replay(spark, tmp_path):
     }
     # history intact; batch 2 double-counted (b gains one extra 4.0 row)
     assert got == {"a": (2, 4.0), "b": (3, 10.0)}
+
+
+def test_compaction_crash_mid_delete_recovers_without_loss(spark, tmp_path):
+    """The r08-advice crash window: compaction now writes the merged
+    base INTO the table before deleting the subsumed partitions, so a
+    crash mid-delete leaves base + leftover partials coexisting (reads
+    double-count, detectably) instead of losing history. A RE-RUN at
+    the same horizon must detect the existing base, SKIP the re-merge
+    (folding partials that include the base would double it), finish
+    the deletes, and restore the exact pre-compaction fold."""
+    from bigdata_googleplaystore_spark.operators import incremental
+
+    state = str(tmp_path / "crash_state")
+    batches = [
+        [("a", 1.0), ("b", 2.0)],   # batch 0
+        [("a", 3.0)],               # batch 1 (the delete that "crashed")
+        [("b", 4.0)],               # batch 2
+        [("a", 5.0)],               # batch 3 (beyond the horizon)
+    ]
+    frames = [
+        incremental.partial_agg(
+            spark.createDataFrame(b, "grp STRING, v DOUBLE"), ["grp"], "v"
+        )
+        for b in batches
+    ]
+    for i, f in enumerate(frames):
+        streaming.write_batch_partition(f, state, i)
+
+    def snap():
+        return sorted(
+            (r["grp"], r["n_rows"], r["total"])
+            for r in streaming.read_incremental_state(spark, state).collect()
+        )
+
+    before = snap()
+    streaming.compact_state_partials(spark, state, upto_batch=2)
+    # reconstruct the crash-mid-delete table state: base written, but
+    # batch 1's partial never got deleted
+    streaming.write_batch_partition(frames[1], state, 1)
+    assert streaming.list_batch_partitions(spark, state) == [-3, 1, 3]
+    # the window is duplication, never loss: batch 1 double-counted
+    dup = dict((g, (n, t)) for g, n, t in snap())
+    assert dup["a"] == (4, 12.0)  # a's batch-1 row (3.0) counted twice
+    # re-run at the same horizon = the recovery path
+    removed = streaming.compact_state_partials(spark, state, upto_batch=2)
+    assert removed == 1  # only the leftover partial
+    assert streaming.list_batch_partitions(spark, state) == [-3, 3]
+    assert snap() == before

@@ -1,16 +1,18 @@
-"""Round-8 stage decompositions for the heavy bench headliners.
+"""Stage decompositions for the heavy bench headliners (parameterized;
+supersedes tools/stage_decomp_r08.py, r09 verdict item 6).
 
 COVERAGE.md carried a stage decomposition only for dedup_minhash_lsh
-(r07); this probe produces the same cumulative-prefix breakdown for the
-four heaviest standalone entries, so a future per-operator regression
-can be attributed to a STAGE (tokenize? candidate join? verify?) rather
+(r07); this tool produces the same cumulative-prefix breakdown for the
+heaviest standalone entries — the four dedup/graph heavies since r08,
+heavy_hitter_terms since r09 — so a future per-operator regression can
+be attributed to a STAGE (tokenize? candidate join? verify?) rather
 than re-diagnosed from scratch. Each operator runs in its own fresh
 session; each cumulative prefix is timed min-of-3 with the
 pruning-proof noop write, cache cleared between runs. Prefixes mirror
 the operator pipelines (operators/dedup.py, operators/graph.py,
 catalog/llm.py dedup_exact_substring) stage for stage.
 
-Usage: `python tools/stage_decomp_r08.py [operator]` — no arg runs all.
+Usage: `python tools/stage_decomp.py [operator]` — no arg runs all.
 """
 
 from __future__ import annotations
@@ -188,11 +190,58 @@ def stages_triangles(spark):
     ]
 
 
+def stages_heavy_hitters(spark):
+    from pyspark.sql import functions as F
+
+    from bigdata_googleplaystore_spark.functions.text import tokens
+    from bigdata_googleplaystore_spark.operators.frequency import heavy_hitters
+    from bigdata_googleplaystore_spark.sources import load_table
+
+    # mirror catalog/llm.py heavy_hitter_terms stage for stage
+    d = (
+        load_table(spark, SF, "documents")
+        .filter(F.col("text").isNotNull())
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
+    toks = d.select(F.explode(tokens(F.col("text"))).alias("term"))
+
+    def local_candidates(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            s = pdf["term"].dropna()
+            if len(s) == 0:
+                continue
+            counts = s.value_counts()
+            cands = counts[counts * 30 >= len(s)]
+            yield pd.DataFrame({"item": cands.index.astype(str)})
+
+    candidates = (
+        toks.select(F.col("term").cast("string").alias("term"))
+        .mapInPandas(local_candidates, "item string")
+        .distinct()
+    )
+    recount = (
+        toks.select(F.col("term").cast("string").alias("item"))
+        .join(F.broadcast(candidates), "item")
+        .groupBy("item")
+        .agg(F.count("*").alias("n"))
+    )
+    full = heavy_hitters(toks, "term", 30)
+    return [
+        ("tokenize/explode", toks),
+        ("+local MG candidates", candidates),
+        ("+broadcast exact recount", recount),
+        ("+global threshold (full)", full),
+    ]
+
+
 OPERATORS = {
     "dedup_minhash_lsh": stages_minhash,
     "dedup_ngram_jaccard": stages_ngram,
     "dedup_exact_substring": stages_substring,
     "graph_triangle_count": stages_triangles,
+    "heavy_hitter_terms": stages_heavy_hitters,
 }
 
 
