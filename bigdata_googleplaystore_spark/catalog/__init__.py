@@ -25,20 +25,25 @@ from .tpch import flagship  # noqa: E402,F401
 # the rest of the previously-green set, oldest evidence first.
 #
 # Round-9 window (VERDICT r08 items 2-3 + all four r08 ADVICE items):
-# (a) the new disk-persisted IVF index lifecycle gate plus the four
-# gates whose implementations changed this round (state compaction's
+# (a) the three new gates (SQL scripting BEGIN..END control flow, the
+# statestore-format checkpoint reader, the disk-persisted IVF index
+# lifecycle) plus the four gates whose implementations changed this
+# round (state compaction's
 # write-base-BEFORE-delete swap protocol with idempotent recovery, the
 # guaranteed-invalid '{]' JSON corruption injection, the watermark
 # gate's data-assumption guard, ivf_topk's stored-index consistency
 # check) need fresh rows regardless of past greens. Then (b) the 15
 # queries whose newest driver row is r03 — the registry's oldest
 # evidence — and (c) the 45 r04-stale names in r04 insertion order.
-# 65 names total; the driver records ~50, so the last ~15 r04 names
+# 68 names total; the driver records ~50, so the last ~18 r04 names
 # roll to r10 (after r09 no query's newest row is older than r04, and
 # r10 clears the remainder to r05+).
 _PRIORITY: list[str] = [
     # ===== ROUND-9 WINDOW (the driver records ~50 rows) =====
     # (a) new or implementation-changed this round — fresh rows required:
+    "sql_scripting_control_flow",  # new: BEGIN..END WHILE-loop SQL scripting
+    "stream_state_store_read",  # new: statestore-format checkpoint reader
+    "dedup_minhash_incremental",  # new: indexed near-dup over a delta batch
     "sim_ann_ivf_index_persist",  # new: train->persist->reload->query lifecycle
     "mv_state_compaction",  # changed: write-base-before-delete crash safety
     "json_corrupt_record_permissive",  # changed: '{]' guaranteed-invalid inject

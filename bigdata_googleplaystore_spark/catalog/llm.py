@@ -205,6 +205,73 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_minhash_incremental",
+    oracle=rf"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents
+      WHERE doc_id % 20 = 0
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(ws) >= 3
+                  THEN list_transform(range(1, len(ws)-1),
+                                      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+                  ELSE [] END) AS shingles
+      FROM (SELECT doc_id, {_TOKS_SQL} AS ws FROM corpus)
+    ),
+    ex AS (SELECT doc_id, len(shingles) AS set_size,
+                  unnest(shingles) AS shingle FROM sh),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             round(CAST(count(*) AS DOUBLE)
+                   / (a.set_size + b.set_size - count(*)), 6) AS jaccard
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b, a.set_size, b.set_size
+    )
+    SELECT doc_a, doc_b, jaccard FROM pairs
+    WHERE jaccard >= 0.5 AND (doc_a >= 1000000 OR doc_b >= 1000000)
+    """,
+    tags=("llm", "dedup", "incremental"),
+)
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL MinHash-LSH near-dup, full lifecycle across a disk
+    boundary (the daily-crawl-increment shape no prior gate covered:
+    dedup_minhash_lsh recomputes the whole corpus per run;
+    dedup_incremental_fingerprints is the EXACT-dup incremental tier):
+    write_lsh_index persists the base corpus's banded buckets + hashed
+    shingle sets once, read_lsh_index reloads them (nothing shared with
+    the build but bytes on disk), and a delta batch — every 20th base
+    doc re-ingested under a fresh id — finds its near-dup pairs against
+    base + delta WITHOUT re-tokenizing, re-shingling, or re-hashing one
+    byte of base text. The oracle recomputes exact inverted-index
+    Jaccard over base ∪ delta in plain SQL and keeps pairs with a delta
+    side: LSH-vs-exact equality holds by the same argument as
+    dedup_minhash_lsh (candidates are exact-verified so LSH only loses
+    pairs, and every true pair on this corpus sits far above the 16x4
+    s-curve — the delta copies pair at J=1.0 and inherit their
+    originals' natural-pair similarities unchanged). A bucket misfiled
+    in the stored index, banding drift between build and query, a
+    base-base pair leaking through (double-reporting across
+    increments), or a verify miss all change the pair set and
+    hash-fail. Incremental ≡ full-recompute-restricted is additionally
+    asserted in tests/test_llm.py."""
+    from .ops import _stream_src_dir
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    delta = d.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    idx = _stream_src_dir("lsh_index", sf_dir)
+    dedup.write_lsh_index(d, idx, "doc_id", "text", n=3)
+    buckets, hashed = dedup.read_lsh_index(spark, idx)
+    return dedup.minhash_lsh_pairs_incremental(
+        buckets, hashed, delta, "doc_id", "text", n=3, threshold=0.5
+    )
+
+
+@register(
     "dedup_simhash",
     oracle="""
     WITH anchors AS (

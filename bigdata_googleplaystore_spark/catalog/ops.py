@@ -4533,6 +4533,82 @@ def sql_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sql_scripting_control_flow",
+    oracle="""
+    WITH ks AS (SELECT k FROM range(0, 60) t(k)),
+    cnt AS (
+      SELECT k,
+             (SELECT count(*) FROM orders
+              WHERE CAST(o_totalprice AS DOUBLE) > 20000.0 * power(2, k)) AS n
+      FROM ks
+    )
+    SELECT CAST(20000.0 * power(2, k) AS DOUBLE) AS threshold,
+           CAST(n AS BIGINT) AS n_above,
+           CAST(k AS INT) AS n_doublings
+    FROM cnt WHERE n < 100 ORDER BY k LIMIT 1
+    """,
+    tags=("sql", "scripting", "control-flow"),
+)
+def sql_scripting_control_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL SCRIPTING (the Spark 4 BEGIN...END procedural batch: local
+    DECLARE variables, scalar-subquery assignment, and a
+    DATA-DEPENDENT WHILE loop — the last §2.7 SQL-interface surface
+    the registry didn't exercise): an exponential threshold search
+    doubles a price cutoff until fewer than 100 orders exceed it. The
+    loop count is decided by the DATA, not the script text, so the
+    gate pins the whole control-flow contract: variable scoping, each
+    iteration's re-evaluated scalar subquery, the loop exit condition,
+    and the final SELECT's visibility of the mutated variables. The
+    oracle re-derives the same fixpoint CLOSED-FORM (smallest k with
+    count(price > start*2^k) < 100) — a wrong number of iterations,
+    a stale variable read, or an off-by-one exit shifts threshold/
+    n_above/n_doublings and hash-fails. Doubling a DOUBLE by 2 is
+    exact binary arithmetic, so script and closed-form agree
+    bit-for-bit.
+
+    Scale posture: scripting runs ON the driver as a statement
+    sequencer — each iteration's subquery is a normal distributed
+    Catalyst plan (pushdown and codegen intact); the script adds no
+    row-path cost. The pattern (iterate-until-a-distributed-predicate-
+    converges) is exactly the k-means/BPE driver-loop shape, here
+    expressed in pure SQL."""
+    from ..sources import register_views
+
+    register_views(spark, sf_dir, tables=("orders",))
+    saved = _save_confs(spark, ["spark.sql.scripting.enabled"])
+    try:
+        spark.conf.set("spark.sql.scripting.enabled", "true")
+        out = spark.sql(
+            """
+            BEGIN
+              DECLARE threshold DOUBLE DEFAULT 20000.0;
+              DECLARE n BIGINT DEFAULT 0;
+              DECLARE doublings INT DEFAULT 0;
+              SET n = (SELECT count(*) FROM orders
+                       WHERE CAST(o_totalprice AS DOUBLE) > threshold);
+              WHILE n >= 100 DO
+                SET threshold = threshold * 2;
+                SET doublings = doublings + 1;
+                SET n = (SELECT count(*) FROM orders
+                         WHERE CAST(o_totalprice AS DOUBLE) > threshold);
+              END WHILE;
+              SELECT threshold AS threshold, n AS n_above,
+                     doublings AS n_doublings;
+            END
+            """
+        )
+        # scripts execute statement-by-statement on the driver; pin the
+        # 1-row result before the conf restore so the returned frame
+        # cannot depend on session state the finally block rewinds
+        rows = out.collect()
+        return spark.createDataFrame(
+            rows, "threshold DOUBLE, n_above BIGINT, n_doublings INT"
+        )
+    finally:
+        _restore_confs(spark, saved)
+
+
+@register(
     "data_quality_audit",
     oracle="""
     SELECT check_name, n_bad, n_total, n_bad = 0 AS ok FROM (
@@ -5320,6 +5396,67 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return drained.select(
         F.col("w_start").alias("window_start"), "n_events"
+    )
+
+
+@register(
+    "stream_state_store_read",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY event_type
+    """,
+    tags=("streaming", "state", "observability"),
+)
+def stream_state_store_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STATE-STORE READER (`spark.read.format("statestore")`, Spark
+    4's state data source): a streaming groupBy-count drains over the
+    events table into an HDFS-backed state store, the query stops, and
+    the gate then reads the CHECKPOINT ITSELF back as a batch
+    DataFrame — no sink, no memory table; the keyed state that
+    survives on disk is the evidence. Every (event_type, running
+    count) state row must equal the oracle's plain batch aggregate:
+    a state row lost to a partition that never committed, a double-
+    applied micro-batch, or a key written to the wrong state-store
+    partition changes some count and hash-fails. This is the
+    observability contract streaming operations rest on — debugging
+    a stateful query at 3am means inspecting exactly this surface,
+    and it is also the recovery path for state surgery (read, fix,
+    re-seed).
+
+    Scale posture: the reader exposes state-store partitions as scan
+    partitions (one per shuffle partition of the stateful operator),
+    so inspection parallelizes like any other scan and never replays
+    the stream; cost is O(|distinct keys|), not O(events)."""
+    import shutil
+
+    batch = load_table(spark, sf_dir, "events").select("event_type")
+    src = _stream_src_dir("statestore_src", sf_dir)
+    ckpt = _stream_src_dir("statestore_ckpt", sf_dir)
+    # a reused checkpoint pins the OLD run's offsets/state; the gate
+    # measures a fresh drain
+    shutil.rmtree(ckpt, ignore_errors=True)
+    batch.repartition(4).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    counts = (
+        spark.readStream.schema(schema).parquet(src)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    q = (
+        counts.writeStream.format("noop")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    state = spark.read.format("statestore").load(ckpt)
+    # the value struct carries the INTERNAL agg-buffer schema (field
+    # `count`), not the query's output aliases — part of what this
+    # surface teaches
+    return state.select(
+        F.col("key.event_type").alias("event_type"),
+        F.col("value.count").cast("bigint").alias("n_events"),
     )
 
 

@@ -188,10 +188,12 @@ def jaccard_pairs(
     occurs — the measured Jaccard is exactly the hashed-set Jaccard
     rather than a mixed-domain ratio (round-3 advice).
 
-    Linearity measured over two corpus octaves (tools/scale_probe_r07.py
-    + r07d.py, sf0.1 base, un-capped tier): joined rows grow exactly
-    4.0x/16.0x at 4x/16x the corpus and wall-clock 1.39x/4.76x —
-    posting lists multiply, not lengthen. The capped tier's semantics
+    Linearity measured over THREE corpus octaves
+    (tools/dedup_octave_probe.py, sf0.1 base, un-capped tier): joined
+    rows grow exactly 4.0x/16.0x/64.0x at 4x/16x/64x the corpus
+    (320,000 docs at the last point — a quadratic term would pay
+    4,096x) and wall-clock 1.03x/1.99x/10.9x — posting lists multiply,
+    not lengthen. The capped tier's semantics
     are oracle-gated by dedup_ngram_jaccard_capped (catalog/llm.py):
     a planted df=|corpus| boilerplate shingle must be dropped while
     set sizes stay full.
@@ -329,13 +331,13 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
-    sig: DataFrame, bands: int, rows_per_band: int
-) -> DataFrame:
-    """LSH banding: signature frame (doc, signature) -> distinct candidate
-    pairs (doc_a, doc_b) sharing at least one (band, bucket). Split out of
-    minhash_lsh_pairs so scale probes can measure the candidate count the
-    verify stage actually pays for (tools/scale_probe_r06.py)."""
+def band_buckets(sig: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """Banding: signature frame (doc, signature) -> one row per
+    (doc, band, bucket), bucket = xxhash64 over that band's signature
+    slice. THE persistable LSH-index shape: a corpus version's bucket
+    rows are what an incremental batch joins against
+    (minhash_lsh_pairs_incremental), and the single definition keeps
+    full and incremental banding bit-identical."""
     band_cols = F.array(
         *[
             F.struct(
@@ -351,9 +353,19 @@ def lsh_candidate_pairs(
             for b in range(bands)
         ]
     )
-    buckets = sig.select("doc", F.explode_outer(band_cols).alias("bb")).select(
+    return sig.select("doc", F.explode_outer(band_cols).alias("bb")).select(
         "doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, bands: int, rows_per_band: int
+) -> DataFrame:
+    """LSH banding: signature frame (doc, signature) -> distinct candidate
+    pairs (doc_a, doc_b) sharing at least one (band, bucket). Split out of
+    minhash_lsh_pairs so scale probes can measure the candidate count the
+    verify stage actually pays for (tools/scale_probe_r06.py)."""
+    buckets = band_buckets(sig, bands, rows_per_band)
     left = buckets.select(F.col("doc").alias("doc_a"), "band", "bucket")
     right = buckets.select(F.col("doc").alias("doc_b"), "band", "bucket")
     return (
@@ -392,11 +404,12 @@ def minhash_lsh_pairs(
     makes exactly such a hot bucket, so the join is the 100 TB-safe
     shape.
 
-    Linearity measured over two corpus octaves
-    (tools/scale_probe_r07d.py, sf0.1 base): at 4x/16x the corpus,
-    candidate pairs grow 4.2x/17.3x (≈linear; an all-pairs join would
-    pay 16x/256x) and wall-clock 2.07x/6.73x — buckets multiply rather
-    than densify. The 4,095-of-4,096 planted pairs found at 16x is
+    Linearity measured over THREE corpus octaves
+    (tools/dedup_octave_probe.py, sf0.1 base): at 4x/16x/64x the
+    corpus, candidate pairs grow 4.2x/17.3x/68.5x (≈linear; an
+    all-pairs join would pay 16x/256x/4,096x) and wall-clock
+    1.80x/5.92x/23.0x — buckets multiply rather than densify. The
+    4,095-of-4,096 pairs found at 16x (16,380-of-16,384 at 64x) is
     honest LSH recall (<1 by design, the documented trade).
 
     Caller contract for the persist() below: build a FRESH frame per
@@ -448,6 +461,158 @@ def minhash_lsh_pairs(
     cands = lsh_candidate_pairs(sig, bands, rows_per_band)
     # verify candidates with exact Jaccard (joins only candidate pairs);
     # reuses the SAME shingle frame the signatures came from
+    a = shingles.select(
+        F.col("doc").alias("doc_a"), F.col("set_size").alias("size_a"), "shingle"
+    )
+    b = shingles.select(
+        F.col("doc").alias("doc_b"), F.col("set_size").alias("size_b"), "shingle"
+    )
+    inter = (
+        cands.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b", "size_a", "size_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return _jaccard_threshold(inter, threshold)
+
+
+def build_lsh_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> tuple[DataFrame, DataFrame]:
+    """The persistable MinHash-LSH INDEX of a corpus version:
+    (buckets, hashed) where buckets is one row per (doc, band, bucket)
+    — the banded signature a future batch joins against — and hashed is
+    (doc, hs: array<bigint>) — the distinct xxhash64'd shingle set the
+    exact-Jaccard verify of candidate pairs reads. Together they are
+    everything incremental near-dup needs from the base corpus: the raw
+    text is never re-tokenized, re-shingled, or re-hashed for batches
+    that arrive later. Deterministic by construction (seed-fixed
+    xxhash64, fixed affine coefficients), so an index built today and a
+    signature computed next month band identically."""
+    if bands < 1 or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands must divide num_hashes (got {num_hashes=} {bands=})"
+        )
+    arrs = shingle_arrays(df, id_col, text_col, n).persist()
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes, shingle_arrs=arrs)
+    buckets = band_buckets(sig, bands, num_hashes // bands)
+    hashed = arrs.filter(F.size("shingles") > 0).select(
+        "doc",
+        F.array_distinct(F.transform("shingles", lambda x: F.xxhash64(x))).alias(
+            "hs"
+        ),
+    )
+    return buckets, hashed
+
+
+def write_lsh_index(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> None:
+    """Persist build_lsh_index's two halves to `{path}/buckets` and
+    `{path}/hashed` — the train-once/join-many deployment contract for
+    incremental near-dup over a growing corpus (daily crawl increments
+    never re-shingle history). mode=overwrite per corpus version. At
+    cluster scale, write `buckets` as a table BUCKETED BY (band,
+    bucket) so each increment's candidate join co-locates without
+    shuffling the stored side; plain parquet keeps this test
+    environment hive-metastore-free."""
+    buckets, hashed = build_lsh_index(df, id_col, text_col, n, num_hashes, bands)
+    root = path.rstrip("/")
+    buckets.write.mode("overwrite").parquet(root + "/buckets")
+    hashed.write.mode("overwrite").parquet(root + "/hashed")
+
+
+def read_lsh_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """Load a write_lsh_index result as the (buckets, hashed) pair
+    minhash_lsh_pairs_incremental takes — lazy parquet scans; nothing
+    is collected to the driver."""
+    root = path.rstrip("/")
+    return (
+        spark.read.parquet(root + "/buckets"),
+        spark.read.parquet(root + "/hashed"),
+    )
+
+
+def minhash_lsh_pairs_incremental(
+    base_buckets: DataFrame,
+    base_hashed: DataFrame,
+    delta: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """INCREMENTAL near-dup: the pairs a NEW batch introduces against an
+    already-indexed corpus — (doc_a, doc_b, jaccard) with jaccard >=
+    threshold and at least one side in `delta` — without recomputing
+    anything over the base. The daily-crawl-increment shape: base
+    signatures/buckets were paid once at index-build time
+    (write_lsh_index); each increment pays only
+
+      1. O(|delta|) shingle/signature/banding work (the same map-only
+         path the full operator uses, over the batch alone);
+      2. a bucket equi-join of the delta's bucket rows — BROADCAST,
+         batch-vs-base, never history-vs-history (the same delta-term
+         rule operators/incremental.py's join IVM follows) — against
+         stored-base + delta buckets, so the base side never shuffles;
+      3. exact-Jaccard verification of the candidates only: the stored
+         hashed-shingle sets are LEFT-SEMI-pruned to candidate docs
+         before the explode, so verify cost is O(candidate pairs), not
+         O(corpus).
+
+    Base-base pairs are structurally excluded (one join side is delta
+    rows only) — they were reported when their own batches arrived, so
+    re-emitting them would double-report across increments. Caller
+    contract: delta ids are disjoint from base ids (ids are the pair
+    identity), and (n, num_hashes, bands) must match the index build —
+    both hash families are deterministic, so equality with a full
+    recompute is exact, not approximate (asserted in
+    tests/test_llm.py::test_incremental_minhash_equals_full_recompute
+    and oracle-gated by dedup_minhash_incremental, catalog/llm.py)."""
+    if bands < 1 or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands must divide num_hashes (got {num_hashes=} {bands=})"
+        )
+    d_buckets, d_hashed = build_lsh_index(
+        delta, id_col, text_col, n, num_hashes, bands
+    )
+    all_buckets = base_buckets.unionByName(d_buckets)
+    left = d_buckets.select(F.col("doc").alias("doc_l"), "band", "bucket")
+    right = all_buckets.select(F.col("doc").alias("doc_r"), "band", "bucket")
+    cands = (
+        F.broadcast(left)
+        .join(right, ["band", "bucket"])
+        .filter(F.col("doc_l") != F.col("doc_r"))
+        .select(
+            F.least("doc_l", "doc_r").alias("doc_a"),
+            F.greatest("doc_l", "doc_r").alias("doc_b"),
+        )
+        .distinct()
+    )
+    cand_docs = (
+        cands.select(F.col("doc_a").alias("doc"))
+        .unionByName(cands.select(F.col("doc_b").alias("doc")))
+        .distinct()
+    )
+    needed = base_hashed.unionByName(d_hashed).join(
+        F.broadcast(cand_docs), "doc", "left_semi"
+    )
+    shingles = needed.select(
+        "doc", F.size("hs").alias("set_size"), F.explode_outer("hs").alias("shingle")
+    ).filter(F.col("shingle").isNotNull())
     a = shingles.select(
         F.col("doc").alias("doc_a"), F.col("set_size").alias("size_a"), "shingle"
     )

@@ -434,3 +434,35 @@ def test_ivf_index_disk_roundtrip_full_probe_exact(spark, sf_dir, tmp_path):
     ).write.mode("overwrite").parquet(idx + "/centroids")
     with pytest.raises(ValueError, match="contiguous"):
         similarity.read_ivf_index(spark, idx)
+
+
+def test_incremental_minhash_equals_full_recompute(spark, sf_dir, tmp_path):
+    """minhash_lsh_pairs_incremental(base index, delta) must equal the
+    FULL recompute over base ∪ delta restricted to pairs with a delta
+    side — exactly (both hash families are deterministic), including
+    the jaccard values. Also: no base-base pair may leak through (those
+    were reported when base was indexed), and the disk round trip of
+    the index must not change the result."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    delta = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    idx = str(tmp_path / "lsh_idx")
+    dedup.write_lsh_index(d, idx, "doc_id", "text", n=3)
+    buckets, hashed = dedup.read_lsh_index(spark, idx)
+    inc = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.minhash_lsh_pairs_incremental(
+            buckets, hashed, delta, "doc_id", "text", n=3, threshold=0.5
+        ).collect()
+    }
+    full = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.minhash_lsh_pairs(
+            d.unionByName(delta), "doc_id", "text", n=3, threshold=0.5
+        ).collect()
+        if r["doc_a"] >= 1_000_000 or r["doc_b"] >= 1_000_000
+    }
+    assert inc == full
+    assert len(inc) > 0  # non-vacuous: the planted copies pair at J=1
+    assert all(a >= 1_000_000 or b >= 1_000_000 for a, b in inc)
