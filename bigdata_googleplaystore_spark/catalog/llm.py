@@ -4813,3 +4813,267 @@ def logreg_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "step int, w_len double, w_stop double, w_uniq double, "
         "w_bias double, n_correct bigint, n bigint",
     )
+
+
+# --------------------------------------------------------------------------
+# Mergeable sketches: KMV/theta cardinality, count-min frequency (r09)
+# --------------------------------------------------------------------------
+# Exact COUNT(DISTINCT) and exact heavy hitters shuffle the full key
+# space; at 100 TB the production tier is a mergeable sketch built
+# map-side and folded like any other partial aggregate. md5-derived
+# hashing (operators/sketches.py) makes every estimate DuckDB-replayable,
+# so these are full hash gates, not bounds-only checks.
+
+_U52_SQL_TEXT = (
+    "(('0x' || substr(md5(text), 1, 13))::UBIGINT::DOUBLE / 4503599627370496.0)"
+)
+_U52_SQL_TOK = (
+    "(('0x' || substr(md5(tok), 1, 13))::UBIGINT::DOUBLE / 4503599627370496.0)"
+)
+
+
+@register(
+    "sketch_kmv_distinct",
+    oracle=f"""
+    WITH d AS (SELECT DISTINCT source, text FROM documents WHERE text IS NOT NULL),
+    u AS (SELECT source, {_U52_SQL_TEXT} AS u FROM d),
+    r AS (SELECT source, u,
+                 row_number() OVER (PARTITION BY source ORDER BY u) AS rn,
+                 count(*) OVER (PARTITION BY source) AS nd
+          FROM u)
+    SELECT source,
+           CAST(max(nd) AS BIGINT) AS n_exact,
+           CAST(round(CASE WHEN max(nd) < 64 THEN CAST(max(nd) AS DOUBLE)
+                           ELSE 63.0 / max(CASE WHEN rn = 64 THEN u END)
+                      END, 4) AS DOUBLE) AS kmv_est
+    FROM r GROUP BY source
+    """,
+    tags=("llm", "sketch", "cardinality"),
+)
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch (operators/sketches.kmv_sketch, k=64)
+    per source, against the exact per-source distinct count. The sketch
+    is the k MINIMUM md5-hash values of the distinct text set, built in
+    two sharded top-k stages that never hold a group's full distinct
+    set in one task; the estimate (k-1)/u_k is a pure function of the
+    data, so the oracle re-derives it exactly — rank the hashes in SQL,
+    read off the 64th. A sketch that dropped or duplicated a hash, or
+    an estimator that branches on n <= k instead of n < k, hash-fails."""
+    from ..operators import sketches
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    sk = sketches.kmv_sketch(d, ["source"], "text", k=64)
+    est = sketches.kmv_estimate(sk, ["source"], k=64)
+    exact = d.groupBy("source").agg(F.countDistinct("text").alias("n_exact"))
+    return exact.join(est, "source").select(
+        "source",
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        F.round("kmv_est", 4).cast("double").alias("kmv_est"),
+    )
+
+
+@register(
+    "sketch_theta_set_ops",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id % 2 AS side,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+      FROM documents WHERE text IS NOT NULL
+    ),
+    d AS (SELECT DISTINCT side, tok FROM toks WHERE tok <> ''),
+    h AS (SELECT side, md5(tok) AS h, {_U52_SQL_TOK} AS u FROM d),
+    r AS (SELECT side, h, u,
+                 row_number() OVER (PARTITION BY side ORDER BY u, h) AS rn,
+                 count(*) OVER (PARTITION BY side) AS nd
+          FROM h),
+    sk AS (SELECT side, h, u FROM r WHERE rn <= 256),
+    th AS (SELECT min(theta) AS theta FROM (
+             SELECT side,
+                    CASE WHEN max(nd) >= 256
+                         THEN max(CASE WHEN rn = 256 THEN u END)
+                         ELSE 1.0 END AS theta
+             FROM r GROUP BY side)),
+    uni AS (SELECT count(DISTINCT s.h) AS n_u
+            FROM sk s CROSS JOIN th WHERE s.u < th.theta),
+    its AS (SELECT count(*) AS n_i
+            FROM (SELECT h, u FROM sk WHERE side = 0) a
+            JOIN (SELECT h FROM sk WHERE side = 1) b USING (h)
+            CROSS JOIN th WHERE a.u < th.theta),
+    ex AS (SELECT
+             CAST(count(DISTINCT CASE WHEN side = 0 THEN tok END) AS BIGINT)
+               AS n_a_exact,
+             CAST(count(DISTINCT CASE WHEN side = 1 THEN tok END) AS BIGINT)
+               AS n_b_exact,
+             CAST(count(DISTINCT tok) AS BIGINT) AS n_union_exact
+           FROM d)
+    SELECT ex.n_a_exact, ex.n_b_exact, ex.n_union_exact,
+           CAST(ex.n_a_exact + ex.n_b_exact - ex.n_union_exact AS BIGINT)
+             AS n_inter_exact,
+           CAST(round(uni.n_u / th.theta, 2) AS DOUBLE) AS union_est,
+           CAST(round(its.n_i / th.theta, 2) AS DOUBLE) AS inter_est
+    FROM ex CROSS JOIN uni CROSS JOIN its CROSS JOIN th
+    """,
+    tags=("llm", "sketch", "cardinality", "set-ops"),
+)
+def sketch_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch SET ALGEBRA (operators/sketches.theta_set_ops,
+    k=256): vocabulary sketches for the even- and odd-doc_id halves of
+    the corpus estimate |A∪B| and |A∩B| without ever joining the raw
+    token sets — clip both sketches to theta = min(theta_a, theta_b),
+    count survivors, divide by theta. Exact set sizes ride along for
+    calibration. The oracle replays the whole estimator (rank hashes,
+    take the 256th, clip, count) in SQL, so a wrong theta rule, a
+    clip-before-dedup bug, or hash-identity mismatches across sketches
+    all hash-fail. Every frame after sketch-build is <= k rows — set
+    algebra over billions of tokens for the price of two broadcast
+    joins."""
+    from ..operators import sketches
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    toks = d.select(
+        (F.col("doc_id") % 2).alias("side"),
+        F.explode(tokens(F.col("text"))).alias("tok"),
+    ).where(F.col("tok") != "")
+    sk = sketches.kmv_sketch(toks, ["side"], "tok", k=256)
+    ops = sketches.theta_set_ops(
+        sk.where(F.col("side") == 0).select("u", "h"),
+        sk.where(F.col("side") == 1).select("u", "h"),
+        k=256,
+    )
+    ex = toks.agg(
+        F.countDistinct(F.when(F.col("side") == 0, F.col("tok"))).alias("n_a_exact"),
+        F.countDistinct(F.when(F.col("side") == 1, F.col("tok"))).alias("n_b_exact"),
+        F.countDistinct("tok").alias("n_union_exact"),
+    )
+    return ex.crossJoin(ops).select(
+        F.col("n_a_exact").cast("bigint").alias("n_a_exact"),
+        F.col("n_b_exact").cast("bigint").alias("n_b_exact"),
+        F.col("n_union_exact").cast("bigint").alias("n_union_exact"),
+        (F.col("n_a_exact") + F.col("n_b_exact") - F.col("n_union_exact"))
+        .cast("bigint")
+        .alias("n_inter_exact"),
+        F.round("union_est", 2).cast("double").alias("union_est"),
+        F.round("inter_est", 2).cast("double").alias("inter_est"),
+    )
+
+
+_CMS_MATRIX_SQL = r"""
+    toks AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+             FROM documents WHERE text IS NOT NULL),
+    counts AS (SELECT tok, CAST(count(*) AS BIGINT) AS n
+               FROM toks WHERE tok <> '' GROUP BY tok),
+    idx AS (SELECT i FROM range(4) t(i)),
+    matrix AS (
+      SELECT i AS row_idx,
+             ('0x' || substr(md5('cms' || CAST(i AS VARCHAR) || ':' || tok), 1, 13))::UBIGINT
+               % 512 AS bucket,
+             CAST(sum(n) AS BIGINT) AS cell
+      FROM counts CROSS JOIN idx GROUP BY 1, 2),
+    top AS (SELECT tok, n FROM counts ORDER BY n DESC, tok LIMIT 20),
+    probes AS (
+      SELECT tok, n, i AS row_idx,
+             ('0x' || substr(md5('cms' || CAST(i AS VARCHAR) || ':' || tok), 1, 13))::UBIGINT
+               % 512 AS bucket
+      FROM top CROSS JOIN idx)
+"""
+
+
+@register(
+    "sketch_cms_point_queries",
+    oracle=f"""
+    WITH {_CMS_MATRIX_SQL}
+    SELECT p.tok AS term, CAST(max(p.n) AS BIGINT) AS true_cnt,
+           CAST(min(m.cell) AS BIGINT) AS cms_est
+    FROM probes p JOIN matrix m USING (row_idx, bucket)
+    GROUP BY p.tok
+    """,
+    tags=("llm", "sketch", "frequency"),
+)
+def sketch_cms_point_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency sketch (operators/sketches.cms_build, 4x512):
+    point-query the corpus's exact top-20 terms against the sketch.
+    cms_est >= true_cnt always (one-sided error); the oracle rebuilds
+    the identical matrix in SQL and reads back the same min-over-rows,
+    so both the guarantee AND the exact collision pattern of this
+    corpus under these hash rows must reproduce — a wrong bucket
+    function, a lost cell, or a min/max mixup hash-fails. The matrix is
+    2 KiB of longs built by one map-side-combinable sum over the
+    already-aggregated vocabulary; lookups broadcast it."""
+    from ..operators import sketches
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    toks = d.select(F.explode(tokens(F.col("text"))).alias("tok")).where(
+        F.col("tok") != ""
+    )
+    counts = toks.groupBy("tok").agg(F.count("*").cast("long").alias("n"))
+    matrix = sketches.cms_build(counts, "tok", "n", depth=4, width=512, salt="cms")
+    top = counts.orderBy(F.col("n").desc(), "tok").limit(20)
+    res = sketches.cms_lookup(matrix, top, "tok", depth=4, width=512, salt="cms")
+    return res.select(
+        F.col("tok").alias("term"),
+        F.col("n").cast("long").alias("true_cnt"),
+        F.col("cms_est").cast("long").alias("cms_est"),
+    )
+
+
+@register(
+    "sketch_cms_merge_partials",
+    oracle=f"""
+    WITH {_CMS_MATRIX_SQL}
+    SELECT p.tok AS term, CAST(max(p.n) AS BIGINT) AS true_cnt,
+           CAST(min(m.cell) AS BIGINT) AS cms_est,
+           CAST(4 AS BIGINT) AS n_partials
+    FROM probes p JOIN matrix m USING (row_idx, bucket)
+    GROUP BY p.tok
+    """,
+    tags=("llm", "sketch", "frequency", "streaming", "scale"),
+)
+def sketch_cms_merge_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min MERGEABILITY through the streaming state-table
+    protocol: the corpus splits into four batches (doc_id % 4), each
+    batch builds its own partial matrix and lands it in its own
+    `_batch_id` partition via the shared write_batch_partition
+    protocol; the read path folds the partials CELL-WISE
+    (operators/sketches.cms_merge) and must answer point queries
+    IDENTICALLY to the single-shot matrix — count-min is linear, so
+    merge-then-query equals build-on-everything (the oracle IS the
+    single-shot derivation; any batch lost, duplicated, or folded with
+    min instead of sum hash-fails, and n_partials pins that four
+    partials physically existed). This is the sketch-as-incremental-
+    state shape: a day's tokens never reshuffle — each increment ships
+    a 2 KiB matrix."""
+    import shutil
+
+    from .. import streaming
+    from ..operators import sketches
+    from .ops import _stream_src_dir
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    state = _stream_src_dir("cmsstate", sf_dir)
+    shutil.rmtree(state, ignore_errors=True)
+    for b in range(4):
+        batch = d.where(F.pmod(F.col("doc_id"), F.lit(4)) == b)
+        btoks = batch.select(F.explode(tokens(F.col("text"))).alias("tok")).where(
+            F.col("tok") != ""
+        )
+        bcounts = btoks.groupBy("tok").agg(F.count("*").cast("long").alias("n"))
+        bmatrix = sketches.cms_build(
+            bcounts, "tok", "n", depth=4, width=512, salt="cms"
+        )
+        streaming.write_batch_partition(bmatrix, state, b)
+    raw = spark.read.parquet(state)
+    n_partials = raw.select("_batch_id").distinct().count()
+    merged = sketches.cms_merge(raw.drop("_batch_id"))
+
+    toks = d.select(F.explode(tokens(F.col("text"))).alias("tok")).where(
+        F.col("tok") != ""
+    )
+    counts = toks.groupBy("tok").agg(F.count("*").cast("long").alias("n"))
+    top = counts.orderBy(F.col("n").desc(), "tok").limit(20)
+    res = sketches.cms_lookup(merged, top, "tok", depth=4, width=512, salt="cms")
+    return res.select(
+        F.col("tok").alias("term"),
+        F.col("n").cast("long").alias("true_cnt"),
+        F.col("cms_est").cast("long").alias("cms_est"),
+        F.lit(n_partials).cast("bigint").alias("n_partials"),
+    )

@@ -1,0 +1,151 @@
+"""Unit tests for operators/sketches.py: KMV/theta cardinality sketches
+and the count-min frequency sketch — estimator correctness, the
+mergeability laws the 100 TB story rests on, and partitioning
+invariance (a sketch must not care how the data was laid out)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_googleplaystore_spark.operators import sketches
+
+
+def _value_frame(spark, n, parts=4, prefix="v"):
+    return spark.range(n).select(
+        F.concat(F.lit(prefix), F.col("id").cast("string")).alias("v"),
+        F.lit("g").alias("g"),
+    ).repartition(parts)
+
+
+def test_kmv_exact_when_not_full(spark):
+    df = _value_frame(spark, 40)
+    sk = sketches.kmv_sketch(df, ["g"], "v", k=64)
+    est = sketches.kmv_estimate(sk, ["g"], k=64).collect()[0]
+    assert est["n_seen"] == 40
+    assert est["kmv_est"] == 40.0
+    assert est["theta"] == 1.0
+
+
+def test_kmv_estimate_within_relative_error(spark):
+    # k=256 -> expected rel stderr ~ 1/sqrt(k-2) ~ 6.3%; allow 4 sigma
+    n = 20_000
+    df = _value_frame(spark, n)
+    sk = sketches.kmv_sketch(df, ["g"], "v", k=256)
+    est = sketches.kmv_estimate(sk, ["g"], k=256).collect()[0]["kmv_est"]
+    assert abs(est - n) / n < 0.25
+
+
+def test_kmv_ignores_duplicates_and_nulls(spark):
+    base = _value_frame(spark, 500)
+    dups = base.union(base).union(
+        base.limit(10).select(F.lit(None).cast("string").alias("v"), "g")
+    )
+    sk_base = sketches.kmv_sketch(base, ["g"], "v", k=64)
+    sk_dups = sketches.kmv_sketch(dups, ["g"], "v", k=64)
+    assert sorted(r["h"] for r in sk_base.collect()) == sorted(
+        r["h"] for r in sk_dups.collect()
+    )
+
+
+def test_kmv_partitioning_invariance(spark):
+    # same data, three layouts -> bit-identical sketch
+    hashes = []
+    for parts in (1, 7, 32):
+        df = _value_frame(spark, 3_000, parts=parts)
+        sk = sketches.kmv_sketch(df, ["g"], "v", k=128, shards=16)
+        hashes.append(sorted(r["h"] for r in sk.collect()))
+    assert hashes[0] == hashes[1] == hashes[2]
+    assert len(hashes[0]) == 128
+
+
+def test_kmv_merge_equals_sketch_of_union(spark):
+    a = _value_frame(spark, 2_000, prefix="a")
+    b = _value_frame(spark, 2_000, prefix="b")
+    # overlap: b also contains a's first 500
+    b = b.union(_value_frame(spark, 500, prefix="a"))
+    sk_a = sketches.kmv_sketch(a, ["g"], "v", k=128)
+    sk_b = sketches.kmv_sketch(b, ["g"], "v", k=128)
+    merged = sketches.kmv_merge([sk_a, sk_b], ["g"], k=128)
+    direct = sketches.kmv_sketch(a.union(b), ["g"], "v", k=128)
+    assert sorted(r["h"] for r in merged.collect()) == sorted(
+        r["h"] for r in direct.collect()
+    )
+
+
+def test_theta_set_ops_exact_when_sketches_not_full(spark):
+    # 300 + 300 with 100 shared, k=1024 -> theta = 1.0, estimates EXACT
+    a = _value_frame(spark, 300, prefix="x")
+    b = _value_frame(spark, 200, prefix="y").union(
+        _value_frame(spark, 100, prefix="x")
+    )
+    sk_a = sketches.kmv_sketch(a, ["g"], "v", k=1024).select("u", "h")
+    sk_b = sketches.kmv_sketch(b, ["g"], "v", k=1024).select("u", "h")
+    row = sketches.theta_set_ops(sk_a, sk_b, k=1024).collect()[0]
+    assert row["theta"] == 1.0
+    assert row["union_est"] == 500.0
+    assert row["inter_est"] == 100.0
+
+
+def test_theta_set_ops_estimates_overlap(spark):
+    # 10k + 10k with 5k shared; k=256 -> ~6% stderr, allow 4 sigma
+    a = _value_frame(spark, 10_000, prefix="s")
+    b = _value_frame(spark, 5_000, prefix="t").union(
+        _value_frame(spark, 5_000, prefix="s")
+    )
+    sk_a = sketches.kmv_sketch(a, ["g"], "v", k=256).select("u", "h")
+    sk_b = sketches.kmv_sketch(b, ["g"], "v", k=256).select("u", "h")
+    row = sketches.theta_set_ops(sk_a, sk_b, k=256).collect()[0]
+    assert abs(row["union_est"] - 15_000) / 15_000 < 0.25
+    assert abs(row["inter_est"] - 5_000) / 5_000 < 0.40
+
+
+@pytest.fixture()
+def token_counts(spark):
+    # skewed counts: token ti appears (i+1) times, t99 planted heavy
+    rows = [(f"t{i}", i + 1) for i in range(100)] + [("t99", 10_000)]
+    df = spark.createDataFrame(rows, "tok string, n long")
+    return df.groupBy("tok").agg(F.sum("n").cast("long").alias("n"))
+
+
+def test_cms_never_underestimates(spark, token_counts):
+    matrix = sketches.cms_build(token_counts, "tok", "n", depth=4, width=64)
+    res = sketches.cms_lookup(
+        matrix, token_counts, "tok", depth=4, width=64
+    ).collect()
+    for r in res:
+        assert r["cms_est"] >= r["n"], r
+
+
+def test_cms_exact_on_wide_matrix(spark, token_counts):
+    # width >> vocabulary -> collisions essentially impossible across
+    # 4 independent rows; the min over rows recovers exact counts
+    matrix = sketches.cms_build(token_counts, "tok", "n", depth=4, width=4096)
+    res = sketches.cms_lookup(
+        matrix, token_counts, "tok", depth=4, width=4096
+    ).collect()
+    assert all(r["cms_est"] == r["n"] for r in res)
+
+
+def test_cms_merge_linearity(spark, token_counts):
+    # split counts arbitrarily in two, build partial matrices, merge:
+    # must equal the single-shot matrix cell-for-cell
+    part1 = token_counts.where(F.crc32(F.col("tok")) % 2 == 0)
+    part2 = token_counts.where(F.crc32(F.col("tok")) % 2 == 1)
+    m1 = sketches.cms_build(part1, "tok", "n", depth=4, width=64)
+    m2 = sketches.cms_build(part2, "tok", "n", depth=4, width=64)
+    merged = sketches.cms_merge(m1.unionByName(m2))
+    direct = sketches.cms_build(token_counts, "tok", "n", depth=4, width=64)
+    diff = (
+        merged.withColumnRenamed("cell", "a")
+        .join(direct.withColumnRenamed("cell", "b"), ["row_idx", "bucket"], "full")
+        .where(
+            F.col("a").isNull() | F.col("b").isNull() | (F.col("a") != F.col("b"))
+        )
+    )
+    assert diff.count() == 0
+
+
+def test_cms_matrix_is_bounded(spark, token_counts):
+    matrix = sketches.cms_build(token_counts, "tok", "n", depth=4, width=64)
+    assert matrix.count() <= 4 * 64
