@@ -41,6 +41,11 @@ from .tpch import flagship  # noqa: E402,F401
 _PRIORITY: list[str] = [
     # ===== ROUND-9 WINDOW (the driver records ~50 rows) =====
     # (a) new or implementation-changed this round — fresh rows required:
+    "mv_manifest_snapshot_read",  # new: manifest-committed atomic snapshots
+    "sketch_kmv_distinct",  # new: KMV distinct-count sketch vs exact
+    "sketch_theta_set_ops",  # new: theta union/intersection estimates
+    "sketch_cms_point_queries",  # new: count-min point queries, top-20 terms
+    "sketch_cms_merge_partials",  # new: CMS linear merge via state table
     "sql_scripting_control_flow",  # new: BEGIN..END WHILE-loop SQL scripting
     "stream_state_store_read",  # new: statestore-format checkpoint reader
     "dedup_minhash_incremental",  # new: indexed near-dup over a delta batch

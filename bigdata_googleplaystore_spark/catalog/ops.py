@@ -7756,3 +7756,113 @@ def hourly_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(ratio, 6).alias("load_ratio"),
         )
     )
+
+
+@register(
+    "mv_manifest_snapshot_read",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+             AS total_price,
+           TRUE AS snapshot_isolated
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("incremental", "compaction", "manifest", "scale"),
+)
+def mv_manifest_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANIFEST-COMMITTED snapshots (streaming/manifest.py) — the
+    transactional upgrade over directory-listing state tables, same
+    public design as Delta's _delta_log / Iceberg's metadata tree:
+    readers plan their file set from an immutable manifest JSON and the
+    snapshot advances by one atomic rename, so compaction has NO
+    double-count window (vs compact_state_partials' write-before-delete
+    ordering, whose crash window double-counts detectably) and a torn
+    writer's partition is invisible until committed.
+
+    The gate runs the full lifecycle on orders partials: four committed
+    backfill batches (manifest v0..v3); a TORN WRITER plants a complete
+    duplicate partial partition (_batch_id=99) that is never committed —
+    the pre-compaction snapshot read must ignore it or every count
+    doubles; compact_snapshot(upto=1) atomically swaps partials {0,1}
+    for the reserved base (v4) while v3 stays readable; vacuum(keep=1)
+    then reclaims exactly the three unreferenced dirs (0, 1, and the
+    orphan 99) and the four aged manifests. `snapshot_isolated` pins the
+    whole physical protocol: version numbers, deletion counts, the
+    surviving {base,2,3} directory set, and pre==post aggregate
+    equality; the hash gate pins the values against the direct oracle.
+
+    At 100 TB: manifest planning costs O(|snapshot|), not O(|directory|)
+    — a 100k-partition table plans from one small JSON; concurrent
+    committers resolve by rename-wins optimistic concurrency; GC is
+    safe-by-construction because retention is defined over manifests,
+    not mtimes."""
+    import shutil
+
+    from .. import streaming
+    from ..operators import incremental
+    from ..streaming import manifest
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", dec2(F.col("o_totalprice")).alias("v")
+    )
+    table = _stream_src_dir("manifeststate", sf_dir)
+    shutil.rmtree(table, ignore_errors=True)
+    for b in range(4):
+        batch = o.filter(F.col("o_orderkey") % 4 == b).drop("o_orderkey")
+        streaming.write_batch_partition(
+            incremental.partial_agg(batch, ["o_orderpriority"], "v"), table, b
+        )
+        manifest.commit_batch(spark, table, b)
+    # torn writer: a full duplicate of the table, never committed
+    streaming.write_batch_partition(
+        incremental.partial_agg(o.drop("o_orderkey"), ["o_orderpriority"], "v"),
+        table,
+        99,
+    )
+    # materialize BEFORE compaction/vacuum delete the dirs it reads
+    pre = (
+        manifest.read_snapshot_agg(spark, table)
+        .select(
+            "o_orderpriority",
+            F.col("n_rows").alias("n1"),
+            F.col("total").alias("t1"),
+        )
+        .localCheckpoint()
+    )
+    v = manifest.compact_snapshot(spark, table, upto_batch=1)
+    dirs_deleted, mans_deleted = manifest.vacuum(spark, table, keep_versions=1)
+    remaining = streaming.list_batch_partitions(spark, table)
+    post = manifest.read_snapshot_agg(spark, table).localCheckpoint()
+    mismatches = (
+        pre.join(
+            post.select(
+                "o_orderpriority",
+                F.col("n_rows").alias("n2"),
+                F.col("total").alias("t2"),
+            ),
+            "o_orderpriority",
+            "full",
+        )
+        .where(
+            F.col("n1").isNull()
+            | F.col("n2").isNull()
+            | (F.col("n1") != F.col("n2"))
+            | (F.col("t1") != F.col("t2"))
+        )
+        .count()
+    )
+    ok = (
+        v == 4
+        and dirs_deleted == 3
+        and mans_deleted == 4
+        and remaining == [streaming.compact_base_id(1), 2, 3]
+        and manifest.list_versions(spark, table) == [4]
+        and mismatches == 0
+    )
+    return post.select(
+        "o_orderpriority",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.round("total", 2).cast("double").alias("total_price"),
+        F.lit(ok).alias("snapshot_isolated"),
+    )

@@ -1,0 +1,304 @@
+"""Manifest-committed snapshots over batch-partitioned state tables.
+
+The per-batch partition protocol (streaming.write_batch_partition) gives
+idempotent exactly-once WRITES, but readers discover state by DIRECTORY
+LISTING — so a compaction swap has a window where base + subsumed
+partials coexist (double-counting reads), and a crashed writer's
+half-written partition is visible the moment its directory exists. This
+module adds the missing piece, the same idea a transactional table
+format (Delta's _delta_log, Iceberg's metadata tree — both public
+designs) is built on: **readers never list directories; they read a
+MANIFEST, and the manifest is replaced atomically.**
+
+Layout (beside the existing partition dirs, which are unchanged):
+
+    <table>/_batch_id=<n>/part-*.parquet     immutable once committed
+    <table>/_manifests/v000000000042.json    immutable, create-only
+
+A manifest is the complete snapshot definition:
+``{"version": N, "batch_ids": [...], "horizon": h|null}``. The current
+snapshot is the highest version file. Commit = write a temp file, then
+a single filesystem RENAME onto the next version path — on HDFS a
+namespace-atomic operation that fails if the destination exists, which
+is exactly optimistic concurrency (the losing committer re-reads the
+new latest and retries). On the local filesystem rename(2) would
+silently replace, so commit_version pre-checks existence — a small
+TOCTOU window acceptable for single-writer deployments; S3 needs a
+conditional-put or an external catalog, same as every manifest-based
+format.
+
+What the manifest buys, concretely:
+- **Atomic compaction.** The merged base partition is written FIRST,
+  while no manifest references it — invisible. The commit then swaps
+  {subsumed ids} for {base id} in one rename: every reader sees either
+  the old snapshot (all partials) or the new one (base + recent), never
+  both. A crash at ANY point before the rename leaves the table
+  logically untouched (the orphan base dir is garbage, reclaimed by
+  vacuum or overwritten by the re-run); there is no double-count window
+  at all — the property compact_state_partials' write-before-delete
+  ordering could only approximate.
+- **Torn-writer isolation.** A partition directory only enters the
+  snapshot via a manifest commit, so a writer that died mid-parquet
+  never corrupts reads.
+- **Version pinning.** Snapshot reads plan their file set FROM the
+  manifest (explicit partition paths — no root directory listing, so a
+  100k-partition table costs O(ids in the manifest) to plan, and
+  orphan dirs are never even statted). Any retained version stays
+  readable: time travel with real isolation, vs the `_batch_id <= v`
+  filter's floor-to-horizon semantics after compaction.
+- **Safe GC.** vacuum(keep_versions=K) deletes partition dirs no
+  retained manifest references — including crashed writers' orphans —
+  while every reader pinned within the K newest versions keeps a
+  consistent view.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+
+MANIFEST_DIR = "_manifests"
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Another committer created this manifest version first; re-read
+    the latest manifest and retry on top of it."""
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return jvm, fs, jpath
+
+
+def _version_path(table_dir: str, version: int) -> str:
+    return f"{table_dir.rstrip('/')}/{MANIFEST_DIR}/v{version:012d}.json"
+
+
+def _read_small_file(spark: SparkSession, path: str) -> bytes:
+    # Hadoop IOUtils (always on Spark's classpath) drains the stream into
+    # a Java buffer; py4j hands byte[] back as Python bytes. A py4j-side
+    # new_array + readFully round trip does NOT see the Java mutation.
+    jvm, fs, jpath = _fs(spark, path)
+    stream = fs.open(jpath)
+    bos = jvm.java.io.ByteArrayOutputStream()
+    jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, bos, 4096, True)
+    return bytes(bos.toByteArray())
+
+
+def _write_small_file(spark: SparkSession, path: str, data: bytes) -> None:
+    jvm, fs, jpath = _fs(spark, path)
+    out = fs.create(jpath, True)
+    try:
+        out.write(data)
+    finally:
+        out.close()
+
+
+def list_versions(spark: SparkSession, table_dir: str) -> list[int]:
+    """All committed manifest versions, ascending."""
+    jvm, fs, _ = _fs(spark, table_dir)
+    mdir = jvm.org.apache.hadoop.fs.Path(table_dir.rstrip("/") + "/" + MANIFEST_DIR)
+    if not fs.exists(mdir):
+        return []
+    out = []
+    for st in fs.listStatus(mdir):
+        name = st.getPath().getName()
+        if name.startswith("v") and name.endswith(".json"):
+            out.append(int(name[1:-5]))
+    return sorted(out)
+
+
+def latest_version(spark: SparkSession, table_dir: str) -> int | None:
+    vs = list_versions(spark, table_dir)
+    return vs[-1] if vs else None
+
+
+def read_manifest(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> dict:
+    """Load a manifest (latest if version is None)."""
+    if version is None:
+        version = latest_version(spark, table_dir)
+        if version is None:
+            return {"version": -1, "batch_ids": [], "horizon": None}
+    raw = _read_small_file(spark, _version_path(table_dir, version))
+    return json.loads(raw.decode("utf-8"))
+
+
+def commit_version(
+    spark: SparkSession,
+    table_dir: str,
+    batch_ids: list[int],
+    horizon: int | None,
+    expected_prev: int | None,
+) -> int:
+    """Commit the next manifest version via temp-write + rename.
+    `expected_prev` is the version this commit was planned against
+    (None for the first commit); if someone else committed in between,
+    the version file already exists and ConcurrentCommitError tells the
+    caller to re-plan — optimistic concurrency, no locks."""
+    next_v = (expected_prev if expected_prev is not None else -1) + 1
+    manifest = {
+        "version": next_v,
+        "batch_ids": sorted(batch_ids),
+        "horizon": horizon,
+    }
+    data = json.dumps(manifest, sort_keys=True).encode("utf-8")
+    final = _version_path(table_dir, next_v)
+    tmp = final + ".tmp"
+    jvm, fs, jfinal = _fs(spark, final)
+    fs.mkdirs(jvm.org.apache.hadoop.fs.Path(table_dir.rstrip("/") + "/" + MANIFEST_DIR))
+    if fs.exists(jfinal):
+        raise ConcurrentCommitError(
+            f"manifest v{next_v} already exists (planned against "
+            f"{expected_prev}); re-read latest and retry"
+        )
+    _write_small_file(spark, tmp, data)
+    jtmp = jvm.org.apache.hadoop.fs.Path(tmp)
+    if not fs.rename(jtmp, jfinal):
+        fs.delete(jtmp, False)
+        raise ConcurrentCommitError(
+            f"lost the rename race for manifest v{next_v}; retry"
+        )
+    return next_v
+
+
+def commit_batch(spark: SparkSession, table_dir: str, batch_id: int) -> int:
+    """Publish an already-written `_batch_id` partition into the
+    snapshot: latest manifest + this id -> next version. The partition
+    write (streaming.write_batch_partition) stays idempotent and
+    invisible until this commit lands."""
+    cur = read_manifest(spark, table_dir)
+    ids = set(cur["batch_ids"]) | {batch_id}
+    prev = cur["version"] if cur["version"] >= 0 else None
+    return commit_version(spark, table_dir, sorted(ids), cur.get("horizon"), prev)
+
+
+def snapshot_partials(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """The partial-state rows of a snapshot, planned FROM the manifest:
+    one read over the exact partition directories the manifest lists —
+    no root listing, so orphan/in-flight directories are never touched
+    and planning cost is O(|manifest|), not O(|directory|)."""
+    m = read_manifest(spark, table_dir, version)
+    if not m["batch_ids"]:
+        raise ValueError(f"no committed snapshot in {table_dir}")
+    paths = [
+        f"{table_dir.rstrip('/')}/_batch_id={b}" for b in m["batch_ids"]
+    ]
+    return spark.read.parquet(*paths)
+
+
+def read_snapshot_agg(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Fold a snapshot's scalar partials into the aggregate view — the
+    manifest-planned twin of streaming.read_incremental_state."""
+    from ..operators import incremental
+
+    return incremental.finalize(
+        incremental.merge_partials(snapshot_partials(spark, table_dir, version))
+    )
+
+
+def compact_snapshot(
+    spark: SparkSession, table_dir: str, upto_batch: int
+) -> int:
+    """ATOMIC compaction: merge every committed partial with
+    `_batch_id <= upto_batch` into a base partition at the reserved
+    negative id (streaming.compact_base_id), then commit a manifest
+    that swaps the subsumed ids for the base id. The base directory is
+    written while unreferenced, so readers see the old snapshot until
+    the single manifest rename, then the new one — no interleaving, no
+    double-count window. A crash anywhere before the commit leaves the
+    snapshot logically unchanged; the re-run overwrites the orphan base
+    and commits. Old partial dirs are NOT deleted here — retained
+    versions still reference them; vacuum() reclaims them when those
+    versions age out.
+
+    Returns the committed manifest version."""
+    from .. import streaming
+    from ..operators import incremental
+
+    cur = read_manifest(spark, table_dir)
+    if not cur["batch_ids"]:
+        raise ValueError(f"nothing to compact in {table_dir}")
+    prev_horizon = cur.get("horizon")
+    if prev_horizon is not None and upto_batch < prev_horizon:
+        raise ValueError(
+            f"compact_snapshot: upto_batch={upto_batch} is behind the "
+            f"committed horizon {prev_horizon} — the horizon only moves "
+            "forward"
+        )
+    base_id = streaming.compact_base_id(upto_batch)
+    subsumed = [b for b in cur["batch_ids"] if b <= upto_batch]
+    keep = [b for b in cur["batch_ids"] if b > upto_batch]
+    if not subsumed:
+        return cur["version"]
+    # merge ONLY the committed subsumed partials (manifest-planned read)
+    paths = [f"{table_dir.rstrip('/')}/_batch_id={b}" for b in subsumed]
+    partials = spark.read.parquet(*paths)
+    if "_cnt" in partials.columns:
+        base = incremental.merge_multisets(partials)
+    elif "_min" in partials.columns:
+        base = incremental.merge_partials(partials)
+    else:
+        base = incremental.merge_partials_signed(partials)
+    # stage outside the table (the plan reads dirs the base replaces in
+    # the NEXT snapshot — but nothing in the CURRENT one moves, so this
+    # is belt-and-braces against partial in-place overwrites)
+    tmp = table_dir.rstrip("/") + "__compact_tmp"
+    base.write.mode("overwrite").parquet(tmp)
+    streaming.write_batch_partition(spark.read.parquet(tmp), table_dir, base_id)
+    jvm, fs, _ = _fs(spark, table_dir)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
+    # the atomic swap
+    version = commit_version(
+        spark, table_dir, [base_id, *keep], upto_batch, cur["version"]
+    )
+    return version
+
+
+def vacuum(
+    spark: SparkSession, table_dir: str, keep_versions: int = 2
+) -> tuple[int, int]:
+    """Garbage-collect: keep the newest `keep_versions` manifests and
+    every partition directory any of them references; delete the rest —
+    aged-out partials AND orphan directories from crashed writers or
+    aborted compactions (which no manifest ever referenced). Readers
+    pinned within the retention window are untouched; this is the
+    retention boundary, exactly a table format's VACUUM.
+
+    Returns (partition_dirs_deleted, manifests_deleted)."""
+    from .. import streaming
+
+    versions = list_versions(spark, table_dir)
+    if not versions:
+        return (0, 0)
+    retained = versions[-keep_versions:]
+    keep_ids: set[int] = set()
+    for v in retained:
+        keep_ids |= set(read_manifest(spark, table_dir, v)["batch_ids"])
+    jvm, fs, _ = _fs(spark, table_dir)
+    dirs_deleted = 0
+    for b in streaming.list_batch_partitions(spark, table_dir):
+        if b not in keep_ids:
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(
+                    table_dir.rstrip("/"), f"_batch_id={b}"
+                ),
+                True,
+            )
+            dirs_deleted += 1
+    man_deleted = 0
+    for v in versions:
+        if v not in retained:
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(_version_path(table_dir, v)), False
+            )
+            man_deleted += 1
+    return (dirs_deleted, man_deleted)

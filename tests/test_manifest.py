@@ -1,0 +1,156 @@
+"""Manifest-committed snapshot layer (streaming/manifest.py): atomic
+compaction swap, torn-writer isolation, version pinning, optimistic
+concurrency, vacuum GC — the transactional properties directory-listing
+state tables cannot give."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_googleplaystore_spark import streaming
+from bigdata_googleplaystore_spark.operators import incremental
+from bigdata_googleplaystore_spark.streaming import manifest
+
+
+def _raw(spark):
+    return spark.range(200).select(
+        F.col("id"),
+        (F.col("id") % 5).cast("string").alias("k"),
+        (F.col("id") * 1.0).alias("v"),
+    )
+
+
+def _write_committed_batches(spark, table, n_batches=4):
+    df = _raw(spark)
+    for b in range(n_batches):
+        batch = df.where(F.col("id") % n_batches == b).drop("id")
+        streaming.write_batch_partition(
+            incremental.partial_agg(batch, ["k"], "v"), table, b
+        )
+        manifest.commit_batch(spark, table, b)
+    return df
+
+
+def _agg_rows(df):
+    return sorted(
+        (r["k"], r["n_rows"], r["total"]) for r in df.collect()
+    )
+
+
+def _direct_rows(raw):
+    return sorted(
+        (r["k"], r["n_rows"], r["total"])
+        for r in raw.groupBy("k")
+        .agg(F.count("*").alias("n_rows"), F.sum("v").alias("total"))
+        .collect()
+    )
+
+
+def test_commit_read_roundtrip_and_versions(spark, tmp_path):
+    table = str(tmp_path / "tbl")
+    raw = _write_committed_batches(spark, table)
+    assert manifest.list_versions(spark, table) == [0, 1, 2, 3]
+    m = manifest.read_manifest(spark, table)
+    assert m["batch_ids"] == [0, 1, 2, 3]
+    view = manifest.read_snapshot_agg(spark, table)
+    assert _agg_rows(view) == _direct_rows(raw)
+
+
+def test_uncommitted_partition_is_invisible(spark, tmp_path):
+    table = str(tmp_path / "tbl")
+    raw = _write_committed_batches(spark, table)
+    before = _agg_rows(manifest.read_snapshot_agg(spark, table))
+    # a crashed writer: partition lands on disk, commit never happens
+    dup = incremental.partial_agg(raw.drop("id"), ["k"], "v")
+    streaming.write_batch_partition(dup, table, 99)
+    assert _agg_rows(manifest.read_snapshot_agg(spark, table)) == before
+    # directory-listing readers WOULD see it — that's the contrast
+    assert 99 in streaming.list_batch_partitions(spark, table)
+
+
+def test_version_pinned_time_travel(spark, tmp_path):
+    table = str(tmp_path / "tbl")
+    raw = _write_committed_batches(spark, table)
+    first_two = raw.where(F.col("id") % 4 <= 1)
+    v1 = manifest.read_snapshot_agg(spark, table, version=1)
+    assert _agg_rows(v1) == _direct_rows(first_two)
+
+
+def test_compact_is_atomic_and_crash_safe(spark, tmp_path):
+    table = str(tmp_path / "tbl")
+    raw = _write_committed_batches(spark, table)
+    want = _direct_rows(raw)
+    # CRASH SIM: the base partition is fully written but the manifest
+    # commit never happened (exactly compact_snapshot minus its last
+    # step) — the snapshot must be logically unchanged, no double count
+    sub = manifest.snapshot_partials(spark, table).where(F.lit(True))
+    paths = [f"{table}/_batch_id={b}" for b in (0, 1, 2)]
+    base = incremental.merge_partials(spark.read.parquet(*paths))
+    streaming.write_batch_partition(
+        base.localCheckpoint(), table, streaming.compact_base_id(2)
+    )
+    assert _agg_rows(manifest.read_snapshot_agg(spark, table)) == want
+    # re-run completes: overwrites the orphan base, commits the swap
+    v = manifest.compact_snapshot(spark, table, upto_batch=2)
+    m = manifest.read_manifest(spark, table, v)
+    assert m["batch_ids"] == [streaming.compact_base_id(2), 3]
+    assert m["horizon"] == 2
+    assert _agg_rows(manifest.read_snapshot_agg(spark, table)) == want
+    # pre-compaction version still readable until vacuum
+    assert _agg_rows(manifest.read_snapshot_agg(spark, table, version=3)) == want
+
+
+def test_compact_horizon_only_moves_forward(spark, tmp_path):
+    table = str(tmp_path / "tbl")
+    _write_committed_batches(spark, table)
+    manifest.compact_snapshot(spark, table, upto_batch=2)
+    with pytest.raises(ValueError, match="horizon only moves forward"):
+        manifest.compact_snapshot(spark, table, upto_batch=1)
+
+
+def test_concurrent_commit_conflict(spark, tmp_path):
+    table = str(tmp_path / "tbl")
+    _write_committed_batches(spark, table)
+    cur = manifest.read_manifest(spark, table)
+    # a committer that planned against version 2 while 3 already landed
+    with pytest.raises(manifest.ConcurrentCommitError):
+        manifest.commit_version(
+            spark, table, cur["batch_ids"], None, expected_prev=2
+        )
+
+
+def test_vacuum_reclaims_unreferenced_and_orphans(spark, tmp_path):
+    table = str(tmp_path / "tbl")
+    raw = _write_committed_batches(spark, table)
+    want = _direct_rows(raw)
+    # orphan from a crashed writer
+    streaming.write_batch_partition(
+        incremental.partial_agg(raw.drop("id"), ["k"], "v"), table, 99
+    )
+    manifest.compact_snapshot(spark, table, upto_batch=2)
+    dirs, mans = manifest.vacuum(spark, table, keep_versions=1)
+    # partials 0,1,2 (subsumed) + orphan 99 deleted; manifests v0..v3 gone
+    assert dirs == 4
+    assert mans == 4
+    assert streaming.list_batch_partitions(spark, table) == [
+        streaming.compact_base_id(2),
+        3,
+    ]
+    assert manifest.list_versions(spark, table) == [4]
+    assert _agg_rows(manifest.read_snapshot_agg(spark, table)) == want
+
+
+def test_vacuum_keeps_pinned_window(spark, tmp_path):
+    table = str(tmp_path / "tbl")
+    raw = _write_committed_batches(spark, table)
+    manifest.compact_snapshot(spark, table, upto_batch=2)
+    # keep 2 versions: v3 (all four partials) + v4 (base + 3) -> nothing
+    # v3 references may be deleted
+    dirs, mans = manifest.vacuum(spark, table, keep_versions=2)
+    assert dirs == 0
+    assert mans == 3
+    # the pinned old version still folds correctly
+    assert _agg_rows(
+        manifest.read_snapshot_agg(spark, table, version=3)
+    ) == _direct_rows(raw)
