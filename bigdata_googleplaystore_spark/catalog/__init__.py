@@ -42,6 +42,7 @@ _PRIORITY: list[str] = [
     # ===== ROUND-9 WINDOW (the driver records ~50 rows) =====
     # (a) new or implementation-changed this round — fresh rows required:
     "mv_manifest_snapshot_read",  # new: manifest-committed atomic snapshots
+    "stream_manifest_exactly_once",  # new: stream publish via manifest commits
     "sketch_kmv_distinct",  # new: KMV distinct-count sketch vs exact
     "sketch_theta_set_ops",  # new: theta union/intersection estimates
     "sketch_cms_point_queries",  # new: count-min point queries, top-20 terms

@@ -7866,3 +7866,80 @@ def mv_manifest_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("total", 2).cast("double").alias("total_price"),
         F.lit(ok).alias("snapshot_isolated"),
     )
+
+
+@register(
+    "stream_manifest_exactly_once",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_rows,
+           CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total,
+           TRUE AS published_atomically
+    FROM events GROUP BY event_type
+    """,
+    tags=("streaming", "incremental", "manifest", "materialized-view"),
+)
+def stream_manifest_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming with TRANSACTIONAL publishing
+    (streaming/manifest.run_stream_manifest_agg): the events table
+    replays as a bounded file stream in single-file micro-batches; each
+    batch lands its mergeable partial in its own `_batch_id` partition
+    (idempotent) and then COMMITS a manifest version — idempotent-write
+    + atomic-publish, so a downstream reader polling the table mid-run
+    only ever sees whole batches. After the stream drains, a torn
+    writer plants an UNCOMMITTED duplicate partition; the
+    manifest-planned snapshot read must ignore it (a directory-listing
+    reader would double every count and hash-fail). The
+    `published_atomically` flag pins the protocol: one manifest version
+    per micro-batch, each version's id set a strict superset of the
+    previous (monotone publish order), and the orphan visible to the
+    directory listing but absent from the snapshot."""
+    import shutil
+
+    from .. import streaming
+    from ..operators import incremental
+    from ..streaming import manifest
+
+    batch = load_table(spark, sf_dir, "events").select(
+        "event_type", dec2(F.col("value")).alias("v")
+    )
+    src = _stream_src_dir("manifeststream", sf_dir)
+    batch.repartition(4).write.mode("overwrite").parquet(src)
+    table = _stream_src_dir("manifeststream_state", sf_dir)
+    ckpt = _stream_src_dir("manifeststream_ckpt", sf_dir)
+    shutil.rmtree(table, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    manifest.run_stream_manifest_agg(stream, ["event_type"], "v", table, ckpt)
+    versions = manifest.list_versions(spark, table)
+    committed = manifest.read_manifest(spark, table)["batch_ids"]
+    # monotone publish: each version adds exactly its batch id
+    chains_ok = all(
+        set(manifest.read_manifest(spark, table, v)["batch_ids"])
+        < set(manifest.read_manifest(spark, table, w)["batch_ids"])
+        for v, w in zip(versions, versions[1:])
+    )
+    # torn writer after the stream: never committed, must stay invisible
+    streaming.write_batch_partition(
+        incremental.partial_agg(batch, ["event_type"], "v"), table, 99
+    )
+    listed = streaming.list_batch_partitions(spark, table)
+    ok = (
+        len(versions) >= 4
+        and len(versions) == len(committed)
+        and chains_ok
+        and 99 in listed
+        and 99 not in committed
+    )
+    view = manifest.read_snapshot_agg(spark, table)
+    return view.select(
+        "event_type",
+        "n_rows",
+        F.round("total", 2).cast("double").alias("total"),
+        F.lit(ok).alias("published_atomically"),
+    )

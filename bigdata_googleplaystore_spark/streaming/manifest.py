@@ -302,3 +302,44 @@ def vacuum(
             )
             man_deleted += 1
     return (dirs_deleted, man_deleted)
+
+
+def run_stream_manifest_agg(
+    stream_df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    table_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Streaming MV maintenance with TRANSACTIONAL publishing: each
+    micro-batch writes its mergeable partial into its own `_batch_id`
+    partition (the shared idempotent protocol) and then COMMITS a
+    manifest — so a downstream reader never observes a half-written
+    batch, and a batch replayed after a crash-before-commit simply
+    rewrites its partition and commits the version its crash lost
+    (commit_batch is a set-union, so a replay after a successful commit
+    is also harmless: the id is already in the snapshot). This is the
+    foreachBatch + idempotent-write + atomic-publish triple that makes
+    Structured Streaming end-to-end exactly-once onto plain parquet."""
+    from . import _run_stream_to_batch_partitions
+    from ..operators import incremental
+
+    spark = stream_df.sparkSession
+
+    def write_and_commit(batch_df: DataFrame, batch_id: int) -> None:
+        from . import write_batch_partition
+
+        write_batch_partition(
+            incremental.partial_agg(batch_df, keys, value_col),
+            table_dir,
+            batch_id,
+        )
+        commit_batch(spark, table_dir, batch_id)
+
+    q = (
+        stream_df.writeStream.foreachBatch(write_and_commit)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()

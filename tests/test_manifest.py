@@ -154,3 +154,24 @@ def test_vacuum_keeps_pinned_window(spark, tmp_path):
     assert _agg_rows(
         manifest.read_snapshot_agg(spark, table, version=3)
     ) == _direct_rows(raw)
+
+
+def test_run_stream_manifest_agg_commits_every_batch(spark, tmp_path):
+    raw = _raw(spark)
+    src = str(tmp_path / "src")
+    raw.drop("id").repartition(4).write.mode("overwrite").parquet(src)
+    table = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    manifest.run_stream_manifest_agg(stream, ["k"], "v", table, ckpt)
+    versions = manifest.list_versions(spark, table)
+    assert len(versions) >= 4
+    assert _agg_rows(manifest.read_snapshot_agg(spark, table)) == _direct_rows(raw)
+    # every version is a strict superset chain (atomic publish order)
+    sets = [
+        set(manifest.read_manifest(spark, table, v)["batch_ids"]) for v in versions
+    ]
+    assert all(a < b for a, b in zip(sets, sets[1:]))
