@@ -43,6 +43,8 @@ _PRIORITY: list[str] = [
     # (a) new or implementation-changed this round — fresh rows required:
     "mv_manifest_snapshot_read",  # new: manifest-committed atomic snapshots
     "stream_manifest_exactly_once",  # new: stream publish via manifest commits
+    "sketch_cms_join_size",  # new: CBO join-size estimate via CMS inner product
+    "sketch_sample_quantiles",  # new: deterministic hash-sample order stats
     "sketch_kmv_distinct",  # new: KMV distinct-count sketch vs exact
     "sketch_theta_set_ops",  # new: theta union/intersection estimates
     "sketch_cms_point_queries",  # new: count-min point queries, top-20 terms

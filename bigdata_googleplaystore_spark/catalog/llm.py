@@ -5077,3 +5077,109 @@ def sketch_cms_merge_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cms_est").cast("long").alias("cms_est"),
         F.lit(n_partials).cast("bigint").alias("n_partials"),
     )
+
+
+@register(
+    "sketch_cms_join_size",
+    oracle="""
+    WITH counts AS (
+      SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY l_partkey
+    ),
+    idx AS (SELECT i FROM range(4) t(i)),
+    matrix AS (
+      SELECT i AS row_idx,
+             ('0x' || substr(md5('cms' || CAST(i AS VARCHAR) || ':'
+                                 || CAST(k AS VARCHAR)), 1, 13))::UBIGINT
+               % 1024 AS bucket,
+             CAST(sum(n) AS BIGINT) AS cell
+      FROM counts CROSS JOIN idx GROUP BY 1, 2),
+    per_row AS (
+      SELECT row_idx, CAST(sum(cell * cell) AS BIGINT) AS ip
+      FROM matrix GROUP BY row_idx),
+    ex AS (SELECT CAST(sum(n * n) AS BIGINT) AS exact_size FROM counts)
+    SELECT ex.exact_size,
+           CAST((SELECT min(ip) FROM per_row) AS BIGINT) AS cms_est
+    FROM ex
+    """,
+    tags=("sketch", "join", "cbo", "scale"),
+)
+def sketch_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-SIZE ESTIMATION from count-min sketches
+    (operators/sketches.cms_inner_product, Cormode & Muthukrishnan 2005
+    §4.2): the self-join size of lineitem on l_partkey — the second
+    frequency moment Σ c_k², the quantity a cost-based optimizer needs
+    before picking a join strategy — estimated as the min over matrix
+    rows of the bucket-wise inner product. Always an OVERESTIMATE
+    (collision cross-terms only add); the oracle rebuilds the identical
+    4x1024 matrix in SQL and re-derives both the exact moment and the
+    estimate, so the gate pins the estimator's exact output, not just a
+    bound. At 100 TB the two matrices are 2 KiB summaries maintained
+    incrementally by cms_merge — join-size estimates with no sampling
+    pass and no key-space shuffle."""
+    from ..operators import sketches
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("k")
+    )
+    counts = li.groupBy("k").agg(F.count("*").cast("long").alias("n"))
+    matrix = sketches.cms_build(counts, "k", "n", depth=4, width=1024, salt="cms")
+    est = sketches.cms_inner_product(matrix, matrix)
+    ex = counts.agg(
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("exact_size")
+    )
+    return ex.crossJoin(est).select(
+        "exact_size", F.col("join_size_est").cast("bigint").alias("cms_est")
+    )
+
+
+@register(
+    "sketch_sample_quantiles",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q
+      FROM lineitem
+      WHERE (('0x' || substr(md5('smp' || CAST(l_orderkey AS VARCHAR) || ':'
+                                 || CAST(l_linenumber AS VARCHAR)), 1, 13)
+             )::UBIGINT::DOUBLE / 4503599627370496.0) < 0.05
+    )
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_sample,
+           CAST(quantile_disc(q, 0.5) AS BIGINT) AS p50_sample,
+           CAST(quantile_disc(q, 0.9) AS BIGINT) AS p90_sample
+    FROM s GROUP BY l_returnflag
+    """,
+    tags=("sketch", "sampling", "percentile"),
+)
+def sketch_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order statistics via a DETERMINISTIC Bernoulli hash-sample
+    (operators/sketches.hash_sample, rate 5% keyed on the row identity
+    (l_orderkey, l_linenumber)): per return flag, discrete p50/p90 of
+    l_quantity over the sample. Quantiles have no small exact mergeable
+    summary; the mergeable tier is a sample whose membership is a PURE
+    FUNCTION of the row — the union of per-batch samples IS the sample
+    of the union, so the summary maintains incrementally beside the
+    state table, and the oracle replays the exact predicate and the
+    exact sample quantiles (percentile_disc and quantile_disc share the
+    actual-element definition on integers). A rate drift, a
+    nondeterministic sample(), or an interpolating quantile hash-fails."""
+    from ..operators import sketches
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+    samp = sketches.hash_sample(li, ["l_orderkey", "l_linenumber"], 0.05, "smp")
+    samp.select(
+        "l_returnflag", F.col("l_quantity").cast("bigint").alias("q")
+    ).createOrReplaceTempView("_hash_sample_q")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n_sample,
+               CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY q) AS BIGINT)
+                 AS p50_sample,
+               CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY q) AS BIGINT)
+                 AS p90_sample
+        FROM _hash_sample_q GROUP BY l_returnflag
+        """
+    )

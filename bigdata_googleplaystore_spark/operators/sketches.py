@@ -288,3 +288,41 @@ def cms_lookup(
     joined = probes.join(F.broadcast(matrix), ["row_idx", "bucket"])
     others = [c for c in queries.columns]
     return joined.groupBy(*others).agg(F.min("cell").alias("cms_est"))
+
+
+def cms_inner_product(matrix_a: DataFrame, matrix_b: DataFrame) -> DataFrame:
+    """JOIN-SIZE ESTIMATION from two count-min matrices (Cormode &
+    Muthukrishnan 2005 §4.2): the equi-join size |A ⋈ B| on the sketched
+    key is Σ_k a_k·b_k, and each matrix row's bucket-wise inner product
+    Σ_b A_i[b]·B_i[b] overestimates it by only the collision cross-terms
+    — take the MIN over rows. Always >= the true size, expected slack
+    ||a||₁·||b||₁/width per row. One-row result (`join_size_est`).
+
+    This is the CBO primitive at 100 TB: join-size estimates from two
+    2 KiB summaries that merge across ingest batches (cms_merge), with
+    no sampling pass and no key-space shuffle — the sketches were
+    already maintained by the state-table protocol."""
+    a = matrix_a.select("row_idx", "bucket", F.col("cell").alias("_ca"))
+    b = matrix_b.select("row_idx", "bucket", F.col("cell").alias("_cb"))
+    per_row = (
+        a.join(b, ["row_idx", "bucket"])
+        .groupBy("row_idx")
+        .agg(F.sum(F.col("_ca") * F.col("_cb")).alias("_ip"))
+    )
+    return per_row.agg(F.min("_ip").cast("long").alias("join_size_est"))
+
+
+def hash_sample(
+    df: DataFrame, key_cols: list[str], rate: float, salt: str = "smp"
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep rows whose md5-derived
+    uniform (over the concatenated key columns) falls below `rate`.
+    Unlike df.sample(), the kept set is a PURE FUNCTION of the rows —
+    stable across retries, partitionings, and engines (oracles replay
+    the predicate), and MERGEABLE: the union of per-batch samples IS
+    the sample of the union, so a quantile/statistics sample can be
+    maintained incrementally next to the state table and re-read
+    without touching history. The sketch tier for order statistics,
+    which have no small mergeable exact summary."""
+    key = F.concat_ws(":", *[F.col(c).cast("string") for c in key_cols])
+    return df.where(kmv_u(key, salt) < rate)

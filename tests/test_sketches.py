@@ -149,3 +149,43 @@ def test_cms_merge_linearity(spark, token_counts):
 def test_cms_matrix_is_bounded(spark, token_counts):
     matrix = sketches.cms_build(token_counts, "tok", "n", depth=4, width=64)
     assert matrix.count() <= 4 * 64
+
+
+def test_cms_inner_product_overestimates_self_join(spark, token_counts):
+    matrix = sketches.cms_build(token_counts, "tok", "n", depth=4, width=64)
+    est = sketches.cms_inner_product(matrix, matrix).collect()[0]["join_size_est"]
+    exact = token_counts.agg(
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("x")
+    ).collect()[0]["x"]
+    assert est >= exact
+    # wide matrix -> no collisions -> exact inner product
+    wide = sketches.cms_build(token_counts, "tok", "n", depth=4, width=8192)
+    est_w = sketches.cms_inner_product(wide, wide).collect()[0]["join_size_est"]
+    assert est_w == exact
+
+
+def test_cms_inner_product_two_tables(spark):
+    a = spark.createDataFrame([("k1", 3), ("k2", 2), ("k3", 5)], "k string, n long")
+    b = spark.createDataFrame([("k1", 4), ("k3", 1), ("k4", 7)], "k string, n long")
+    ma = sketches.cms_build(a, "k", "n", depth=4, width=4096)
+    mb = sketches.cms_build(b, "k", "n", depth=4, width=4096)
+    est = sketches.cms_inner_product(ma, mb).collect()[0]["join_size_est"]
+    assert est == 3 * 4 + 5 * 1  # join size on shared keys
+
+
+def test_hash_sample_is_deterministic_and_mergeable(spark):
+    df = spark.range(10_000).select(
+        F.col("id"), (F.col("id") % 7).alias("g")
+    )
+    s1 = sketches.hash_sample(df, ["id"], 0.1)
+    s2 = sketches.hash_sample(df.repartition(13), ["id"], 0.1)
+    ids1 = sorted(r["id"] for r in s1.collect())
+    assert ids1 == sorted(r["id"] for r in s2.collect())
+    # ~10% +- 4 sigma (sqrt(1000*0.9) ~ 30)
+    assert 850 <= len(ids1) <= 1150
+    # mergeable: sample(part1) U sample(part2) == sample(whole)
+    p1 = sketches.hash_sample(df.where(F.col("id") < 5000), ["id"], 0.1)
+    p2 = sketches.hash_sample(df.where(F.col("id") >= 5000), ["id"], 0.1)
+    assert sorted(
+        r["id"] for r in p1.union(p2).collect()
+    ) == ids1
