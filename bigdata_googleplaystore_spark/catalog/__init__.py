@@ -43,6 +43,7 @@ _PRIORITY: list[str] = [
     # (a) new or implementation-changed this round — fresh rows required:
     "mv_manifest_snapshot_read",  # new: manifest-committed atomic snapshots
     "stream_manifest_exactly_once",  # new: stream publish via manifest commits
+    "mv_manifest_row_deletes",  # new: merge-on-read equality deletes + CoW catch-up
     "sketch_cms_join_size",  # new: CBO join-size estimate via CMS inner product
     "sketch_sample_quantiles",  # new: deterministic hash-sample order stats
     "sketch_kmv_distinct",  # new: KMV distinct-count sketch vs exact

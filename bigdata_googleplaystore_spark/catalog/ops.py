@@ -7943,3 +7943,106 @@ def stream_manifest_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("total", 2).cast("double").alias("total"),
         F.lit(ok).alias("published_atomically"),
     )
+
+
+@register(
+    "mv_manifest_row_deletes",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+             AS total_price,
+           TRUE AS deletes_applied
+    FROM orders
+    WHERE o_orderkey % 10 <> 3
+    GROUP BY o_orderpriority
+    """,
+    tags=("incremental", "manifest", "merge-on-read", "scale"),
+)
+def mv_manifest_row_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ row-level deletes over a manifest-committed ROW
+    table (streaming/manifest.commit_deletes — the Iceberg-v2
+    equality-delete design, public): DELETE is a metadata-plus-keys
+    operation, O(|deleted keys|), touching no data partition; readers
+    apply the committed delete files as a broadcast anti-join at scan
+    time; compact_rows_apply_deletes later rewrites the old batches
+    with deletes folded in (copy-on-write catch-up) behind one atomic
+    manifest swap.
+
+    Lifecycle under the gate: three committed row batches of orders;
+    one committed delete file (every o_orderkey ending in 3 — ~10% of
+    the table); the merge-on-read snapshot aggregate must hash-match
+    the oracle's WHERE-filtered aggregate. `deletes_applied` pins the
+    physical story: the raw data partitions still CONTAIN the deleted
+    rows (the delete rewrote nothing), the snapshot read masks them,
+    and after compaction the rewritten base holds zero deleted keys
+    while the aggregate is unchanged.
+
+    At 100 TB this is the difference between deleting a user's rows by
+    rewriting a petabyte table and landing a kilobyte key file — with
+    the anti-join cost bounded by periodic copy-on-write catch-up."""
+    import shutil
+
+    from .. import streaming
+    from ..streaming import manifest
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", dec2(F.col("o_totalprice")).alias("v")
+    )
+    table = _stream_src_dir("mordeletes", sf_dir)
+    shutil.rmtree(table, ignore_errors=True)
+    for b in range(3):
+        streaming.write_batch_partition(
+            o.filter(F.col("o_orderkey") % 3 == b), table, b
+        )
+        manifest.commit_batch(spark, table, b)
+    # the delete: a key file, not a table rewrite
+    del_keys = o.filter(F.col("o_orderkey") % 10 == 3).select("o_orderkey")
+    manifest.commit_deletes(spark, table, del_keys, delete_id=0)
+
+    snap = manifest.read_snapshot_rows(spark, table)
+    pre = (
+        snap.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n1"), F.sum("v").alias("t1"))
+        .localCheckpoint()
+    )
+    # data partitions untouched by the delete: raw union still has them
+    raw_rows = spark.read.parquet(
+        *[f"{table}/_batch_id={b}" for b in range(3)]
+    ).count()
+    masked_rows = pre.agg(F.sum("n1")).collect()[0][0]
+    manifest.compact_rows_apply_deletes(spark, table, upto_batch=1)
+    post = manifest.read_snapshot_rows(spark, table)
+    agg = post.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_rows"), F.sum("v").alias("total")
+    )
+    # the rewritten base physically dropped the deleted keys
+    base = spark.read.parquet(
+        f"{table}/_batch_id={streaming.compact_base_id(1)}"
+    )
+    leaked = base.filter(F.col("o_orderkey") % 10 == 3).count()
+    mismatches = (
+        pre.join(
+            agg.select(
+                "o_orderpriority",
+                F.col("n_rows").alias("n2"),
+                F.col("total").alias("t2"),
+            ),
+            "o_orderpriority",
+            "full",
+        )
+        .where(
+            F.col("n1").isNull()
+            | F.col("n2").isNull()
+            | (F.col("n1") != F.col("n2"))
+            | (F.col("t1") != F.col("t2"))
+        )
+        .count()
+    )
+    ok = raw_rows > masked_rows and leaked == 0 and mismatches == 0
+    return agg.select(
+        "o_orderpriority",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.round("total", 2).cast("double").alias("total_price"),
+        F.lit(ok).alias("deletes_applied"),
+    )

@@ -134,17 +134,21 @@ def commit_version(
     batch_ids: list[int],
     horizon: int | None,
     expected_prev: int | None,
+    delete_ids: list[int] | None = None,
 ) -> int:
     """Commit the next manifest version via temp-write + rename.
     `expected_prev` is the version this commit was planned against
     (None for the first commit); if someone else committed in between,
     the version file already exists and ConcurrentCommitError tells the
-    caller to re-plan — optimistic concurrency, no locks."""
+    caller to re-plan — optimistic concurrency, no locks.
+    `delete_ids` are the merge-on-read delete files (see commit_deletes)
+    this snapshot applies."""
     next_v = (expected_prev if expected_prev is not None else -1) + 1
     manifest = {
         "version": next_v,
         "batch_ids": sorted(batch_ids),
         "horizon": horizon,
+        "delete_ids": sorted(delete_ids or []),
     }
     data = json.dumps(manifest, sort_keys=True).encode("utf-8")
     final = _version_path(table_dir, next_v)
@@ -174,7 +178,14 @@ def commit_batch(spark: SparkSession, table_dir: str, batch_id: int) -> int:
     cur = read_manifest(spark, table_dir)
     ids = set(cur["batch_ids"]) | {batch_id}
     prev = cur["version"] if cur["version"] >= 0 else None
-    return commit_version(spark, table_dir, sorted(ids), cur.get("horizon"), prev)
+    return commit_version(
+        spark,
+        table_dir,
+        sorted(ids),
+        cur.get("horizon"),
+        prev,
+        cur.get("delete_ids"),
+    )
 
 
 def snapshot_partials(
@@ -258,7 +269,12 @@ def compact_snapshot(
     fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
     # the atomic swap
     version = commit_version(
-        spark, table_dir, [base_id, *keep], upto_batch, cur["version"]
+        spark,
+        table_dir,
+        [base_id, *keep],
+        upto_batch,
+        cur["version"],
+        cur.get("delete_ids"),
     )
     return version
 
@@ -343,3 +359,119 @@ def run_stream_manifest_agg(
     )
     q.processAllAvailable()
     q.stop()
+
+
+# --------------------------------------------------------------------------
+# Merge-on-read row-level deletes (Iceberg-v2-style equality deletes)
+# --------------------------------------------------------------------------
+
+DELETE_DIR = "_deletes"
+
+
+def _delete_path(table_dir: str, delete_id: int) -> str:
+    return f"{table_dir.rstrip('/')}/{DELETE_DIR}/d{delete_id:08d}"
+
+
+def commit_deletes(
+    spark: SparkSession, table_dir: str, delete_keys: DataFrame, delete_id: int
+) -> int:
+    """Row-level DELETE without rewriting data files: land a parquet of
+    delete KEYS (an equality-delete file, the Iceberg v2 merge-on-read
+    design) at its own immutable path, then commit a manifest that adds
+    `delete_id` to the snapshot. The delete is atomic (visible only
+    after the manifest rename), idempotent (rewriting the same id's
+    file is harmless), and O(|deleted keys|) — no data partition is
+    touched, which at 100 TB is the difference between a metadata
+    operation and rewriting a table. Readers apply deletes as a
+    broadcast anti-join at scan time (read_snapshot_rows);
+    compact_rows_apply_deletes later folds them into a rewritten base
+    (copy-on-write catch-up)."""
+    delete_keys.write.mode("overwrite").parquet(_delete_path(table_dir, delete_id))
+    cur = read_manifest(spark, table_dir)
+    dids = set(cur.get("delete_ids", [])) | {delete_id}
+    prev = cur["version"] if cur["version"] >= 0 else None
+    return commit_version(
+        spark,
+        table_dir,
+        cur["batch_ids"],
+        cur.get("horizon"),
+        prev,
+        sorted(dids),
+    )
+
+
+def read_snapshot_rows(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """ROW-table snapshot read with merge-on-read semantics: union the
+    manifest's data partitions, then anti-join the manifest's delete
+    files on their key columns (broadcast — delete sets are small by
+    design; a delete set that outgrows broadcast is the signal to run
+    compact_rows_apply_deletes). Uncommitted data AND uncommitted
+    deletes are equally invisible — both sides of the table's state
+    advance only by manifest commits."""
+    m = read_manifest(spark, table_dir, version)
+    if not m["batch_ids"]:
+        raise ValueError(f"no committed snapshot in {table_dir}")
+    rows = spark.read.parquet(
+        *[f"{table_dir.rstrip('/')}/_batch_id={b}" for b in m["batch_ids"]]
+    )
+    dids = m.get("delete_ids", [])
+    if not dids:
+        return rows
+    dels = spark.read.parquet(
+        *[_delete_path(table_dir, d) for d in dids]
+    ).distinct()
+    from pyspark.sql import functions as F
+
+    return rows.join(F.broadcast(dels), on=list(dels.columns), how="left_anti")
+
+
+def compact_rows_apply_deletes(
+    spark: SparkSession, table_dir: str, upto_batch: int
+) -> int:
+    """Copy-on-write catch-up for a merge-on-read ROW table: rewrite the
+    partitions <= upto_batch as ONE base with every committed delete
+    APPLIED, swap them in a single manifest commit, and keep the delete
+    ids (they still mask rows in the batches that stayed; re-masking
+    the base is a no-op because its rows are already gone — anti-join
+    is idempotent). Crash-safe the same way compact_snapshot is: the
+    base is invisible until the commit. Bounds the read-time anti-join
+    cost: after compaction the delete files only pay for rows newer
+    than the horizon."""
+    from .. import streaming
+
+    cur = read_manifest(spark, table_dir)
+    if not cur["batch_ids"]:
+        raise ValueError(f"nothing to compact in {table_dir}")
+    prev_horizon = cur.get("horizon")
+    if prev_horizon is not None and upto_batch < prev_horizon:
+        raise ValueError(
+            f"compact_rows_apply_deletes: upto_batch={upto_batch} is "
+            f"behind the committed horizon {prev_horizon} — the horizon "
+            "only moves forward"
+        )
+    base_id = streaming.compact_base_id(upto_batch)
+    subsumed = [b for b in cur["batch_ids"] if b <= upto_batch]
+    keep = [b for b in cur["batch_ids"] if b > upto_batch]
+    if not subsumed:
+        return cur["version"]
+    rows = spark.read.parquet(
+        *[f"{table_dir.rstrip('/')}/_batch_id={b}" for b in subsumed]
+    )
+    dids = cur.get("delete_ids", [])
+    if dids:
+        dels = spark.read.parquet(
+            *[_delete_path(table_dir, d) for d in dids]
+        ).distinct()
+        from pyspark.sql import functions as F
+
+        rows = rows.join(F.broadcast(dels), on=list(dels.columns), how="left_anti")
+    tmp = table_dir.rstrip("/") + "__compact_tmp"
+    rows.write.mode("overwrite").parquet(tmp)
+    streaming.write_batch_partition(spark.read.parquet(tmp), table_dir, base_id)
+    jvm, fs, _ = _fs(spark, table_dir)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
+    return commit_version(
+        spark, table_dir, [base_id, *keep], upto_batch, cur["version"], dids
+    )

@@ -175,3 +175,54 @@ def test_run_stream_manifest_agg_commits_every_batch(spark, tmp_path):
         set(manifest.read_manifest(spark, table, v)["batch_ids"]) for v in versions
     ]
     assert all(a < b for a, b in zip(sets, sets[1:]))
+
+
+def test_merge_on_read_deletes_and_compaction(spark, tmp_path):
+    table = str(tmp_path / "tbl")
+    raw = _raw(spark)
+    for b in range(3):
+        streaming.write_batch_partition(
+            raw.where(F.col("id") % 3 == b), table, b
+        )
+        manifest.commit_batch(spark, table, b)
+    # delete every id divisible by 10 (20 rows) via a key file
+    manifest.commit_deletes(
+        spark, table, raw.where(F.col("id") % 10 == 0).select("id"), 0
+    )
+    snap = manifest.read_snapshot_rows(spark, table)
+    assert snap.count() == 180
+    assert snap.where(F.col("id") % 10 == 0).count() == 0
+    # data partitions untouched: raw union still holds all 200
+    assert spark.read.parquet(*[f"{table}/_batch_id={b}" for b in range(3)]).count() == 200
+    # uncommitted delete file invisible
+    extra = raw.where(F.col("id") % 10 == 1).select("id")
+    extra.write.mode("overwrite").parquet(manifest._delete_path(table, 7))
+    assert manifest.read_snapshot_rows(spark, table).count() == 180
+    # copy-on-write catch-up: base holds no deleted keys, values unchanged
+    manifest.compact_rows_apply_deletes(spark, table, upto_batch=1)
+    post = manifest.read_snapshot_rows(spark, table)
+    assert post.count() == 180
+    base = spark.read.parquet(
+        f"{table}/_batch_id={streaming.compact_base_id(1)}"
+    )
+    assert base.where(F.col("id") % 10 == 0).count() == 0
+    # delete ids retained: they still mask batch 2's rows
+    m = manifest.read_manifest(spark, table)
+    assert m["delete_ids"] == [0]
+
+
+def test_deletes_are_version_pinned(spark, tmp_path):
+    table = str(tmp_path / "tbl")
+    raw = _raw(spark)
+    for b in range(2):
+        streaming.write_batch_partition(
+            raw.where(F.col("id") % 2 == b), table, b
+        )
+        manifest.commit_batch(spark, table, b)
+    v_before = manifest.latest_version(spark, table)
+    manifest.commit_deletes(
+        spark, table, raw.where(F.col("id") < 100).select("id"), 0
+    )
+    # pre-delete version still sees all rows; latest sees the delete
+    assert manifest.read_snapshot_rows(spark, table, version=v_before).count() == 200
+    assert manifest.read_snapshot_rows(spark, table).count() == 100
