@@ -8046,3 +8046,71 @@ def mv_manifest_row_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("total", 2).cast("double").alias("total_price"),
         F.lit(ok).alias("deletes_applied"),
     )
+
+
+@register(
+    "mv_manifest_change_feed",
+    oracle="""
+    WITH ch AS (
+      SELECT 'insert' AS _change_type, o_orderpriority
+      FROM orders WHERE o_orderkey % 3 = 2 AND o_orderkey % 10 <> 7
+      UNION ALL
+      SELECT 'delete', o_orderpriority
+      FROM orders WHERE o_orderkey % 3 <> 2 AND o_orderkey % 10 = 7
+    )
+    SELECT _change_type, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_changes
+    FROM ch GROUP BY _change_type, o_orderpriority
+    """,
+    tags=("incremental", "manifest", "cdc", "scale"),
+)
+def mv_manifest_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DATA FEED between manifest versions
+    (streaming/manifest.snapshot_diff): the manifest IS the change log,
+    so the diff plans only the partitions and delete files added
+    between the two versions — O(delta), never a full-table diff (at
+    100 TB, diffing two plain parquet snapshots is a petabyte join;
+    this is a metadata walk plus delta-sized scans).
+
+    Lifecycle under the gate: orders batches {0,1} committed (the
+    `from` version), then batch 2 committed AND a delete file for every
+    o_orderkey ending in 7; the feed from v1 to the head must contain
+    exactly batch 2's surviving rows as 'insert' (an in-window insert
+    masked by an in-window delete never became visible — the feed must
+    NOT emit it) and the previously-visible rows matching the delete
+    keys as 'delete' (keys that matched nothing emit nothing). The
+    oracle re-derives both change sets from the defining predicates;
+    any leakage across the version boundary — a batch-0/1 row as
+    insert, a batch-2 row as delete, a masked insert surfacing —
+    changes a group count and hash-fails."""
+    import shutil
+
+    from .. import streaming
+    from ..streaming import manifest
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    table = _stream_src_dir("changefeed", sf_dir)
+    shutil.rmtree(table, ignore_errors=True)
+    for b in range(2):
+        streaming.write_batch_partition(
+            o.filter(F.col("o_orderkey") % 3 == b), table, b
+        )
+        manifest.commit_batch(spark, table, b)
+    v_from = manifest.latest_version(spark, table)
+    streaming.write_batch_partition(
+        o.filter(F.col("o_orderkey") % 3 == 2), table, 2
+    )
+    manifest.commit_batch(spark, table, 2)
+    manifest.commit_deletes(
+        spark,
+        table,
+        o.filter(F.col("o_orderkey") % 10 == 7).select("o_orderkey"),
+        delete_id=0,
+    )
+    v_to = manifest.latest_version(spark, table)
+    feed = manifest.snapshot_diff(spark, table, v_from, v_to)
+    return feed.groupBy("_change_type", "o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_changes")
+    )

@@ -475,3 +475,74 @@ def compact_rows_apply_deletes(
     return commit_version(
         spark, table_dir, [base_id, *keep], upto_batch, cur["version"], dids
     )
+
+
+def snapshot_diff(
+    spark: SparkSession,
+    table_dir: str,
+    from_version: int,
+    to_version: int,
+) -> DataFrame:
+    """CHANGE DATA FEED between two committed versions of a merge-on-
+    read row table: every row with a `_change_type` column ('insert' /
+    'delete') describing how the snapshot evolved from `from_version`
+    to `to_version`. Planned entirely from the two manifests:
+
+    - inserts  = rows of data partitions added in between, minus rows
+      already masked by `to`'s delete files (a row inserted and deleted
+      within the window never became visible);
+    - deletes  = rows of `from`'s visible snapshot matched by delete
+      files added in between (keys that never matched a visible row
+      produce nothing — a delete of an absent key is a no-op, not a
+      change).
+
+    Cost: O(new partitions + new delete files + the anti/semi joins
+    against them), never a full-table diff — the manifest IS the
+    change log, which is why a lakehouse CDF is cheap while diffing
+    two plain parquet snapshots at 100 TB is a petabyte join."""
+    from pyspark.sql import functions as F
+
+    m_from = read_manifest(spark, table_dir, from_version)
+    m_to = read_manifest(spark, table_dir, to_version)
+    new_batches = sorted(set(m_to["batch_ids"]) - set(m_from["batch_ids"]))
+    if any(b < 0 for b in new_batches):
+        raise ValueError(
+            "snapshot_diff: a compaction rewrite lies between "
+            f"v{from_version} and v{to_version} (base partition in the "
+            "delta) — diff across a rewrite is not change data; diff up "
+            "to the pre-compaction version instead"
+        )
+    new_deletes = sorted(
+        set(m_to.get("delete_ids", [])) - set(m_from.get("delete_ids", []))
+    )
+    root = table_dir.rstrip("/")
+    parts = []
+    if new_batches:
+        inserted = spark.read.parquet(
+            *[f"{root}/_batch_id={b}" for b in new_batches]
+        )
+        to_dids = m_to.get("delete_ids", [])
+        if to_dids:
+            dels_to = spark.read.parquet(
+                *[_delete_path(table_dir, d) for d in to_dids]
+            ).distinct()
+            inserted = inserted.join(
+                F.broadcast(dels_to), on=list(dels_to.columns), how="left_anti"
+            )
+        parts.append(inserted.withColumn("_change_type", F.lit("insert")))
+    if new_deletes:
+        visible_before = read_snapshot_rows(spark, table_dir, from_version)
+        dels_new = spark.read.parquet(
+            *[_delete_path(table_dir, d) for d in new_deletes]
+        ).distinct()
+        deleted = visible_before.join(
+            F.broadcast(dels_new), on=list(dels_new.columns), how="left_semi"
+        )
+        parts.append(deleted.withColumn("_change_type", F.lit("delete")))
+    if not parts:
+        base = read_snapshot_rows(spark, table_dir, to_version).limit(0)
+        return base.withColumn("_change_type", F.lit(""))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -226,3 +226,35 @@ def test_deletes_are_version_pinned(spark, tmp_path):
     # pre-delete version still sees all rows; latest sees the delete
     assert manifest.read_snapshot_rows(spark, table, version=v_before).count() == 200
     assert manifest.read_snapshot_rows(spark, table).count() == 100
+
+
+def test_snapshot_diff_inserts_deletes_and_masked_insert(spark, tmp_path):
+    table = str(tmp_path / "tbl")
+    raw = _raw(spark)
+    streaming.write_batch_partition(raw.where(F.col("id") < 100), table, 0)
+    manifest.commit_batch(spark, table, 0)
+    v_from = manifest.latest_version(spark, table)
+    # in-window: insert 100..199, then delete ids ending in 0 everywhere
+    streaming.write_batch_partition(
+        raw.where(F.col("id") >= 100), table, 1
+    )
+    manifest.commit_batch(spark, table, 1)
+    manifest.commit_deletes(
+        spark, table, raw.where(F.col("id") % 10 == 0).select("id"), 0
+    )
+    v_to = manifest.latest_version(spark, table)
+    feed = manifest.snapshot_diff(spark, table, v_from, v_to)
+    ins = sorted(r["id"] for r in feed.where("_change_type = 'insert'").collect())
+    dels = sorted(r["id"] for r in feed.where("_change_type = 'delete'").collect())
+    # inserts: 100..199 except the in-window-deleted multiples of 10
+    assert ins == [i for i in range(100, 200) if i % 10 != 0]
+    # deletes: only previously-VISIBLE rows (0..99) matching the keys
+    assert dels == [i for i in range(0, 100) if i % 10 == 0]
+
+
+def test_snapshot_diff_refuses_across_compaction(spark, tmp_path):
+    table = str(tmp_path / "tbl")
+    _write_committed_batches(spark, table)
+    manifest.compact_snapshot(spark, table, upto_batch=2)
+    with pytest.raises(ValueError, match="compaction rewrite"):
+        manifest.snapshot_diff(spark, table, 1, manifest.latest_version(spark, table))
