@@ -700,3 +700,46 @@ def test_asof_state_read_prunes_newer_batch_partitions(spark, tmp_path):
     # value check: as-of-1 folds exactly batches 0-1
     got = {r["k"]: (r["n_rows"], r["total"]) for r in rows}
     assert got == {"a": (2, 1.0), "b": (2, 2.0)}
+
+
+def test_cms_lookup_broadcasts_matrix(spark, sf_dir):
+    """Point queries against the count-min matrix must broadcast the
+    2 KiB matrix, never shuffle the query side against it."""
+    r = plans.analyze(QUERIES["sketch_cms_point_queries"].fn(spark, sf_dir))
+    assert r.broadcast_joins >= 1
+    assert r.sort_merge_joins == 0
+
+
+def test_kmv_sketch_has_no_global_collect_shape(spark, sf_dir):
+    """The KMV gate's plan: sharded partial top-k then final top-k —
+    bounded exchanges, no nested-loop, documents scan prunes to the
+    two columns the sketch and the exact count need."""
+    r = plans.analyze(QUERIES["sketch_kmv_distinct"].fn(spark, sf_dir))
+    assert r.nested_loop_joins <= 1  # the 1-row estimate/exact crossJoin only
+    scan = r.scan_for("documents")
+    assert scan is not None
+    assert scan.reads_only("source", "text")
+
+
+def test_manifest_row_read_broadcasts_delete_files(spark, sf_dir, tmp_path):
+    """Merge-on-read snapshot scan: the equality-delete anti-join must
+    broadcast the delete keys; the data side never reshuffles."""
+    from bigdata_googleplaystore_spark import streaming
+    from bigdata_googleplaystore_spark.streaming import manifest
+    from pyspark.sql import functions as F
+
+    table = str(tmp_path / "tbl")
+    rows = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 3).cast("string").alias("k")
+    )
+    streaming.write_batch_partition(rows, table, 0)
+    manifest.commit_batch(spark, table, 0)
+    manifest.commit_deletes(
+        spark, table, rows.where(F.col("id") % 7 == 0).select("id"), 0
+    )
+    r = plans.analyze(manifest.read_snapshot_rows(spark, table))
+    assert "BroadcastHashJoin" in r.text and "LeftAnti" in r.text
+    # the only exchange is the delete-side distinct (delete-file-sized);
+    # the data side goes scan -> broadcast anti-join with no shuffle
+    assert r.exchanges <= 1
+    assert r.sort_merge_joins == 0
