@@ -189,3 +189,58 @@ def test_hash_sample_is_deterministic_and_mergeable(spark):
     assert sorted(
         r["id"] for r in p1.union(p2).collect()
     ) == ids1
+
+
+def test_kmv_estimate_equals_python_reference_exactly(spark):
+    """The estimate is a PURE FUNCTION of the data: an independent
+    pure-Python md5 replay must produce the bit-identical float."""
+    import hashlib
+
+    vals = [f"w{i}" for i in range(1000)]
+    df = spark.createDataFrame([(v, "g") for v in vals], "v string, g string")
+    k = 64
+    sk = sketches.kmv_sketch(df, ["g"], "v", k=k)
+    est = sketches.kmv_estimate(sk, ["g"], k=k).collect()[0]["kmv_est"]
+    us = sorted(
+        int(hashlib.md5(v.encode()).hexdigest()[:13], 16) / float(1 << 52)
+        for v in vals
+    )
+    assert est == (k - 1) / us[k - 1]
+
+
+def test_cms_estimates_equal_python_reference_exactly(spark, token_counts):
+    import hashlib
+    from collections import defaultdict
+
+    depth, width = 4, 64
+    rows = {r["tok"]: r["n"] for r in token_counts.collect()}
+    matrix = defaultdict(int)
+    for tok, n in rows.items():
+        for i in range(depth):
+            b = int(
+                hashlib.md5(f"cms{i}:{tok}".encode()).hexdigest()[:13], 16
+            ) % width
+            matrix[(i, b)] += n
+    want = {
+        tok: min(
+            matrix[
+                (
+                    i,
+                    int(
+                        hashlib.md5(f"cms{i}:{tok}".encode()).hexdigest()[:13], 16
+                    )
+                    % width,
+                )
+            ]
+            for i in range(depth)
+        )
+        for tok in rows
+    }
+    m = sketches.cms_build(token_counts, "tok", "n", depth=depth, width=width)
+    got = {
+        r["tok"]: r["cms_est"]
+        for r in sketches.cms_lookup(
+            m, token_counts, "tok", depth=depth, width=width
+        ).collect()
+    }
+    assert got == want
