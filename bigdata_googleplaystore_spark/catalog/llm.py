@@ -4987,7 +4987,7 @@ _CMS_MATRIX_SQL = r"""
     FROM probes p JOIN matrix m USING (row_idx, bucket)
     GROUP BY p.tok
     """,
-    tags=("llm", "sketch", "frequency"),
+    tags=("llm", "sketch", "frequency", "bench"),
 )
 def sketch_cms_point_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min frequency sketch (operators/sketches.cms_build, 4x512):

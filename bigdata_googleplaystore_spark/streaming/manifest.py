@@ -170,22 +170,33 @@ def commit_version(
     return next_v
 
 
-def commit_batch(spark: SparkSession, table_dir: str, batch_id: int) -> int:
+def commit_batch(
+    spark: SparkSession, table_dir: str, batch_id: int, retries: int = 5
+) -> int:
     """Publish an already-written `_batch_id` partition into the
     snapshot: latest manifest + this id -> next version. The partition
     write (streaming.write_batch_partition) stays idempotent and
-    invisible until this commit lands."""
-    cur = read_manifest(spark, table_dir)
-    ids = set(cur["batch_ids"]) | {batch_id}
-    prev = cur["version"] if cur["version"] >= 0 else None
-    return commit_version(
-        spark,
-        table_dir,
-        sorted(ids),
-        cur.get("horizon"),
-        prev,
-        cur.get("delete_ids"),
-    )
+    invisible until this commit lands. A set-union commit commutes
+    with any concurrent commit, so on a version conflict the right
+    move is always re-read-and-retry (bounded) — the optimistic-
+    concurrency happy path every manifest format uses for appends."""
+    last: ConcurrentCommitError | None = None
+    for _ in range(retries):
+        cur = read_manifest(spark, table_dir)
+        ids = set(cur["batch_ids"]) | {batch_id}
+        prev = cur["version"] if cur["version"] >= 0 else None
+        try:
+            return commit_version(
+                spark,
+                table_dir,
+                sorted(ids),
+                cur.get("horizon"),
+                prev,
+                cur.get("delete_ids"),
+            )
+        except ConcurrentCommitError as e:
+            last = e
+    raise last if last is not None else RuntimeError("retries must be >= 1")
 
 
 def snapshot_partials(
@@ -337,7 +348,6 @@ def run_stream_manifest_agg(
     is also harmless: the id is already in the snapshot). This is the
     foreachBatch + idempotent-write + atomic-publish triple that makes
     Structured Streaming end-to-end exactly-once onto plain parquet."""
-    from . import _run_stream_to_batch_partitions
     from ..operators import incremental
 
     spark = stream_df.sparkSession
@@ -387,17 +397,23 @@ def commit_deletes(
     compact_rows_apply_deletes later folds them into a rewritten base
     (copy-on-write catch-up)."""
     delete_keys.write.mode("overwrite").parquet(_delete_path(table_dir, delete_id))
-    cur = read_manifest(spark, table_dir)
-    dids = set(cur.get("delete_ids", [])) | {delete_id}
-    prev = cur["version"] if cur["version"] >= 0 else None
-    return commit_version(
-        spark,
-        table_dir,
-        cur["batch_ids"],
-        cur.get("horizon"),
-        prev,
-        sorted(dids),
-    )
+    last: ConcurrentCommitError | None = None
+    for _ in range(5):
+        cur = read_manifest(spark, table_dir)
+        dids = set(cur.get("delete_ids", [])) | {delete_id}
+        prev = cur["version"] if cur["version"] >= 0 else None
+        try:
+            return commit_version(
+                spark,
+                table_dir,
+                cur["batch_ids"],
+                cur.get("horizon"),
+                prev,
+                sorted(dids),
+            )
+        except ConcurrentCommitError as e:  # set-union commutes: retry
+            last = e
+    raise last if last is not None else RuntimeError("unreachable")
 
 
 def read_snapshot_rows(
@@ -502,6 +518,12 @@ def snapshot_diff(
     two plain parquet snapshots at 100 TB is a petabyte join."""
     from pyspark.sql import functions as F
 
+    if from_version > to_version:
+        raise ValueError(
+            f"snapshot_diff: from_version={from_version} is newer than "
+            f"to_version={to_version} — a reverse feed is the forward "
+            "feed with the change types swapped; request it that way"
+        )
     m_from = read_manifest(spark, table_dir, from_version)
     m_to = read_manifest(spark, table_dir, to_version)
     new_batches = sorted(set(m_to["batch_ids"]) - set(m_from["batch_ids"]))
