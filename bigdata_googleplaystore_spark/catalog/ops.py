@@ -8114,3 +8114,76 @@ def mv_manifest_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feed.groupBy("_change_type", "o_orderpriority").agg(
         F.count("*").cast("bigint").alias("n_changes")
     )
+
+
+@register(
+    "mv_manifest_zone_skip",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+             AS total_price,
+           TRUE AS zone_pruned
+    FROM orders
+    WHERE o_orderdate BETWEEN TIMESTAMP '1999-02-01 00:00:00'
+                          AND TIMESTAMP '2000-01-31 00:00:00'
+    GROUP BY o_orderpriority
+    """,
+    tags=("incremental", "manifest", "data-skipping", "scale"),
+)
+def mv_manifest_zone_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZONE-MAP DATA SKIPPING from manifest metadata
+    (streaming/manifest.write_and_commit_batch + prune_snapshot_batches):
+    each committed batch records its [min, max] per stats column in the
+    manifest, so a range read decides which batches to SKIP from the
+    manifest JSON alone — before a single directory is listed or a
+    parquet footer opened (the Delta/Iceberg file-skipping design, one
+    level above parquet's own row-group stats, which still require
+    opening every footer).
+
+    The gate commits orders as four date-range batches (stats on
+    o_orderdate, stored as ISO strings — lexicographic order equals
+    temporal order; the testdata's order dates span 1995-01-01 to
+    2001-08-01), reads BETWEEN 1999-02-01 AND 2000-01-31 (a range
+    strictly inside batch 2's [1999-01-01, 2000-06-30] zone), and pins
+    in `zone_pruned` that the prune decision selected EXACTLY batch 2
+    — a pruner that keeps extra batches (wasted I/O) or drops a
+    boundary-overlapping one (lost rows, which the hash would also
+    catch) fails the flag. A batch without stats is always kept:
+    skipping is an optimization, never a filter.
+
+    At 100 TB: a year-partitioned-by-arrival table answers a one-month
+    query by opening 1/48th of its batches, decided in O(|manifest|)
+    driver time."""
+    import shutil
+
+    from ..streaming import manifest
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderdate", "o_orderpriority", dec2(F.col("o_totalprice")).alias("v")
+    )
+    table = _stream_src_dir("zoneskip", sf_dir)
+    shutil.rmtree(table, ignore_errors=True)
+    bounds = ["1997-01-01", "1999-01-01", "2000-07-01"]
+    conds = [
+        F.col("o_orderdate") < bounds[0],
+        (F.col("o_orderdate") >= bounds[0]) & (F.col("o_orderdate") < bounds[1]),
+        (F.col("o_orderdate") >= bounds[1]) & (F.col("o_orderdate") < bounds[2]),
+        F.col("o_orderdate") >= bounds[2],
+    ]
+    for b, cond in enumerate(conds):
+        manifest.write_and_commit_batch(
+            spark, o.filter(cond), table, b, stats_cols=["o_orderdate"]
+        )
+    m = manifest.read_manifest(spark, table)
+    lo, hi = "1999-02-01", "2000-01-31"
+    pruned = manifest.prune_snapshot_batches(m, "o_orderdate", lo, hi)
+    ok = pruned == [2] and len(m["batch_ids"]) == 4
+    rows = manifest.read_snapshot_rows(
+        spark, table, where_between=("o_orderdate", lo, hi)
+    )
+    return rows.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.round(F.sum("v"), 2).cast("double").alias("total_price"),
+        F.lit(ok).alias("zone_pruned"),
+    )

@@ -135,6 +135,7 @@ def commit_version(
     horizon: int | None,
     expected_prev: int | None,
     delete_ids: list[int] | None = None,
+    stats: dict | None = None,
 ) -> int:
     """Commit the next manifest version via temp-write + rename.
     `expected_prev` is the version this commit was planned against
@@ -142,13 +143,15 @@ def commit_version(
     the version file already exists and ConcurrentCommitError tells the
     caller to re-plan — optimistic concurrency, no locks.
     `delete_ids` are the merge-on-read delete files (see commit_deletes)
-    this snapshot applies."""
+    this snapshot applies; `stats` is the zone-map metadata
+    {str(batch_id): {col: [min, max]}} (see write_and_commit_batch)."""
     next_v = (expected_prev if expected_prev is not None else -1) + 1
     manifest = {
         "version": next_v,
         "batch_ids": sorted(batch_ids),
         "horizon": horizon,
         "delete_ids": sorted(delete_ids or []),
+        "stats": stats or {},
     }
     data = json.dumps(manifest, sort_keys=True).encode("utf-8")
     final = _version_path(table_dir, next_v)
@@ -193,6 +196,7 @@ def commit_batch(
                 cur.get("horizon"),
                 prev,
                 cur.get("delete_ids"),
+                cur.get("stats"),
             )
         except ConcurrentCommitError as e:
             last = e
@@ -278,7 +282,11 @@ def compact_snapshot(
     streaming.write_batch_partition(spark.read.parquet(tmp), table_dir, base_id)
     jvm, fs, _ = _fs(spark, table_dir)
     fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
-    # the atomic swap
+    # the atomic swap; subsumed ids' zone-map stats leave the manifest
+    # with them (the base gets none — conservative: it is always read)
+    stats = {
+        k: v for k, v in (cur.get("stats") or {}).items() if int(k) > upto_batch
+    }
     version = commit_version(
         spark,
         table_dir,
@@ -286,6 +294,7 @@ def compact_snapshot(
         upto_batch,
         cur["version"],
         cur.get("delete_ids"),
+        stats,
     )
     return version
 
@@ -410,6 +419,7 @@ def commit_deletes(
                 cur.get("horizon"),
                 prev,
                 sorted(dids),
+                cur.get("stats"),
             )
         except ConcurrentCommitError as e:  # set-union commutes: retry
             last = e
@@ -417,7 +427,10 @@ def commit_deletes(
 
 
 def read_snapshot_rows(
-    spark: SparkSession, table_dir: str, version: int | None = None
+    spark: SparkSession,
+    table_dir: str,
+    version: int | None = None,
+    where_between: tuple[str, object, object] | None = None,
 ) -> DataFrame:
     """ROW-table snapshot read with merge-on-read semantics: union the
     manifest's data partitions, then anti-join the manifest's delete
@@ -425,13 +438,37 @@ def read_snapshot_rows(
     design; a delete set that outgrows broadcast is the signal to run
     compact_rows_apply_deletes). Uncommitted data AND uncommitted
     deletes are equally invisible — both sides of the table's state
-    advance only by manifest commits."""
+    advance only by manifest commits.
+
+    `where_between=(col, lo, hi)` additionally applies a range
+    predicate — and, when the manifest carries zone-map stats for
+    `col` (write_and_commit_batch's stats_cols), batches whose
+    [min, max] cannot overlap [lo, hi] are skipped at PLANNING time:
+    data skipping from metadata alone, before a single footer is
+    opened (the prune decision is prune_snapshot_batches, unit-
+    separable)."""
     m = read_manifest(spark, table_dir, version)
     if not m["batch_ids"]:
         raise ValueError(f"no committed snapshot in {table_dir}")
-    rows = spark.read.parquet(
-        *[f"{table_dir.rstrip('/')}/_batch_id={b}" for b in m["batch_ids"]]
-    )
+    if where_between is not None:
+        col, lo, hi = where_between
+        ids = prune_snapshot_batches(m, col, lo, hi)
+    else:
+        ids = m["batch_ids"]
+    if not ids:
+        # every batch pruned: an empty frame with the table's schema
+        rows = spark.read.parquet(
+            f"{table_dir.rstrip('/')}/_batch_id={m['batch_ids'][0]}"
+        ).limit(0)
+    else:
+        rows = spark.read.parquet(
+            *[f"{table_dir.rstrip('/')}/_batch_id={b}" for b in ids]
+        )
+    if where_between is not None:
+        from pyspark.sql import functions as F
+
+        col, lo, hi = where_between
+        rows = rows.where(F.col(col).between(F.lit(lo), F.lit(hi)))
     dids = m.get("delete_ids", [])
     if not dids:
         return rows
@@ -488,8 +525,24 @@ def compact_rows_apply_deletes(
     streaming.write_batch_partition(spark.read.parquet(tmp), table_dir, base_id)
     jvm, fs, _ = _fs(spark, table_dir)
     fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
+    # the base inherits the MERGED zone-map bounds of what it replaced
+    # (deletes only shrink the true range — wider bounds stay CORRECT
+    # for skipping, just less tight); kept batches keep their own
+    old_stats = cur.get("stats") or {}
+    stats = {k: v for k, v in old_stats.items() if int(k) > upto_batch}
+    merged_cols: dict[str, list] = {}
+    sub_entries = [old_stats.get(str(b)) for b in subsumed]
+    if all(e is not None for e in sub_entries) and sub_entries:
+        common = set.intersection(*(set(e) for e in sub_entries))
+        for c in common:
+            los = [e[c][0] for e in sub_entries]
+            his = [e[c][1] for e in sub_entries]
+            if all(v is not None for v in los + his):
+                merged_cols[c] = [min(los), max(his)]
+    if merged_cols:
+        stats[str(base_id)] = merged_cols
     return commit_version(
-        spark, table_dir, [base_id, *keep], upto_batch, cur["version"], dids
+        spark, table_dir, [base_id, *keep], upto_batch, cur["version"], dids, stats
     )
 
 
@@ -567,4 +620,107 @@ def snapshot_diff(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
+    return out
+
+
+# --------------------------------------------------------------------------
+# Zone-map statistics: data skipping from manifest metadata
+# --------------------------------------------------------------------------
+
+
+def _json_scalar(v):
+    """Normalize a Spark-collected scalar for JSON manifest storage.
+    Dates/timestamps become ISO strings (lexicographic order == temporal
+    order, so range pruning compares correctly); Decimals become floats;
+    ints/floats/strings/None pass through."""
+    import datetime
+    import decimal
+
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return v.isoformat(sep=" ") if isinstance(v, datetime.datetime) else v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    return v
+
+
+def write_and_commit_batch(
+    spark: SparkSession,
+    df: DataFrame,
+    table_dir: str,
+    batch_id: int,
+    stats_cols: list[str] | None = None,
+    retries: int = 5,
+) -> int:
+    """Write a row batch AND publish it with per-batch ZONE-MAP stats:
+    the manifest records each committed batch's [min, max] for
+    `stats_cols`, so later range reads skip non-overlapping batches
+    from METADATA alone — no directory listing, no parquet footers,
+    the Delta/Iceberg data-skipping design one level above parquet's
+    own row-group stats. The stats aggregate is one map-side-combinable
+    min/max pass over the batch being written (it is already in memory
+    of the job that produced it)."""
+    from pyspark.sql import functions as F
+
+    from .. import streaming
+
+    streaming.write_batch_partition(df, table_dir, batch_id)
+    # an EMPTY batch writes no partition directory (dynamic partition
+    # overwrite has nothing to overwrite) — committing its id would
+    # point readers at a path that does not exist. Commit a version
+    # bump with the id set unchanged instead: the publish is still
+    # observable, the snapshot still consistent.
+    jvm, fs, _ = _fs(spark, table_dir)
+    wrote = fs.exists(
+        jvm.org.apache.hadoop.fs.Path(
+            table_dir.rstrip("/"), f"_batch_id={batch_id}"
+        )
+    )
+    stats_entry = None
+    if stats_cols and wrote:
+        aggs = []
+        for c in stats_cols:
+            aggs += [F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}")]
+        row = df.agg(*aggs).collect()[0]
+        stats_entry = {
+            c: [_json_scalar(row[f"mn_{c}"]), _json_scalar(row[f"mx_{c}"])]
+            for c in stats_cols
+        }
+    last: ConcurrentCommitError | None = None
+    for _ in range(retries):
+        cur = read_manifest(spark, table_dir)
+        ids = set(cur["batch_ids"]) | ({batch_id} if wrote else set())
+        stats = dict(cur.get("stats", {}))
+        if stats_entry is not None:
+            stats[str(batch_id)] = stats_entry
+        prev = cur["version"] if cur["version"] >= 0 else None
+        try:
+            return commit_version(
+                spark,
+                table_dir,
+                sorted(ids),
+                cur.get("horizon"),
+                prev,
+                cur.get("delete_ids"),
+                stats,
+            )
+        except ConcurrentCommitError as e:
+            last = e
+    raise last if last is not None else RuntimeError("retries must be >= 1")
+
+
+def prune_snapshot_batches(manifest_dict: dict, col: str, lo, hi) -> list[int]:
+    """The data-skipping decision, as a pure function of the manifest:
+    keep a batch iff its recorded [min, max] for `col` can overlap
+    [lo, hi]; a batch with no stats for `col` is ALWAYS kept (absence
+    of metadata must never lose rows — skipping is an optimization,
+    not a filter)."""
+    lo_j, hi_j = _json_scalar(lo), _json_scalar(hi)
+    out = []
+    stats = manifest_dict.get("stats", {})
+    for b in manifest_dict["batch_ids"]:
+        s = stats.get(str(b), {}).get(col)
+        if s is None or s[0] is None or s[1] is None:
+            out.append(b)
+        elif not (s[1] < lo_j or s[0] > hi_j):
+            out.append(b)
     return out

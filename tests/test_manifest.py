@@ -258,3 +258,103 @@ def test_snapshot_diff_refuses_across_compaction(spark, tmp_path):
     manifest.compact_snapshot(spark, table, upto_batch=2)
     with pytest.raises(ValueError, match="compaction rewrite"):
         manifest.snapshot_diff(spark, table, 1, manifest.latest_version(spark, table))
+
+
+def test_zone_map_stats_skip_batches(spark, tmp_path):
+    table = str(tmp_path / "tbl")
+    raw = _raw(spark)
+    # four committed batches covering disjoint id ranges, stats on id
+    for b in range(4):
+        manifest.write_and_commit_batch(
+            spark,
+            raw.where((F.col("id") >= b * 50) & (F.col("id") < (b + 1) * 50)),
+            table,
+            b,
+            stats_cols=["id"],
+        )
+    m = manifest.read_manifest(spark, table)
+    assert m["stats"]["0"]["id"] == [0, 49]
+    assert m["stats"]["3"]["id"] == [150, 199]
+    # range [60, 120] overlaps batches 1 and 2 only
+    assert manifest.prune_snapshot_batches(m, "id", 60, 120) == [1, 2]
+    got = manifest.read_snapshot_rows(
+        spark, table, where_between=("id", 60, 120)
+    )
+    assert sorted(r["id"] for r in got.collect()) == list(range(60, 121))
+    # a batch without stats is always kept (skipping never loses rows)
+    streaming.write_batch_partition(
+        raw.where(F.col("id") < 0), table, 9
+    )
+    manifest.commit_batch(spark, table, 9)
+    m2 = manifest.read_manifest(spark, table)
+    assert 9 in manifest.prune_snapshot_batches(m2, "id", 60, 120)
+
+
+def test_zone_map_stats_survive_row_compaction(spark, tmp_path):
+    table = str(tmp_path / "tbl")
+    raw = _raw(spark)
+    for b in range(4):
+        manifest.write_and_commit_batch(
+            spark,
+            raw.where((F.col("id") >= b * 50) & (F.col("id") < (b + 1) * 50)),
+            table,
+            b,
+            stats_cols=["id"],
+        )
+    manifest.commit_deletes(
+        spark, table, raw.where(F.col("id") % 10 == 0).select("id"), 0
+    )
+    manifest.compact_rows_apply_deletes(spark, table, upto_batch=1)
+    m = manifest.read_manifest(spark, table)
+    base = str(streaming.compact_base_id(1))
+    # base bounds = merged subsumed bounds (conservative under deletes)
+    assert m["stats"][base]["id"] == [0, 99]
+    assert m["stats"]["2"]["id"] == [100, 149]
+    # pruned range read over the compacted table stays correct
+    got = manifest.read_snapshot_rows(
+        spark, table, where_between=("id", 40, 110)
+    )
+    assert sorted(r["id"] for r in got.collect()) == [
+        i for i in range(40, 111) if i % 10 != 0
+    ]
+
+
+def test_zone_map_date_stats_are_iso_strings(spark, tmp_path):
+    import datetime
+
+    table = str(tmp_path / "tbl")
+    rows = spark.createDataFrame(
+        [(i, datetime.date(1995, 1, 1) + datetime.timedelta(days=30 * i)) for i in range(8)],
+        "id long, d date",
+    )
+    manifest.write_and_commit_batch(
+        spark, rows.where(F.col("id") < 4), table, 0, stats_cols=["d"]
+    )
+    manifest.write_and_commit_batch(
+        spark, rows.where(F.col("id") >= 4), table, 1, stats_cols=["d"]
+    )
+    m = manifest.read_manifest(spark, table)
+    assert m["stats"]["0"]["d"] == ["1995-01-01", "1995-04-01"]
+    # ISO strings order lexicographically == temporally
+    assert manifest.prune_snapshot_batches(
+        m, "d", "1995-02-01", "1995-03-15"
+    ) == [0]
+    got = manifest.read_snapshot_rows(
+        spark, table, where_between=("d", "1995-02-01", "1995-03-15")
+    )
+    # only 1995-03-02 (i=2) falls inside; 1995-01-31 and 1995-04-01 don't
+    assert got.count() == 1
+
+
+def test_write_and_commit_empty_batch_commits_no_dangling_id(spark, tmp_path):
+    table = str(tmp_path / "tbl")
+    raw = _raw(spark)
+    manifest.write_and_commit_batch(spark, raw, table, 0, stats_cols=["id"])
+    # an empty batch: version bumps, id set unchanged, snapshot readable
+    manifest.write_and_commit_batch(
+        spark, raw.where(F.col("id") < 0), table, 1, stats_cols=["id"]
+    )
+    m = manifest.read_manifest(spark, table)
+    assert m["version"] == 1
+    assert m["batch_ids"] == [0]
+    assert manifest.read_snapshot_rows(spark, table).count() == 200
