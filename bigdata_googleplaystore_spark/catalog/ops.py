@@ -8187,3 +8187,94 @@ def mv_manifest_zone_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("v"), 2).cast("double").alias("total_price"),
         F.lit(ok).alias("zone_pruned"),
     )
+
+
+@register(
+    "mv_manifest_upsert",
+    oracle="""
+    WITH t AS (
+      SELECT CASE WHEN o_orderkey % 8 = 1 THEN '9-UPSERTED'
+                  ELSE o_orderpriority END AS o_orderpriority,
+             CASE WHEN o_orderkey % 8 = 1
+                  THEN CAST(o_totalprice AS DECIMAL(12,2)) + 100000
+                  ELSE CAST(o_totalprice AS DECIMAL(12,2)) END AS v
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(round(sum(v), 2) AS DOUBLE) AS total_price,
+           TRUE AS upsert_atomic
+    FROM t GROUP BY o_orderpriority
+    """,
+    tags=("incremental", "manifest", "merge", "scale"),
+)
+def mv_manifest_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO / UPSERT as ONE atomic manifest commit
+    (streaming/manifest.commit_upsert): the updated rows land as a new
+    batch AND an equality-delete file for their keys publishes in a
+    SINGLE manifest version — a reader sees the table before the merge
+    or after it, never a torn middle. The delete file carries a
+    sequence CUTOFF pinned below the new batch (the Iceberg
+    sequence-number rule), so it masks every old row with a matching
+    key without eating the new rows committed beside it — the failure
+    mode a cutoff-less equality delete cannot avoid.
+
+    The gate merges a new priority + price for every 8th order key
+    over a 2-batch orders table and hash-checks the snapshot aggregate
+    against the oracle's CASE re-derivation (an upsert that loses the
+    old row, keeps both versions, or eats its own insert shifts a
+    group); `upsert_atomic` pins version advance == exactly 1 and
+    row count preserved, and the pre-upsert version must still
+    aggregate to the UNMODIFIED table (version isolation).
+
+    At 100 TB: MERGE costs O(|updates|) writes + one metadata rename;
+    matched rows mask at read and drop physically at the next
+    copy-on-write catch-up — vs rewriting every file containing a
+    matched key."""
+    import shutil
+
+    from .. import streaming
+    from ..streaming import manifest
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", dec2(F.col("o_totalprice")).alias("v")
+    )
+    table = _stream_src_dir("morupsert", sf_dir)
+    shutil.rmtree(table, ignore_errors=True)
+    for b in range(2):
+        streaming.write_batch_partition(
+            o.filter(F.col("o_orderkey") % 2 == b), table, b
+        )
+        manifest.commit_batch(spark, table, b)
+    v_before = manifest.latest_version(spark, table)
+    pre_total = (
+        manifest.read_snapshot_rows(spark, table)
+        .agg(F.sum("v").alias("t"))
+        .collect()[0]["t"]
+    )
+    updates = o.filter(F.col("o_orderkey") % 8 == 1).select(
+        "o_orderkey",
+        F.lit("9-UPSERTED").alias("o_orderpriority"),
+        (F.col("v") + 100000).cast("decimal(12,2)").alias("v"),
+    )
+    manifest.commit_upsert(spark, table, updates, ["o_orderkey"], 2, 0)
+    v_after = manifest.latest_version(spark, table)
+    snap = manifest.read_snapshot_rows(spark, table)
+    n_total = snap.count()
+    # version isolation: the pre-upsert snapshot still sums to the
+    # unmodified table
+    old_total = (
+        manifest.read_snapshot_rows(spark, table, version=v_before)
+        .agg(F.sum("v").alias("t"))
+        .collect()[0]["t"]
+    )
+    ok = (
+        v_after == v_before + 1
+        and n_total == o.count()
+        and old_total == pre_total
+    )
+    return snap.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.round(F.sum("v"), 2).cast("double").alias("total_price"),
+        F.lit(ok).alias("upsert_atomic"),
+    )

@@ -136,6 +136,7 @@ def commit_version(
     expected_prev: int | None,
     delete_ids: list[int] | None = None,
     stats: dict | None = None,
+    delete_cutoffs: dict | None = None,
 ) -> int:
     """Commit the next manifest version via temp-write + rename.
     `expected_prev` is the version this commit was planned against
@@ -152,6 +153,7 @@ def commit_version(
         "horizon": horizon,
         "delete_ids": sorted(delete_ids or []),
         "stats": stats or {},
+        "delete_cutoffs": delete_cutoffs or {},
     }
     data = json.dumps(manifest, sort_keys=True).encode("utf-8")
     final = _version_path(table_dir, next_v)
@@ -197,6 +199,7 @@ def commit_batch(
                 prev,
                 cur.get("delete_ids"),
                 cur.get("stats"),
+                cur.get("delete_cutoffs"),
             )
         except ConcurrentCommitError as e:
             last = e
@@ -295,6 +298,7 @@ def compact_snapshot(
         cur["version"],
         cur.get("delete_ids"),
         stats,
+        cur.get("delete_cutoffs"),
     )
     return version
 
@@ -420,6 +424,7 @@ def commit_deletes(
                 prev,
                 sorted(dids),
                 cur.get("stats"),
+                cur.get("delete_cutoffs"),
             )
         except ConcurrentCommitError as e:  # set-union commutes: retry
             last = e
@@ -455,11 +460,24 @@ def read_snapshot_rows(
         ids = prune_snapshot_batches(m, col, lo, hi)
     else:
         ids = m["batch_ids"]
+    # sequence-aware deletes (commit_upsert) need per-row provenance;
+    # the common all-batches cutoff (plain commit_deletes) takes the
+    # single-relation fast path
+    cutoffs = m.get("delete_cutoffs", {})
+    needs_seq = any(
+        cutoffs.get(str(d)) is not None for d in m.get("delete_ids", [])
+    )
     if not ids:
         # every batch pruned: an empty frame with the table's schema
         rows = spark.read.parquet(
             f"{table_dir.rstrip('/')}/_batch_id={m['batch_ids'][0]}"
         ).limit(0)
+        if needs_seq:
+            from pyspark.sql import functions as F
+
+            rows = rows.withColumn("_seq", F.lit(0))
+    elif needs_seq:
+        rows = _rows_with_seq(spark, table_dir, ids)
     else:
         rows = spark.read.parquet(
             *[f"{table_dir.rstrip('/')}/_batch_id={b}" for b in ids]
@@ -469,15 +487,76 @@ def read_snapshot_rows(
 
         col, lo, hi = where_between
         rows = rows.where(F.col(col).between(F.lit(lo), F.lit(hi)))
-    dids = m.get("delete_ids", [])
-    if not dids:
-        return rows
-    dels = spark.read.parquet(
-        *[_delete_path(table_dir, d) for d in dids]
-    ).distinct()
+    rows = _apply_delete_groups(
+        spark, table_dir, m, rows, seq_col="_seq" if needs_seq else None
+    )
+    return rows.drop("_seq") if needs_seq else rows
+
+
+def _effective_seq(batch_id: int) -> int:
+    """The ingestion-order sequence a batch represents: its own id for
+    stream/backfill batches, the folded horizon for a compacted base
+    (id -(h+1) stands for everything through h)."""
+    return batch_id if batch_id >= 0 else -batch_id - 1
+
+
+def _rows_with_seq(spark: SparkSession, table_dir: str, ids: list[int]) -> DataFrame:
+    """Union the batch partitions with a `_seq` provenance column — the
+    per-row ingestion order sequence-aware deletes join against."""
     from pyspark.sql import functions as F
 
-    return rows.join(F.broadcast(dels), on=list(dels.columns), how="left_anti")
+    parts = [
+        spark.read.parquet(f"{table_dir.rstrip('/')}/_batch_id={b}").withColumn(
+            "_seq", F.lit(_effective_seq(b))
+        )
+        for b in ids
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _delete_groups(m: dict) -> list[tuple[int | None, list[int]]]:
+    """Delete files grouped by cutoff sequence (None = applies to every
+    batch, the plain-DELETE legacy semantics)."""
+    from collections import defaultdict
+
+    cutoffs = m.get("delete_cutoffs", {})
+    groups: dict[int | None, list[int]] = defaultdict(list)
+    for d in m.get("delete_ids", []):
+        groups[cutoffs.get(str(d))].append(d)
+    return sorted(groups.items(), key=lambda kv: (kv[0] is not None, kv[0] or 0))
+
+
+def _apply_delete_groups(
+    spark: SparkSession,
+    table_dir: str,
+    m: dict,
+    rows: DataFrame,
+    seq_col: str | None = None,
+) -> DataFrame:
+    """Anti-join the manifest's delete files against `rows`. A delete
+    with a finite cutoff masks only rows whose `seq_col` (batch
+    ingestion sequence) is <= the cutoff — the Iceberg sequence-number
+    rule that lets an upsert's delete file mask OLD rows without eating
+    the NEW rows committed alongside it."""
+    from pyspark.sql import functions as F
+
+    for cutoff, ds in _delete_groups(m):
+        dels = spark.read.parquet(
+            *[_delete_path(table_dir, d) for d in ds]
+        ).distinct()
+        keys = list(dels.columns)
+        if cutoff is None or seq_col is None:
+            rows = rows.join(F.broadcast(dels), on=keys, how="left_anti")
+        else:
+            r, d = rows.alias("_r"), dels.alias("_d")
+            cond = F.col(f"_r.{seq_col}") <= F.lit(cutoff)
+            for k in keys:
+                cond = cond & (F.col(f"_r.{k}") == F.col(f"_d.{k}"))
+            rows = r.join(F.broadcast(d), on=cond, how="left_anti")
+    return rows
 
 
 def compact_rows_apply_deletes(
@@ -509,17 +588,22 @@ def compact_rows_apply_deletes(
     keep = [b for b in cur["batch_ids"] if b > upto_batch]
     if not subsumed:
         return cur["version"]
-    rows = spark.read.parquet(
-        *[f"{table_dir.rstrip('/')}/_batch_id={b}" for b in subsumed]
-    )
     dids = cur.get("delete_ids", [])
     if dids:
-        dels = spark.read.parquet(
-            *[_delete_path(table_dir, d) for d in dids]
-        ).distinct()
-        from pyspark.sql import functions as F
-
-        rows = rows.join(F.broadcast(dels), on=list(dels.columns), how="left_anti")
+        # sequence-aware: a delete masks only rows of batches at or
+        # below its cutoff, so the base's surviving rows are exactly
+        # what a cutoff-aware read would have produced
+        rows = _apply_delete_groups(
+            spark,
+            table_dir,
+            cur,
+            _rows_with_seq(spark, table_dir, subsumed),
+            seq_col="_seq",
+        ).drop("_seq")
+    else:
+        rows = spark.read.parquet(
+            *[f"{table_dir.rstrip('/')}/_batch_id={b}" for b in subsumed]
+        )
     tmp = table_dir.rstrip("/") + "__compact_tmp"
     rows.write.mode("overwrite").parquet(tmp)
     streaming.write_batch_partition(spark.read.parquet(tmp), table_dir, base_id)
@@ -542,7 +626,14 @@ def compact_rows_apply_deletes(
     if merged_cols:
         stats[str(base_id)] = merged_cols
     return commit_version(
-        spark, table_dir, [base_id, *keep], upto_batch, cur["version"], dids, stats
+        spark,
+        table_dir,
+        [base_id, *keep],
+        upto_batch,
+        cur["version"],
+        dids,
+        stats,
+        cur.get("delete_cutoffs"),
     )
 
 
@@ -590,30 +681,58 @@ def snapshot_diff(
     new_deletes = sorted(
         set(m_to.get("delete_ids", [])) - set(m_from.get("delete_ids", []))
     )
-    root = table_dir.rstrip("/")
     parts = []
     if new_batches:
-        inserted = spark.read.parquet(
-            *[f"{root}/_batch_id={b}" for b in new_batches]
-        )
-        to_dids = m_to.get("delete_ids", [])
-        if to_dids:
-            dels_to = spark.read.parquet(
-                *[_delete_path(table_dir, d) for d in to_dids]
-            ).distinct()
-            inserted = inserted.join(
-                F.broadcast(dels_to), on=list(dels_to.columns), how="left_anti"
-            )
+        # cutoff-aware masking: an upsert's own delete file (cutoff
+        # below the new batch's sequence) must NOT eat the rows
+        # committed alongside it
+        inserted = _apply_delete_groups(
+            spark,
+            table_dir,
+            m_to,
+            _rows_with_seq(spark, table_dir, new_batches),
+            seq_col="_seq",
+        ).drop("_seq")
         parts.append(inserted.withColumn("_change_type", F.lit("insert")))
     if new_deletes:
-        visible_before = read_snapshot_rows(spark, table_dir, from_version)
-        dels_new = spark.read.parquet(
-            *[_delete_path(table_dir, d) for d in new_deletes]
-        ).distinct()
-        deleted = visible_before.join(
-            F.broadcast(dels_new), on=list(dels_new.columns), how="left_semi"
+        visible_before = _apply_delete_groups(
+            spark,
+            table_dir,
+            m_from,
+            _rows_with_seq(spark, table_dir, m_from["batch_ids"]),
+            seq_col="_seq",
         )
-        parts.append(deleted.withColumn("_change_type", F.lit("delete")))
+        cutoffs = m_to.get("delete_cutoffs", {})
+        from collections import defaultdict
+
+        groups: dict[int | None, list[int]] = defaultdict(list)
+        for d in new_deletes:
+            groups[cutoffs.get(str(d))].append(d)
+        del_parts = []
+        for cutoff, ds in groups.items():
+            dels_new = spark.read.parquet(
+                *[_delete_path(table_dir, d) for d in ds]
+            ).distinct()
+            keys = list(dels_new.columns)
+            if cutoff is None:
+                hit = visible_before.join(
+                    F.broadcast(dels_new), on=keys, how="left_semi"
+                )
+            else:
+                r, d = visible_before.alias("_r"), dels_new.alias("_d")
+                cond = F.col("_r._seq") <= F.lit(cutoff)
+                for k in keys:
+                    cond = cond & (F.col(f"_r.{k}") == F.col(f"_d.{k}"))
+                hit = r.join(F.broadcast(d), on=cond, how="left_semi")
+            del_parts.append(hit)
+        deleted = del_parts[0]
+        for p in del_parts[1:]:
+            deleted = deleted.unionByName(p)
+        parts.append(
+            deleted.distinct()
+            .drop("_seq")
+            .withColumn("_change_type", F.lit("delete"))
+        )
     if not parts:
         base = read_snapshot_rows(spark, table_dir, to_version).limit(0)
         return base.withColumn("_change_type", F.lit(""))
@@ -702,6 +821,7 @@ def write_and_commit_batch(
                 prev,
                 cur.get("delete_ids"),
                 stats,
+                cur.get("delete_cutoffs"),
             )
         except ConcurrentCommitError as e:
             last = e
@@ -724,3 +844,85 @@ def prune_snapshot_batches(manifest_dict: dict, col: str, lo, hi) -> list[int]:
         elif not (s[1] < lo_j or s[0] > hi_j):
             out.append(b)
     return out
+
+
+def commit_upsert(
+    spark: SparkSession,
+    table_dir: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    batch_id: int,
+    delete_id: int,
+    stats_cols: list[str] | None = None,
+    retries: int = 5,
+) -> int:
+    """MERGE / UPSERT as ONE atomic commit: write the updated rows as a
+    new batch partition, write an equality-delete file for their keys,
+    and publish BOTH in a single manifest version — a reader sees the
+    table before the merge or after it, never the torn middle (old row
+    deleted, new row not yet visible, or both versions at once).
+
+    The delete file's CUTOFF is the highest committed batch sequence,
+    so it masks every OLD row with a matching key but not the new
+    batch committed beside it (the Iceberg sequence-number rule;
+    without it the upsert's delete would eat its own inserts). The new
+    batch id must exceed every committed sequence — upserts append at
+    the head of ingestion order.
+
+    At 100 TB: MERGE INTO costs O(|updates|) writes + one metadata
+    commit; the matched rows are masked at read time and physically
+    dropped at the next copy-on-write catch-up, vs rewriting every
+    file that contains a matched key."""
+    from pyspark.sql import functions as F
+
+    cur0 = read_manifest(spark, table_dir)
+    cur_max = max(
+        (_effective_seq(b) for b in cur0["batch_ids"]), default=-1
+    )
+    if _effective_seq(batch_id) <= cur_max:
+        raise ValueError(
+            f"commit_upsert: batch_id={batch_id} does not exceed the "
+            f"highest committed sequence {cur_max} — upserts append at "
+            "the head of ingestion order"
+        )
+    from .. import streaming
+
+    streaming.write_batch_partition(updates, table_dir, batch_id)
+    updates.select(*key_cols).distinct().write.mode("overwrite").parquet(
+        _delete_path(table_dir, delete_id)
+    )
+    stats_entry = None
+    if stats_cols:
+        aggs = []
+        for c in stats_cols:
+            aggs += [F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}")]
+        row = updates.agg(*aggs).collect()[0]
+        stats_entry = {
+            c: [_json_scalar(row[f"mn_{c}"]), _json_scalar(row[f"mx_{c}"])]
+            for c in stats_cols
+        }
+    last: ConcurrentCommitError | None = None
+    for _ in range(retries):
+        cur = read_manifest(spark, table_dir)
+        ids = sorted(set(cur["batch_ids"]) | {batch_id})
+        dids = sorted(set(cur.get("delete_ids", [])) | {delete_id})
+        cutoffs = dict(cur.get("delete_cutoffs", {}))
+        cutoffs[str(delete_id)] = cur_max
+        stats = dict(cur.get("stats", {}))
+        if stats_entry is not None:
+            stats[str(batch_id)] = stats_entry
+        prev = cur["version"] if cur["version"] >= 0 else None
+        try:
+            return commit_version(
+                spark,
+                table_dir,
+                ids,
+                cur.get("horizon"),
+                prev,
+                dids,
+                stats,
+                cutoffs,
+            )
+        except ConcurrentCommitError as e:
+            last = e
+    raise last if last is not None else RuntimeError("retries must be >= 1")

@@ -358,3 +358,69 @@ def test_write_and_commit_empty_batch_commits_no_dangling_id(spark, tmp_path):
     assert m["version"] == 1
     assert m["batch_ids"] == [0]
     assert manifest.read_snapshot_rows(spark, table).count() == 200
+
+
+def test_commit_upsert_is_atomic_and_sequence_aware(spark, tmp_path):
+    table = str(tmp_path / "tbl")
+    raw = _raw(spark)
+    for b in range(2):
+        streaming.write_batch_partition(
+            raw.where(F.col("id") % 2 == b), table, b
+        )
+        manifest.commit_batch(spark, table, b)
+    v_before = manifest.latest_version(spark, table)
+    # MERGE: ids divisible by 4 get v boosted by 10000
+    updates = raw.where(F.col("id") % 4 == 0).withColumn(
+        "v", F.col("v") + 10_000.0
+    )
+    manifest.commit_upsert(spark, table, updates, ["id"], 2, 0)
+    # ONE version advance: no torn intermediate was ever addressable
+    assert manifest.latest_version(spark, table) == v_before + 1
+    snap = manifest.read_snapshot_rows(spark, table)
+    assert snap.count() == 200  # replaced, not duplicated or lost
+    got = {r["id"]: r["v"] for r in snap.collect()}
+    for i in range(200):
+        assert got[i] == (float(i) + 10_000.0 if i % 4 == 0 else float(i))
+    # pre-upsert version still reads the original values
+    old = manifest.read_snapshot_rows(spark, table, version=v_before)
+    assert all(r["v"] == float(r["id"]) for r in old.collect())
+
+
+def test_upsert_delete_cutoff_does_not_eat_later_inserts(spark, tmp_path):
+    table = str(tmp_path / "tbl")
+    raw = _raw(spark)
+    streaming.write_batch_partition(raw.where(F.col("id") < 100), table, 0)
+    manifest.commit_batch(spark, table, 0)
+    updates = raw.where(F.col("id") < 10).withColumn("v", F.lit(-1.0))
+    manifest.commit_upsert(spark, table, updates, ["id"], 1, 0)
+    # a LATER plain insert of the same keys must remain visible: the
+    # upsert's delete file is pinned below the new batch's sequence
+    streaming.write_batch_partition(
+        raw.where(F.col("id") < 5).withColumn("v", F.lit(7777.0)), table, 2
+    )
+    manifest.commit_batch(spark, table, 2)
+    snap = manifest.read_snapshot_rows(spark, table)
+    late = snap.where(F.col("v") == 7777.0).count()
+    assert late == 5
+    # and the upsert rows themselves also survived their own delete
+    assert snap.where(F.col("v") == -1.0).count() == 10
+
+
+def test_upsert_then_cdf_and_compaction(spark, tmp_path):
+    table = str(tmp_path / "tbl")
+    raw = _raw(spark)
+    streaming.write_batch_partition(raw, table, 0)
+    manifest.commit_batch(spark, table, 0)
+    v0 = manifest.latest_version(spark, table)
+    updates = raw.where(F.col("id") % 50 == 0).withColumn("v", F.lit(-7.0))
+    manifest.commit_upsert(spark, table, updates, ["id"], 1, 0)
+    feed = manifest.snapshot_diff(spark, table, v0, v0 + 1)
+    ins = {r["id"] for r in feed.where("_change_type = 'insert'").collect()}
+    dels = {r["id"] for r in feed.where("_change_type = 'delete'").collect()}
+    assert ins == {0, 50, 100, 150}
+    assert dels == {0, 50, 100, 150}  # the OLD rows, emitted as deletes
+    # copy-on-write catch-up folds everything; values preserved
+    manifest.compact_rows_apply_deletes(spark, table, upto_batch=1)
+    snap = manifest.read_snapshot_rows(spark, table)
+    assert snap.count() == 200
+    assert snap.where(F.col("v") == -7.0).count() == 4
