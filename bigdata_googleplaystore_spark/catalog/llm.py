@@ -5183,3 +5183,85 @@ def sketch_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM _hash_sample_q GROUP BY l_returnflag
         """
     )
+
+
+@register(
+    "sketch_cms_signed_cdc",
+    oracle="""
+    WITH feed AS (
+      SELECT tok, CAST(sum(mult) AS BIGINT) AS n FROM (
+        SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok,
+               1 AS mult
+        FROM documents WHERE text IS NOT NULL
+        UNION ALL
+        SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok,
+               -1 AS mult
+        FROM documents WHERE text IS NOT NULL AND doc_id % 3 = 0
+      ) GROUP BY tok HAVING sum(mult) > 0
+    ),
+    idx AS (SELECT i FROM range(4) t(i)),
+    matrix AS (
+      SELECT i AS row_idx,
+             ('0x' || substr(md5('cms' || CAST(i AS VARCHAR) || ':' || tok), 1, 13))::UBIGINT
+               % 512 AS bucket,
+             CAST(sum(n) AS BIGINT) AS cell
+      FROM feed CROSS JOIN idx GROUP BY 1, 2),
+    top AS (SELECT tok, n FROM feed ORDER BY n DESC, tok LIMIT 20),
+    probes AS (
+      SELECT tok, n, i AS row_idx,
+             ('0x' || substr(md5('cms' || CAST(i AS VARCHAR) || ':' || tok), 1, 13))::UBIGINT
+               % 512 AS bucket
+      FROM top CROSS JOIN idx)
+    SELECT p.tok AS term, CAST(max(p.n) AS BIGINT) AS net_cnt,
+           CAST(min(m.cell) AS BIGINT) AS cms_est
+    FROM probes p JOIN matrix m USING (row_idx, bucket)
+    GROUP BY p.tok
+    """,
+    tags=("sketch", "frequency", "cdc", "incremental"),
+)
+def sketch_cms_signed_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min under RETRACTIONS: the matrix is linear over signed
+    multiplicities, so a CDC feed (every token +1, then -1 for every
+    token of the doc_id%3==0 docs — a corpus eviction) folds into the
+    sketch by the same cell-wise sum that folds inserts; net point
+    estimates still never under-report while all net counts are
+    non-negative (collision cross-terms are sums of other items' nets).
+    This is what HLL and KMV cannot do — they are monotone — and why
+    the CMS tier is the sketch that rides the signed/Z-set incremental
+    framework (operators/incremental.py) unchanged.
+
+    Built here as two signed partial matrices (insert feed, retraction
+    feed with negated counts) merged by cms_merge; the oracle
+    re-derives the NET vocabulary in SQL, rebuilds the matrix, and
+    replays the point queries — a sketch that missed a retraction or
+    clamped at zero hash-fails."""
+    from ..operators import sketches
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    all_toks = d.select(F.explode(tokens(F.col("text"))).alias("tok")).where(
+        F.col("tok") != ""
+    )
+    gone_toks = (
+        d.where(F.col("doc_id") % 3 == 0)
+        .select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .where(F.col("tok") != "")
+    )
+    ins = all_toks.groupBy("tok").agg(F.count("*").cast("long").alias("n"))
+    ret = gone_toks.groupBy("tok").agg((-F.count("*")).cast("long").alias("n"))
+    m_ins = sketches.cms_build(ins, "tok", "n", depth=4, width=512, salt="cms")
+    m_ret = sketches.cms_build(ret, "tok", "n", depth=4, width=512, salt="cms")
+    matrix = sketches.cms_merge(m_ins.unionByName(m_ret))
+
+    net = (
+        ins.unionByName(ret)
+        .groupBy("tok")
+        .agg(F.sum("n").cast("long").alias("n"))
+        .where(F.col("n") > 0)
+    )
+    top = net.orderBy(F.col("n").desc(), "tok").limit(20)
+    res = sketches.cms_lookup(matrix, top, "tok", depth=4, width=512, salt="cms")
+    return res.select(
+        F.col("tok").alias("term"),
+        F.col("n").cast("long").alias("net_cnt"),
+        F.col("cms_est").cast("long").alias("cms_est"),
+    )
