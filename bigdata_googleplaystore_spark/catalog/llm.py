@@ -4899,6 +4899,11 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM (SELECT h, u FROM sk WHERE side = 0) a
             JOIN (SELECT h FROM sk WHERE side = 1) b USING (h)
             CROSS JOIN th WHERE a.u < th.theta),
+    dif AS (SELECT count(*) AS n_d
+            FROM sk a CROSS JOIN th
+            WHERE a.side = 0 AND a.u < th.theta
+              AND a.h NOT IN (SELECT b.h FROM sk b CROSS JOIN th t2
+                              WHERE b.side = 1 AND b.u < t2.theta)),
     ex AS (SELECT
              CAST(count(DISTINCT CASE WHEN side = 0 THEN tok END) AS BIGINT)
                AS n_a_exact,
@@ -4909,16 +4914,18 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT ex.n_a_exact, ex.n_b_exact, ex.n_union_exact,
            CAST(ex.n_a_exact + ex.n_b_exact - ex.n_union_exact AS BIGINT)
              AS n_inter_exact,
+           CAST(ex.n_union_exact - ex.n_b_exact AS BIGINT) AS n_diff_exact,
            CAST(round(uni.n_u / th.theta, 2) AS DOUBLE) AS union_est,
-           CAST(round(its.n_i / th.theta, 2) AS DOUBLE) AS inter_est
-    FROM ex CROSS JOIN uni CROSS JOIN its CROSS JOIN th
+           CAST(round(its.n_i / th.theta, 2) AS DOUBLE) AS inter_est,
+           CAST(round(dif.n_d / th.theta, 2) AS DOUBLE) AS diff_ab_est
+    FROM ex CROSS JOIN uni CROSS JOIN its CROSS JOIN dif CROSS JOIN th
     """,
     tags=("llm", "sketch", "cardinality", "set-ops"),
 )
 def sketch_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theta-sketch SET ALGEBRA (operators/sketches.theta_set_ops,
     k=256): vocabulary sketches for the even- and odd-doc_id halves of
-    the corpus estimate |A∪B| and |A∩B| without ever joining the raw
+    the corpus estimate |A∪B|, |A∩B|, and |A∖B| without ever joining the raw
     token sets — clip both sketches to theta = min(theta_a, theta_b),
     count survivors, divide by theta. Exact set sizes ride along for
     calibration. The oracle replays the whole estimator (rank hashes,
@@ -4952,8 +4959,12 @@ def sketch_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_a_exact") + F.col("n_b_exact") - F.col("n_union_exact"))
         .cast("bigint")
         .alias("n_inter_exact"),
+        (F.col("n_union_exact") - F.col("n_b_exact"))
+        .cast("bigint")
+        .alias("n_diff_exact"),
         F.round("union_est", 2).cast("double").alias("union_est"),
         F.round("inter_est", 2).cast("double").alias("inter_est"),
+        F.round("diff_ab_est", 2).cast("double").alias("diff_ab_est"),
     )
 
 

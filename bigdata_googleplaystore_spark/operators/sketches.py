@@ -162,12 +162,14 @@ def kmv_merge(sketches: list[DataFrame], group_cols: list[str], k: int) -> DataF
 def theta_set_ops(sk_a: DataFrame, sk_b: DataFrame, k: int) -> DataFrame:
     """Theta-sketch set algebra over two UNGROUPED sketches (single-set
     frames with columns (u, h)): one row
-    (theta, union_est, inter_est). Clip both sketches to
+    (theta, union_est, inter_est, diff_ab_est). Clip both sketches to
     theta = min(theta_a, theta_b) — below theta each sketch is a FULL
-    record of its set's hashes — then union/intersection estimates are
-    (surviving hash count) / theta. All frames involved are <= k rows,
-    so every join here is broadcast-trivial; the expensive part of the
-    pipeline is building the sketches, which is the point."""
+    record of its set's hashes — then union/intersection/difference
+    estimates are (surviving hash count) / theta (A\\B = A's surviving
+    hashes NOT in B's clip, an anti-join; A∖B + A∩B = A below theta by
+    construction). All frames involved are <= k rows, so every join
+    here is broadcast-trivial; the expensive part of the pipeline is
+    building the sketches, which is the point."""
 
     def theta_of(sk: DataFrame) -> DataFrame:
         return sk.agg(
@@ -195,13 +197,24 @@ def theta_set_ops(sk_a: DataFrame, sk_b: DataFrame, k: int) -> DataFrame:
         .join(b.where(F.col("u") < F.col("_tb")), F.col("h") == F.col("h_b"))
         .agg(F.count("*").alias("n_inter"))
     )
+    diff_cnt = (
+        a.where(F.col("u") < F.col("theta"))
+        .join(
+            b.where(F.col("u") < F.col("_tb")),
+            F.col("h") == F.col("h_b"),
+            "left_anti",
+        )
+        .agg(F.count("*").alias("n_diff"))
+    )
     return (
         theta.crossJoin(union_cnt)
         .crossJoin(inter_cnt)
+        .crossJoin(diff_cnt)
         .select(
             "theta",
             (F.col("n_union") / F.col("theta")).alias("union_est"),
             (F.col("n_inter") / F.col("theta")).alias("inter_est"),
+            (F.col("n_diff") / F.col("theta")).alias("diff_ab_est"),
         )
     )
 

@@ -244,3 +244,16 @@ def test_cms_estimates_equal_python_reference_exactly(spark, token_counts):
         ).collect()
     }
     assert got == want
+
+
+def test_theta_difference_exact_when_not_full(spark):
+    a = _value_frame(spark, 300, prefix="x")
+    b = _value_frame(spark, 200, prefix="y").union(
+        _value_frame(spark, 100, prefix="x")
+    )
+    sk_a = sketches.kmv_sketch(a, ["g"], "v", k=1024).select("u", "h")
+    sk_b = sketches.kmv_sketch(b, ["g"], "v", k=1024).select("u", "h")
+    row = sketches.theta_set_ops(sk_a, sk_b, k=1024).collect()[0]
+    assert row["diff_ab_est"] == 200.0  # |A \ B| exactly
+    # identity below theta: |A\B| + |A∩B| = clipped |A|
+    assert row["diff_ab_est"] + row["inter_est"] == 300.0
