@@ -8278,3 +8278,74 @@ def mv_manifest_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("v"), 2).cast("double").alias("total_price"),
         F.lit(ok).alias("upsert_atomic"),
     )
+
+
+@register(
+    "mv_manifest_bloom_lookup",
+    oracle="""
+    WITH target AS (
+      SELECT min(o_orderkey) AS k FROM orders WHERE o_orderkey % 8 = 3
+    )
+    SELECT o.o_orderkey, o.o_orderpriority,
+           CAST(round(CAST(o.o_totalprice AS DECIMAL(12,2)), 2) AS DOUBLE)
+             AS total_price,
+           TRUE AS bloom_pruned
+    FROM orders o CROSS JOIN target t
+    WHERE o.o_orderkey = t.k
+    """,
+    tags=("incremental", "manifest", "data-skipping", "bloom", "scale"),
+)
+def mv_manifest_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOOM-FILTER point-lookup skipping over a manifest row table
+    (streaming/manifest.write_and_commit_batch_with_bloom /
+    read_point_lookup): zone maps answer RANGE predicates, but a point
+    lookup on a high-cardinality key scattered across hash batches has
+    no useful [min, max] — the second skipping axis is a per-batch
+    BLOOM sidecar (md5-derived positions, ~10 bits/key, FP ~1.7%),
+    referenced from the manifest and published in the same atomic
+    commit as the batch.
+
+    The gate commits orders as 8 HASH batches (o_orderkey % 8 — every
+    batch's key range spans the whole table, so zone maps are useless
+    here by construction), looks up one planted key, and pins in
+    `bloom_pruned` that the plan (a) contains the key's true batch and
+    (b) skipped most of the others (<= 3 of 8 planned — determinstic
+    given the data and hash; expected ~1.12). Values hash against the
+    oracle's direct WHERE. A bloom that hashes differently on the
+    build and probe side returns zero rows and fails both checks.
+
+    At 100 TB: the needle query reads O(matching batches) with the
+    decision made from kilobyte sidecars — no data I/O at all for the
+    skipped 87.5%."""
+    import shutil
+
+    from ..streaming import manifest
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", dec2(F.col("o_totalprice")).alias("v")
+    )
+    table = _stream_src_dir("bloomlookup", sf_dir)
+    shutil.rmtree(table, ignore_errors=True)
+    for b in range(8):
+        manifest.write_and_commit_batch_with_bloom(
+            spark,
+            o.filter(F.col("o_orderkey") % 8 == b),
+            table,
+            b,
+            bloom_col="o_orderkey",
+        )
+    key = (
+        o.filter(F.col("o_orderkey") % 8 == 3)
+        .agg(F.min("o_orderkey"))
+        .collect()[0][0]
+    )
+    m = manifest.read_manifest(spark, table)
+    planned = manifest.plan_point_lookup(spark, table, m, "o_orderkey", key)
+    ok = 3 in planned and len(planned) <= 3
+    rows = manifest.read_point_lookup(spark, table, "o_orderkey", key)
+    return rows.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round("v", 2).cast("double").alias("total_price"),
+        F.lit(ok).alias("bloom_pruned"),
+    )

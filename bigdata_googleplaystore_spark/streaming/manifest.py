@@ -137,6 +137,7 @@ def commit_version(
     delete_ids: list[int] | None = None,
     stats: dict | None = None,
     delete_cutoffs: dict | None = None,
+    blooms: dict | None = None,
 ) -> int:
     """Commit the next manifest version via temp-write + rename.
     `expected_prev` is the version this commit was planned against
@@ -154,6 +155,7 @@ def commit_version(
         "delete_ids": sorted(delete_ids or []),
         "stats": stats or {},
         "delete_cutoffs": delete_cutoffs or {},
+        "blooms": blooms or {},
     }
     data = json.dumps(manifest, sort_keys=True).encode("utf-8")
     final = _version_path(table_dir, next_v)
@@ -200,6 +202,7 @@ def commit_batch(
                 cur.get("delete_ids"),
                 cur.get("stats"),
                 cur.get("delete_cutoffs"),
+                cur.get("blooms"),
             )
         except ConcurrentCommitError as e:
             last = e
@@ -290,6 +293,9 @@ def compact_snapshot(
     stats = {
         k: v for k, v in (cur.get("stats") or {}).items() if int(k) > upto_batch
     }
+    blooms = {
+        k: v for k, v in (cur.get("blooms") or {}).items() if int(k) > upto_batch
+    }
     version = commit_version(
         spark,
         table_dir,
@@ -299,6 +305,7 @@ def compact_snapshot(
         cur.get("delete_ids"),
         stats,
         cur.get("delete_cutoffs"),
+        blooms,
     )
     return version
 
@@ -332,6 +339,10 @@ def vacuum(
                     table_dir.rstrip("/"), f"_batch_id={b}"
                 ),
                 True,
+            )
+            # the batch's bloom sidecar ages out with it
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(_bloom_path(table_dir, b)), False
             )
             dirs_deleted += 1
     man_deleted = 0
@@ -425,6 +436,7 @@ def commit_deletes(
                 sorted(dids),
                 cur.get("stats"),
                 cur.get("delete_cutoffs"),
+                cur.get("blooms"),
             )
         except ConcurrentCommitError as e:  # set-union commutes: retry
             last = e
@@ -625,6 +637,9 @@ def compact_rows_apply_deletes(
                 merged_cols[c] = [min(los), max(his)]
     if merged_cols:
         stats[str(base_id)] = merged_cols
+    blooms = {
+        k: v for k, v in (cur.get("blooms") or {}).items() if int(k) > upto_batch
+    }
     return commit_version(
         spark,
         table_dir,
@@ -634,6 +649,7 @@ def compact_rows_apply_deletes(
         dids,
         stats,
         cur.get("delete_cutoffs"),
+        blooms,
     )
 
 
@@ -822,6 +838,7 @@ def write_and_commit_batch(
                 cur.get("delete_ids"),
                 stats,
                 cur.get("delete_cutoffs"),
+                cur.get("blooms"),
             )
         except ConcurrentCommitError as e:
             last = e
@@ -922,6 +939,217 @@ def commit_upsert(
                 dids,
                 stats,
                 cutoffs,
+                cur.get("blooms"),
+            )
+        except ConcurrentCommitError as e:
+            last = e
+    raise last if last is not None else RuntimeError("retries must be >= 1")
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter point-lookup skipping (sidecar filters, manifest-referenced)
+# --------------------------------------------------------------------------
+
+BLOOM_DIR = "_blooms"
+
+
+def _bloom_path(table_dir: str, batch_id: int) -> str:
+    return f"{table_dir.rstrip('/')}/{BLOOM_DIR}/b{batch_id:08d}.bin"
+
+
+def _bloom_size_bits(n_keys: int, bits_per_key: int = 10) -> int:
+    """Next power of two >= bits_per_key * n (so the modulo stays cheap
+    and the false-positive rate stays ~constant as batches grow)."""
+    m = 64
+    while m < bits_per_key * max(n_keys, 1):
+        m <<= 1
+    return m
+
+
+def write_batch_bloom(
+    spark: SparkSession,
+    df: DataFrame,
+    table_dir: str,
+    batch_id: int,
+    col: str,
+    k_hashes: int = 3,
+    bits_per_key: int = 10,
+) -> dict:
+    """Build and store a batch's BLOOM FILTER sidecar over `col`: bit
+    positions are md5-derived ('bl<i>:<value>', same 52-bit prefix rule
+    as every hash here, so the Python-side query path reproduces them
+    exactly), the bitmap sized to ~bits_per_key x distinct keys (FP ~
+    1.7% at 10 bits / 3 hashes regardless of batch size). The sidecar
+    is written BEFORE the manifest commit that references it — torn
+    sidecars are as invisible as torn data. Zone maps answer RANGE
+    predicates; the bloom answers POINT lookups on high-cardinality
+    keys that ranges can't bound — together they are the two
+    metadata-skipping axes a lakehouse format ships.
+
+    Returns the manifest entry {"col", "m", "k"} for commit."""
+    from pyspark.sql import functions as F
+
+    n = df.select(col).distinct().count()
+    m = _bloom_size_bits(n, bits_per_key)
+    pos_frames = [
+        df.select(
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"bl{i}:"), F.col(col).cast("string"))),
+                        1,
+                        13,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                m,
+            ).alias("p")
+        )
+        for i in range(k_hashes)
+    ]
+    allpos = pos_frames[0]
+    for p in pos_frames[1:]:
+        allpos = allpos.union(p)
+    bits = bytearray(m // 8)
+    for r in allpos.distinct().collect():
+        p = r["p"]
+        bits[p // 8] |= 1 << (p % 8)
+    _write_small_file(spark, _bloom_path(table_dir, batch_id), bytes(bits))
+    return {"col": col, "m": m, "k": k_hashes}
+
+
+def _bloom_might_contain(
+    spark: SparkSession, table_dir: str, batch_id: int, entry: dict, value
+) -> bool:
+    import hashlib
+
+    bits = _read_small_file(spark, _bloom_path(table_dir, batch_id))
+    m, k = entry["m"], entry["k"]
+    for i in range(k):
+        p = int(
+            hashlib.md5(f"bl{i}:{value}".encode()).hexdigest()[:13], 16
+        ) % m
+        if not (bits[p // 8] >> (p % 8)) & 1:
+            return False
+    return True
+
+
+def plan_point_lookup(
+    spark: SparkSession, table_dir: str, m: dict, col: str, value
+) -> list[int]:
+    """The point-lookup skipping decision: keep a batch iff its bloom
+    (for `col`) might contain `value`; batches without a bloom for this
+    column are ALWAYS kept — like zone maps, skipping optimizes, never
+    filters."""
+    blooms = m.get("blooms", {})
+    out = []
+    for b in m["batch_ids"]:
+        entry = blooms.get(str(b))
+        if entry is None or entry.get("col") != col:
+            out.append(b)
+        elif _bloom_might_contain(spark, table_dir, b, entry, value):
+            out.append(b)
+    return out
+
+
+def read_point_lookup(
+    spark: SparkSession,
+    table_dir: str,
+    col: str,
+    value,
+    version: int | None = None,
+) -> DataFrame:
+    """Point lookup over a committed row table: plan the batch set from
+    the blooms, scan only those partitions, filter, and apply the
+    manifest's deletes (cutoff-aware). At 100 TB this is the needle
+    query — O(matching batches) instead of O(table)."""
+    from pyspark.sql import functions as F
+
+    m = read_manifest(spark, table_dir, version)
+    if not m["batch_ids"]:
+        raise ValueError(f"no committed snapshot in {table_dir}")
+    ids = plan_point_lookup(spark, table_dir, m, col, value)
+    cutoffs = m.get("delete_cutoffs", {})
+    needs_seq = any(
+        cutoffs.get(str(d)) is not None for d in m.get("delete_ids", [])
+    )
+    if not ids:
+        rows = spark.read.parquet(
+            f"{table_dir.rstrip('/')}/_batch_id={m['batch_ids'][0]}"
+        ).limit(0)
+        if needs_seq:
+            rows = rows.withColumn("_seq", F.lit(0))
+    elif needs_seq:
+        rows = _rows_with_seq(spark, table_dir, ids)
+    else:
+        rows = spark.read.parquet(
+            *[f"{table_dir.rstrip('/')}/_batch_id={b}" for b in ids]
+        )
+    rows = rows.where(F.col(col) == F.lit(value))
+    rows = _apply_delete_groups(
+        spark, table_dir, m, rows, seq_col="_seq" if needs_seq else None
+    )
+    return rows.drop("_seq") if needs_seq else rows
+
+
+def write_and_commit_batch_with_bloom(
+    spark: SparkSession,
+    df: DataFrame,
+    table_dir: str,
+    batch_id: int,
+    bloom_col: str,
+    stats_cols: list[str] | None = None,
+    retries: int = 5,
+) -> int:
+    """write_and_commit_batch plus a bloom sidecar on `bloom_col`,
+    published in the same single manifest commit."""
+    from pyspark.sql import functions as F
+
+    from .. import streaming
+
+    streaming.write_batch_partition(df, table_dir, batch_id)
+    jvm, fs, _ = _fs(spark, table_dir)
+    wrote = fs.exists(
+        jvm.org.apache.hadoop.fs.Path(
+            table_dir.rstrip("/"), f"_batch_id={batch_id}"
+        )
+    )
+    bloom_entry = None
+    stats_entry = None
+    if wrote:
+        bloom_entry = write_batch_bloom(spark, df, table_dir, batch_id, bloom_col)
+        if stats_cols:
+            aggs = []
+            for c in stats_cols:
+                aggs += [F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}")]
+            row = df.agg(*aggs).collect()[0]
+            stats_entry = {
+                c: [_json_scalar(row[f"mn_{c}"]), _json_scalar(row[f"mx_{c}"])]
+                for c in stats_cols
+            }
+    last: ConcurrentCommitError | None = None
+    for _ in range(retries):
+        cur = read_manifest(spark, table_dir)
+        ids = set(cur["batch_ids"]) | ({batch_id} if wrote else set())
+        stats = dict(cur.get("stats", {}))
+        if stats_entry is not None:
+            stats[str(batch_id)] = stats_entry
+        blooms = dict(cur.get("blooms", {}))
+        if bloom_entry is not None:
+            blooms[str(batch_id)] = bloom_entry
+        prev = cur["version"] if cur["version"] >= 0 else None
+        try:
+            return commit_version(
+                spark,
+                table_dir,
+                sorted(ids),
+                cur.get("horizon"),
+                prev,
+                cur.get("delete_ids"),
+                stats,
+                cur.get("delete_cutoffs"),
+                blooms,
             )
         except ConcurrentCommitError as e:
             last = e

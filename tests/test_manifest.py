@@ -424,3 +424,54 @@ def test_upsert_then_cdf_and_compaction(spark, tmp_path):
     snap = manifest.read_snapshot_rows(spark, table)
     assert snap.count() == 200
     assert snap.where(F.col("v") == -7.0).count() == 4
+
+
+def test_bloom_point_lookup_plans_and_reads(spark, tmp_path):
+    table = str(tmp_path / "tbl")
+    raw = _raw(spark)
+    for b in range(4):
+        manifest.write_and_commit_batch_with_bloom(
+            spark, raw.where(F.col("id") % 4 == b), table, b, bloom_col="id"
+        )
+    m = manifest.read_manifest(spark, table)
+    assert set(m["blooms"]) == {"0", "1", "2", "3"}
+    # key 42 lives in batch 42 % 4 == 2; the plan must contain it
+    planned = manifest.plan_point_lookup(spark, table, m, "id", 42)
+    assert 2 in planned
+    assert len(planned) < 4  # at least one batch bloom-skipped
+    got = manifest.read_point_lookup(spark, table, "id", 42).collect()
+    assert len(got) == 1 and got[0]["id"] == 42
+    # absent key: usually zero batches planned, always zero rows
+    assert manifest.read_point_lookup(spark, table, "id", 10_001).count() == 0
+    # deletes still apply on the lookup path
+    manifest.commit_deletes(
+        spark, table, spark.createDataFrame([(42,)], "id long"), 0
+    )
+    assert manifest.read_point_lookup(spark, table, "id", 42).count() == 0
+
+
+def test_blooms_survive_other_commits_and_vacuum_cleans_sidecars(spark, tmp_path):
+    table = str(tmp_path / "tbl")
+    raw = _raw(spark)
+    for b in range(3):
+        manifest.write_and_commit_batch_with_bloom(
+            spark, raw.where(F.col("id") % 3 == b), table, b, bloom_col="id"
+        )
+    # a plain delete commit must not drop the bloom entries
+    manifest.commit_deletes(
+        spark, table, spark.createDataFrame([(7,)], "id long"), 0
+    )
+    m = manifest.read_manifest(spark, table)
+    assert set(m["blooms"]) == {"0", "1", "2"}
+    # compaction drops subsumed blooms; vacuum removes their sidecars
+    manifest.compact_rows_apply_deletes(spark, table, upto_batch=1)
+    m2 = manifest.read_manifest(spark, table)
+    assert set(m2["blooms"]) == {"2"}
+    manifest.vacuum(spark, table, keep_versions=1)
+    jvm, fs, _ = manifest._fs(spark, table)
+    assert not fs.exists(
+        jvm.org.apache.hadoop.fs.Path(manifest._bloom_path(table, 0))
+    )
+    assert fs.exists(
+        jvm.org.apache.hadoop.fs.Path(manifest._bloom_path(table, 2))
+    )
