@@ -672,10 +672,15 @@ def snapshot_diff(
       produce nothing — a delete of an absent key is a no-op, not a
       change).
 
-    Cost: O(new partitions + new delete files + the anti/semi joins
-    against them), never a full-table diff — the manifest IS the
-    change log, which is why a lakehouse CDF is cheap while diffing
-    two plain parquet snapshots at 100 TB is a petabyte join."""
+    Cost, stated precisely: the insert side scans only the NEW
+    partitions (O(delta)); the delete side scans the from-version's
+    visible rows once to MATERIALIZE the deleted rows' content (a
+    key-only feed would be delta-sized too, but a CDF contract emits
+    whole rows) and semi-joins them against the new delete keys
+    broadcast-side. Neither side ever diffs two full snapshots row by
+    row — the manifest IS the change log, which is why a lakehouse CDF
+    is cheap while diffing two plain parquet snapshots at 100 TB is a
+    petabyte join."""
     from pyspark.sql import functions as F
 
     if from_version > to_version:
@@ -986,6 +991,12 @@ def write_batch_bloom(
     keys that ranges can't bound — together they are the two
     metadata-skipping axes a lakehouse format ships.
 
+    Scale posture: the bitmap is assembled from PER-PARTITION partial
+    bitmaps (Arrow-batched mapInPandas packs each executor slice's
+    positions into its own m-bit array; OR is associative), so the
+    driver ORs O(partitions) fixed-size byte strings — it never
+    collects the position list, whose size grows with the batch.
+
     Returns the manifest entry {"col", "m", "k"} for commit."""
     from pyspark.sql import functions as F
 
@@ -1011,11 +1022,31 @@ def write_batch_bloom(
     allpos = pos_frames[0]
     for p in pos_frames[1:]:
         allpos = allpos.union(p)
-    bits = bytearray(m // 8)
-    for r in allpos.distinct().collect():
-        p = r["p"]
-        bits[p // 8] |= 1 << (p % 8)
-    _write_small_file(spark, _bloom_path(table_dir, batch_id), bytes(bits))
+
+    n_bytes = m // 8
+
+    def pack_partial_bitmaps(batches):
+        import numpy as np
+
+        acc = np.zeros(n_bytes, dtype=np.uint8)
+        any_rows = False
+        for pdf in batches:
+            pos = pdf["p"].to_numpy()
+            if len(pos):
+                any_rows = True
+                np.bitwise_or.at(acc, pos // 8, (1 << (pos % 8)).astype(np.uint8))
+        if any_rows:
+            import pandas as pd
+
+            yield pd.DataFrame({"bm": [acc.tobytes()]})
+
+    import numpy as np
+
+    partials = allpos.mapInPandas(pack_partial_bitmaps, "bm binary").collect()
+    acc = np.zeros(n_bytes, dtype=np.uint8)
+    for r in partials:
+        acc |= np.frombuffer(r["bm"], dtype=np.uint8)
+    _write_small_file(spark, _bloom_path(table_dir, batch_id), acc.tobytes())
     return {"col": col, "m": m, "k": k_hashes}
 
 
