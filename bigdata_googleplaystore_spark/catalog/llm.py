@@ -5276,3 +5276,62 @@ def sketch_cms_signed_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("net_cnt"),
         F.col("cms_est").cast("long").alias("cms_est"),
     )
+
+
+@register(
+    "sketch_kmv_merge_partials",
+    oracle=f"""
+    WITH d AS (SELECT DISTINCT source, text FROM documents WHERE text IS NOT NULL),
+    u AS (SELECT source, {_U52_SQL_TEXT} AS u FROM d),
+    r AS (SELECT source, u,
+                 row_number() OVER (PARTITION BY source ORDER BY u) AS rn,
+                 count(*) OVER (PARTITION BY source) AS nd
+          FROM u)
+    SELECT source,
+           CAST(max(nd) AS BIGINT) AS n_exact,
+           CAST(round(CASE WHEN max(nd) < 64 THEN CAST(max(nd) AS DOUBLE)
+                           ELSE 63.0 / max(CASE WHEN rn = 64 THEN u END)
+                      END, 4) AS DOUBLE) AS kmv_est,
+           CAST(4 AS BIGINT) AS n_partials
+    FROM r GROUP BY source
+    """,
+    tags=("llm", "sketch", "cardinality", "streaming", "scale"),
+)
+def sketch_kmv_merge_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV MERGEABILITY through the streaming state-table protocol: the
+    corpus splits into four batches (doc_id % 4), each batch builds its
+    OWN per-source KMV sketch and lands it in its own `_batch_id`
+    partition; the read path union-merges the partial sketches
+    (operators/sketches.kmv_merge — k smallest of the deduplicated
+    hash union) and must estimate IDENTICALLY to the single-shot
+    sketch, because "k smallest of a union" = "k smallest of (k
+    smallest of each part)" — the semilattice law that makes the
+    sketch a per-batch incremental state: a day's new documents ship
+    k hashes per group, never re-scan history. The oracle is the
+    single-shot SQL derivation (merge exactness means they coincide);
+    n_partials pins that four partials physically existed. Duplicate
+    texts across batches dedupe by full-hash identity at merge."""
+    import shutil
+
+    from .. import streaming
+    from ..operators import sketches
+    from .ops import _stream_src_dir
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    state = _stream_src_dir("kmvstate", sf_dir)
+    shutil.rmtree(state, ignore_errors=True)
+    for b in range(4):
+        batch = d.where(F.pmod(F.col("doc_id"), F.lit(4)) == b)
+        sk = sketches.kmv_sketch(batch, ["source"], "text", k=64)
+        streaming.write_batch_partition(sk, state, b)
+    raw = spark.read.parquet(state)
+    n_partials = raw.select("_batch_id").distinct().count()
+    merged = sketches.kmv_merge([raw.drop("_batch_id")], ["source"], k=64)
+    est = sketches.kmv_estimate(merged, ["source"], k=64)
+    exact = d.groupBy("source").agg(F.countDistinct("text").alias("n_exact"))
+    return exact.join(est, "source").select(
+        "source",
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        F.round("kmv_est", 4).cast("double").alias("kmv_est"),
+        F.lit(n_partials).cast("bigint").alias("n_partials"),
+    )
