@@ -24,20 +24,20 @@ from .tpch import flagship  # noqa: E402,F401
 # then the remaining never-checked (the next round's rotation head), then
 # the rest of the previously-green set, oldest evidence first.
 #
-# Round-9 window (VERDICT r08 items 2-3 + all four r08 ADVICE items):
-# (a) the three new gates (SQL scripting BEGIN..END control flow, the
-# statestore-format checkpoint reader, the disk-persisted IVF index
-# lifecycle) plus the four gates whose implementations changed this
-# round (state compaction's
-# write-base-BEFORE-delete swap protocol with idempotent recovery, the
-# guaranteed-invalid '{]' JSON corruption injection, the watermark
-# gate's data-assumption guard, ivf_topk's stored-index consistency
-# check) need fresh rows regardless of past greens. Then (b) the 15
-# queries whose newest driver row is r03 — the registry's oldest
-# evidence — and (c) the 45 r04-stale names in r04 insertion order.
-# 68 names total; the driver records ~50, so the last ~18 r04 names
-# roll to r10 (after r09 no query's newest row is older than r04, and
-# r10 clears the remainder to r05+).
+# Round-9 window (VERDICT r08 items 2-3 + all four r08 ADVICE items,
+# plus the round's feature additions):
+# (a) the 19 NEW gates (seven manifest/lakehouse, eight sketch-tier,
+# SQL scripting, statestore reader, incremental minhash, IVF index
+# persistence) and the four gates whose implementations changed this
+# round (compaction's write-base-before-delete swap, the '{]'
+# guaranteed-invalid JSON injection, the watermark data-assumption
+# guard, ivf_topk's stored-index consistency check) need fresh rows
+# regardless of past greens. Then (b) the 15 queries whose newest
+# driver row is r03 — the registry's oldest evidence — and (c) the 45
+# r04-stale names in r04 insertion order. 87 names total; the driver
+# records ~50, so roughly the last 33 r04 names roll to r10 (after
+# r09 no query's newest row is older than r04; r10 clears the
+# remainder to r05+).
 _PRIORITY: list[str] = [
     # ===== ROUND-9 WINDOW (the driver records ~50 rows) =====
     # (a) new or implementation-changed this round — fresh rows required:
