@@ -910,6 +910,15 @@ def commit_upsert(
     from .. import streaming
 
     streaming.write_batch_partition(updates, table_dir, batch_id)
+    jvm, fs, _ = _fs(spark, table_dir)
+    if not fs.exists(
+        jvm.org.apache.hadoop.fs.Path(
+            table_dir.rstrip("/"), f"_batch_id={batch_id}"
+        )
+    ):
+        # empty MERGE: nothing matched, nothing to publish — committing
+        # the ids would point readers at a nonexistent partition
+        return cur0["version"]
     updates.select(*key_cols).distinct().write.mode("overwrite").parquet(
         _delete_path(table_dir, delete_id)
     )

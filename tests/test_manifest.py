@@ -475,3 +475,17 @@ def test_blooms_survive_other_commits_and_vacuum_cleans_sidecars(spark, tmp_path
     assert fs.exists(
         jvm.org.apache.hadoop.fs.Path(manifest._bloom_path(table, 2))
     )
+
+
+def test_empty_upsert_is_a_noop(spark, tmp_path):
+    table = str(tmp_path / "tbl")
+    raw = _raw(spark)
+    streaming.write_batch_partition(raw, table, 0)
+    manifest.commit_batch(spark, table, 0)
+    v = manifest.latest_version(spark, table)
+    out = manifest.commit_upsert(
+        spark, table, raw.where(F.col("id") < 0), ["id"], 1, 0
+    )
+    assert out == v
+    assert manifest.latest_version(spark, table) == v
+    assert manifest.read_snapshot_rows(spark, table).count() == 200
