@@ -48,6 +48,7 @@ _PRIORITY: list[str] = [
     "mv_manifest_zone_skip",  # new: zone-map data skipping from manifest stats
     "mv_manifest_upsert",  # new: atomic MERGE via sequence-aware delete cutoff
     "mv_manifest_bloom_lookup",  # new: bloom sidecar point-lookup skipping
+    "mv_manifest_metadata_count",  # new: COUNT(*) from manifest metadata
     "sketch_kmv_merge_partials",  # new: KMV semilattice merge via state table
     "sketch_cms_signed_cdc",  # new: CMS under retractions (signed linearity)
     "sketch_cms_join_size",  # new: CBO join-size estimate via CMS inner product

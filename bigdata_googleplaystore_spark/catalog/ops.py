@@ -8349,3 +8349,96 @@ def mv_manifest_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("v", 2).cast("double").alias("total_price"),
         F.lit(ok).alias("bloom_pruned"),
     )
+
+
+@register(
+    "mv_manifest_metadata_count",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           TRUE AS metadata_exact
+    FROM orders
+    """,
+    tags=("incremental", "manifest", "metadata", "scale"),
+)
+def mv_manifest_metadata_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate pushdown to METADATA (streaming/manifest.
+    snapshot_row_count): COUNT(*) answered from the per-batch row
+    counts the manifest recorded at commit time — zero data I/O,
+    O(|manifest|) driver time, the trick every table format plays for
+    the most common query in every dashboard. The honesty contract is
+    the point: after a delete file lands, the metadata path DECLINES
+    (returns inexact) instead of approximating, and only a
+    copy-on-write compaction — which folds the deletes into a
+    recounted base — restores metadata-exactness.
+
+    The gate runs that full arc on orders: 4 committed batches
+    (metadata count exact, must equal the oracle), a delete file for
+    keys ending in 9 (metadata path must decline), compaction (the
+    base recounted exactly; kept batches sit above every delete
+    cutoff... here the plain delete has cutoff None, so the path
+    still declines — pinned), then a second table built via UPSERT
+    whose delete cutoff sits below the horizon after compaction, where
+    the metadata count must return EXACT again and equal the
+    post-upsert truth. `metadata_exact` folds all four phase checks;
+    n_rows is phase-1's metadata answer against the oracle's real
+    count."""
+    import shutil
+
+    from ..streaming import manifest
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", dec2(F.col("o_totalprice")).alias("v")
+    )
+    table = _stream_src_dir("metacount", sf_dir)
+    shutil.rmtree(table, ignore_errors=True)
+    for b in range(4):
+        manifest.write_and_commit_batch(
+            spark, o.filter(F.col("o_orderkey") % 4 == b), table, b
+        )
+    n_meta, exact1 = manifest.snapshot_row_count(spark, table)
+    # a plain delete (cutoff None) must make the metadata path decline
+    manifest.commit_deletes(
+        spark,
+        table,
+        o.filter(F.col("o_orderkey") % 10 == 9).select("o_orderkey"),
+        delete_id=0,
+    )
+    declined, exact2 = manifest.snapshot_row_count(spark, table)
+    # plain deletes mask past AND future — even compaction can't make
+    # a cutoff-None delete metadata-safe; the path must keep declining
+    manifest.compact_rows_apply_deletes(spark, table, upto_batch=3)
+    still_declined, exact3 = manifest.snapshot_row_count(spark, table)
+
+    # second table: the UPSERT path (finite cutoff) + compaction DOES
+    # restore metadata-exactness
+    table2 = _stream_src_dir("metacount2", sf_dir)
+    shutil.rmtree(table2, ignore_errors=True)
+    for b in range(2):
+        manifest.write_and_commit_batch(
+            spark, o.filter(F.col("o_orderkey") % 2 == b), table2, b
+        )
+    updates = o.filter(F.col("o_orderkey") % 10 == 9).withColumn(
+        "o_orderpriority", F.lit("9-UPSERTED")
+    )
+    manifest.commit_upsert(spark, table2, updates, ["o_orderkey"], 2, 0)
+    mid, exact4 = manifest.snapshot_row_count(spark, table2)  # declines
+    manifest.compact_rows_apply_deletes(spark, table2, upto_batch=2)
+    n2, exact5 = manifest.snapshot_row_count(spark, table2)
+    true2 = manifest.read_snapshot_rows(spark, table2).count()
+
+    n_total = o.count()
+    ok = (
+        exact1
+        and n_meta == n_total
+        and not exact2
+        and declined is None
+        and not exact3
+        and still_declined is None
+        and not exact4
+        and mid is None
+        and exact5
+        and n2 == true2 == n_total
+    )
+    return spark.createDataFrame(
+        [(int(n_meta), bool(ok))], "n_rows bigint, metadata_exact boolean"
+    )

@@ -626,17 +626,24 @@ def compact_rows_apply_deletes(
     # for skipping, just less tight); kept batches keep their own
     old_stats = cur.get("stats") or {}
     stats = {k: v for k, v in old_stats.items() if int(k) > upto_batch}
-    merged_cols: dict[str, list] = {}
+    merged_cols: dict[str, object] = {}
     sub_entries = [old_stats.get(str(b)) for b in subsumed]
     if all(e is not None for e in sub_entries) and sub_entries:
         common = set.intersection(*(set(e) for e in sub_entries))
         for c in common:
+            if c == "_rows":  # recounted exactly below, not min/max-merged
+                continue
             los = [e[c][0] for e in sub_entries]
             his = [e[c][1] for e in sub_entries]
             if all(v is not None for v in los + his):
                 merged_cols[c] = [min(los), max(his)]
-    if merged_cols:
-        stats[str(base_id)] = merged_cols
+    # the rewritten base's EXACT row count (deletes were applied above,
+    # so summing subsumed counts would overcount) — keeps the
+    # metadata-only COUNT(*) path exact through compaction
+    merged_cols["_rows"] = spark.read.parquet(
+        f"{table_dir.rstrip('/')}/_batch_id={base_id}"
+    ).count()
+    stats[str(base_id)] = merged_cols
     blooms = {
         k: v for k, v in (cur.get("blooms") or {}).items() if int(k) > upto_batch
     }
@@ -816,15 +823,17 @@ def write_and_commit_batch(
         )
     )
     stats_entry = None
-    if stats_cols and wrote:
-        aggs = []
-        for c in stats_cols:
+    if wrote:
+        aggs = [F.count("*").alias("_rc")]
+        for c in stats_cols or []:
             aggs += [F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}")]
         row = df.agg(*aggs).collect()[0]
         stats_entry = {
             c: [_json_scalar(row[f"mn_{c}"]), _json_scalar(row[f"mx_{c}"])]
-            for c in stats_cols
+            for c in (stats_cols or [])
         }
+        # per-batch row count: the metadata-only COUNT(*) input
+        stats_entry["_rows"] = int(row["_rc"])
     last: ConcurrentCommitError | None = None
     for _ in range(retries):
         cur = read_manifest(spark, table_dir)
@@ -1194,3 +1203,37 @@ def write_and_commit_batch_with_bloom(
         except ConcurrentCommitError as e:
             last = e
     raise last if last is not None else RuntimeError("retries must be >= 1")
+
+
+def snapshot_row_count(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> tuple[int | None, bool]:
+    """METADATA-ONLY COUNT(*): sum the per-batch `_rows` recorded at
+    commit time — zero data I/O, O(|manifest|) driver time (the
+    aggregate-pushdown-to-metadata trick every table format plays).
+    Returns (count, exact):
+
+    - exact=True when every batch carries `_rows` AND no delete file
+      can mask any current batch (none exist, or every delete's cutoff
+      sits strictly below the lowest batch sequence — true after a
+      copy-on-write compaction folded them in);
+    - (None, False) otherwise — deletes mask an unknown number of
+      rows, so an honest metadata path DECLINES rather than
+      approximates; the caller falls back to a real scan."""
+    m = read_manifest(spark, table_dir, version)
+    if not m["batch_ids"]:
+        return (0, True)
+    cutoffs = m.get("delete_cutoffs", {})
+    min_seq = min(_effective_seq(b) for b in m["batch_ids"])
+    for d in m.get("delete_ids", []):
+        cut = cutoffs.get(str(d))
+        if cut is None or cut >= min_seq:
+            return (None, False)
+    total = 0
+    stats = m.get("stats", {})
+    for b in m["batch_ids"]:
+        e = stats.get(str(b), {})
+        if "_rows" not in e:
+            return (None, False)
+        total += int(e["_rows"])
+    return (total, True)
