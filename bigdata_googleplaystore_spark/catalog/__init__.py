@@ -26,7 +26,7 @@ from .tpch import flagship  # noqa: E402,F401
 #
 # Round-9 window (VERDICT r08 items 2-3 + all four r08 ADVICE items,
 # plus the round's feature additions):
-# (a) the 19 NEW gates (seven manifest/lakehouse, eight sketch-tier,
+# (a) the 20 NEW gates (eight manifest/lakehouse, eight sketch-tier,
 # SQL scripting, statestore reader, incremental minhash, IVF index
 # persistence) and the four gates whose implementations changed this
 # round (compaction's write-base-before-delete swap, the '{]'
@@ -34,8 +34,8 @@ from .tpch import flagship  # noqa: E402,F401
 # guard, ivf_topk's stored-index consistency check) need fresh rows
 # regardless of past greens. Then (b) the 15 queries whose newest
 # driver row is r03 — the registry's oldest evidence — and (c) the 45
-# r04-stale names in r04 insertion order. 87 names total; the driver
-# records ~50, so roughly the last 33 r04 names roll to r10 (after
+# r04-stale names in r04 insertion order. 88 names total; the driver
+# records ~50, so roughly the last 34 r04 names roll to r10 (after
 # r09 no query's newest row is older than r04; r10 clears the
 # remainder to r05+).
 _PRIORITY: list[str] = [
