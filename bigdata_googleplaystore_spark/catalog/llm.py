@@ -5335,3 +5335,66 @@ def sketch_kmv_merge_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("kmv_est", 4).cast("double").alias("kmv_est"),
         F.lit(n_partials).cast("bigint").alias("n_partials"),
     )
+
+
+@register(
+    "sim_ann_ivf_index_append",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings WHERE embedding IS NOT NULL),
+    q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10),
+    sims AS (
+      SELECT q.query_id, v.vec_id AS cand_id,
+             round(list_dot_product(q.qe, v.e)
+                   / (sqrt(list_dot_product(q.qe, q.qe))
+                      * sqrt(list_dot_product(v.e, v.e))), 4) AS sim
+      FROM q CROSS JOIN v
+    ),
+    ranked AS (
+      SELECT query_id, cand_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, cand_id) AS rn
+      FROM sims
+    )
+    SELECT query_id, cand_id, sim, CAST(rn AS INT) AS rn
+    FROM ranked WHERE rn <= 5
+    """,
+    tags=("llm", "similarity", "ann", "index", "incremental"),
+)
+def sim_ann_ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index GROWTH without retraining
+    (operators/similarity.append_ivf_assignments) — the ingest half of
+    the train-once/query-many contract: the quantizer trains on the
+    BASE corpus only (vec_id % 3 != 0), the delta batch (vec_id % 3 ==
+    0, a third of the corpus including most of the query anchors) is
+    assigned against the FROZEN stored centroids and appended into the
+    cid-partitioned assignment layout, and a query batch through the
+    grown index at the full-probe endpoint must equal brute-force
+    top-5 over the WHOLE corpus — the oracle recomputes it in plain
+    SQL. What the gate pins: assignment-by-stored-quantizer matches
+    assignment-at-train-time semantics (one cell per vector, lowest-id
+    tie break), parquet append lands in the same partition layout the
+    reader prunes by, and no delta vector is lost or double-assigned
+    (either changes some query's top-5 and hash-fails). Ingest is
+    O(|delta| x n_cells) — the daily-increment shape, never a corpus
+    rescan; at n_probe < n_cells the probe cost model is unchanged,
+    cells just hold more candidates."""
+    from .ops import _stream_src_dir
+
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    base = e.filter(F.col("vec_id") % 3 != 0)
+    delta = e.filter(F.col("vec_id") % 3 == 0)
+    idx = _stream_src_dir("ivf_index_append", sf_dir)
+    import shutil
+
+    shutil.rmtree(idx, ignore_errors=True)
+    similarity.write_ivf_index(base, idx, "vec_id", "embedding", n_cells=8, iters=2)
+    similarity.append_ivf_assignments(spark, idx, delta, "vec_id", "embedding")
+    cents, assigned = similarity.read_ivf_index(spark, idx)
+    queries = e.filter(F.col("vec_id") < 10)
+    return similarity.ivf_topk(
+        e, queries, k=5, n_cells=8, n_probe=8,
+        centroids=cents, assigned=assigned,
+    )

@@ -425,6 +425,35 @@ def write_ivf_index(
     return cents
 
 
+def append_ivf_assignments(
+    spark,
+    path: str,
+    delta: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """GROW a persisted IVF index without retraining: assign the delta
+    batch against the STORED centroids (the quantizer is frozen — the
+    same contract a production vector store runs between periodic
+    retrains) and append the rows into the cid-partitioned assignment
+    layout. Queries through the grown index see base + delta with
+    unchanged semantics: at the full-probe endpoint exactness is
+    preserved, because every vector — old or new — is assigned exactly
+    once and every cell is probed; at n_probe < n_cells the recall
+    model is unchanged (cells just hold more candidates). The ingest
+    cost is O(|delta| x n_cells) — the daily-increment shape, never a
+    corpus rescan. Returns the number of appended rows."""
+    cents, _ = read_ivf_index(spark, path)
+    rows = assign_to_centroids(delta, cents, id_col, vec_col).select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"), "cid"
+    )
+    n = rows.count()
+    rows.write.mode("append").partitionBy("cid").parquet(
+        path.rstrip("/") + "/assignments"
+    )
+    return n
+
+
 def read_ivf_index(spark, path: str) -> tuple[list[list[float]], DataFrame]:
     """Load a write_ivf_index result from disk as the exact
     (`centroids`, `assigned`) pair ivf_topk's stored-index parameters

@@ -466,3 +466,30 @@ def test_incremental_minhash_equals_full_recompute(spark, sf_dir, tmp_path):
     assert inc == full
     assert len(inc) > 0  # non-vacuous: the planted copies pair at J=1
     assert all(a >= 1_000_000 or b >= 1_000_000 for a, b in inc)
+
+
+def test_append_ivf_assignments_equals_full_build(spark, sf_dir, tmp_path):
+    """Grown index == index built on the whole corpus at once: the
+    frozen-quantizer append must produce the same assignment rows a
+    from-scratch assignment over base+delta would (same centroids)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_googleplaystore_spark.operators import similarity
+    from bigdata_googleplaystore_spark.sources import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    base = e.filter(F.col("vec_id") % 3 != 0)
+    delta = e.filter(F.col("vec_id") % 3 == 0)
+    idx = str(tmp_path / "ivf")
+    cents = similarity.write_ivf_index(
+        base, idx, "vec_id", "embedding", n_cells=8, iters=2
+    )
+    n = similarity.append_ivf_assignments(spark, idx, delta, "vec_id", "embedding")
+    assert n == delta.count()
+    _, assigned = similarity.read_ivf_index(spark, idx)
+    want = similarity.assign_to_centroids(e, cents, "vec_id", "embedding")
+    got_map = {r["cand_id"]: r["cid"] for r in assigned.collect()}
+    want_map = {r["vec_id"]: r["cid"] for r in want.collect()}
+    assert got_map == want_map
