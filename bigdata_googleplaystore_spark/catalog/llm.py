@@ -5398,3 +5398,65 @@ def sim_ann_ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, queries, k=5, n_cells=8, n_probe=8,
         centroids=cents, assigned=assigned,
     )
+
+
+@register(
+    "dedup_ngram_jaccard_incremental",
+    oracle=rf"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents
+      WHERE doc_id % 20 = 0
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(ws) >= 3
+                  THEN list_transform(range(1, len(ws)-1),
+                                      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+                  ELSE [] END) AS shingles
+      FROM (SELECT doc_id, {_TOKS_SQL} AS ws FROM corpus)
+    ),
+    ex AS (SELECT doc_id, len(shingles) AS set_size,
+                  unnest(shingles) AS shingle FROM sh),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             round(CAST(count(*) AS DOUBLE)
+                   / (a.set_size + b.set_size - count(*)), 6) AS jaccard
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b, a.set_size, b.set_size
+    )
+    SELECT doc_a, doc_b, jaccard FROM pairs
+    WHERE jaccard >= 0.5 AND (doc_a >= 1000000 OR doc_b >= 1000000)
+    """,
+    tags=("llm", "dedup", "incremental"),
+)
+def dedup_ngram_jaccard_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL exact-threshold n-gram Jaccard, full lifecycle across
+    a disk boundary — the EXACT tier of the incremental near-dup story
+    (dedup_minhash_incremental is the LSH tier; this one has no
+    s-curve argument to make because nothing is approximate):
+    write_jaccard_index persists the base corpus's inverted posting
+    lists + set sizes once, read_jaccard_index reloads them, and the
+    delta batch (every 20th base doc re-ingested under a fresh id)
+    finds ALL its >= 0.5 pairs against base + delta without
+    re-shingling one byte of base text — the delta's postings join the
+    stored lists broadcast-side, batch-vs-base. The oracle recomputes
+    the inverted-index Jaccard over base ∪ delta in plain SQL and
+    keeps delta-touching pairs: a posting lost in the index round
+    trip, an orientation double-count on delta-delta pairs, a leaked
+    base-base pair, or set-size drift all change the pair set or a
+    jaccard value and hash-fail. Incremental == full-recompute-
+    restricted is additionally asserted in tests/test_llm.py."""
+    from .ops import _stream_src_dir
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    delta = d.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    idx = _stream_src_dir("jac_index", sf_dir)
+    dedup.write_jaccard_index(d, idx, "doc_id", "text", n=3)
+    postings, sizes = dedup.read_jaccard_index(spark, idx)
+    return dedup.jaccard_pairs_incremental(
+        postings, sizes, delta, "doc_id", "text", n=3, threshold=0.5
+    )

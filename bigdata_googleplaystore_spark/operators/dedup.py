@@ -804,3 +804,118 @@ def blocked_fuzzy_pairs(
         .filter(F.col("dist") <= max_dist)
         .select("name_a", "name_b", "dist")
     )
+
+
+def build_jaccard_index(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> tuple[DataFrame, DataFrame]:
+    """The persistable INVERTED-INDEX half of n-gram Jaccard dedup:
+    (postings, sizes) where postings is one row per (doc, distinct
+    shingle) — the posting list a future batch's shingles join against
+    — and sizes is (doc, set_size) for the |A∪B| denominator. Built on
+    the SAME shingle pipeline as the one-shot jaccard_pairs (plain
+    shingle STRINGS, no hashing), so the index is replayable by the
+    oracle SQL and the exact-Jaccard semantics carry over unchanged."""
+    arrs = shingle_arrays(df, id_col, text_col, n)
+    nonempty = arrs.filter(F.size("shingles") > 0)
+    sizes = nonempty.select("doc", F.size("shingles").alias("set_size"))
+    postings = nonempty.select("doc", F.explode("shingles").alias("shingle"))
+    return postings, sizes
+
+
+def write_jaccard_index(
+    df: DataFrame, path: str, id_col: str, text_col: str, n: int = 3
+) -> None:
+    """Persist build_jaccard_index to `{path}/postings` + `{path}/sizes`
+    — the train-once/join-many contract for incremental exact-threshold
+    near-dup (daily increments never re-shingle history). At cluster
+    scale, store postings bucketed by shingle so each increment's
+    candidate join co-locates; plain parquet keeps this environment
+    metastore-free."""
+    postings, sizes = build_jaccard_index(df, id_col, text_col, n)
+    root = path.rstrip("/")
+    postings.write.mode("overwrite").parquet(root + "/postings")
+    sizes.write.mode("overwrite").parquet(root + "/sizes")
+
+
+def read_jaccard_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """Load a write_jaccard_index result as the (postings, sizes) pair
+    jaccard_pairs_incremental takes — lazy scans, nothing collected."""
+    root = path.rstrip("/")
+    return (
+        spark.read.parquet(root + "/postings"),
+        spark.read.parquet(root + "/sizes"),
+    )
+
+
+def jaccard_pairs_incremental(
+    base_postings: DataFrame,
+    base_sizes: DataFrame,
+    delta: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """INCREMENTAL exact-threshold n-gram Jaccard: every pair the delta
+    batch introduces against an indexed base (>= threshold, at least
+    one side in delta), with ZERO recomputation over base text. The
+    delta pays O(|delta|) shingle work; its postings then join the
+    stored base postings BROADCAST (batch-vs-base — the base posting
+    list streams map-side and never reshuffles) plus its own postings
+    for delta-delta pairs. Orientation discipline: a delta-vs-base row
+    appears once by construction; a delta-vs-delta common shingle
+    would appear in both orientations, so the right side keeps only
+    (base rows) OR (delta rows with doc_l < doc_r) — each pair's
+    intersection is counted exactly once. Base-base pairs are
+    structurally excluded (they were reported when their batches
+    arrived). Exactness: intersection counts come from distinct-
+    shingle postings, so incremental == full-recompute restricted to
+    delta-touching pairs (asserted in tests/test_llm.py and oracle-
+    gated by dedup_ngram_jaccard_incremental).
+
+    The hot-shingle cap (`max_shingle_df`) is deliberately ABSENT
+    here: a df cap is a corpus-global decision that changes as the
+    corpus grows, so an incremental run capping on partial counts
+    would silently diverge from the one-shot semantics. Production
+    keeps running df counts in the index and re-caps per increment —
+    a documented extension, not a silent behavior."""
+    d_post, d_sizes = build_jaccard_index(delta, id_col, text_col, n)
+    right = base_postings.select(
+        F.col("doc").alias("doc_r"), "shingle", F.lit(False).alias("r_is_delta")
+    ).unionByName(
+        d_post.select(
+            F.col("doc").alias("doc_r"), "shingle", F.lit(True).alias("r_is_delta")
+        )
+    )
+    left = d_post.select(F.col("doc").alias("doc_l"), "shingle")
+    joined = (
+        F.broadcast(left)
+        .join(right, "shingle")
+        .filter(
+            (F.col("doc_l") != F.col("doc_r"))
+            & (~F.col("r_is_delta") | (F.col("doc_l") < F.col("doc_r")))
+        )
+    )
+    sizes_all = base_sizes.unionByName(d_sizes)
+    inter = (
+        joined.select(
+            F.least("doc_l", "doc_r").alias("doc_a"),
+            F.greatest("doc_l", "doc_r").alias("doc_b"),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+        .join(
+            sizes_all.select(
+                F.col("doc").alias("doc_a"), F.col("set_size").alias("size_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            sizes_all.select(
+                F.col("doc").alias("doc_b"), F.col("set_size").alias("size_b")
+            ),
+            "doc_b",
+        )
+    )
+    return _jaccard_threshold(inter, threshold)

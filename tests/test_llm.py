@@ -493,3 +493,30 @@ def test_append_ivf_assignments_equals_full_build(spark, sf_dir, tmp_path):
     got_map = {r["cand_id"]: r["cid"] for r in assigned.collect()}
     want_map = {r["vec_id"]: r["cid"] for r in want.collect()}
     assert got_map == want_map
+
+
+def test_incremental_jaccard_equals_full_recompute(spark, sf_dir, tmp_path):
+    """Incremental pairs == one-shot jaccard_pairs over base+delta,
+    restricted to delta-touching pairs — exact equality, no
+    approximation argument needed."""
+    from pyspark.sql import functions as F
+
+    from bigdata_googleplaystore_spark.operators import dedup
+    from bigdata_googleplaystore_spark.sources import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    delta = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 500000).alias("doc_id"), "text"
+    )
+    idx = str(tmp_path / "jac")
+    dedup.write_jaccard_index(d, idx, "doc_id", "text", n=3)
+    postings, sizes = dedup.read_jaccard_index(spark, idx)
+    inc = dedup.jaccard_pairs_incremental(
+        postings, sizes, delta, "doc_id", "text", n=3, threshold=0.5
+    )
+    full = dedup.jaccard_pairs(
+        d.unionByName(delta), "doc_id", "text", n=3, threshold=0.5
+    ).filter((F.col("doc_a") >= 500000) | (F.col("doc_b") >= 500000))
+    got = sorted(map(tuple, inc.collect()))
+    want = sorted(map(tuple, full.collect()))
+    assert got == want and len(got) > 0
