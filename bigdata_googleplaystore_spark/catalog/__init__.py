@@ -26,7 +26,7 @@ from .tpch import flagship  # noqa: E402,F401
 #
 # Round-9 window (VERDICT r08 items 2-3 + all four r08 ADVICE items,
 # plus the round's feature additions):
-# (a) the 22 NEW gates (eight manifest/lakehouse, eight sketch-tier,
+# (a) the 23 NEW gates (eight manifest/lakehouse, eight sketch-tier,
 # SQL scripting, statestore reader, incremental minhash, IVF index
 # persistence) and the four gates whose implementations changed this
 # round (compaction's write-base-before-delete swap, the '{]'
@@ -34,8 +34,8 @@ from .tpch import flagship  # noqa: E402,F401
 # guard, ivf_topk's stored-index consistency check) need fresh rows
 # regardless of past greens. Then (b) the 15 queries whose newest
 # driver row is r03 — the registry's oldest evidence — and (c) the 45
-# r04-stale names in r04 insertion order. 90 names total; the driver
-# records ~50, so roughly the last 36 r04 names roll to r10 (after
+# r04-stale names in r04 insertion order. 91 names total; the driver
+# records ~50, so roughly the last 37 r04 names roll to r10 (after
 # r09 no query's newest row is older than r04; r10 clears the
 # remainder to r05+).
 _PRIORITY: list[str] = [
@@ -61,6 +61,7 @@ _PRIORITY: list[str] = [
     "stream_state_store_read",  # new: statestore-format checkpoint reader
     "dedup_minhash_incremental",  # new: indexed near-dup over a delta batch
     "dedup_ngram_jaccard_incremental",  # new: exact-tier incremental near-dup
+    "dedup_incremental_clusters",  # new: label-fold incremental connected components
     "sim_ann_ivf_index_persist",  # new: train->persist->reload->query lifecycle
     "sim_ann_ivf_index_append",  # new: frozen-quantizer index growth (ingest)
     "mv_state_compaction",  # changed: write-base-before-delete crash safety

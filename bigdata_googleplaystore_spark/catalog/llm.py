@@ -5460,3 +5460,77 @@ def dedup_ngram_jaccard_incremental(spark: SparkSession, sf_dir: str) -> DataFra
     return dedup.jaccard_pairs_incremental(
         postings, sizes, delta, "doc_id", "text", n=3, threshold=0.5
     )
+
+
+@register(
+    "dedup_incremental_clusters",
+    oracle=rf"""
+    WITH RECURSIVE corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents
+      WHERE doc_id % 20 = 0
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(ws) >= 3
+                  THEN list_transform(range(1, len(ws)-1),
+                                      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+                  ELSE [] END) AS shingles
+      FROM (SELECT doc_id, {_TOKS_SQL} AS ws FROM corpus)
+    ),
+    ex AS (SELECT doc_id, len(shingles) AS set_size,
+                  unnest(shingles) AS shingle FROM sh),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b, a.set_size, b.set_size
+      HAVING round(CAST(count(*) AS DOUBLE)
+                   / (a.set_size + b.set_size - count(*)), 6) >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+             WHERE e.dst <> r.src
+    )
+    SELECT src AS doc, least(src, min(dst)) AS keep_id
+    FROM reach GROUP BY src
+    """,
+    tags=("llm", "dedup", "graph", "incremental"),
+)
+def dedup_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL duplicate-CLUSTER maintenance — the step after
+    incremental pair generation that no prior gate covered: stored
+    (doc, component) labels from the base corpus fold in a delta
+    batch's pairs via dedup.connected_components_incremental
+    (contract endpoints to their current labels, run CC on the tiny
+    label graph, relabel by ONE broadcast join — the stored label
+    table never reshuffles and base propagation never re-runs). New
+    edges only merge components, and min-node-id labels make the
+    merged super-label exactly what a full recompute assigns, so the
+    maintained table must hash-match the oracle's recursive-CTE
+    transitive closure over the WHOLE augmented corpus — every base
+    doc's label, changed or not, is value-checked, so a relabel that
+    misses a transitively-merged component, eats an untouched one, or
+    drops a new node fails. Pipeline under the gate: base jaccard
+    pairs -> base CC labels; delta pairs via the incremental inverted
+    index; label fold."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    delta = d.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    base_pairs = dedup.jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+    base_labels = dedup.connected_components(base_pairs)
+    postings, sizes = dedup.build_jaccard_index(d, "doc_id", "text", n=3)
+    delta_pairs = dedup.jaccard_pairs_incremental(
+        postings, sizes, delta, "doc_id", "text", n=3, threshold=0.5
+    )
+    labels = dedup.connected_components_incremental(base_labels, delta_pairs)
+    return labels.select(
+        F.col("node").alias("doc"), F.col("component").alias("keep_id")
+    )

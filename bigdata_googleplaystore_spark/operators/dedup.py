@@ -919,3 +919,63 @@ def jaccard_pairs_incremental(
         )
     )
     return _jaccard_threshold(inter, threshold)
+
+
+def connected_components_incremental(
+    base_labels: DataFrame,
+    new_pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """INCREMENTAL connected components: fold a batch of NEW edges into
+    stored (node, component) labels without re-running propagation over
+    the base graph. New edges can only MERGE components (never split),
+    so the update works on the CONTRACTED graph: map each new edge's
+    endpoints to their current component label (new nodes label
+    themselves), keep only edges that bridge two different labels, run
+    the ordinary min-label CC on that tiny label graph, and relabel.
+    Because labels are min-node-ids, the merged group's super-label =
+    min over part labels = the min node id of the merged component —
+    exactly what a full recompute would assign, so incremental == full
+    (asserted in tests/test_llm.py; oracle-gated by
+    dedup_incremental_clusters).
+
+    Cost shape: O(|new edges|) for the contraction, CC over a graph
+    whose size is bounded by the number of DISTINCT components the
+    batch touches (not their members), and ONE broadcast join to
+    relabel — the stored label table streams map-side and never
+    reshuffles. The missing piece between incremental pair generation
+    (jaccard_pairs_incremental / minhash_lsh_pairs_incremental) and a
+    maintained duplicate-cluster table."""
+    ep = (
+        new_pairs.select(F.col(a_col).alias("node"))
+        .unionByName(new_pairs.select(F.col(b_col).alias("node")))
+        .distinct()
+    )
+    lab = ep.join(base_labels, "node", "left").select(
+        "node", F.coalesce("component", "node").alias("label")
+    )
+    a = lab.select(F.col("node").alias(a_col), F.col("label").alias("_la"))
+    b = lab.select(F.col("node").alias(b_col), F.col("label").alias("_lb"))
+    contracted = (
+        new_pairs.join(a, a_col)
+        .join(b, b_col)
+        .filter(F.col("_la") != F.col("_lb"))
+        .select(
+            F.least("_la", "_lb").alias("doc_a"),
+            F.greatest("_la", "_lb").alias("doc_b"),
+        )
+        .distinct()
+    )
+    super_ = connected_components(contracted, "doc_a", "doc_b", max_iters)
+    mapping = super_.select(
+        F.col("node").alias("label"), F.col("component").alias("_new_label")
+    )
+    new_nodes = lab.join(base_labels.select("node"), "node", "left_anti")
+    allnodes = base_labels.select(
+        "node", F.col("component").alias("label")
+    ).unionByName(new_nodes)
+    return allnodes.join(F.broadcast(mapping), "label", "left").select(
+        "node", F.coalesce("_new_label", "label").alias("component")
+    )

@@ -520,3 +520,36 @@ def test_incremental_jaccard_equals_full_recompute(spark, sf_dir, tmp_path):
     got = sorted(map(tuple, inc.collect()))
     want = sorted(map(tuple, full.collect()))
     assert got == want and len(got) > 0
+
+
+def test_incremental_cc_equals_full_recompute(spark):
+    """Fold random new edges into stored labels; must equal CC over the
+    union graph — including transitive merges THROUGH a new node and
+    untouched components staying untouched."""
+    from bigdata_googleplaystore_spark.operators import dedup
+
+    base_pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (30, 31)], "doc_a long, doc_b long"
+    )
+    base_labels = dedup.connected_components(base_pairs)
+    # new node 100 bridges components {1,2,3} and {10,11}; 40-41 is a
+    # brand-new pair; {20,21} and {30,31} untouched
+    new_pairs = spark.createDataFrame(
+        [(3, 100), (100, 10), (40, 41)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in dedup.connected_components_incremental(
+            base_labels, new_pairs
+        ).collect()
+    }
+    full = {
+        r["node"]: r["component"]
+        for r in dedup.connected_components(
+            base_pairs.unionByName(new_pairs)
+        ).collect()
+    }
+    assert got == full
+    assert got[100] == 1 and got[10] == 1  # transitive merge through 100
+    assert got[20] == 20 and got[30] == 30  # untouched components
+    assert got[41] == 40  # brand-new component
