@@ -5456,9 +5456,9 @@ def dedup_ngram_jaccard_incremental(spark: SparkSession, sf_dir: str) -> DataFra
     )
     idx = _stream_src_dir("jac_index", sf_dir)
     dedup.write_jaccard_index(d, idx, "doc_id", "text", n=3)
-    postings, sizes = dedup.read_jaccard_index(spark, idx)
+    postings = dedup.read_jaccard_index(spark, idx)
     return dedup.jaccard_pairs_incremental(
-        postings, sizes, delta, "doc_id", "text", n=3, threshold=0.5
+        postings, delta, "doc_id", "text", n=3, threshold=0.5
     )
 
 
@@ -5526,9 +5526,9 @@ def dedup_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base_pairs = dedup.jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
     base_labels = dedup.connected_components(base_pairs)
-    postings, sizes = dedup.build_jaccard_index(d, "doc_id", "text", n=3)
+    postings = dedup.build_jaccard_index(d, "doc_id", "text", n=3)
     delta_pairs = dedup.jaccard_pairs_incremental(
-        postings, sizes, delta, "doc_id", "text", n=3, threshold=0.5
+        postings, delta, "doc_id", "text", n=3, threshold=0.5
     )
     labels = dedup.connected_components_incremental(base_labels, delta_pairs)
     return labels.select(

@@ -806,51 +806,57 @@ def blocked_fuzzy_pairs(
     )
 
 
-def build_jaccard_index(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3
-) -> tuple[DataFrame, DataFrame]:
-    """The persistable INVERTED-INDEX half of n-gram Jaccard dedup:
-    (postings, sizes) where postings is one row per (doc, distinct
-    shingle) — the posting list a future batch's shingles join against
-    — and sizes is (doc, set_size) for the |A∪B| denominator. Built on
-    the SAME shingle pipeline as the one-shot jaccard_pairs (plain
-    shingle STRINGS, no hashing), so the index is replayable by the
-    oracle SQL and the exact-Jaccard semantics carry over unchanged."""
-    arrs = shingle_arrays(df, id_col, text_col, n)
-    nonempty = arrs.filter(F.size("shingles") > 0)
-    sizes = nonempty.select("doc", F.size("shingles").alias("set_size"))
-    postings = nonempty.select("doc", F.explode("shingles").alias("shingle"))
-    return postings, sizes
+def build_jaccard_index(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """The persistable INVERTED-INDEX half of n-gram Jaccard dedup: one
+    row per (doc, set_size, shingle) — the posting list a future
+    batch's shingles join against, with the |A| denominator carried on
+    every row. EXACTLY the one-shot jaccard_pairs pipeline's staged
+    frame: xxhash64'd 8-byte keys (shuffle size + constant-time join
+    compares; the collision argument in jaccard_pairs' docstring),
+    set_size computed AFTER hashing (intersections and sizes stay
+    mutually consistent), and the explode_outer + post-filter staging
+    that keeps Catalyst from pushing the quadratic shingle tree into a
+    single-split scan (shingle_exploded's docstring; the plain-explode
+    form measured 24 s where this one measures ~1 s)."""
+    sh = shingle_arrays(df, id_col, text_col, n)
+    hashed = sh.select(
+        "doc",
+        F.array_distinct(
+            F.transform("shingles", lambda x: F.xxhash64(x))
+        ).alias("hs"),
+    )
+    return (
+        hashed.select(
+            "doc",
+            F.size("hs").alias("set_size"),
+            F.explode_outer("hs").alias("shingle"),
+        )
+        .filter(F.col("shingle").isNotNull())
+    )
 
 
 def write_jaccard_index(
     df: DataFrame, path: str, id_col: str, text_col: str, n: int = 3
 ) -> None:
-    """Persist build_jaccard_index to `{path}/postings` + `{path}/sizes`
-    — the train-once/join-many contract for incremental exact-threshold
+    """Persist build_jaccard_index to `{path}/postings` — the
+    train-once/join-many contract for incremental exact-threshold
     near-dup (daily increments never re-shingle history). At cluster
     scale, store postings bucketed by shingle so each increment's
     candidate join co-locates; plain parquet keeps this environment
     metastore-free."""
-    postings, sizes = build_jaccard_index(df, id_col, text_col, n)
-    root = path.rstrip("/")
-    postings.write.mode("overwrite").parquet(root + "/postings")
-    sizes.write.mode("overwrite").parquet(root + "/sizes")
+    build_jaccard_index(df, id_col, text_col, n).write.mode(
+        "overwrite"
+    ).parquet(path.rstrip("/") + "/postings")
 
 
-def read_jaccard_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
-    """Load a write_jaccard_index result as the (postings, sizes) pair
-    jaccard_pairs_incremental takes — lazy scans, nothing collected."""
-    root = path.rstrip("/")
-    return (
-        spark.read.parquet(root + "/postings"),
-        spark.read.parquet(root + "/sizes"),
-    )
+def read_jaccard_index(spark, path: str) -> DataFrame:
+    """Load a write_jaccard_index result as the postings frame
+    jaccard_pairs_incremental takes — a lazy scan, nothing collected."""
+    return spark.read.parquet(path.rstrip("/") + "/postings")
 
 
 def jaccard_pairs_incremental(
     base_postings: DataFrame,
-    base_sizes: DataFrame,
     delta: DataFrame,
     id_col: str,
     text_col: str,
@@ -880,15 +886,23 @@ def jaccard_pairs_incremental(
     would silently diverge from the one-shot semantics. Production
     keeps running df counts in the index and re-caps per increment —
     a documented extension, not a silent behavior."""
-    d_post, d_sizes = build_jaccard_index(delta, id_col, text_col, n)
+    d_post = build_jaccard_index(delta, id_col, text_col, n).localCheckpoint()
     right = base_postings.select(
-        F.col("doc").alias("doc_r"), "shingle", F.lit(False).alias("r_is_delta")
+        F.col("doc").alias("doc_r"),
+        F.col("set_size").alias("size_r"),
+        "shingle",
+        F.lit(False).alias("r_is_delta"),
     ).unionByName(
         d_post.select(
-            F.col("doc").alias("doc_r"), "shingle", F.lit(True).alias("r_is_delta")
+            F.col("doc").alias("doc_r"),
+            F.col("set_size").alias("size_r"),
+            "shingle",
+            F.lit(True).alias("r_is_delta"),
         )
     )
-    left = d_post.select(F.col("doc").alias("doc_l"), "shingle")
+    left = d_post.select(
+        F.col("doc").alias("doc_l"), F.col("set_size").alias("size_l"), "shingle"
+    )
     joined = (
         F.broadcast(left)
         .join(right, "shingle")
@@ -897,26 +911,16 @@ def jaccard_pairs_incremental(
             & (~F.col("r_is_delta") | (F.col("doc_l") < F.col("doc_r")))
         )
     )
-    sizes_all = base_sizes.unionByName(d_sizes)
+    fwd = F.col("doc_l") < F.col("doc_r")
     inter = (
         joined.select(
             F.least("doc_l", "doc_r").alias("doc_a"),
             F.greatest("doc_l", "doc_r").alias("doc_b"),
+            F.when(fwd, F.col("size_l")).otherwise(F.col("size_r")).alias("size_a"),
+            F.when(fwd, F.col("size_r")).otherwise(F.col("size_l")).alias("size_b"),
         )
-        .groupBy("doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b", "size_a", "size_b")
         .agg(F.count("*").alias("n_common"))
-        .join(
-            sizes_all.select(
-                F.col("doc").alias("doc_a"), F.col("set_size").alias("size_a")
-            ),
-            "doc_a",
-        )
-        .join(
-            sizes_all.select(
-                F.col("doc").alias("doc_b"), F.col("set_size").alias("size_b")
-            ),
-            "doc_b",
-        )
     )
     return _jaccard_threshold(inter, threshold)
 

@@ -510,9 +510,9 @@ def test_incremental_jaccard_equals_full_recompute(spark, sf_dir, tmp_path):
     )
     idx = str(tmp_path / "jac")
     dedup.write_jaccard_index(d, idx, "doc_id", "text", n=3)
-    postings, sizes = dedup.read_jaccard_index(spark, idx)
+    postings = dedup.read_jaccard_index(spark, idx)
     inc = dedup.jaccard_pairs_incremental(
-        postings, sizes, delta, "doc_id", "text", n=3, threshold=0.5
+        postings, delta, "doc_id", "text", n=3, threshold=0.5
     )
     full = dedup.jaccard_pairs(
         d.unionByName(delta), "doc_id", "text", n=3, threshold=0.5
