@@ -8442,3 +8442,77 @@ def mv_manifest_metadata_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(int(n_meta), bool(ok))], "n_rows bigint, metadata_exact boolean"
     )
+
+
+@register(
+    "mv_manifest_rollback",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+             AS total_price,
+           TRUE AS restored_atomically
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("incremental", "manifest", "rollback", "scale"),
+)
+def mv_manifest_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE / rollback (streaming/manifest.rollback — the Delta
+    RESTORE semantics, public): a bad commit is undone by committing a
+    NEW version whose content equals the last good version's — one
+    atomic rename, history never rewritten, the bad version still
+    readable for forensics until vacuum ages it out.
+
+    The gate commits orders as two batches, lands a BAD delete (every
+    key ending in 1 — the fat-finger incident), rolls back to the
+    pre-delete version, and the restored snapshot aggregate must
+    hash-match the untouched-table oracle. `restored_atomically` pins
+    the protocol: the restore is exactly one version ahead of the bad
+    commit, the bad version still reads with the rows missing
+    (forensics), and `manifest.history` labels the four versions
+    append/append/delete/rollback.
+
+    At 100 TB: recovery from a bad MERGE/DELETE is one metadata
+    commit, not a restore-from-backup — the operational property that
+    justifies the manifest layer's existence on the worst day."""
+    import shutil
+
+    from .. import streaming
+    from ..streaming import manifest
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", dec2(F.col("o_totalprice")).alias("v")
+    )
+    table = _stream_src_dir("rollback", sf_dir)
+    shutil.rmtree(table, ignore_errors=True)
+    for b in range(2):
+        streaming.write_batch_partition(
+            o.filter(F.col("o_orderkey") % 2 == b), table, b
+        )
+        manifest.commit_batch(spark, table, b)
+    good_v = manifest.latest_version(spark, table)
+    manifest.commit_deletes(
+        spark,
+        table,
+        o.filter(F.col("o_orderkey") % 10 == 1).select("o_orderkey"),
+        delete_id=0,
+    )
+    bad_count = manifest.read_snapshot_rows(spark, table).count()
+    v = manifest.rollback(spark, table, good_v)
+    forensic = manifest.read_snapshot_rows(
+        spark, table, version=good_v + 1
+    ).count()
+    labels = [h["change"] for h in manifest.history(spark, table)]
+    n_total = o.count()
+    ok = (
+        v == good_v + 2
+        and bad_count < n_total
+        and forensic == bad_count
+        and labels == ["append", "append", "delete", "rollback"]
+    )
+    snap = manifest.read_snapshot_rows(spark, table)
+    return snap.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.round(F.sum("v"), 2).cast("double").alias("total_price"),
+        F.lit(ok).alias("restored_atomically"),
+    )

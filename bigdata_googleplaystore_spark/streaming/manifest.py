@@ -1237,3 +1237,70 @@ def snapshot_row_count(
             return (None, False)
         total += int(e["_rows"])
     return (total, True)
+
+
+def history(spark: SparkSession, table_dir: str) -> list[dict]:
+    """DESCRIBE HISTORY for a manifest table: one dict per retained
+    version — (version, n_batches, n_deletes, horizon) plus a derived
+    `change` label (append / delete / compact / rollback / unknown)
+    from diffing consecutive manifests. Metadata-only: O(versions)
+    small JSON reads, no data I/O."""
+    out = []
+    prev = None
+    for v in list_versions(spark, table_dir):
+        m = read_manifest(spark, table_dir, v)
+        entry = {
+            "version": v,
+            "n_batches": len(m["batch_ids"]),
+            "n_deletes": len(m.get("delete_ids", [])),
+            "horizon": m.get("horizon"),
+        }
+        if prev is None:
+            entry["change"] = "append"
+        elif any(b < 0 for b in set(m["batch_ids"]) - set(prev["batch_ids"])):
+            entry["change"] = "compact"
+        elif set(m["batch_ids"]) > set(prev["batch_ids"]):
+            entry["change"] = (
+                "upsert"
+                if set(m.get("delete_ids", [])) > set(prev.get("delete_ids", []))
+                else "append"
+            )
+        elif set(m.get("delete_ids", [])) > set(prev.get("delete_ids", [])):
+            entry["change"] = "delete"
+        elif (
+            m["batch_ids"] == prev["batch_ids"]
+            and m.get("delete_ids") != prev.get("delete_ids")
+            or set(m["batch_ids"]) < set(prev["batch_ids"])
+        ):
+            entry["change"] = "rollback"
+        else:
+            entry["change"] = "unknown"
+        out.append(entry)
+        prev = m
+    return out
+
+
+def rollback(spark: SparkSession, table_dir: str, to_version: int) -> int:
+    """RESTORE: make the CURRENT snapshot equal a retained older
+    version's — by committing a NEW version with the old version's
+    content (batch ids, delete files, stats, blooms, horizon). History
+    is never rewritten: the bad versions stay readable for forensics
+    until vacuum ages them out, and the rollback itself is one more
+    atomic commit (the Delta RESTORE semantics, public). Only works
+    while `to_version`'s referenced files survive — i.e. within the
+    vacuum retention window; a vacuumed target raises at read time."""
+    target = read_manifest(spark, table_dir, to_version)
+    cur = read_manifest(spark, table_dir)
+    if cur["version"] == to_version:
+        return cur["version"]
+    return commit_version(
+        spark,
+        table_dir,
+        target["batch_ids"],
+        target.get("horizon"),
+        cur["version"],
+        target.get("delete_ids"),
+        target.get("stats"),
+        target.get("delete_cutoffs"),
+        target.get("blooms"),
+    )

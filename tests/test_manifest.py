@@ -489,3 +489,31 @@ def test_empty_upsert_is_a_noop(spark, tmp_path):
     assert out == v
     assert manifest.latest_version(spark, table) == v
     assert manifest.read_snapshot_rows(spark, table).count() == 200
+
+
+def test_history_and_rollback(spark, tmp_path):
+    table = str(tmp_path / "tbl")
+    raw = _raw(spark)
+    for b in range(2):
+        streaming.write_batch_partition(
+            raw.where(F.col("id") % 2 == b), table, b
+        )
+        manifest.commit_batch(spark, table, b)
+    good_v = manifest.latest_version(spark, table)
+    # a bad delete wipes half the table
+    manifest.commit_deletes(
+        spark, table, raw.where(F.col("id") < 100).select("id"), 0
+    )
+    assert manifest.read_snapshot_rows(spark, table).count() == 100
+    # RESTORE: one atomic commit, history intact
+    v = manifest.rollback(spark, table, good_v)
+    assert v == good_v + 2
+    assert manifest.read_snapshot_rows(spark, table).count() == 200
+    # the bad version stays readable for forensics
+    assert manifest.read_snapshot_rows(spark, table, version=good_v + 1).count() == 100
+    hist = manifest.history(spark, table)
+    assert [h["change"] for h in hist] == [
+        "append", "append", "delete", "rollback"
+    ]
+    # rollback to current is a no-op
+    assert manifest.rollback(spark, table, v) == v
