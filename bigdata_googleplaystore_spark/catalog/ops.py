@@ -8516,3 +8516,76 @@ def mv_manifest_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("v"), 2).cast("double").alias("total_price"),
         F.lit(ok).alias("restored_atomically"),
     )
+
+
+@register(
+    "mv_manifest_schema_evolution",
+    oracle="""
+    WITH unioned AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(NULL AS VARCHAR) AS o_channel
+      FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT o_orderkey, o_orderpriority,
+             CASE WHEN o_orderkey % 4 = 1 THEN 'web' ELSE 'store' END
+      FROM orders WHERE o_orderkey % 2 = 1
+    )
+    SELECT coalesce(o_channel, 'unknown') AS channel,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities,
+           TRUE AS schema_merged
+    FROM unioned GROUP BY channel
+    """,
+    tags=("incremental", "manifest", "schema-evolution"),
+)
+def mv_manifest_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADDITIVE SCHEMA EVOLUTION on a manifest row table: batch 0 lands
+    with the original columns, batch 1 arrives with a NEW `o_channel`
+    column (the upstream-added-a-field day every long-lived pipeline
+    has); `read_snapshot_rows(merge_schema=True)` unions the footer
+    schemas so the new column surfaces table-wide with typed nulls on
+    the old rows — without the flag, whichever footer wins the schema
+    race silently drops the column (the failure mode this gate
+    exists to pin). The oracle re-derives the union with an explicit
+    NULL cast on the old half; the null-channel rows aggregate under
+    'unknown', so a reader that lost the column, lost the old rows'
+    nulls, or coerced them to a default all hash-fail.
+    `schema_merged` additionally pins the contrast: the non-merged
+    read of the same snapshot does NOT see o_channel when batch 0's
+    footer wins (or sees it when batch 1's wins) — either way its
+    schema is one batch's, not the union."""
+    import shutil
+
+    from .. import streaming
+    from ..streaming import manifest
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    table = _stream_src_dir("schemaevo", sf_dir)
+    shutil.rmtree(table, ignore_errors=True)
+    streaming.write_batch_partition(
+        o.filter(F.col("o_orderkey") % 2 == 0), table, 0
+    )
+    manifest.commit_batch(spark, table, 0)
+    evolved = o.filter(F.col("o_orderkey") % 2 == 1).withColumn(
+        "o_channel",
+        F.when(F.col("o_orderkey") % 4 == 1, "web").otherwise("store"),
+    )
+    streaming.write_batch_partition(evolved, table, 1)
+    manifest.commit_batch(spark, table, 1)
+    merged = manifest.read_snapshot_rows(spark, table, merge_schema=True)
+    plain = manifest.read_snapshot_rows(spark, table)
+    # merged MUST carry the evolved column over every row; the plain
+    # read either lost the column (batch 0's footer won the race) or
+    # kept it — but never loses rows either way
+    ok = "o_channel" in merged.columns and (
+        "o_channel" not in plain.columns or plain.count() == merged.count()
+    )
+    return merged.groupBy(
+        F.coalesce("o_channel", F.lit("unknown")).alias("channel")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.countDistinct("o_orderpriority").cast("bigint").alias("n_priorities"),
+        F.lit(ok).alias("schema_merged"),
+    )

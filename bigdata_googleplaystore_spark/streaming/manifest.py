@@ -448,6 +448,7 @@ def read_snapshot_rows(
     table_dir: str,
     version: int | None = None,
     where_between: tuple[str, object, object] | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """ROW-table snapshot read with merge-on-read semantics: union the
     manifest's data partitions, then anti-join the manifest's delete
@@ -456,6 +457,14 @@ def read_snapshot_rows(
     compact_rows_apply_deletes). Uncommitted data AND uncommitted
     deletes are equally invisible — both sides of the table's state
     advance only by manifest commits.
+
+    `merge_schema=True` unions the batch schemas (parquet footer
+    union / by-name union on the sequence path) so ADDITIVE columns
+    that arrived in later batches surface everywhere, older rows
+    reading typed nulls — without it the scan takes one footer's
+    schema and a later batch's new column could silently vanish.
+    Costs a footer read per planned batch; leave off for
+    fixed-schema state tables.
 
     `where_between=(col, lo, hi)` additionally applies a range
     predicate — and, when the manifest carries zone-map stats for
@@ -489,7 +498,11 @@ def read_snapshot_rows(
 
             rows = rows.withColumn("_seq", F.lit(0))
     elif needs_seq:
-        rows = _rows_with_seq(spark, table_dir, ids)
+        rows = _rows_with_seq(spark, table_dir, ids, merge_schema)
+    elif merge_schema:
+        rows = spark.read.option("mergeSchema", "true").parquet(
+            *[f"{table_dir.rstrip('/')}/_batch_id={b}" for b in ids]
+        )
     else:
         rows = spark.read.parquet(
             *[f"{table_dir.rstrip('/')}/_batch_id={b}" for b in ids]
@@ -512,9 +525,16 @@ def _effective_seq(batch_id: int) -> int:
     return batch_id if batch_id >= 0 else -batch_id - 1
 
 
-def _rows_with_seq(spark: SparkSession, table_dir: str, ids: list[int]) -> DataFrame:
+def _rows_with_seq(
+    spark: SparkSession,
+    table_dir: str,
+    ids: list[int],
+    merge_schema: bool = False,
+) -> DataFrame:
     """Union the batch partitions with a `_seq` provenance column — the
-    per-row ingestion order sequence-aware deletes join against."""
+    per-row ingestion order sequence-aware deletes join against. With
+    `merge_schema`, the by-name union fills columns missing from older
+    batches with typed nulls (additive schema evolution)."""
     from pyspark.sql import functions as F
 
     parts = [
@@ -525,7 +545,7 @@ def _rows_with_seq(spark: SparkSession, table_dir: str, ids: list[int]) -> DataF
     ]
     out = parts[0]
     for p in parts[1:]:
-        out = out.unionByName(p)
+        out = out.unionByName(p, allowMissingColumns=merge_schema)
     return out
 
 

@@ -517,3 +517,24 @@ def test_history_and_rollback(spark, tmp_path):
     ]
     # rollback to current is a no-op
     assert manifest.rollback(spark, table, v) == v
+
+
+def test_schema_evolution_merge_and_deletes_compose(spark, tmp_path):
+    table = str(tmp_path / "tbl")
+    raw = _raw(spark)
+    streaming.write_batch_partition(raw.where(F.col("id") < 100), table, 0)
+    manifest.commit_batch(spark, table, 0)
+    evolved = raw.where(F.col("id") >= 100).withColumn("tag", F.lit("new"))
+    streaming.write_batch_partition(evolved, table, 1)
+    manifest.commit_batch(spark, table, 1)
+    merged = manifest.read_snapshot_rows(spark, table, merge_schema=True)
+    assert "tag" in merged.columns
+    assert merged.count() == 200
+    assert merged.where(F.col("tag").isNull()).count() == 100  # old rows
+    # deletes compose with the merged read
+    manifest.commit_deletes(
+        spark, table, raw.where(F.col("id") % 2 == 0).select("id"), 0
+    )
+    after = manifest.read_snapshot_rows(spark, table, merge_schema=True)
+    assert after.count() == 100
+    assert after.where(F.col("tag") == "new").count() == 50
