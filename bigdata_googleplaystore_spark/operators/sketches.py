@@ -336,6 +336,12 @@ def hash_sample(
     the sample of the union, so a quantile/statistics sample can be
     maintained incrementally next to the state table and re-read
     without touching history. The sketch tier for order statistics,
-    which have no small mergeable exact summary."""
+    which have no small mergeable exact summary.
+
+    Key columns are joined with ':' before hashing; with free-form
+    string keys, distinct rows whose joined forms collide (("a:b","c")
+    vs ("a","b:c")) would share a hash and sample together — use
+    separator-free or fixed-width key domains (ids, codes), as every
+    caller here does."""
     key = F.concat_ws(":", *[F.col(c).cast("string") for c in key_cols])
     return df.where(kmv_u(key, salt) < rate)

@@ -323,6 +323,12 @@ def vacuum(
     Returns (partition_dirs_deleted, manifests_deleted)."""
     from .. import streaming
 
+    if keep_versions < 1:
+        raise ValueError(
+            f"vacuum: keep_versions={keep_versions} would retain no "
+            "manifest and delete every referenced partition — at least "
+            "the current snapshot must survive"
+        )
     versions = list_versions(spark, table_dir)
     if not versions:
         return (0, 0)

@@ -538,3 +538,10 @@ def test_schema_evolution_merge_and_deletes_compose(spark, tmp_path):
     after = manifest.read_snapshot_rows(spark, table, merge_schema=True)
     assert after.count() == 100
     assert after.where(F.col("tag") == "new").count() == 50
+
+
+def test_vacuum_refuses_zero_retention(spark, tmp_path):
+    table = str(tmp_path / "tbl")
+    _write_committed_batches(spark, table)
+    with pytest.raises(ValueError, match="at least"):
+        manifest.vacuum(spark, table, keep_versions=0)
