@@ -26,7 +26,7 @@ from .tpch import flagship  # noqa: E402,F401
 #
 # Round-9 window (VERDICT r08 items 2-3 + all four r08 ADVICE items,
 # plus the round's feature additions):
-# (a) the 25 NEW gates (ten manifest/lakehouse, eight sketch-tier,
+# (a) the 26 NEW gates (eleven manifest/lakehouse, eight sketch-tier,
 # SQL scripting, statestore reader, incremental minhash, IVF index
 # persistence) and the four gates whose implementations changed this
 # round (compaction's write-base-before-delete swap, the '{]'
@@ -34,8 +34,8 @@ from .tpch import flagship  # noqa: E402,F401
 # guard, ivf_topk's stored-index consistency check) need fresh rows
 # regardless of past greens. Then (b) the 15 queries whose newest
 # driver row is r03 — the registry's oldest evidence — and (c) the 45
-# r04-stale names in r04 insertion order. 93 names total; the driver
-# records ~50, so roughly the last 39 r04 names roll to r10 (after
+# r04-stale names in r04 insertion order. 94 names total; the driver
+# records ~50, so roughly the last 40 r04 names roll to r10 (after
 # r09 no query's newest row is older than r04; r10 clears the
 # remainder to r05+).
 _PRIORITY: list[str] = [
@@ -51,6 +51,7 @@ _PRIORITY: list[str] = [
     "mv_manifest_metadata_count",  # new: COUNT(*) from manifest metadata
     "mv_manifest_rollback",  # new: RESTORE via one atomic commit, history intact
     "mv_manifest_schema_evolution",  # new: additive columns via footer-union reads
+    "mv_manifest_forget_keys",  # new: right-to-be-forgotten with erasure proof
     "sketch_kmv_merge_partials",  # new: KMV semilattice merge via state table
     "sketch_cms_signed_cdc",  # new: CMS under retractions (signed linearity)
     "sketch_cms_join_size",  # new: CBO join-size estimate via CMS inner product

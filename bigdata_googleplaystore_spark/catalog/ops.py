@@ -8589,3 +8589,81 @@ def mv_manifest_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("o_orderpriority").cast("bigint").alias("n_priorities"),
         F.lit(ok).alias("schema_merged"),
     )
+
+
+@register(
+    "mv_manifest_forget_keys",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+             AS total_price,
+           TRUE AS physically_erased
+    FROM orders
+    WHERE o_orderkey % 100 <> 42
+    GROUP BY o_orderpriority
+    """,
+    tags=("incremental", "manifest", "merge-on-read", "compliance", "scale"),
+)
+def mv_manifest_forget_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT-TO-BE-FORGOTTEN as a composition of the manifest layer's
+    primitives, with a PHYSICAL-erasure proof — the compliance flow a
+    lakehouse runs when deletion must mean deletion, not masking:
+
+      1. `commit_deletes` — the forget request lands as a key file:
+         instantly effective for every reader, O(|keys|), but the
+         bytes still exist in the data files (merge-on-read masks);
+      2. `compact_rows_apply_deletes(upto=max batch)` — full
+         copy-on-write catch-up rewrites the data WITHOUT the
+         forgotten rows behind one atomic commit;
+      3. `vacuum(keep_versions=1)` — the old partitions (which still
+         contain the bytes) and the pre-forget manifests are
+         physically removed.
+
+    The gate forgets every o_orderkey ending in 42 across a 3-batch
+    orders table and then PROVES erasure the hard way: it re-reads
+    every parquet directory left on disk RAW (no manifest, no delete
+    masking) and asserts zero forgotten keys remain anywhere —
+    `physically_erased` also pins that before compaction the raw dirs
+    DID still hold the rows (masking ≠ erasure, the distinction
+    auditors ask about). Values hash against the WHERE-filtered
+    oracle. At 100 TB the flow is: a kilobyte key file now, one
+    rewrite of the affected data at the next maintenance window, GC —
+    never an emergency full-table rewrite in the request path."""
+    import shutil
+
+    from .. import streaming
+    from ..streaming import manifest
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", dec2(F.col("o_totalprice")).alias("v")
+    )
+    table = _stream_src_dir("forget", sf_dir)
+    shutil.rmtree(table, ignore_errors=True)
+    for b in range(3):
+        streaming.write_batch_partition(
+            o.filter(F.col("o_orderkey") % 3 == b), table, b
+        )
+        manifest.commit_batch(spark, table, b)
+    forget = o.filter(F.col("o_orderkey") % 100 == 42).select("o_orderkey")
+    n_forget = forget.count()
+    manifest.commit_deletes(spark, table, forget, delete_id=0)
+
+    def raw_forgotten_rows() -> int:
+        ids = streaming.list_batch_partitions(spark, table)
+        raw = spark.read.parquet(
+            *[f"{table}/_batch_id={b}" for b in ids]
+        )
+        return raw.filter(F.col("o_orderkey") % 100 == 42).count()
+
+    masked_but_present = raw_forgotten_rows()  # bytes still on disk
+    manifest.compact_rows_apply_deletes(spark, table, upto_batch=2)
+    manifest.vacuum(spark, table, keep_versions=1)
+    still_present = raw_forgotten_rows()  # the erasure proof
+    ok = n_forget > 0 and masked_but_present == n_forget and still_present == 0
+    snap = manifest.read_snapshot_rows(spark, table)
+    return snap.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.round(F.sum("v"), 2).cast("double").alias("total_price"),
+        F.lit(ok).alias("physically_erased"),
+    )
