@@ -8647,20 +8647,40 @@ def mv_manifest_forget_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         manifest.commit_batch(spark, table, b)
     forget = o.filter(F.col("o_orderkey") % 100 == 42).select("o_orderkey")
     n_forget = forget.count()
-    manifest.commit_deletes(spark, table, forget, delete_id=0)
+    # point-in-time delete (cutoff = highest committed sequence): the
+    # request means "forget the rows that exist NOW", so once compaction
+    # passes the cutoff the delete file itself is spent — droppable from
+    # the manifest and physically erasable. An unbounded delete could
+    # never be erased: the KEYS are the PII and it must mask forever.
+    manifest.commit_deletes(spark, table, forget, delete_id=0, cutoff=2)
 
     def raw_forgotten_rows() -> int:
+        # erasure audit over EVERYTHING left on disk that can hold the
+        # keys: the data partitions AND the _deletes key files (the
+        # forget request itself is PII — masking semantics aside, the
+        # key bytes must not survive the flow either)
+        import glob as _glob
+
         ids = streaming.list_batch_partitions(spark, table)
         raw = spark.read.parquet(
             *[f"{table}/_batch_id={b}" for b in ids]
         )
-        return raw.filter(F.col("o_orderkey") % 100 == 42).count()
+        n = raw.filter(F.col("o_orderkey") % 100 == 42).count()
+        for dpath in _glob.glob(f"{table}/_deletes/d*"):
+            keys = spark.read.parquet(dpath)
+            n += keys.filter(F.col("o_orderkey") % 100 == 42).count()
+        return n
 
-    masked_but_present = raw_forgotten_rows()  # bytes still on disk
+    # bytes still on disk: data rows + the delete-key file's own copy
+    masked_but_present = raw_forgotten_rows()
     manifest.compact_rows_apply_deletes(spark, table, upto_batch=2)
     manifest.vacuum(spark, table, keep_versions=1)
     still_present = raw_forgotten_rows()  # the erasure proof
-    ok = n_forget > 0 and masked_but_present == n_forget and still_present == 0
+    ok = (
+        n_forget > 0
+        and masked_but_present == 2 * n_forget  # rows + key-file copies
+        and still_present == 0
+    )
     snap = manifest.read_snapshot_rows(spark, table)
     return snap.groupBy("o_orderpriority").agg(
         F.count("*").cast("bigint").alias("n_rows"),

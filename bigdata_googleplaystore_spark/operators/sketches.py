@@ -298,9 +298,16 @@ def cms_lookup(
             )
         ).alias("_rb"),
     ).select("*", F.col("_rb.row_idx").alias("row_idx"), F.col("_rb.bucket").alias("bucket")).drop("_rb")
-    joined = probes.join(F.broadcast(matrix), ["row_idx", "bucket"])
+    # LEFT join + coalesce-to-0: a queried item whose (row, bucket) cell
+    # was never populated must read as 0 (the true CMS cell value for an
+    # absent item), not drop out of the probe set — an inner join here
+    # would silently vanish fully-absent items and inflate the min for
+    # partially-absent ones by skipping their empty (= smallest) cells.
+    joined = probes.join(F.broadcast(matrix), ["row_idx", "bucket"], "left")
     others = [c for c in queries.columns]
-    return joined.groupBy(*others).agg(F.min("cell").alias("cms_est"))
+    return joined.groupBy(*others).agg(
+        F.min(F.coalesce(F.col("cell"), F.lit(0))).cast("long").alias("cms_est")
+    )
 
 
 def cms_inner_product(matrix_a: DataFrame, matrix_b: DataFrame) -> DataFrame:

@@ -159,7 +159,13 @@ def commit_version(
     }
     data = json.dumps(manifest, sort_keys=True).encode("utf-8")
     final = _version_path(table_dir, next_v)
-    tmp = final + ".tmp"
+    # stage at a committer-UNIQUE temp path: two racers planning against
+    # the same prev version must never share a staging file, or the
+    # loser's bytes could be published under the winner's version (the
+    # rename onto `final` is the only arbitration point)
+    import uuid
+
+    tmp = f"{final}.{uuid.uuid4().hex}.tmp"
     jvm, fs, jfinal = _fs(spark, final)
     fs.mkdirs(jvm.org.apache.hadoop.fs.Path(table_dir.rstrip("/") + "/" + MANIFEST_DIR))
     if fs.exists(jfinal):
@@ -318,9 +324,12 @@ def vacuum(
     aged-out partials AND orphan directories from crashed writers or
     aborted compactions (which no manifest ever referenced). Readers
     pinned within the retention window are untouched; this is the
-    retention boundary, exactly a table format's VACUUM.
+    retention boundary, exactly a table format's VACUUM. Delete-key
+    files (_deletes/d*) referenced by no retained manifest and orphan
+    manifest staging files (*.tmp) are reclaimed on the same pass.
 
-    Returns (partition_dirs_deleted, manifests_deleted)."""
+    Returns (dirs_deleted, manifests_deleted) where dirs_deleted counts
+    data partitions plus delete-key dirs."""
     from .. import streaming
 
     if keep_versions < 1:
@@ -334,8 +343,11 @@ def vacuum(
         return (0, 0)
     retained = versions[-keep_versions:]
     keep_ids: set[int] = set()
+    keep_dids: set[int] = set()
     for v in retained:
-        keep_ids |= set(read_manifest(spark, table_dir, v)["batch_ids"])
+        m = read_manifest(spark, table_dir, v)
+        keep_ids |= set(m["batch_ids"])
+        keep_dids |= set(m.get("delete_ids") or [])
     jvm, fs, _ = _fs(spark, table_dir)
     dirs_deleted = 0
     for b in streaming.list_batch_partitions(spark, table_dir):
@@ -351,6 +363,19 @@ def vacuum(
                 jvm.org.apache.hadoop.fs.Path(_bloom_path(table_dir, b)), False
             )
             dirs_deleted += 1
+    # delete-key files referenced by NO retained manifest age out too —
+    # for right-to-be-forgotten flows the keys themselves are PII, so
+    # physical erasure must cover _deletes, not just data partitions
+    ddir = jvm.org.apache.hadoop.fs.Path(
+        table_dir.rstrip("/") + "/" + DELETE_DIR
+    )
+    if fs.exists(ddir):
+        for st in fs.listStatus(ddir):
+            name = st.getPath().getName()
+            if name.startswith("d") and name[1:].isdigit():
+                if int(name[1:]) not in keep_dids:
+                    fs.delete(st.getPath(), True)
+                    dirs_deleted += 1
     man_deleted = 0
     for v in versions:
         if v not in retained:
@@ -358,6 +383,15 @@ def vacuum(
                 jvm.org.apache.hadoop.fs.Path(_version_path(table_dir, v)), False
             )
             man_deleted += 1
+    # crashed committers leave behind uniquely-named *.tmp staging files
+    # in _manifests that no rename ever consumed — reclaim those as well
+    mdir = jvm.org.apache.hadoop.fs.Path(
+        table_dir.rstrip("/") + "/" + MANIFEST_DIR
+    )
+    if fs.exists(mdir):
+        for st in fs.listStatus(mdir):
+            if st.getPath().getName().endswith(".tmp"):
+                fs.delete(st.getPath(), False)
     return (dirs_deleted, man_deleted)
 
 
@@ -390,7 +424,17 @@ def run_stream_manifest_agg(
             table_dir,
             batch_id,
         )
-        commit_batch(spark, table_dir, batch_id)
+        # an EMPTY micro-batch writes no partition directory (dynamic
+        # partition overwrite has nothing to overwrite) — committing its
+        # id would point every later snapshot read at a path that does
+        # not exist. Same guard write_and_commit_batch applies.
+        jvm, fs, _ = _fs(spark, table_dir)
+        if fs.exists(
+            jvm.org.apache.hadoop.fs.Path(
+                table_dir.rstrip("/"), f"_batch_id={batch_id}"
+            )
+        ):
+            commit_batch(spark, table_dir, batch_id)
 
     q = (
         stream_df.writeStream.foreachBatch(write_and_commit)
@@ -413,7 +457,11 @@ def _delete_path(table_dir: str, delete_id: int) -> str:
 
 
 def commit_deletes(
-    spark: SparkSession, table_dir: str, delete_keys: DataFrame, delete_id: int
+    spark: SparkSession,
+    table_dir: str,
+    delete_keys: DataFrame,
+    delete_id: int,
+    cutoff: int | None = None,
 ) -> int:
     """Row-level DELETE without rewriting data files: land a parquet of
     delete KEYS (an equality-delete file, the Iceberg v2 merge-on-read
@@ -425,12 +473,26 @@ def commit_deletes(
     operation and rewriting a table. Readers apply deletes as a
     broadcast anti-join at scan time (read_snapshot_rows);
     compact_rows_apply_deletes later folds them into a rewritten base
-    (copy-on-write catch-up)."""
+    (copy-on-write catch-up).
+
+    `cutoff` bounds the delete in ingestion order (the Iceberg
+    sequence-number rule): it masks only rows of batches with
+    effective sequence <= cutoff. A point-in-time DELETE ("remove the
+    rows that exist NOW") should pass the current max committed
+    sequence — then a later compaction past that cutoff can DROP the
+    delete file entirely and vacuum can physically erase the key
+    bytes, which is what a right-to-be-forgotten flow needs (the keys
+    themselves are PII). `cutoff=None` is the legacy unbounded DELETE:
+    it masks future re-inserts of the key too, and therefore must be
+    retained in the manifest forever."""
     delete_keys.write.mode("overwrite").parquet(_delete_path(table_dir, delete_id))
     last: ConcurrentCommitError | None = None
     for _ in range(5):
         cur = read_manifest(spark, table_dir)
         dids = set(cur.get("delete_ids", [])) | {delete_id}
+        cutoffs = dict(cur.get("delete_cutoffs") or {})
+        if cutoff is not None:
+            cutoffs[str(delete_id)] = cutoff
         prev = cur["version"] if cur["version"] >= 0 else None
         try:
             return commit_version(
@@ -441,7 +503,7 @@ def commit_deletes(
                 prev,
                 sorted(dids),
                 cur.get("stats"),
-                cur.get("delete_cutoffs"),
+                cutoffs,
                 cur.get("blooms"),
             )
         except ConcurrentCommitError as e:  # set-union commutes: retry
@@ -673,15 +735,28 @@ def compact_rows_apply_deletes(
     blooms = {
         k: v for k, v in (cur.get("blooms") or {}).items() if int(k) > upto_batch
     }
+    # a delete whose cutoff the new horizon covers is SPENT: every row it
+    # could ever mask (seq <= cutoff <= upto_batch) was just rewritten out
+    # of the base, and the kept batches all sit above it. Dropping it from
+    # the manifest lets vacuum physically erase the key file — without
+    # this, a right-to-be-forgotten key would live in _deletes forever.
+    # Unbounded (cutoff=None) deletes mask future inserts too: retained.
+    cutoffs = dict(cur.get("delete_cutoffs") or {})
+    kept_dids = [
+        d
+        for d in dids
+        if cutoffs.get(str(d)) is None or cutoffs[str(d)] > upto_batch
+    ]
+    kept_cutoffs = {k: v for k, v in cutoffs.items() if int(k) in set(kept_dids)}
     return commit_version(
         spark,
         table_dir,
         [base_id, *keep],
         upto_batch,
         cur["version"],
-        dids,
+        kept_dids,
         stats,
-        cur.get("delete_cutoffs"),
+        kept_cutoffs,
         blooms,
     )
 
@@ -885,12 +960,39 @@ def write_and_commit_batch(
     raise last if last is not None else RuntimeError("retries must be >= 1")
 
 
+import re as _re
+
+_DATE_ONLY_RE = _re.compile(r"^\d{4}-\d{2}-\d{2}$")
+_TIMESTAMP_RE = _re.compile(r"^\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}:\d{2}(\.\d+)?$")
+
+
+def _skip_lt(a, b) -> bool:
+    """`a < b` for the pruning decision, granularity-normalized: when
+    one side is a date-only string and the other a timestamp string
+    (stats store datetimes as 'YYYY-MM-DD HH:MM:SS' but a caller's
+    date bound stays 'YYYY-MM-DD'), pad the date to midnight before
+    the lexicographic compare. Without this, a batch whose min is
+    exactly midnight of the hi date ('2000-01-31 00:00:00' >
+    '2000-01-31') would be wrongly pruned and skipping would LOSE the
+    boundary rows. Midnight matches Spark's own date->timestamp cast,
+    so the pruned set stays a superset of what the filter keeps. The
+    padding is applied ONLY in the mixed-granularity case so plain
+    string columns keep exact lexicographic semantics."""
+    if isinstance(a, str) and isinstance(b, str):
+        if _DATE_ONLY_RE.match(a) and _TIMESTAMP_RE.match(b):
+            a = a + " 00:00:00"
+        elif _TIMESTAMP_RE.match(a) and _DATE_ONLY_RE.match(b):
+            b = b + " 00:00:00"
+    return a < b
+
+
 def prune_snapshot_batches(manifest_dict: dict, col: str, lo, hi) -> list[int]:
     """The data-skipping decision, as a pure function of the manifest:
     keep a batch iff its recorded [min, max] for `col` can overlap
     [lo, hi]; a batch with no stats for `col` is ALWAYS kept (absence
     of metadata must never lose rows — skipping is an optimization,
-    not a filter)."""
+    not a filter). Date-only vs timestamp bounds are normalized to the
+    same granularity before comparing (see _skip_lt)."""
     lo_j, hi_j = _json_scalar(lo), _json_scalar(hi)
     out = []
     stats = manifest_dict.get("stats", {})
@@ -898,7 +1000,7 @@ def prune_snapshot_batches(manifest_dict: dict, col: str, lo, hi) -> list[int]:
         s = stats.get(str(b), {}).get(col)
         if s is None or s[0] is None or s[1] is None:
             out.append(b)
-        elif not (s[1] < lo_j or s[0] > hi_j):
+        elif not (_skip_lt(s[1], lo_j) or _skip_lt(hi_j, s[0])):
             out.append(b)
     return out
 

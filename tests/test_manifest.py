@@ -545,3 +545,135 @@ def test_vacuum_refuses_zero_retention(spark, tmp_path):
     _write_committed_batches(spark, table)
     with pytest.raises(ValueError, match="at least"):
         manifest.vacuum(spark, table, keep_versions=0)
+
+
+def test_point_in_time_delete_erased_after_compaction_and_vacuum(
+    spark, tmp_path
+):
+    # a cutoff-bounded DELETE is SPENT once compaction's horizon covers
+    # its cutoff: dropped from the manifest, its key file vacuumed — the
+    # right-to-be-forgotten path where the keys themselves are PII
+    table = str(tmp_path / "tbl")
+    raw = _raw(spark)
+    for b in range(2):
+        streaming.write_batch_partition(raw.where(F.col("id") % 2 == b), table, b)
+        manifest.commit_batch(spark, table, b)
+    manifest.commit_deletes(
+        spark, table, raw.where(F.col("id") < 50).select("id"), 0, cutoff=1
+    )
+    assert manifest.read_snapshot_rows(spark, table).count() == 150
+    manifest.compact_rows_apply_deletes(spark, table, upto_batch=1)
+    m = manifest.read_manifest(spark, table)
+    assert m["delete_ids"] == []
+    assert "0" not in (m.get("delete_cutoffs") or {})
+    manifest.vacuum(spark, table, keep_versions=1)
+    jvm, fs, _ = manifest._fs(spark, table)
+    assert not fs.exists(
+        jvm.org.apache.hadoop.fs.Path(manifest._delete_path(table, 0))
+    )
+    assert manifest.read_snapshot_rows(spark, table).count() == 150
+
+
+def test_unbounded_delete_survives_compaction_and_vacuum(spark, tmp_path):
+    # legacy cutoff-None DELETE masks future re-inserts of the key, so
+    # compaction must retain it and vacuum must keep its key file
+    table = str(tmp_path / "tbl")
+    raw = _raw(spark)
+    streaming.write_batch_partition(raw, table, 0)
+    manifest.commit_batch(spark, table, 0)
+    manifest.commit_deletes(
+        spark, table, raw.where(F.col("id") < 50).select("id"), 0
+    )
+    manifest.compact_rows_apply_deletes(spark, table, upto_batch=0)
+    m = manifest.read_manifest(spark, table)
+    assert m["delete_ids"] == [0]
+    manifest.vacuum(spark, table, keep_versions=1)
+    jvm, fs, _ = manifest._fs(spark, table)
+    assert fs.exists(
+        jvm.org.apache.hadoop.fs.Path(manifest._delete_path(table, 0))
+    )
+    # a re-insert of a masked key stays masked (unbounded semantics)
+    streaming.write_batch_partition(raw.where(F.col("id") == 7), table, 5)
+    manifest.commit_batch(spark, table, 5)
+    assert (
+        manifest.read_snapshot_rows(spark, table)
+        .where(F.col("id") == 7)
+        .count()
+        == 0
+    )
+
+
+def test_stream_empty_trigger_commits_no_dangling_id(spark, tmp_path):
+    # an empty micro-batch writes no _batch_id directory; committing its
+    # id would break every later snapshot read with path-not-found
+    raw = _raw(spark)
+    src = str(tmp_path / "src")
+    raw.drop("id").coalesce(1).write.mode("overwrite").parquet(src)
+    # a second source file with ZERO rows -> one trigger is empty
+    raw.drop("id").limit(0).coalesce(1).write.mode("append").parquet(src)
+    table = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    manifest.run_stream_manifest_agg(stream, ["k"], "v", table, ckpt)
+    m = manifest.read_manifest(spark, table)
+    jvm, fs, _ = manifest._fs(spark, table)
+    for b in m["batch_ids"]:
+        assert fs.exists(
+            jvm.org.apache.hadoop.fs.Path(f"{table}/_batch_id={b}")
+        )
+    # the read path survives the empty trigger and the fold is right
+    assert _agg_rows(manifest.read_snapshot_agg(spark, table)) == _direct_rows(
+        raw
+    )
+
+
+def test_prune_mixed_date_timestamp_granularity(spark):
+    import datetime
+
+    m = {
+        "batch_ids": [0, 1],
+        "stats": {
+            "0": {"ts": ["2000-01-31 00:00:00", "2000-02-10 12:00:00"]},
+            "1": {"ts": ["2000-03-01 00:00:00", "2000-03-05 00:00:00"]},
+        },
+    }
+    # hi bound is DATE-only; batch 0's min is exactly midnight of that
+    # date — its boundary rows satisfy BETWEEN, so it must be KEPT
+    kept = manifest.prune_snapshot_batches(
+        m, "ts", datetime.date(2000, 1, 1), datetime.date(2000, 1, 31)
+    )
+    assert kept == [0]
+    # mirrored: date-only stats vs timestamp bounds
+    m2 = {
+        "batch_ids": [0],
+        "stats": {"0": {"d": ["2000-01-01", "2000-01-31"]}},
+    }
+    kept2 = manifest.prune_snapshot_batches(
+        m2,
+        "d",
+        datetime.datetime(2000, 1, 31, 0, 0, 0),
+        datetime.datetime(2000, 2, 15, 0, 0, 0),
+    )
+    assert kept2 == [0]
+    # plain strings keep exact lexicographic semantics (no padding)
+    m3 = {"batch_ids": [0], "stats": {"0": {"s": ["aaa", "bbb"]}}}
+    assert manifest.prune_snapshot_batches(m3, "s", "bbc", "zzz") == []
+
+
+def test_vacuum_reclaims_orphan_manifest_tmp(spark, tmp_path):
+    table = str(tmp_path / "tbl")
+    _write_committed_batches(spark, table)
+    orphan = (
+        manifest._version_path(table, 99) + ".deadbeefdeadbeef.tmp"
+    )
+    manifest._write_small_file(spark, orphan, b"{}")
+    manifest.vacuum(spark, table, keep_versions=1)
+    jvm, fs, _ = manifest._fs(spark, table)
+    assert not fs.exists(jvm.org.apache.hadoop.fs.Path(orphan))
+    # staged-but-never-renamed junk must not corrupt version listing
+    assert manifest.list_versions(spark, table) == [3]

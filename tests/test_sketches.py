@@ -257,3 +257,20 @@ def test_theta_difference_exact_when_not_full(spark):
     assert row["diff_ab_est"] == 200.0  # |A \ B| exactly
     # identity below theta: |A\B| + |A∩B| = clipped |A|
     assert row["diff_ab_est"] + row["inter_est"] == 300.0
+
+
+def test_cms_absent_item_reports_zero(spark, token_counts):
+    # an item never added to the sketch must report cms_est = 0 (its
+    # cells are empty), not vanish from the output or min over only
+    # the populated rows
+    matrix = sketches.cms_build(token_counts, "tok", "n", depth=4, width=4096)
+    probes = spark.createDataFrame([("never-seen",), ("t5",)], "tok string")
+    res = {
+        r["tok"]: r["cms_est"]
+        for r in sketches.cms_lookup(
+            matrix, probes, "tok", depth=4, width=4096
+        ).collect()
+    }
+    assert set(res) == {"never-seen", "t5"}
+    assert res["never-seen"] == 0
+    assert res["t5"] == 6
