@@ -5437,17 +5437,23 @@ def dedup_ngram_jaccard_incremental(spark: SparkSession, sf_dir: str) -> DataFra
     (dedup_minhash_incremental is the LSH tier; this one has no
     s-curve argument to make because nothing is approximate):
     write_jaccard_index persists the base corpus's inverted posting
-    lists + set sizes once, read_jaccard_index reloads them, and the
+    lists + set sizes once, SHINGLE-BUCKETED (`_bucket = pmod(shingle,
+    B)` partition dirs, the modulus frozen in the index meta), and the
     delta batch (every 20th base doc re-ingested under a fresh id)
     finds ALL its >= 0.5 pairs against base + delta without
     re-shingling one byte of base text — the delta's postings join the
-    stored lists broadcast-side, batch-vs-base. The oracle recomputes
-    the inverted-index Jaccard over base ∪ delta in plain SQL and
-    keeps delta-touching pairs: a posting lost in the index round
-    trip, an orientation double-count on delta-delta pairs, a leaked
-    base-base pair, or set-size drift all change the pair set or a
-    jaccard value and hash-fail. Incremental == full-recompute-
-    restricted is additionally asserted in tests/test_llm.py."""
+    stored lists broadcast-side, batch-vs-base, and the base scan is
+    PRUNED at planning time to only the buckets the delta's shingles
+    hash into (jaccard_pairs_incremental_indexed), making base-side
+    rows read O(|delta|) regardless of base size. The oracle
+    recomputes the inverted-index Jaccard over base ∪ delta in plain
+    SQL and keeps delta-touching pairs: a posting lost in the index
+    round trip, a bucket wrongly pruned (its pairs vanish), an
+    orientation double-count on delta-delta pairs, a leaked base-base
+    pair, or set-size drift all change the pair set or a jaccard value
+    and hash-fail. Incremental == full-recompute-restricted and
+    pruned == full-scan are additionally asserted in
+    tests/test_llm.py."""
     from .ops import _stream_src_dir
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -5455,10 +5461,11 @@ def dedup_ngram_jaccard_incremental(spark: SparkSession, sf_dir: str) -> DataFra
         (F.col("doc_id") + 1000000).alias("doc_id"), "text"
     )
     idx = _stream_src_dir("jac_index", sf_dir)
-    dedup.write_jaccard_index(d, idx, "doc_id", "text", n=3)
-    postings = dedup.read_jaccard_index(spark, idx)
-    return dedup.jaccard_pairs_incremental(
-        postings, delta, "doc_id", "text", n=3, threshold=0.5
+    # buckets=16 (explicit) so the gate's small corpus still exercises
+    # real multi-bucket pruning, not the auto-sized single bucket
+    dedup.write_jaccard_index(d, idx, "doc_id", "text", n=3, buckets=16)
+    return dedup.jaccard_pairs_incremental_indexed(
+        spark, idx, delta, "doc_id", "text", threshold=0.5
     )
 
 

@@ -835,24 +835,103 @@ def build_jaccard_index(df: DataFrame, id_col: str, text_col: str, n: int = 3) -
     )
 
 
+JAC_INDEX_TARGET_ROWS = 1 << 21  # ~2M posting rows per bucket
+
+
 def write_jaccard_index(
-    df: DataFrame, path: str, id_col: str, text_col: str, n: int = 3
-) -> None:
-    """Persist build_jaccard_index to `{path}/postings` — the
-    train-once/join-many contract for incremental exact-threshold
-    near-dup (daily increments never re-shingle history). At cluster
-    scale, store postings bucketed by shingle so each increment's
-    candidate join co-locates; plain parquet keeps this environment
-    metastore-free."""
-    build_jaccard_index(df, id_col, text_col, n).write.mode(
-        "overwrite"
-    ).parquet(path.rstrip("/") + "/postings")
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    buckets: int | None = None,
+    target_rows_per_bucket: int = JAC_INDEX_TARGET_ROWS,
+) -> int:
+    """Persist build_jaccard_index to `{path}/postings`, HASH-BUCKETED
+    by shingle (`_bucket = pmod(shingle, B)` partition directories) —
+    the train-once/join-many contract for incremental exact-threshold
+    near-dup (daily increments never re-shingle history).
+
+    The bucketing is what makes the base-side cost of an increment
+    O(|delta|) instead of O(|base|): every posting row for a given
+    shingle lives in exactly ONE bucket, so a delta batch needs only
+    the buckets its own shingles hash into
+    (jaccard_pairs_incremental_indexed prunes at PLANNING time via
+    partition pruning). With `buckets=None` the count is auto-sized to
+    `target_rows_per_bucket`, so per-bucket volume stays ~constant as
+    the corpus grows — a delta touching S distinct shingles reads at
+    most S buckets' worth of rows no matter how large the base gets
+    (the hash-index argument; measured in
+    tools/incremental_dedup_probe.py). The modulus is FROZEN at
+    creation and recorded in `{path}/meta`; append_jaccard_index grows
+    the store under it, and a rebucket (rewrite at a larger B) is the
+    maintenance action once per-bucket volume drifts past ~2x target.
+
+    Returns the bucket count used. Auto-sizing pays one extra pass
+    over the delta-free postings for the count; pass `buckets`
+    explicitly to skip it."""
+    spark = df.sparkSession
+    postings = build_jaccard_index(df, id_col, text_col, n)
+    if buckets is None:
+        total = postings.count()
+        buckets = max(1, -(-total // int(target_rows_per_bucket)))
+    buckets = int(buckets)
+    bucketed = postings.withColumn(
+        "_bucket", F.pmod(F.col("shingle"), F.lit(buckets)).cast("int")
+    )
+    (
+        bucketed.repartition(max(buckets, 32), "_bucket")
+        .write.mode("overwrite")
+        .partitionBy("_bucket")
+        .parquet(path.rstrip("/") + "/postings")
+    )
+    spark.createDataFrame(
+        [(buckets, int(n))], "buckets int, n int"
+    ).coalesce(1).write.mode("overwrite").json(path.rstrip("/") + "/meta")
+    return buckets
+
+
+def read_jaccard_index_meta(spark, path: str) -> dict | None:
+    """The frozen index parameters ({"buckets": B, "n": n}), or None
+    for a pre-bucketing flat index (back-compat: full-scan reads)."""
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/meta")
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return None
+    row = spark.read.json(path.rstrip("/") + "/meta").collect()[0]
+    return {"buckets": int(row["buckets"]), "n": int(row["n"])}
 
 
 def read_jaccard_index(spark, path: str) -> DataFrame:
     """Load a write_jaccard_index result as the postings frame
-    jaccard_pairs_incremental takes — a lazy scan, nothing collected."""
-    return spark.read.parquet(path.rstrip("/") + "/postings")
+    jaccard_pairs_incremental takes — a lazy full scan, nothing
+    collected (consumers that want bucket pruning go through
+    jaccard_pairs_incremental_indexed instead)."""
+    df = spark.read.parquet(path.rstrip("/") + "/postings")
+    return df.drop("_bucket") if "_bucket" in df.columns else df
+
+
+def append_jaccard_index(
+    spark, path: str, delta: DataFrame, id_col: str, text_col: str
+) -> None:
+    """Fold a delta batch into the bucketed store under the FROZEN
+    modulus (the next increment then sees base+delta without any
+    rewrite): delta postings append into their matching `_bucket`
+    directories only — O(|delta|) write, untouched buckets' files are
+    never rewritten."""
+    meta = read_jaccard_index_meta(spark, path)
+    if meta is None:
+        raise ValueError(
+            f"{path} is a flat (pre-bucketing) index; rewrite it with "
+            "write_jaccard_index before appending"
+        )
+    bucketed = build_jaccard_index(delta, id_col, text_col, meta["n"]).withColumn(
+        "_bucket", F.pmod(F.col("shingle"), F.lit(meta["buckets"])).cast("int")
+    )
+    bucketed.write.mode("append").partitionBy("_bucket").parquet(
+        path.rstrip("/") + "/postings"
+    )
 
 
 def jaccard_pairs_incremental(
@@ -862,6 +941,7 @@ def jaccard_pairs_incremental(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """INCREMENTAL exact-threshold n-gram Jaccard: every pair the delta
     batch introduces against an indexed base (>= threshold, at least
@@ -880,13 +960,47 @@ def jaccard_pairs_incremental(
     delta-touching pairs (asserted in tests/test_llm.py and oracle-
     gated by dedup_ngram_jaccard_incremental).
 
-    The hot-shingle cap (`max_shingle_df`) is deliberately ABSENT
-    here: a df cap is a corpus-global decision that changes as the
-    corpus grows, so an incremental run capping on partial counts
-    would silently diverge from the one-shot semantics. Production
-    keeps running df counts in the index and re-caps per increment —
-    a documented extension, not a silent behavior."""
+    The hot-shingle cap (`max_shingle_df`) is a corpus-global decision
+    that changes as the corpus grows, so capping on PARTIAL counts
+    would silently diverge from the one-shot semantics. The cap here
+    therefore recomputes each shingle's CURRENT total df (stored base
+    postings + this delta) before dropping — see
+    _jaccard_pairs_from_delta_postings; with the bucketed store the
+    recount touches only the delta's buckets, each of which holds its
+    shingles' COMPLETE posting lists, so the df is exact, not partial.
+    Pairs reported by EARLIER increments reflect the df of the corpus
+    as it was then — append-only outputs are not retroactively
+    re-capped, the same contract every streaming dedup pipeline has."""
     d_post = build_jaccard_index(delta, id_col, text_col, n).localCheckpoint()
+    return _jaccard_pairs_from_delta_postings(
+        d_post, base_postings, threshold, max_shingle_df
+    )
+
+
+def _jaccard_pairs_from_delta_postings(
+    d_post: DataFrame,
+    base_postings: DataFrame,
+    threshold: float,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Shared core of the incremental exact tier: delta postings
+    (already built) vs stored base postings. `max_shingle_df` drops
+    HOT shingles by their df over base+delta — the hot set is tiny by
+    definition (df > cap), so it broadcasts and both sides anti-join
+    it map-side; set sizes stay full, exactly the one-shot
+    jaccard_pairs cap semantics (capped incremental == capped one-shot
+    restricted to delta-touching pairs, asserted in tests)."""
+    if max_shingle_df is not None:
+        hot = (
+            base_postings.select("shingle")
+            .unionByName(d_post.select("shingle"))
+            .groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > max_shingle_df)
+            .select("shingle")
+        )
+        d_post = d_post.join(F.broadcast(hot), "shingle", "left_anti")
+        base_postings = base_postings.join(F.broadcast(hot), "shingle", "left_anti")
     right = base_postings.select(
         F.col("doc").alias("doc_r"),
         F.col("set_size").alias("size_r"),
@@ -923,6 +1037,62 @@ def jaccard_pairs_incremental(
         .agg(F.count("*").alias("n_common"))
     )
     return _jaccard_threshold(inter, threshold)
+
+
+def jaccard_pairs_incremental_indexed(
+    spark,
+    index_path: str,
+    delta: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """jaccard_pairs_incremental against a BUCKETED on-disk index, with
+    planning-time bucket pruning: the delta's shingles are hashed with
+    the index's frozen modulus, the distinct touched bucket ids are
+    collected (at most min(|delta shingles|, B) ints — delta-sized,
+    never corpus-sized), and the base scan reads ONLY those `_bucket=`
+    partition directories. Because write_jaccard_index sizes B to hold
+    per-bucket volume ~constant as the corpus grows, the base-side
+    rows an increment reads are O(|delta|) regardless of base size —
+    the measured residual that made the unbucketed incremental path
+    grow with the base (tools/incremental_dedup_probe.py) is gone.
+    Results are identical to the full-scan path (asserted in
+    tests/test_llm.py): pruning only removes buckets that cannot
+    contain a delta shingle's postings. The shingle n-gram width comes
+    from the index meta — the delta must shingle the same way the base
+    was indexed."""
+    meta = read_jaccard_index_meta(spark, index_path)
+    if meta is None:
+        return jaccard_pairs_incremental(
+            read_jaccard_index(spark, index_path),
+            delta,
+            id_col,
+            text_col,
+            3,
+            threshold,
+            max_shingle_df,
+        )
+    d_post = build_jaccard_index(delta, id_col, text_col, meta["n"]).localCheckpoint()
+    touched = [
+        r["b"]
+        for r in d_post.select(
+            F.pmod(F.col("shingle"), F.lit(meta["buckets"]))
+            .cast("int")
+            .alias("b")
+        )
+        .distinct()
+        .collect()
+    ]
+    base = (
+        spark.read.parquet(index_path.rstrip("/") + "/postings")
+        .where(F.col("_bucket").isin(touched))
+        .drop("_bucket")
+    )
+    return _jaccard_pairs_from_delta_postings(
+        d_post, base, threshold, max_shingle_df
+    )
 
 
 def connected_components_incremental(

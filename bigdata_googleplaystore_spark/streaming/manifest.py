@@ -66,6 +66,62 @@ class ConcurrentCommitError(RuntimeError):
     the latest manifest and retry on top of it."""
 
 
+class CommitBackend:
+    """The pluggable PUBLISH primitive of the commit protocol — the ONE
+    operation that must be atomic create-if-absent. Everything else in
+    this module (planning, optimistic retry, GC) is backend-agnostic.
+
+    publish(spark, data, final_path) either makes `final_path` exist
+    with exactly `data` while no other committer's publish of the same
+    path can also succeed, or raises ConcurrentCommitError.
+
+    Known implementations of this contract (all public designs):
+    - RenameCommitBackend (default, below): stage at a unique temp
+      path, rename onto final — namespace-atomic on HDFS where rename
+      fails if the destination exists. On the LOCAL filesystem
+      rename(2) silently replaces, so a pre-check stands in (a small
+      TOCTOU window, acceptable single-writer).
+    - A conditional-put backend for object stores: S3 `If-None-Match:
+      *` / GCS `x-goog-if-generation-match: 0` — one PUT that the
+      store itself arbitrates; no temp file, no rename.
+    - An external-catalog backend (Hive lock / DynamoDB conditional
+      write / a database row with a unique constraint) when the store
+      offers neither atomic rename nor conditional put.
+    Swapping the backend changes NOTHING above this line — commit
+    flows, retries, checkpoint pointers, vacuum all hold."""
+
+    def publish(self, spark: SparkSession, data: bytes, final_path: str) -> None:
+        raise NotImplementedError
+
+
+class RenameCommitBackend(CommitBackend):
+    """Default backend: unique-temp write + atomic rename (see
+    CommitBackend). The staging name embeds a fresh uuid so two racers
+    planning against the same prev version can never clobber each
+    other's bytes; only the rename onto the version path arbitrates."""
+
+    def publish(self, spark: SparkSession, data: bytes, final_path: str) -> None:
+        import uuid
+
+        jvm, fs, jfinal = _fs(spark, final_path)
+        fs.mkdirs(jfinal.getParent())
+        if fs.exists(jfinal):
+            raise ConcurrentCommitError(
+                f"{final_path} already exists; re-read latest and retry"
+            )
+        tmp = f"{final_path}.{uuid.uuid4().hex}.tmp"
+        _write_small_file(spark, tmp, data)
+        jtmp = jvm.org.apache.hadoop.fs.Path(tmp)
+        if not fs.rename(jtmp, jfinal):
+            fs.delete(jtmp, False)
+            raise ConcurrentCommitError(
+                f"lost the rename race for {final_path}; retry"
+            )
+
+
+_DEFAULT_BACKEND = RenameCommitBackend()
+
+
 def _fs(spark: SparkSession, path: str):
     jvm = spark.sparkContext._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(path)
@@ -111,7 +167,70 @@ def list_versions(spark: SparkSession, table_dir: str) -> list[int]:
     return sorted(out)
 
 
+CHECKPOINT_INTERVAL = 10
+CHECKPOINT_FILE = "_last_checkpoint.json"
+
+
+def _checkpoint_path(table_dir: str) -> str:
+    return f"{table_dir.rstrip('/')}/{MANIFEST_DIR}/{CHECKPOINT_FILE}"
+
+
+def write_checkpoint(spark: SparkSession, table_dir: str, version: int) -> None:
+    """Refresh the ADVISORY latest-version pointer (the public
+    `_last_checkpoint` idea). Unlike a log-structured format, every
+    manifest here is already a complete snapshot, so the checkpoint
+    carries no state — just a version number that lets cold readers
+    probe forward instead of listing 10^5 version files. Overwrite-in-
+    place is fine BECAUSE it is advisory: a torn/stale/missing pointer
+    only degrades latest_version to the full-listing path, never to a
+    wrong answer."""
+    _write_small_file(
+        spark,
+        _checkpoint_path(table_dir),
+        json.dumps({"version": int(version)}).encode("utf-8"),
+    )
+
+
+def read_checkpoint(spark: SparkSession, table_dir: str) -> int | None:
+    """The pointer's version, or None when absent/unreadable (both mean
+    'fall back to listing', never an error)."""
+    jvm, fs, _ = _fs(spark, table_dir)
+    p = jvm.org.apache.hadoop.fs.Path(_checkpoint_path(table_dir))
+    if not fs.exists(p):
+        return None
+    try:
+        return int(
+            json.loads(
+                _read_small_file(spark, _checkpoint_path(table_dir)).decode(
+                    "utf-8"
+                )
+            )["version"]
+        )
+    except (ValueError, KeyError, TypeError):
+        return None
+
+
 def latest_version(spark: SparkSession, table_dir: str) -> int | None:
+    """Newest committed version. Fast path: start from the checkpoint
+    pointer and probe FORWARD (versions are dense integers — each
+    commit is prev+1 and vacuum only removes a prefix, so from any
+    existing version upward the files are contiguous); cost is
+    O(commits since the last checkpoint) exists-checks, not an
+    O(all versions) listing — the difference between a 10^5-commit
+    table planning from ~10 metadata probes vs a paged object-store
+    LIST. Falls back to the full listing whenever the pointer is
+    absent or points at a vacuumed version."""
+    jvm, fs, _ = _fs(spark, table_dir)
+    ckpt = read_checkpoint(spark, table_dir)
+    if ckpt is not None and fs.exists(
+        jvm.org.apache.hadoop.fs.Path(_version_path(table_dir, ckpt))
+    ):
+        v = ckpt
+        while fs.exists(
+            jvm.org.apache.hadoop.fs.Path(_version_path(table_dir, v + 1))
+        ):
+            v += 1
+        return v
     vs = list_versions(spark, table_dir)
     return vs[-1] if vs else None
 
@@ -138,15 +257,23 @@ def commit_version(
     stats: dict | None = None,
     delete_cutoffs: dict | None = None,
     blooms: dict | None = None,
+    backend: CommitBackend | None = None,
 ) -> int:
-    """Commit the next manifest version via temp-write + rename.
+    """Commit the next manifest version via the backend's atomic
+    create-if-absent publish (default: unique-temp write + rename, see
+    RenameCommitBackend / CommitBackend for the object-store variants).
     `expected_prev` is the version this commit was planned against
     (None for the first commit); if someone else committed in between,
     the version file already exists and ConcurrentCommitError tells the
     caller to re-plan — optimistic concurrency, no locks.
     `delete_ids` are the merge-on-read delete files (see commit_deletes)
     this snapshot applies; `stats` is the zone-map metadata
-    {str(batch_id): {col: [min, max]}} (see write_and_commit_batch)."""
+    {str(batch_id): {col: [min, max]}} (see write_and_commit_batch).
+
+    Every CHECKPOINT_INTERVAL-th commit refreshes the advisory
+    `_last_checkpoint.json` pointer so a cold reader finds the latest
+    version in O(commits since checkpoint) probes instead of an
+    O(all versions) directory listing (see latest_version)."""
     next_v = (expected_prev if expected_prev is not None else -1) + 1
     manifest = {
         "version": next_v,
@@ -158,28 +285,11 @@ def commit_version(
         "blooms": blooms or {},
     }
     data = json.dumps(manifest, sort_keys=True).encode("utf-8")
-    final = _version_path(table_dir, next_v)
-    # stage at a committer-UNIQUE temp path: two racers planning against
-    # the same prev version must never share a staging file, or the
-    # loser's bytes could be published under the winner's version (the
-    # rename onto `final` is the only arbitration point)
-    import uuid
-
-    tmp = f"{final}.{uuid.uuid4().hex}.tmp"
-    jvm, fs, jfinal = _fs(spark, final)
-    fs.mkdirs(jvm.org.apache.hadoop.fs.Path(table_dir.rstrip("/") + "/" + MANIFEST_DIR))
-    if fs.exists(jfinal):
-        raise ConcurrentCommitError(
-            f"manifest v{next_v} already exists (planned against "
-            f"{expected_prev}); re-read latest and retry"
-        )
-    _write_small_file(spark, tmp, data)
-    jtmp = jvm.org.apache.hadoop.fs.Path(tmp)
-    if not fs.rename(jtmp, jfinal):
-        fs.delete(jtmp, False)
-        raise ConcurrentCommitError(
-            f"lost the rename race for manifest v{next_v}; retry"
-        )
+    (backend or _DEFAULT_BACKEND).publish(
+        spark, data, _version_path(table_dir, next_v)
+    )
+    if next_v % CHECKPOINT_INTERVAL == 0:
+        write_checkpoint(spark, table_dir, next_v)
     return next_v
 
 
@@ -392,6 +502,9 @@ def vacuum(
         for st in fs.listStatus(mdir):
             if st.getPath().getName().endswith(".tmp"):
                 fs.delete(st.getPath(), False)
+    # keep the advisory pointer inside the retained window so the fast
+    # path stays fast (a stale pointer would fall back to listing)
+    write_checkpoint(spark, table_dir, retained[-1])
     return (dirs_deleted, man_deleted)
 
 

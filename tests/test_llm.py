@@ -520,6 +520,64 @@ def test_incremental_jaccard_equals_full_recompute(spark, sf_dir, tmp_path):
     got = sorted(map(tuple, inc.collect()))
     want = sorted(map(tuple, full.collect()))
     assert got == want and len(got) > 0
+    # the bucket-PRUNED path over the same store is identical: pruning
+    # only drops buckets no delta shingle hashes into
+    pruned = dedup.jaccard_pairs_incremental_indexed(
+        spark, idx, delta, "doc_id", "text", threshold=0.5
+    )
+    assert sorted(map(tuple, pruned.collect())) == want
+
+
+def test_incremental_jaccard_capped_and_appended(spark, sf_dir, tmp_path):
+    """The corpus-global hot-shingle cap on the incremental path: df is
+    recounted over stored base + delta (exact — each bucket holds its
+    shingles' complete posting lists), so capped incremental == capped
+    one-shot restricted to delta-touching pairs. Then the append
+    lifecycle: folding delta1 into the store makes the NEXT increment
+    see base+delta1 without a rewrite."""
+    from pyspark.sql import functions as F
+
+    from bigdata_googleplaystore_spark.operators import dedup
+    from bigdata_googleplaystore_spark.sources import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # plant a boilerplate phrase in EVERY doc so a hot shingle exists
+    d = d.withColumn(
+        "text", F.concat(F.lit("terms of service apply here . "), F.col("text"))
+    )
+    delta = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 500000).alias("doc_id"), "text"
+    )
+    idx = str(tmp_path / "jac")
+    b = dedup.write_jaccard_index(d, idx, "doc_id", "text", n=3, buckets=8)
+    assert b == 8
+    cap = 50
+    inc = dedup.jaccard_pairs_incremental_indexed(
+        spark, idx, delta, "doc_id", "text", threshold=0.3, max_shingle_df=cap
+    )
+    full = dedup.jaccard_pairs(
+        d.unionByName(delta), "doc_id", "text", n=3, threshold=0.3,
+        max_shingle_df=cap,
+    ).filter((F.col("doc_a") >= 500000) | (F.col("doc_b") >= 500000))
+    got = sorted(map(tuple, inc.collect()))
+    want = sorted(map(tuple, full.collect()))
+    assert got == want and len(got) > 0
+    # append lifecycle: delta1 folds into the store O(|delta1|); the
+    # second increment's pairs against base+delta1 match full recompute
+    dedup.append_jaccard_index(spark, idx, delta, "doc_id", "text")
+    delta2 = d.filter(F.col("doc_id") % 10 == 5).select(
+        (F.col("doc_id") + 900000).alias("doc_id"), "text"
+    )
+    inc2 = dedup.jaccard_pairs_incremental_indexed(
+        spark, idx, delta2, "doc_id", "text", threshold=0.5
+    )
+    full2 = dedup.jaccard_pairs(
+        d.unionByName(delta).unionByName(delta2),
+        "doc_id", "text", n=3, threshold=0.5,
+    ).filter((F.col("doc_a") >= 900000) | (F.col("doc_b") >= 900000))
+    assert sorted(map(tuple, inc2.collect())) == sorted(
+        map(tuple, full2.collect())
+    )
 
 
 def test_incremental_cc_equals_full_recompute(spark):

@@ -677,3 +677,78 @@ def test_vacuum_reclaims_orphan_manifest_tmp(spark, tmp_path):
     assert not fs.exists(jvm.org.apache.hadoop.fs.Path(orphan))
     # staged-but-never-renamed junk must not corrupt version listing
     assert manifest.list_versions(spark, table) == [3]
+
+
+def test_checkpoint_pointer_and_forward_probe(spark, tmp_path):
+    # 12 commits -> pointer refreshed at v10; latest_version probes
+    # forward from it instead of listing, and every degraded pointer
+    # state (stale / corrupt / absent / vacuumed target) still answers
+    # correctly via fallback
+    table = str(tmp_path / "tbl")
+    raw = _raw(spark)
+    for b in range(12):
+        streaming.write_batch_partition(
+            incremental.partial_agg(
+                raw.where(F.col("id") % 12 == b).drop("id"), ["k"], "v"
+            ),
+            table,
+            b,
+        )
+        manifest.commit_batch(spark, table, b)
+    assert manifest.read_checkpoint(spark, table) == 10
+    assert manifest.latest_version(spark, table) == 11
+    # stale pointer: still correct (probes forward)
+    manifest.write_checkpoint(spark, table, 3)
+    assert manifest.latest_version(spark, table) == 11
+    # corrupt pointer: falls back to listing
+    manifest._write_small_file(
+        spark, manifest._checkpoint_path(table), b"not json"
+    )
+    assert manifest.latest_version(spark, table) == 11
+    # absent pointer: listing fallback
+    jvm, fs, _ = manifest._fs(spark, table)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(manifest._checkpoint_path(table)), False)
+    assert manifest.latest_version(spark, table) == 11
+    # vacuum refreshes the pointer into the retained window
+    manifest.vacuum(spark, table, keep_versions=2)
+    assert manifest.read_checkpoint(spark, table) == 11
+    assert manifest.latest_version(spark, table) == 11
+    # pointer at a vacuumed version: fallback, not a wrong answer
+    manifest.write_checkpoint(spark, table, 0)
+    assert manifest.latest_version(spark, table) == 11
+
+
+def test_custom_commit_backend_arbitrates(spark, tmp_path):
+    # the backend is the ONE pluggable atomic primitive: a backend that
+    # reports a lost race surfaces as ConcurrentCommitError; a recording
+    # backend sees exactly the version path and full manifest bytes
+    import json as _json
+
+    table = str(tmp_path / "tbl")
+
+    class Recorder(manifest.CommitBackend):
+        def __init__(self):
+            self.calls = []
+
+        def publish(self, spark, data, final_path):
+            self.calls.append((final_path, data))
+            manifest.RenameCommitBackend().publish(spark, data, final_path)
+
+    rec = Recorder()
+    v = manifest.commit_version(
+        spark, table, [0, 1], None, expected_prev=None, backend=rec
+    )
+    assert v == 0
+    assert rec.calls[0][0] == manifest._version_path(table, 0)
+    assert _json.loads(rec.calls[0][1])["batch_ids"] == [0, 1]
+
+    class AlwaysLoses(manifest.CommitBackend):
+        def publish(self, spark, data, final_path):
+            raise manifest.ConcurrentCommitError("simulated conditional-put 412")
+
+    with pytest.raises(manifest.ConcurrentCommitError):
+        manifest.commit_version(
+            spark, table, [0, 1, 2], None, expected_prev=0, backend=AlwaysLoses()
+        )
+    # the losing publish left no trace: latest is still v0
+    assert manifest.latest_version(spark, table) == 0

@@ -78,7 +78,12 @@ def octave(spark, k: int) -> dict:
     out = {"base_x": k, "n_base": d.count(), "n_delta": delta.count()}
     t0 = time.time()
     idx = f"/tmp/incr_probe_oct_{k}x"
-    dedup.write_jaccard_index(d, idx, "doc_id", "text", n=3)
+    # auto-sized buckets with a SMALL per-bucket target so bucket count
+    # grows with the base (B ~ postings/target) — the regime where the
+    # pruned path's base-side rows stay O(|delta|) as the base grows
+    out["buckets"] = dedup.write_jaccard_index(
+        d, idx, "doc_id", "text", n=3, target_rows_per_bucket=1 << 19
+    )
     out["index_build_s"] = round(time.time() - t0, 3)
     postings = dedup.read_jaccard_index(spark, idx)
     out["full_s"], _ = timed(
@@ -86,9 +91,33 @@ def octave(spark, k: int) -> dict:
             d.unionByName(delta), "doc_id", "text", 3, 0.5
         ).count()
     )
-    out["incremental_s"], _ = timed(
+    # unbucketed incremental: the r9 baseline whose base-side full scan
+    # grew with the base (the residual this round removes)
+    out["incremental_flat_s"], _ = timed(
         lambda: dedup.jaccard_pairs_incremental(
             postings, delta, "doc_id", "text", 3, 0.5
+        ).count()
+    )
+    out["incremental_pruned_s"], _ = timed(
+        lambda: dedup.jaccard_pairs_incremental_indexed(
+            spark, idx, delta, "doc_id", "text", 0.5
+        ).count()
+    )
+    # LSH tier at the same octave (VERDICT r09 item 6: both incremental
+    # tiers measured across the decades, not just the exact tier)
+    t0 = time.time()
+    idx_m = f"/tmp/incr_probe_oct_lsh_{k}x"
+    dedup.write_lsh_index(d, idx_m, "doc_id", "text", n=3)
+    out["lsh_index_build_s"] = round(time.time() - t0, 3)
+    buckets, hashed = dedup.read_lsh_index(spark, idx_m)
+    out["lsh_full_s"], _ = timed(
+        lambda: dedup.minhash_lsh_pairs(
+            d.unionByName(delta), "doc_id", "text"
+        ).count()
+    )
+    out["lsh_incremental_s"], _ = timed(
+        lambda: dedup.minhash_lsh_pairs_incremental(
+            buckets, hashed, delta, "doc_id", "text"
         ).count()
     )
     return out
@@ -151,8 +180,9 @@ def main() -> None:
             base_labels, delta_pairs
         ).count()
     )
-    # the regime argument: fixed delta against a GROWING base
-    out["octaves"] = [octave(spark, k) for k in (1, 4, 16)]
+    # the regime argument: fixed delta against a GROWING base — three
+    # decades (1x/4x/16x/64x), matching the batch tier's octave probe
+    out["octaves"] = [octave(spark, k) for k in (1, 4, 16, 64)]
     print(json.dumps(out))
 
 
