@@ -21,6 +21,7 @@ land on q1.
 
 from __future__ import annotations
 
+import datetime
 import json
 import os
 import sys
@@ -54,9 +55,63 @@ def _bpe_train_corpus(spark, sf_dir):
     return bpe.learn_bpe_merges(spark, bpe.word_counts(docs), n_merges=16, min_freq=2)
 
 
+def _manifest_read_bench(spark, sf_dir):
+    """Manifest-table READ path over a PRE-BUILT row table — the
+    lakehouse layer's steady-state cost (the gates time build+read;
+    the board regression-tracks the read a 1000-executor cluster pays
+    per query): snapshot planning from the manifest, zone-map pruning
+    on a date range, merge-on-read delete masking, then the aggregate.
+    The build (8 committed batches with o_orderdate stats + one
+    equality-delete commit) runs once per sf and is reused across the
+    warmup/count/min-of-3 invocations, like an ANN index train."""
+    import shutil
+
+    from pyspark.sql import functions as FF
+
+    from bigdata_googleplaystore_spark import streaming
+    from bigdata_googleplaystore_spark.streaming import manifest as mf
+
+    table = f"/tmp/bench_manifest_{sf_dir.rstrip('/').replace('/', '_')}"
+    if mf.latest_version(spark, table) != 8:
+        shutil.rmtree(table, ignore_errors=True)
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderdate", "o_orderpriority", "o_totalprice"
+        )
+        for b in range(8):
+            mf.write_and_commit_batch(
+                spark,
+                o.filter(FF.col("o_orderkey") % 8 == b),
+                table,
+                b,
+                stats_cols=["o_orderdate"],
+            )
+        mf.commit_deletes(
+            spark,
+            table,
+            o.filter(FF.col("o_orderkey") % 100 == 7).select("o_orderkey"),
+            delete_id=0,
+        )
+    rows = mf.read_snapshot_rows(
+        spark,
+        table,
+        where_between=(
+            "o_orderdate",
+            datetime.date(1994, 1, 1),
+            datetime.date(1996, 12, 31),
+        ),
+    )
+    return rows.groupBy("o_orderpriority").agg(
+        FF.count("*").alias("n_rows"),
+        FF.sum("o_totalprice").alias("total_price"),
+    )
+
+
 # Non-registry sf-scaled workloads timed alongside the tagged queries
 # (same interleaved min-of-3, same headline sum).
-EXTRA_BENCH = {"bpe_train_corpus": _bpe_train_corpus}
+EXTRA_BENCH = {
+    "bpe_train_corpus": _bpe_train_corpus,
+    "manifest_snapshot_read": _manifest_read_bench,
+}
 
 
 def materialize(df) -> None:

@@ -24,77 +24,36 @@ from .tpch import flagship  # noqa: E402,F401
 # then the remaining never-checked (the next round's rotation head), then
 # the rest of the previously-green set, oldest evidence first.
 #
-# Round-9 window (VERDICT r08 items 2-3 + all four r08 ADVICE items,
-# plus the round's feature additions):
-# (a) the 26 NEW gates (eleven manifest/lakehouse, eight sketch-tier,
-# SQL scripting, statestore reader, incremental minhash, IVF index
-# persistence) and the four gates whose implementations changed this
-# round (compaction's write-base-before-delete swap, the '{]'
-# guaranteed-invalid JSON injection, the watermark data-assumption
-# guard, ivf_topk's stored-index consistency check) need fresh rows
-# regardless of past greens. Then (b) the 15 queries whose newest
-# driver row is r03 — the registry's oldest evidence — and (c) the 45
-# r04-stale names in r04 insertion order. 94 names total; the driver
-# records ~50, so roughly the last 40 r04 names roll to r10 (after
-# r09 no query's newest row is older than r04; r10 clears the
-# remainder to r05+).
+# Round-10 window (VERDICT r09 item 2 + all five r09 ADVICE fixes):
+# (a) the 10 gates whose implementations changed this round — the
+# manifest commit core (committer-unique staging + pluggable
+# CommitBackend + checkpoint pointer), the empty-micro-batch commit
+# guard (stream_manifest_exactly_once), compaction's spent-delete drop
+# + vacuum's _deletes GC with the extended erasure proof
+# (mv_manifest_row_deletes, mv_manifest_forget_keys), the
+# prune_snapshot_batches granularity normalization
+# (mv_manifest_zone_skip), latest_version's checkpoint fast path
+# (mv_manifest_rollback via history), cms_lookup's left-join absent-
+# item fix (the three cms_lookup gates), and the shingle-bucketed
+# posting store (dedup_ngram_jaccard_incremental). Then (b) the 40
+# r04-stale queries — the registry's oldest evidence — in r04
+# insertion order. 50 names total = the driver's window; after r10 no
+# query's newest driver row is older than r05.
 _PRIORITY: list[str] = [
-    # ===== ROUND-9 WINDOW (the driver records ~50 rows) =====
-    # (a) new or implementation-changed this round — fresh rows required:
-    "mv_manifest_snapshot_read",  # new: manifest-committed atomic snapshots
-    "stream_manifest_exactly_once",  # new: stream publish via manifest commits
-    "mv_manifest_row_deletes",  # new: merge-on-read equality deletes + CoW catch-up
-    "mv_manifest_change_feed",  # new: O(delta) CDF between manifest versions
-    "mv_manifest_zone_skip",  # new: zone-map data skipping from manifest stats
-    "mv_manifest_upsert",  # new: atomic MERGE via sequence-aware delete cutoff
-    "mv_manifest_bloom_lookup",  # new: bloom sidecar point-lookup skipping
-    "mv_manifest_metadata_count",  # new: COUNT(*) from manifest metadata
-    "mv_manifest_rollback",  # new: RESTORE via one atomic commit, history intact
-    "mv_manifest_schema_evolution",  # new: additive columns via footer-union reads
-    "mv_manifest_forget_keys",  # new: right-to-be-forgotten with erasure proof
-    "sketch_kmv_merge_partials",  # new: KMV semilattice merge via state table
-    "sketch_cms_signed_cdc",  # new: CMS under retractions (signed linearity)
-    "sketch_cms_join_size",  # new: CBO join-size estimate via CMS inner product
-    "sketch_sample_quantiles",  # new: deterministic hash-sample order stats
-    "sketch_kmv_distinct",  # new: KMV distinct-count sketch vs exact
-    "sketch_theta_set_ops",  # new: theta union/intersection estimates
-    "sketch_cms_point_queries",  # new: count-min point queries, top-20 terms
-    "sketch_cms_merge_partials",  # new: CMS linear merge via state table
-    "sql_scripting_control_flow",  # new: BEGIN..END WHILE-loop SQL scripting
-    "stream_state_store_read",  # new: statestore-format checkpoint reader
-    "dedup_minhash_incremental",  # new: indexed near-dup over a delta batch
-    "dedup_ngram_jaccard_incremental",  # new: exact-tier incremental near-dup
-    "dedup_incremental_clusters",  # new: label-fold incremental connected components
-    "sim_ann_ivf_index_persist",  # new: train->persist->reload->query lifecycle
-    "sim_ann_ivf_index_append",  # new: frozen-quantizer index growth (ingest)
-    "mv_state_compaction",  # changed: write-base-before-delete crash safety
-    "json_corrupt_record_permissive",  # changed: '{]' guaranteed-invalid inject
-    "stream_watermark_late_drop",  # changed: data-assumption guard
-    "sim_ann_ivf_index_reuse",  # changed: stored-index cid consistency check
-    # (b) the 15 r03-stale queries — the registry's oldest evidence
-    #     (each green in the r08 judge's full driver_sim re-run):
-    "salted_two_stage_agg",
-    "sample_token_budget_per_source",
-    "scd2_type_intervals",
-    "sessionize_gap_cumsum",
-    "source_share_gini",
-    "sql_lateral_topk",
-    "text_char_lm_score",
-    "text_dup_ngram_fraction",
-    "text_linear_classifier_scores",
-    "text_top_ngram_fraction",
-    "tfidf_top_terms",
-    "timeseries_gapfill_ffill",
-    "udtf_word_bigrams",
-    "window_first_last_nth",
-    "window_time_range_rolling",
-    # (c) the 45 r04-stale queries, r04 insertion order (the driver
-    #     window holds ~50, so the last ~15 roll to r10):
-    "text_char_entropy",
-    "logreg_quality_classifier",
-    "multimodal_bytes_meta",
-    "multimodal_frame_stats",
-    "dedup_ngram_jaccard",
+    # ===== ROUND-10 WINDOW (the driver records ~50 rows) =====
+    # (a) implementation-changed this round — fresh rows required:
+    "dedup_ngram_jaccard_incremental",  # changed: shingle-bucketed store + pruning
+    "mv_manifest_forget_keys",  # changed: cutoff deletes + _deletes erasure proof
+    "mv_manifest_row_deletes",  # changed: compaction drops spent delete ids
+    "mv_manifest_snapshot_read",  # changed: commit backend + checkpoint pointer
+    "stream_manifest_exactly_once",  # changed: empty-micro-batch commit guard
+    "mv_manifest_zone_skip",  # changed: date/timestamp granularity normalization
+    "mv_manifest_rollback",  # changed: latest_version checkpoint fast path
+    "sketch_cms_point_queries",  # changed: cms_lookup left-join absent items
+    "sketch_cms_merge_partials",  # changed: cms_lookup left-join absent items
+    "sketch_cms_signed_cdc",  # changed: cms_lookup left-join absent items
+    # (b) the 40 r04-stale queries, r04 insertion order (every one
+    #     green in the r09 judge's full driver_sim re-run):
     "dedup_simhash_containment",
     "bpe_first_merge_invariant",
     "dedup_embedding_ann",

@@ -5444,8 +5444,10 @@ def dedup_ngram_jaccard_incremental(spark: SparkSession, sf_dir: str) -> DataFra
     re-shingling one byte of base text — the delta's postings join the
     stored lists broadcast-side, batch-vs-base, and the base scan is
     PRUNED at planning time to only the buckets the delta's shingles
-    hash into (jaccard_pairs_incremental_indexed), making base-side
-    rows read O(|delta|) regardless of base size. The oracle
+    hash into (jaccard_pairs_incremental_indexed) — constant rows read
+    for small deltas, graceful degradation to the flat map-side scan
+    for bulk ones (the two regimes in the operator's docstring). The
+    oracle
     recomputes the inverted-index Jaccard over base ∪ delta in plain
     SQL and keeps delta-touching pairs: a posting lost in the index
     round trip, a bucket wrongly pruned (its pairs vanish), an

@@ -1053,16 +1053,26 @@ def jaccard_pairs_incremental_indexed(
     the index's frozen modulus, the distinct touched bucket ids are
     collected (at most min(|delta shingles|, B) ints — delta-sized,
     never corpus-sized), and the base scan reads ONLY those `_bucket=`
-    partition directories. Because write_jaccard_index sizes B to hold
-    per-bucket volume ~constant as the corpus grows, the base-side
-    rows an increment reads are O(|delta|) regardless of base size —
-    the measured residual that made the unbucketed incremental path
-    grow with the base (tools/incremental_dedup_probe.py) is gone.
-    Results are identical to the full-scan path (asserted in
-    tests/test_llm.py): pruning only removes buckets that cannot
-    contain a delta shingle's postings. The shingle n-gram width comes
-    from the index meta — the delta must shingle the same way the base
-    was indexed."""
+    partition directories. Base-side rows read =
+    O(min(|base postings|, S x rows_per_bucket)) for S distinct delta
+    shingles — the hash-index cost shape, with the two regimes stated
+    honestly:
+
+    - S << B (single-doc dedup-check-on-write, trickle ingest, point
+      near-dup queries): rows read are CONSTANT as the base grows —
+      tools/incremental_dedup_probe.py measures a 1-doc lookup reading
+      the same few buckets while the corpus grows 64x.
+    - S >= B (bulk proportional increments): every bucket holds some
+      delta shingle, pruning keeps all of them, and the path degrades
+      GRACEFULLY to the flat full-scan join (whose base side already
+      streams map-side against the broadcast delta — a scan, never a
+      shuffle). No regime is worse than the unbucketed path.
+
+    Results are identical to the full-scan path in both regimes
+    (asserted in tests/test_llm.py): pruning only removes buckets that
+    cannot contain a delta shingle's postings. The shingle n-gram
+    width comes from the index meta — the delta must shingle the same
+    way the base was indexed."""
     meta = read_jaccard_index_meta(spark, index_path)
     if meta is None:
         return jaccard_pairs_incremental(

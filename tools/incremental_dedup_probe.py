@@ -103,6 +103,57 @@ def octave(spark, k: int) -> dict:
             spark, idx, delta, "doc_id", "text", 0.5
         ).count()
     )
+    # PRUNING-REGIME measurement: a 1-doc "is this a near-dup of
+    # anything?" lookup against a fine-bucketed index (the S << B
+    # regime where directory pruning bites — dedup-check-on-write).
+    # Rows READ is the structural number: it must stay ~constant as
+    # the base grows 64x, while the flat path's scan grows linearly.
+    idx_fine = f"/tmp/incr_probe_oct_fine_{k}x"
+    out["fine_buckets"] = dedup.write_jaccard_index(
+        d, idx_fine, "doc_id", "text", n=3, target_rows_per_bucket=1 << 11
+    )
+    one_doc = delta.limit(1).localCheckpoint()
+    meta = dedup.read_jaccard_index_meta(spark, idx_fine)
+    d1_post = dedup.build_jaccard_index(one_doc, "doc_id", "text", 3)
+    touched = (
+        d1_post.select(
+            F.pmod(F.col("shingle"), F.lit(meta["buckets"])).cast("int").alias("b")
+        )
+        .distinct()
+        .count()
+    )
+    out["lookup_touched_buckets"] = touched
+    out["base_postings_total"] = dedup.read_jaccard_index(spark, idx_fine).count()
+    pruned_rows = (
+        spark.read.parquet(idx_fine + "/postings")
+        .where(
+            F.col("_bucket").isin(
+                [
+                    r["b"]
+                    for r in d1_post.select(
+                        F.pmod(F.col("shingle"), F.lit(meta["buckets"]))
+                        .cast("int")
+                        .alias("b")
+                    )
+                    .distinct()
+                    .collect()
+                ]
+            )
+        )
+        .count()
+    )
+    out["base_postings_read_pruned"] = pruned_rows
+    out["lookup_pruned_s"], _ = timed(
+        lambda: dedup.jaccard_pairs_incremental_indexed(
+            spark, idx_fine, one_doc, "doc_id", "text", 0.5
+        ).count()
+    )
+    out["lookup_flat_s"], _ = timed(
+        lambda: dedup.jaccard_pairs_incremental(
+            dedup.read_jaccard_index(spark, idx_fine),
+            one_doc, "doc_id", "text", 3, 0.5,
+        ).count()
+    )
     # LSH tier at the same octave (VERDICT r09 item 6: both incremental
     # tiers measured across the decades, not just the exact tier)
     t0 = time.time()
