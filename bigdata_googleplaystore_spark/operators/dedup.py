@@ -1095,11 +1095,27 @@ def jaccard_pairs_incremental_indexed(
         .distinct()
         .collect()
     ]
-    base = (
-        spark.read.parquet(index_path.rstrip("/") + "/postings")
-        .where(F.col("_bucket").isin(touched))
-        .drop("_bucket")
+    # plan from EXPLICIT bucket directory paths, not a root scan with a
+    # partition filter: listing the root costs O(total buckets) file-
+    # system metadata (measured dominating the lookup wall at 8k+
+    # buckets) while listing the touched dirs costs O(|touched|) — the
+    # same no-root-listing discipline the manifest layer's snapshot
+    # reads use. Buckets no base shingle ever hashed into have no
+    # directory; skipping them is exactly the pruning decision.
+    root = index_path.rstrip("/") + "/postings"
+    jvm = spark.sparkContext._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(root).getFileSystem(
+        spark.sparkContext._jsc.hadoopConfiguration()
     )
+    paths = [
+        p
+        for p in (f"{root}/_bucket={b}" for b in sorted(touched))
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(p))
+    ]
+    if not paths:
+        base = read_jaccard_index(spark, index_path).limit(0)
+    else:
+        base = spark.read.parquet(*paths)
     return _jaccard_pairs_from_delta_postings(
         d_post, base, threshold, max_shingle_df
     )
