@@ -518,30 +518,80 @@ def write_lsh_index(
     n: int = 3,
     num_hashes: int = 64,
     bands: int = 16,
+    partitions: int | None = None,
 ) -> None:
     """Persist build_lsh_index's two halves to `{path}/buckets` and
     `{path}/hashed` — the train-once/join-many deployment contract for
     incremental near-dup over a growing corpus (daily crawl increments
-    never re-shingle history). mode=overwrite per corpus version. At
-    cluster scale, write `buckets` as a table BUCKETED BY (band,
-    bucket) so each increment's candidate join co-locates without
-    shuffling the stored side; plain parquet keeps this test
-    environment hive-metastore-free."""
+    never re-shingle history). mode=overwrite per corpus version.
+
+    `partitions=P` (opt-in; default keeps the flat layout the
+    oracle-gated path uses) additionally HASH-PARTITIONS both halves —
+    buckets by `_pb = pmod(bucket, P)`, hashed by
+    `_ph = pmod(xxhash64(doc), P)` — the same store discipline as the
+    bucketed Jaccard index: a small delta then reads only the
+    partitions its own band-buckets hash into and only the hashed-set
+    partitions its CANDIDATES live in
+    (minhash_lsh_pairs_incremental_indexed), so the per-increment base
+    read is candidate-bounded instead of corpus-bounded. P is frozen
+    in `{path}/meta` with the hash-family params; size it to a target
+    per-partition volume the way write_jaccard_index auto-sizes."""
     buckets, hashed = build_lsh_index(df, id_col, text_col, n, num_hashes, bands)
     root = path.rstrip("/")
-    buckets.write.mode("overwrite").parquet(root + "/buckets")
-    hashed.write.mode("overwrite").parquet(root + "/hashed")
+    if partitions is None:
+        buckets.write.mode("overwrite").parquet(root + "/buckets")
+        hashed.write.mode("overwrite").parquet(root + "/hashed")
+        return
+    p = int(partitions)
+    (
+        buckets.withColumn("_pb", F.pmod(F.col("bucket"), F.lit(p)).cast("int"))
+        .repartition(max(p, 32), "_pb")
+        .write.mode("overwrite")
+        .partitionBy("_pb")
+        .parquet(root + "/buckets")
+    )
+    (
+        hashed.withColumn(
+            "_ph", F.pmod(F.xxhash64(F.col("doc")), F.lit(p)).cast("int")
+        )
+        .repartition(max(p, 32), "_ph")
+        .write.mode("overwrite")
+        .partitionBy("_ph")
+        .parquet(root + "/hashed")
+    )
+    df.sparkSession.createDataFrame(
+        [(p, int(n), int(num_hashes), int(bands))],
+        "partitions int, n int, num_hashes int, bands int",
+    ).coalesce(1).write.mode("overwrite").json(root + "/meta")
+
+
+def read_lsh_index_meta(spark, path: str) -> dict | None:
+    """The frozen LSH index parameters, or None for a flat layout."""
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/meta")
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return None
+    row = spark.read.json(path.rstrip("/") + "/meta").collect()[0]
+    return {
+        k: int(row[k]) for k in ("partitions", "n", "num_hashes", "bands")
+    }
 
 
 def read_lsh_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
     """Load a write_lsh_index result as the (buckets, hashed) pair
     minhash_lsh_pairs_incremental takes — lazy parquet scans; nothing
-    is collected to the driver."""
+    is collected to the driver. Partitioned layouts read whole here
+    (the partition columns dropped); pruned reads go through
+    minhash_lsh_pairs_incremental_indexed."""
     root = path.rstrip("/")
-    return (
-        spark.read.parquet(root + "/buckets"),
-        spark.read.parquet(root + "/hashed"),
-    )
+    b = spark.read.parquet(root + "/buckets")
+    h = spark.read.parquet(root + "/hashed")
+    if "_pb" in b.columns:
+        b = b.drop("_pb")
+    if "_ph" in h.columns:
+        h = h.drop("_ph")
+    return b, h
 
 
 def minhash_lsh_pairs_incremental(
@@ -589,6 +639,23 @@ def minhash_lsh_pairs_incremental(
     d_buckets, d_hashed = build_lsh_index(
         delta, id_col, text_col, n, num_hashes, bands
     )
+    return _lsh_pairs_core(
+        d_buckets, d_hashed, base_buckets, lambda _: base_hashed, threshold
+    )
+
+
+def _lsh_pairs_core(
+    d_buckets: DataFrame,
+    d_hashed: DataFrame,
+    base_buckets: DataFrame,
+    base_hashed_for,
+    threshold: float,
+) -> DataFrame:
+    """Shared candidate-generation + exact-verify tail of the
+    incremental LSH paths. `base_hashed_for(cand_docs)` supplies the
+    stored hashed-shingle rows to verify against — the full table on
+    the flat path, only the candidate docs' partitions on the indexed
+    path (which must materialize cand_docs to choose what to read)."""
     all_buckets = base_buckets.unionByName(d_buckets)
     left = d_buckets.select(F.col("doc").alias("doc_l"), "band", "bucket")
     right = all_buckets.select(F.col("doc").alias("doc_r"), "band", "bucket")
@@ -607,7 +674,7 @@ def minhash_lsh_pairs_incremental(
         .unionByName(cands.select(F.col("doc_b").alias("doc")))
         .distinct()
     )
-    needed = base_hashed.unionByName(d_hashed).join(
+    needed = base_hashed_for(cand_docs).unionByName(d_hashed).join(
         F.broadcast(cand_docs), "doc", "left_semi"
     )
     shingles = needed.select(
@@ -626,6 +693,98 @@ def minhash_lsh_pairs_incremental(
         .agg(F.count("*").alias("n_common"))
     )
     return _jaccard_threshold(inter, threshold)
+
+
+def _existing_partition_paths(spark, root: str, col: str, values) -> list[str]:
+    """Explicit `<root>/<col>=<v>` paths that exist — the no-root-
+    listing planning discipline (listing cost O(|values|), never
+    O(|partitions|))."""
+    jvm = spark.sparkContext._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(root).getFileSystem(
+        spark.sparkContext._jsc.hadoopConfiguration()
+    )
+    return [
+        p
+        for p in (f"{root}/{col}={v}" for v in sorted(values))
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(p))
+    ]
+
+
+def minhash_lsh_pairs_incremental_indexed(
+    spark,
+    index_path: str,
+    delta: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """minhash_lsh_pairs_incremental against a PARTITIONED on-disk
+    index (write_lsh_index's `partitions=P` layout), pruning BOTH base
+    reads to explicit touched-partition paths:
+
+      1. buckets: the delta's band-bucket rows hash to at most
+         |delta band-buckets| of the P `_pb` partitions — for a
+         single-doc dedup-check that is `bands` values, constant in
+         the corpus;
+      2. hashed: only after candidates materialize do we know which
+         docs need exact verification, so cand_docs is collected
+         (candidate-bounded — the LSH premise is that candidates are
+         few) and only their `_ph` partitions are read.
+
+    Same two regimes as the bucketed Jaccard store: constant base read
+    for small deltas, graceful degradation toward the flat scan as the
+    delta's bucket/candidate footprint approaches P. Results equal the
+    flat path exactly (asserted in tests) — pruning only skips
+    partitions that cannot hold a needed row. Hash-family params come
+    from the index meta."""
+    meta = read_lsh_index_meta(spark, index_path)
+    root = index_path.rstrip("/")
+    if meta is None:
+        base_buckets, base_hashed = read_lsh_index(spark, index_path)
+        return minhash_lsh_pairs_incremental(
+            base_buckets, base_hashed, delta, id_col, text_col,
+            threshold=threshold,
+        )
+    p = meta["partitions"]
+    d_buckets, d_hashed = build_lsh_index(
+        delta, id_col, text_col, meta["n"], meta["num_hashes"], meta["bands"]
+    )
+    d_buckets = d_buckets.localCheckpoint()
+    touched_pb = [
+        r["pb"]
+        for r in d_buckets.select(
+            F.pmod(F.col("bucket"), F.lit(p)).cast("int").alias("pb")
+        )
+        .distinct()
+        .collect()
+    ]
+    bpaths = _existing_partition_paths(
+        spark, root + "/buckets", "_pb", touched_pb
+    )
+    if bpaths:
+        base_buckets = spark.read.parquet(*bpaths)
+    else:
+        base_buckets = read_lsh_index(spark, index_path)[0].limit(0)
+
+    def base_hashed_for(cand_docs: DataFrame) -> DataFrame:
+        touched_ph = [
+            r["ph"]
+            for r in cand_docs.select(
+                F.pmod(F.xxhash64(F.col("doc")), F.lit(p)).cast("int").alias("ph")
+            )
+            .distinct()
+            .collect()
+        ]
+        hpaths = _existing_partition_paths(
+            spark, root + "/hashed", "_ph", touched_ph
+        )
+        if not hpaths:
+            return read_lsh_index(spark, index_path)[1].limit(0)
+        return spark.read.parquet(*hpaths)
+
+    return _lsh_pairs_core(
+        d_buckets, d_hashed, base_buckets, base_hashed_for, threshold
+    )
 
 
 def connected_components(
@@ -1103,15 +1262,7 @@ def jaccard_pairs_incremental_indexed(
     # reads use. Buckets no base shingle ever hashed into have no
     # directory; skipping them is exactly the pruning decision.
     root = index_path.rstrip("/") + "/postings"
-    jvm = spark.sparkContext._jvm
-    fs = jvm.org.apache.hadoop.fs.Path(root).getFileSystem(
-        spark.sparkContext._jsc.hadoopConfiguration()
-    )
-    paths = [
-        p
-        for p in (f"{root}/_bucket={b}" for b in sorted(touched))
-        if fs.exists(jvm.org.apache.hadoop.fs.Path(p))
-    ]
+    paths = _existing_partition_paths(spark, root, "_bucket", touched)
     if not paths:
         base = read_jaccard_index(spark, index_path).limit(0)
     else:

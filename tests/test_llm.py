@@ -468,6 +468,39 @@ def test_incremental_minhash_equals_full_recompute(spark, sf_dir, tmp_path):
     assert all(a >= 1_000_000 or b >= 1_000_000 for a, b in inc)
 
 
+def test_incremental_minhash_partitioned_index_equals_flat(
+    spark, sf_dir, tmp_path
+):
+    """The opt-in partitioned LSH store (write_lsh_index partitions=P):
+    the doubly-pruned path (touched _pb bucket partitions + candidate
+    _ph hashed partitions, both planned from explicit paths) must
+    equal the flat path exactly — pruning only skips partitions that
+    cannot hold a needed row."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    delta = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    idx = str(tmp_path / "lsh_part")
+    dedup.write_lsh_index(d, idx, "doc_id", "text", n=3, partitions=64)
+    meta = dedup.read_lsh_index_meta(spark, idx)
+    assert meta == {"partitions": 64, "n": 3, "num_hashes": 64, "bands": 16}
+    buckets, hashed = dedup.read_lsh_index(spark, idx)
+    assert "_pb" not in buckets.columns and "_ph" not in hashed.columns
+    flat = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.minhash_lsh_pairs_incremental(
+            buckets, hashed, delta, "doc_id", "text", n=3, threshold=0.5
+        ).collect()
+    }
+    pruned = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.minhash_lsh_pairs_incremental_indexed(
+            spark, idx, delta, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    assert pruned == flat and len(pruned) > 0
+
+
 def test_append_ivf_assignments_equals_full_build(spark, sf_dir, tmp_path):
     """Grown index == index built on the whole corpus at once: the
     frozen-quantizer append must produce the same assignment rows a

@@ -171,6 +171,27 @@ def octave(spark, k: int) -> dict:
             buckets, hashed, delta, "doc_id", "text"
         ).count()
     )
+    # LSH lookup regime: single-doc dedup-check against a PARTITIONED
+    # store — touched bucket partitions bounded by `bands` (16),
+    # hashed partitions by the candidate count, both constant in the
+    # corpus; the flat path re-scans both whole tables
+    p_fine = max(32, (out["n_base"] * 16) // (1 << 13))
+    idx_mf = f"/tmp/incr_probe_oct_lshfine_{k}x"
+    dedup.write_lsh_index(
+        d, idx_mf, "doc_id", "text", n=3, partitions=p_fine
+    )
+    out["lsh_fine_partitions"] = p_fine
+    out["lsh_lookup_pruned_s"], _ = timed(
+        lambda: dedup.minhash_lsh_pairs_incremental_indexed(
+            spark, idx_mf, one_doc, "doc_id", "text", 0.5
+        ).count()
+    )
+    b_f, h_f = dedup.read_lsh_index(spark, idx_mf)
+    out["lsh_lookup_flat_s"], _ = timed(
+        lambda: dedup.minhash_lsh_pairs_incremental(
+            b_f, h_f, one_doc, "doc_id", "text", threshold=0.5
+        ).count()
+    )
     return out
 
 
