@@ -107,6 +107,31 @@ def main() -> None:
     d, mn = manifest.vacuum(spark, table, keep_versions=1)
     out["vacuumed"] = [d, mn]
     out["dirs_after_vacuum"] = len(streaming.list_batch_partitions(spark, table))
+    # 5 (r10): checkpoint-pointer cold start. Rebuild a LONG commit
+    # history (metadata-only commits — the history length is what is
+    # being measured, not data volume) and compare latest_version via
+    # the advisory pointer's forward probes vs the full-listing
+    # fallback a cold reader without the pointer pays.
+    jvm, fs, _ = manifest._fs(spark, table)
+    hist_table = "/tmp/manifest_scale_probe_hist"
+    shutil.rmtree(hist_table, ignore_errors=True)
+    streaming.write_batch_partition(o.limit(10), hist_table, 0)
+    t0 = time.time()
+    n_commits = 512
+    for i in range(n_commits):
+        manifest.commit_batch(spark, hist_table, 0)
+    out["hist_commits"] = n_commits
+    out["hist_commit_wall_s"] = round(time.time() - t0, 3)
+    out["latest_version_with_pointer_s"] = timed(
+        lambda: manifest.latest_version(spark, hist_table), reps=5
+    )
+    ckpt = manifest._checkpoint_path(hist_table)
+    ckpt_bak = manifest._read_small_file(spark, ckpt)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(ckpt), False)
+    out["latest_version_listing_fallback_s"] = timed(
+        lambda: manifest.latest_version(spark, hist_table), reps=5
+    )
+    manifest._write_small_file(spark, ckpt, ckpt_bak)
     print(json.dumps(out))
 
 
