@@ -8687,3 +8687,81 @@ def mv_manifest_forget_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("v"), 2).cast("double").alias("total_price"),
         F.lit(ok).alias("physically_erased"),
     )
+
+
+@register(
+    "stream_from_manifest_source",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+             AS total_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("streaming", "manifest", "connector", "scale"),
+)
+def stream_from_manifest_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING SOURCE over a manifest table (the lakehouse read half
+    Delta's streaming source provides over `_delta_log`, public
+    design): `sources/manifest_stream.py` registers a Python
+    DataSource whose stream OFFSETS are manifest versions — planning
+    is the metadata-only batch-id diff of two immutable manifest
+    JSONs (no directory listing), partitions are per-parquet-file so
+    reads run on executors as Arrow RecordBatches, and the first
+    trigger emits the current snapshot (initial-snapshot semantics)
+    with later triggers tailing the commit log version by version.
+    Compaction bases are skipped on the tail (their rows were already
+    emitted — append-only survives OPTIMIZE-style maintenance) and a
+    version that commits equality deletes is REFUSED unless
+    ignoreDeletes=true, because an append-only stream cannot
+    represent retractions (the CDF path manifest.snapshot_diff is the
+    retraction-capable feed).
+
+    The gate builds a 3-batch committed orders table, drains the
+    source through a real Structured Streaming query into a parquet
+    sink, and aggregates the sink — a dropped batch file, a
+    double-emitted partition, or an offset-planning bug changes the
+    counts and hash-fails against the plain-orders oracle. Checkpoint
+    resumption, compaction-skip on the tail, initial-snapshot-after-
+    compaction, retention-loss errors, and the delete refusal are
+    unit-gated in tests/test_manifest.py."""
+    import shutil
+
+    from .. import streaming
+    from ..sources import manifest_stream
+    from ..streaming import manifest
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", dec2(F.col("o_totalprice")).alias("v")
+    )
+    table = _stream_src_dir("msrc", sf_dir)
+    sink = _stream_src_dir("msrc_sink", sf_dir)
+    ckpt = _stream_src_dir("msrc_ckpt", sf_dir)
+    for d in (table, sink, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    for b in range(3):
+        streaming.write_batch_partition(
+            o.filter(F.col("o_orderkey") % 3 == b), table, b
+        )
+        manifest.commit_batch(spark, table, b)
+    manifest_stream.register(spark)
+    q = (
+        spark.readStream.format("manifest_stream")
+        .schema("o_orderkey bigint, o_orderpriority string, v decimal(12,2)")
+        .option("path", table)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return (
+        spark.read.parquet(sink)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.round(F.sum("v"), 2).cast("double").alias("total_price"),
+        )
+    )

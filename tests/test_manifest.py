@@ -752,3 +752,102 @@ def test_custom_commit_backend_arbitrates(spark, tmp_path):
         )
     # the losing publish left no trace: latest is still v0
     assert manifest.latest_version(spark, table) == 0
+
+
+def _stream_drain(spark, table, ckpt, sink, schema_ddl, **opts):
+    # parquet sink (memory sink cannot recover from a checkpoint, and
+    # checkpoint RESUMPTION is exactly what the second drain tests)
+    from bigdata_googleplaystore_spark.sources import manifest_stream
+
+    manifest_stream.register(spark)
+    reader = (
+        spark.readStream.format("manifest_stream")
+        .schema(schema_ddl)
+        .option("path", table)
+    )
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    q = (
+        reader.load()
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.read.parquet(sink)
+
+
+def test_manifest_stream_source_incremental_and_replay(spark, tmp_path):
+    # offsets are manifest versions: first drain emits the committed
+    # snapshot, a later drain from the SAME checkpoint emits only the
+    # newly committed batch, and compaction bases are skipped (their
+    # rows were already emitted)
+    table = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    raw = _raw(spark)
+    for b in range(2):
+        streaming.write_batch_partition(raw.where(F.col("id") % 2 == b), table, b)
+        manifest.commit_batch(spark, table, b)
+    got1 = _stream_drain(spark, table, ckpt, sink, "id long, k string, v double")
+    assert sorted(r["id"] for r in got1.collect()) == list(range(200))
+    # new commit + a compaction: only the new batch's rows arrive
+    streaming.write_batch_partition(
+        raw.where(F.col("id") < 50).select(
+            (F.col("id") + 1000).alias("id"), "k", "v"
+        ),
+        table,
+        2,
+    )
+    manifest.commit_batch(spark, table, 2)
+    manifest.compact_rows_apply_deletes(spark, table, upto_batch=1)
+    got2 = _stream_drain(spark, table, ckpt, sink, "id long, k string, v double")
+    assert got2.count() == 250  # 200 from run 1 + ONLY the new batch
+    assert (
+        sorted(r["id"] for r in got2.where(F.col("id") >= 1000).collect())
+        == list(range(1000, 1050))
+    )
+
+
+def test_manifest_stream_source_refuses_deletes(spark, tmp_path):
+    table = str(tmp_path / "tbl")
+    raw = _raw(spark)
+    streaming.write_batch_partition(raw, table, 0)
+    manifest.commit_batch(spark, table, 0)
+    manifest.commit_deletes(
+        spark, table, raw.where(F.col("id") < 10).select("id"), 0
+    )
+    with pytest.raises(Exception, match="append-only|retractions"):
+        _stream_drain(
+            spark, table, str(tmp_path / "c1"), str(tmp_path / "s1"),
+            "id long, k string, v double",
+        )
+    # ignoreDeletes streams the inserts and skips the retraction
+    got = _stream_drain(
+        spark, table, str(tmp_path / "c2"), str(tmp_path / "s2"),
+        "id long, k string, v double", ignoreDeletes="true",
+    )
+    assert got.count() == 200
+
+
+def test_manifest_stream_source_initial_snapshot_after_compaction(
+    spark, tmp_path
+):
+    # a FRESH stream over an already-compacted table must emit the
+    # base partition (initial-snapshot semantics) — its rows were never
+    # emitted by THIS stream, and the pre-compaction history may be
+    # vacuumed
+    table = str(tmp_path / "tbl")
+    raw = _raw(spark)
+    for b in range(2):
+        streaming.write_batch_partition(raw.where(F.col("id") % 2 == b), table, b)
+        manifest.commit_batch(spark, table, b)
+    manifest.compact_rows_apply_deletes(spark, table, upto_batch=1)
+    manifest.vacuum(spark, table, keep_versions=1)
+    got = _stream_drain(
+        spark, table, str(tmp_path / "c"), str(tmp_path / "s"),
+        "id long, k string, v double",
+    )
+    assert sorted(r["id"] for r in got.collect()) == list(range(200))
