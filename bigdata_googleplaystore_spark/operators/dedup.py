@@ -578,6 +578,35 @@ def read_lsh_index_meta(spark, path: str) -> dict | None:
     }
 
 
+def append_lsh_index(
+    spark, path: str, delta: DataFrame, id_col: str, text_col: str
+) -> None:
+    """Fold a delta batch into a PARTITIONED LSH store under the frozen
+    params (the next increment then sees base+delta without a
+    rewrite): the delta's bucket rows and hashed sets append into
+    their matching partition directories only — O(|delta|) write,
+    untouched partitions' files never rewritten. The flat layout has
+    no append (its consumers re-scan everything anyway; rewrite with
+    `partitions=` to get the growing-store lifecycle)."""
+    meta = read_lsh_index_meta(spark, path)
+    if meta is None:
+        raise ValueError(
+            f"{path} is a flat (unpartitioned) LSH index; rewrite it "
+            "with write_lsh_index(partitions=...) before appending"
+        )
+    p = meta["partitions"]
+    d_buckets, d_hashed = build_lsh_index(
+        delta, id_col, text_col, meta["n"], meta["num_hashes"], meta["bands"]
+    )
+    root = path.rstrip("/")
+    d_buckets.withColumn(
+        "_pb", F.pmod(F.col("bucket"), F.lit(p)).cast("int")
+    ).write.mode("append").partitionBy("_pb").parquet(root + "/buckets")
+    d_hashed.withColumn(
+        "_ph", F.pmod(F.xxhash64(F.col("doc")), F.lit(p)).cast("int")
+    ).write.mode("append").partitionBy("_ph").parquet(root + "/hashed")
+
+
 def read_lsh_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
     """Load a write_lsh_index result as the (buckets, hashed) pair
     minhash_lsh_pairs_incremental takes — lazy parquet scans; nothing

@@ -499,6 +499,28 @@ def test_incremental_minhash_partitioned_index_equals_flat(
         ).collect()
     }
     assert pruned == flat and len(pruned) > 0
+    # append lifecycle: delta folds into the partitioned store; the
+    # NEXT increment's pruned pairs against base+delta match the full
+    # recompute restricted to delta2-touching pairs
+    dedup.append_lsh_index(spark, idx, delta, "doc_id", "text")
+    delta2 = d.filter(F.col("doc_id") % 10 == 5).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
+    )
+    inc2 = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.minhash_lsh_pairs_incremental_indexed(
+            spark, idx, delta2, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    full2 = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.minhash_lsh_pairs(
+            d.unionByName(delta).unionByName(delta2),
+            "doc_id", "text", n=3, threshold=0.5,
+        ).collect()
+        if r["doc_a"] >= 2_000_000 or r["doc_b"] >= 2_000_000
+    }
+    assert inc2 == full2 and len(inc2) > 0
 
 
 def test_append_ivf_assignments_equals_full_build(spark, sf_dir, tmp_path):
