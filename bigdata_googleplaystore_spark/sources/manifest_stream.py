@@ -109,6 +109,18 @@ class ManifestStreamReader(DataSourceStreamReader):
         )
         # -1 = from the beginning of the retained history
         self.starting = int(options.get("startingversion", -1))
+        # admission control (the maxFilesPerTrigger analog): bound how
+        # many commit-log versions one micro-batch may span while the
+        # query runs, so a stream on a hot table never falls unbounded
+        # behind its own sink. 0/absent = unlimited. The cap engages
+        # only AFTER the first planned batch reveals the authoritative
+        # start offset: this API's latestOffset() never sees the
+        # checkpoint-restored offset, so capping from a guessed floor
+        # could return an offset BELOW the restored one and stall (or
+        # regress) the stream — the first trigger after any (re)start
+        # is therefore uncapped, same size as an initial snapshot.
+        self.max_versions = int(options.get("maxversionspertrigger", 0))
+        self._floor: int | None = None  # authoritative once partitions() runs
         self.schema = schema
 
     # ---- offsets ------------------------------------------------------
@@ -117,7 +129,11 @@ class ManifestStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         v = _latest_version(self.table_dir)
-        return {"version": v if v is not None else self.starting}
+        if v is None:
+            return {"version": self.starting}
+        if self.max_versions > 0 and self._floor is not None:
+            v = min(v, self._floor + self.max_versions)
+        return {"version": v}
 
     # ---- planning (driver, metadata-only) -----------------------------
     def _ids_at(self, version: int) -> tuple[set, set]:
@@ -145,6 +161,12 @@ class ManifestStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
         sv, ev = start["version"], end["version"]
+        # advance the admission-control floor to this batch's END here,
+        # in planning — the engine's runner process is not guaranteed
+        # to route commit() callbacks to the same worker, and a floor
+        # stuck below the running offset would cap latestOffset at an
+        # already-processed version and stall the stream
+        self._floor = max(ev, self._floor if self._floor is not None else ev)
         if ev <= sv:
             return []
         if sv < 0:
@@ -207,7 +229,11 @@ class ManifestStreamReader(DataSourceStreamReader):
             yield rb
 
     def commit(self, end: dict) -> None:
-        pass  # offsets live in the engine's checkpoint; nothing to GC
+        # offsets live in the engine's checkpoint; the admission-control
+        # floor advances in partitions() (commit() callbacks are not
+        # guaranteed to reach the planning worker), so belt-and-braces
+        v = end["version"]
+        self._floor = max(v, self._floor if self._floor is not None else v)
 
 
 class ManifestStreamSource(DataSource):

@@ -851,3 +851,44 @@ def test_manifest_stream_source_initial_snapshot_after_compaction(
         "id long, k string, v double",
     )
     assert sorted(r["id"] for r in got.collect()) == list(range(200))
+
+
+def test_manifest_stream_source_max_versions_per_trigger(spark, tmp_path):
+    # admission control: after the (uncapped) first batch, each trigger
+    # spans at most maxVersionsPerTrigger commit-log versions — a
+    # running stream catches up in bounded batches, and no row is lost
+    # or duplicated across the capped batches
+    from bigdata_googleplaystore_spark.sources import manifest_stream
+
+    manifest_stream.register(spark)
+    table = str(tmp_path / "tbl")
+    raw = _raw(spark)
+    streaming.write_batch_partition(raw.where(F.col("id") < 50), table, 0)
+    manifest.commit_batch(spark, table, 0)
+    q = (
+        spark.readStream.format("manifest_stream")
+        .schema("id long, k string, v double")
+        .option("path", table)
+        .option("maxVersionsPerTrigger", 1)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "sink"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    for b in range(1, 4):
+        streaming.write_batch_partition(
+            raw.where((F.col("id") >= 50 * b) & (F.col("id") < 50 * (b + 1))),
+            table,
+            b,
+        )
+        manifest.commit_batch(spark, table, b)
+    q.processAllAvailable()
+    q.stop()
+    got = spark.read.parquet(str(tmp_path / "sink"))
+    assert sorted(r["id"] for r in got.collect()) == list(range(200))
+    # the catch-up drained as one version per trigger: >= 4 non-empty
+    # micro-batches total (1 initial + 3 capped)
+    nonempty = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(nonempty) >= 4
