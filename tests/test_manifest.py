@@ -892,3 +892,24 @@ def test_manifest_stream_source_max_versions_per_trigger(spark, tmp_path):
     # micro-batches total (1 initial + 3 capped)
     nonempty = [p for p in q.recentProgress if p["numInputRows"] > 0]
     assert len(nonempty) >= 4
+
+
+def test_manifest_stream_source_starting_version(spark, tmp_path):
+    # startingVersion=N tails from version N: the initial snapshot is
+    # skipped and only commits AFTER N are emitted
+    table = str(tmp_path / "tbl")
+    raw = _raw(spark)
+    for b in range(3):
+        streaming.write_batch_partition(
+            raw.where(F.col("id") % 3 == b), table, b
+        )
+        manifest.commit_batch(spark, table, b)
+    got = _stream_drain(
+        spark, table, str(tmp_path / "c"), str(tmp_path / "s"),
+        "id long, k string, v double", startingVersion="0",
+    )
+    # version 0 committed batch 0; tail emits batches 1 and 2 only
+    want = sorted(
+        r["id"] for r in raw.where(F.col("id") % 3 != 0).collect()
+    )
+    assert sorted(r["id"] for r in got.collect()) == want
