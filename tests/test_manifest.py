@@ -913,3 +913,77 @@ def test_manifest_stream_source_starting_version(spark, tmp_path):
         r["id"] for r in raw.where(F.col("id") % 3 != 0).collect()
     )
     assert sorted(r["id"] for r in got.collect()) == want
+
+
+def test_manifest_stream_planning_model(spark, tmp_path):
+    # PLANNING-LEVEL model check (no live query — partitions() is a
+    # pure function of two manifest versions): across ANY chunking of
+    # the commit log into triggers, every positive batch is planned
+    # exactly once, compaction bases only ever appear in an initial
+    # snapshot, and a batch committed-then-compacted INSIDE one chunk
+    # is still planned (the intermediate-version walk)
+    import json as _json
+    import os
+
+    from bigdata_googleplaystore_spark.sources import manifest_stream as ms
+
+    table = str(tmp_path / "tbl")
+    os.makedirs(os.path.join(table, "_manifests"))
+
+    def put_manifest(v, batch_ids, delete_ids=()):
+        with open(
+            os.path.join(table, "_manifests", f"v{v:012d}.json"), "w"
+        ) as f:
+            _json.dump(
+                {"version": v, "batch_ids": sorted(batch_ids),
+                 "delete_ids": sorted(delete_ids)}, f,
+            )
+
+    def put_batch_dir(b):
+        d = os.path.join(table, f"_batch_id={b}")
+        os.makedirs(d, exist_ok=True)
+        # planning only globs for existence; content is never read
+        open(os.path.join(d, "part-0.parquet"), "w").write("x")
+
+    # commit log: appends 0,1; compact(<=1) -> base -2; appends 2,3;
+    # compact(<=3) -> base -4; append 4
+    log = [
+        {0}, {0, 1}, {-2}, {-2, 2}, {-2, 2, 3}, {-4}, {-4, 4},
+    ]
+    for v, ids in enumerate(log):
+        put_manifest(v, ids)
+        for b in ids:
+            put_batch_dir(b)
+
+    from pyspark.sql.types import StructType
+
+    def planned(reader, sv, ev):
+        return sorted(
+            int(p.path.split("_batch_id=")[1].split("/")[0])
+            for p in reader.partitions(
+                {"version": sv}, {"version": ev}
+            )
+        )
+
+    head = len(log) - 1
+    # fresh stream, single giant trigger: initial snapshot = head's ids
+    r = ms.ManifestStreamReader(StructType([]), {"path": table})
+    assert planned(r, -1, head) == [-4, 4]
+    # fresh stream, then every chunking of the tail must cover each
+    # positive batch exactly once and no base
+    for cuts in ([0, 2, 4, head], [0, head], [1, 3, 5, head], [2, head]):
+        r = ms.ManifestStreamReader(StructType([]), {"path": table})
+        emitted = planned(r, -1, cuts[0])
+        start_ids = set(log[cuts[0]])
+        for sv, ev in zip(cuts, cuts[1:]):
+            tail = planned(r, sv, ev)
+            assert all(b >= 0 for b in tail), (cuts, sv, ev, tail)
+            emitted += tail
+        # coverage: initial snapshot content + every positive batch
+        # committed after the first cut, each exactly once
+        tail_batches = set()
+        for v in range(cuts[0] + 1, head + 1):
+            tail_batches |= {b for b in log[v] - start_ids if b >= 0}
+            start_ids |= log[v]
+        want = sorted(list(log[cuts[0]]) + sorted(tail_batches))
+        assert sorted(emitted) == want, (cuts, emitted, want)
