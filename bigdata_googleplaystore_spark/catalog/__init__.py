@@ -24,76 +24,75 @@ from .tpch import flagship  # noqa: E402,F401
 # then the remaining never-checked (the next round's rotation head), then
 # the rest of the previously-green set, oldest evidence first.
 #
-# Round-10 window (VERDICT r09 item 2 + all five r09 ADVICE fixes):
-# (a) the 10 gates whose implementations changed this round — the
-# manifest commit core (committer-unique staging + pluggable
-# CommitBackend + checkpoint pointer), the empty-micro-batch commit
-# guard (stream_manifest_exactly_once), compaction's spent-delete drop
-# + vacuum's _deletes GC with the extended erasure proof
-# (mv_manifest_row_deletes, mv_manifest_forget_keys), the
-# prune_snapshot_batches granularity normalization
-# (mv_manifest_zone_skip), latest_version's checkpoint fast path
-# (mv_manifest_rollback via history), cms_lookup's left-join absent-
-# item fix (the three cms_lookup gates), and the shingle-bucketed
-# posting store (dedup_ngram_jaccard_incremental). Then (b) the 40
-# r04-stale queries — the registry's oldest evidence — in r04
-# insertion order. 50 names total = the driver's window; after r10 no
-# query's newest driver row is older than r05.
+# Round-11 window (VERDICT r10 item 1, prescription followed verbatim):
+# (a) `stream_from_manifest_source` — the one gate that has never had a
+# driver row (registered late-r10, judge-verified green at r10 HEAD; its
+# implementation ALSO changes this round: schema-evolution tolerant
+# reads, inclusive startingVersion, pluggable storage opener,
+# maxBytesPerTrigger) — then (b) the 49 r05-stale names, r05 window
+# order. 50 names total = the driver's window; after r11 no query's
+# newest driver row is older than r06. Gates NEW this round (the CDF
+# streaming source etc.) are registered immediately after slot 50 and
+# form the r12 head; changed-but-r10-fresh gates (mv_manifest_* vacuum
+# age guard, dedup incremental flat-fallback params) keep their r10 rows
+# — the deltas are defensive-path-only and re-checked this round by a
+# committed targeted tools/driver_sim.py run (see COVERAGE.md).
 _PRIORITY: list[str] = [
-    # ===== ROUND-10 WINDOW (the driver records ~50 rows) =====
-    # (a) implementation-changed this round — fresh rows required:
-    "dedup_ngram_jaccard_incremental",  # changed: shingle-bucketed store + pruning
-    "mv_manifest_forget_keys",  # changed: cutoff deletes + _deletes erasure proof
-    "mv_manifest_row_deletes",  # changed: compaction drops spent delete ids
-    "mv_manifest_snapshot_read",  # changed: commit backend + checkpoint pointer
-    "stream_manifest_exactly_once",  # changed: empty-micro-batch commit guard
-    "mv_manifest_zone_skip",  # changed: date/timestamp granularity normalization
-    "mv_manifest_rollback",  # changed: latest_version checkpoint fast path
-    "sketch_cms_point_queries",  # changed: cms_lookup left-join absent items
-    "sketch_cms_merge_partials",  # changed: cms_lookup left-join absent items
-    "sketch_cms_signed_cdc",  # changed: cms_lookup left-join absent items
-    # (b) the 40 r04-stale queries, r04 insertion order (every one
-    #     green in the r09 judge's full driver_sim re-run):
-    "dedup_simhash_containment",
-    "bpe_first_merge_invariant",
-    "dedup_embedding_ann",
-    "partitioned_scan_prune",
-    "multimodal_audio_rms",
-    "sim_ann_recall_eval",
-    "sim_ann_lsh",
-    "sim_ann_ivf",
-    "dedup_semantic",
-    "pagerank_event_transitions",
-    "embedding_pca_label_means",
-    "dedup_cluster_keep_best",
-    "stream_dedup_counts",
-    "stream_stream_join_counts",
-    "stream_session_counts",
-    "stream_tumbling_counts",
-    "percentiles_approx",
-    "recursive_cte_hierarchy",
-    "bm25_topk_docs",
-    "contrastive_hard_negatives",
-    "skew_salted_join",
-    "embedding_random_projection",
-    "zscore_normalize_features",
-    "tokenize_to_vocab_ids",
-    "group_holdout_split",
-    "temporal_split_leakage",
-    "pagerank_invariants",
-    "collocation_pmi_topk",
-    "doc_hash_embedding",
-    "cdc_apply_changes",
-    "weighted_sample_per_source",
-    "table_checksum_orders",
-    "rfm_customer_segments",
-    "basket_part_affinity",
-    "path_3gram_topk",
-    "variant_shred_props",
-    "map_functions_suite",
-    "try_arithmetic_suite",
-    "date_function_suite",
-    "xml_parse_extract",
+    # ===== ROUND-11 WINDOW (the driver records exactly 50 rows) =====
+    # (a) never-driver-checked + implementation-changed this round:
+    "stream_from_manifest_source",
+    # (b) the 49 r05-stale names, r05 window order:
+    "embedding_pq_codes",
+    "sim_ann_pq_adc",
+    "dedup_minhash_lsh",
+    "dedup_exact_substring",
+    "markov_transition_matrix",
+    "curriculum_length_buckets",
+    "graph_bipartite_projection",
+    "posexplode_ordinality",
+    "incremental_agg_merge",
+    "zorder_bucket_histogram",
+    "regexp_extract_all_tokens",
+    "listagg_distinct_sources",
+    "fuzzy_name_match_blocked",
+    "data_quality_audit",
+    "global_row_number_shards",
+    "collation_case_insensitive",
+    "pivot_multi_agg",
+    "generator_null_semantics",
+    "histogram_fixed_buckets",
+    "mad_robust_stats",
+    "sliding_distinct_users",
+    "chi2_contingency_assoc",
+    "argmax_deterministic",
+    "monthly_revenue_moving_avg",
+    "value_band_join",
+    "nation_revenue_share",
+    "attribution_last_touch",
+    "segment_repeat_rate",
+    "hourly_seasonal_baseline",
+    "pii_redact_stats",
+    "bpe_encode_fixed_vocab",
+    "string_predicates",
+    "cast_and_date_parts",
+    "round_currency_conversion",
+    "groupby_stats",
+    "na_fill_zero",
+    "dedup_keep_min",
+    "distinct_projection",
+    "left_join_null_path",
+    "orderby_desc_topk",
+    "json_extract_field",
+    "split_explode_tokens",
+    "window_rank_per_group",
+    "anti_join_not_exists",
+    "semi_join_exists",
+    "full_outer_join",
+    "rollup_counts",
+    "set_union_all",
+    "set_intersect",
+    # ===== past slot 50: r11's new gates — the r12 rotation head =====
+    "stream_cdf_from_manifest",
 ]
 
 # Pre-rotation (round-2) window order, kept for the record of what r02
