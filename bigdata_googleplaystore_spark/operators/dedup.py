@@ -746,6 +746,9 @@ def minhash_lsh_pairs_incremental_indexed(
     id_col: str,
     text_col: str,
     threshold: float = 0.5,
+    n: int | None = None,
+    num_hashes: int | None = None,
+    bands: int | None = None,
 ) -> DataFrame:
     """minhash_lsh_pairs_incremental against a PARTITIONED on-disk
     index (write_lsh_index's `partitions=P` layout), pruning BOTH base
@@ -765,14 +768,37 @@ def minhash_lsh_pairs_incremental_indexed(
     delta's bucket/candidate footprint approaches P. Results equal the
     flat path exactly (asserted in tests) — pruning only skips
     partitions that cannot hold a needed row. Hash-family params come
-    from the index meta."""
+    from the index meta; for a legacy meta-less index the caller MUST
+    supply (n, num_hashes, bands) explicitly — silently shingling the
+    delta with defaults that differ from the base's build would return
+    wrong pairs with no error, so a missing meta + missing params
+    raises instead. When meta exists, explicitly-passed params must
+    agree with it (a mismatch is a caller bug, not a tiebreak)."""
     meta = read_lsh_index_meta(spark, index_path)
     root = index_path.rstrip("/")
+    explicit = {"n": n, "num_hashes": num_hashes, "bands": bands}
     if meta is None:
+        missing = [k for k, v in explicit.items() if v is None]
+        if missing:
+            raise ValueError(
+                f"LSH index at {index_path!r} has no meta (legacy layout); "
+                f"pass the build's hash-family params explicitly — "
+                f"missing: {missing}. Defaulting would silently hash the "
+                f"delta differently from the base and return wrong pairs."
+            )
         base_buckets, base_hashed = read_lsh_index(spark, index_path)
         return minhash_lsh_pairs_incremental(
             base_buckets, base_hashed, delta, id_col, text_col,
-            threshold=threshold,
+            n=n, num_hashes=num_hashes, bands=bands, threshold=threshold,
+        )
+    conflicts = {
+        k: (v, meta[k]) for k, v in explicit.items()
+        if v is not None and v != meta[k]
+    }
+    if conflicts:
+        raise ValueError(
+            f"explicit hash-family params conflict with the index meta at "
+            f"{index_path!r}: {conflicts} (passed, meta)"
         )
     p = meta["partitions"]
     d_buckets, d_hashed = build_lsh_index(
@@ -1235,6 +1261,7 @@ def jaccard_pairs_incremental_indexed(
     text_col: str,
     threshold: float = 0.5,
     max_shingle_df: int | None = None,
+    n: int | None = None,
 ) -> DataFrame:
     """jaccard_pairs_incremental against a BUCKETED on-disk index, with
     planning-time bucket pruning: the delta's shingles are hashed with
@@ -1260,17 +1287,32 @@ def jaccard_pairs_incremental_indexed(
     (asserted in tests/test_llm.py): pruning only removes buckets that
     cannot contain a delta shingle's postings. The shingle n-gram
     width comes from the index meta — the delta must shingle the same
-    way the base was indexed."""
+    way the base was indexed; for a legacy meta-less index the caller
+    MUST pass `n` explicitly (a silent n=3 default against a base
+    indexed with another width returns wrong pairs with no error), and
+    an explicit `n` that disagrees with an existing meta raises."""
     meta = read_jaccard_index_meta(spark, index_path)
     if meta is None:
+        if n is None:
+            raise ValueError(
+                f"Jaccard index at {index_path!r} has no meta (legacy "
+                f"layout); pass the build's shingle width n explicitly — "
+                f"defaulting would silently shingle the delta differently "
+                f"from the base and return wrong pairs."
+            )
         return jaccard_pairs_incremental(
             read_jaccard_index(spark, index_path),
             delta,
             id_col,
             text_col,
-            3,
+            n,
             threshold,
             max_shingle_df,
+        )
+    if n is not None and n != meta["n"]:
+        raise ValueError(
+            f"explicit n={n} conflicts with the index meta n={meta['n']} "
+            f"at {index_path!r}"
         )
     d_post = build_jaccard_index(delta, id_col, text_col, meta["n"]).localCheckpoint()
     touched = [

@@ -29,14 +29,39 @@ Why this composes into end-to-end exactly-once pipelines:
   retractions; an append-only stream cannot represent them) unless
   `ignoreDeletes=true`, mirroring the public Delta source's
   ignoreChanges/ignoreDeletes contract. Consumers who need
-  retractions read the CDF path (manifest.snapshot_diff) instead.
+  retractions read the CDF source (manifest_cdf_stream) or the batch
+  feed (manifest.snapshot_diff) instead.
 
-Scope note: manifest JSONs and parquet files are opened with plain
-`open()`/pyarrow here, so this connector tier handles local paths (the
-test environment); the operator-tier read paths (streaming/manifest.py)
-go through the Hadoop FS API. A deployment against object storage
-would swap the two `_read_*` helpers for fsspec — the offset/planning
-logic is storage-agnostic.
+Option contract (Delta-parity where Delta has the option):
+
+- `startingVersion=N` is INCLUSIVE of N, like Delta's: the first
+  micro-batch replays the changes version N itself committed (the
+  baseline is N-1). Absent, the first batch is the current snapshot.
+  As in Delta, a startingVersion replay is a LOG replay: compaction
+  bases stay skipped, so rows that exist only inside a base rewritten
+  before N are not re-emitted.
+- `maxVersionsPerTrigger` / `maxBytesPerTrigger` — admission control
+  (Delta's maxFilesPerTrigger/maxBytesPerTrigger analog at this
+  layer's version granularity). Bytes come from the `_bytes` zone-map
+  stat `manifest.write_and_commit_batch` records per batch; a batch
+  committed without stats counts 0 bytes (admission is backlog
+  PACING — planning still walks every admitted version, so
+  correctness never depends on the stat being present). At least one
+  version is always admitted, so a single over-cap commit cannot
+  stall the stream.
+
+Storage: all file access routes through `sources/storage.py`'s
+pluggable backend (local paths by default, `memory://` for unit tests,
+fsspec schemes when that package exists), so this connector tier is
+storage-agnostic; the operator-tier write paths (streaming/manifest.py)
+go through the Hadoop FS API.
+
+Schema: additive evolution is READ-TOLERANT — a batch file written
+before a column was added is read with the declared columns it has,
+and the missing ones are emitted as typed nulls (the same
+mergeSchema-on-read semantics the operator-tier snapshot read offers).
+A declared column absent from BOTH the file and evolution would be a
+caller schema error and still raises.
 
 Reference parity: the reference's only streaming surface is console
 output (challenge.scala C:26-44); this source is part of the engine's
@@ -45,9 +70,7 @@ output (challenge.scala C:26-44); this source is part of the engine's
 
 from __future__ import annotations
 
-import glob
 import json
-import os
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -56,40 +79,38 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import StructType
 
+from .storage import StorageBackend, get_backend
+
 MANIFEST_DIR = "_manifests"
 
 
-def _read_manifest_json(table_dir: str, version: int) -> dict:
-    p = os.path.join(table_dir, MANIFEST_DIR, f"v{version:012d}.json")
-    with open(p, "rb") as f:
+def _read_manifest_json(
+    fs: StorageBackend, table_dir: str, version: int
+) -> dict:
+    p = f"{table_dir}/{MANIFEST_DIR}/v{version:012d}.json"
+    with fs.open(p, "rb") as f:
         return json.loads(f.read().decode("utf-8"))
 
 
-def _latest_version(table_dir: str) -> int | None:
+def _latest_version(fs: StorageBackend, table_dir: str) -> int | None:
     """Newest committed version: checkpoint-pointer forward probes when
     the advisory pointer exists (O(commits since checkpoint)), else a
     directory listing — the same ladder as manifest.latest_version."""
-    mdir = os.path.join(table_dir, MANIFEST_DIR)
-    ckpt = os.path.join(mdir, "_last_checkpoint.json")
-    if os.path.exists(ckpt):
+    mdir = f"{table_dir}/{MANIFEST_DIR}"
+    ckpt = f"{mdir}/_last_checkpoint.json"
+    if fs.exists(ckpt):
         try:
-            with open(ckpt, "rb") as f:
+            with fs.open(ckpt, "rb") as f:
                 v = int(json.loads(f.read())["version"])
-            if os.path.exists(
-                os.path.join(mdir, f"v{v:012d}.json")
-            ):
-                while os.path.exists(
-                    os.path.join(mdir, f"v{v + 1:012d}.json")
-                ):
+            if fs.exists(f"{mdir}/v{v:012d}.json"):
+                while fs.exists(f"{mdir}/v{v + 1:012d}.json"):
                     v += 1
                 return v
         except (ValueError, KeyError, TypeError):
             pass
-    if not os.path.isdir(mdir):
-        return None
     vs = [
         int(n[1:-5])
-        for n in os.listdir(mdir)
+        for n in fs.listdir(mdir)
         if n.startswith("v") and n.endswith(".json")
     ]
     return max(vs) if vs else None
@@ -104,22 +125,41 @@ class ManifestStreamReader(DataSourceStreamReader):
     def __init__(self, schema: StructType, options: dict):
         # Python DataSource options arrive lower-cased
         self.table_dir = options["path"].rstrip("/")
+        self.fs = get_backend(self.table_dir)
         self.ignore_deletes = (
             str(options.get("ignoredeletes", "false")).lower() == "true"
         )
-        # -1 = from the beginning of the retained history
-        self.starting = int(options.get("startingversion", -1))
+        # startingVersion=N tails INCLUSIVE of N (Delta parity): the
+        # offset baseline is N-1, whose ids are treated as already
+        # seen. Absent -> baseline -1 + snapshot mode (first batch =
+        # current snapshot). N=0 is the everything-in-the-log replay.
+        sv_opt = options.get("startingversion")
+        if sv_opt is None:
+            self.starting = -1
+            self.snapshot_mode = True
+        else:
+            n = int(sv_opt)
+            if n < 0:
+                raise ValueError(
+                    f"manifest_stream: startingVersion={n} — versions "
+                    "start at 0; omit the option for initial-snapshot "
+                    "semantics"
+                )
+            self.starting = n - 1
+            self.snapshot_mode = False
         # admission control (the maxFilesPerTrigger analog): bound how
-        # many commit-log versions one micro-batch may span while the
-        # query runs, so a stream on a hot table never falls unbounded
-        # behind its own sink. 0/absent = unlimited. The cap engages
-        # only AFTER the first planned batch reveals the authoritative
-        # start offset: this API's latestOffset() never sees the
-        # checkpoint-restored offset, so capping from a guessed floor
-        # could return an offset BELOW the restored one and stall (or
-        # regress) the stream — the first trigger after any (re)start
-        # is therefore uncapped, same size as an initial snapshot.
+        # many commit-log versions / how many committed bytes one
+        # micro-batch may span while the query runs, so a stream on a
+        # hot table never falls unbounded behind its own sink.
+        # 0/absent = unlimited. The caps engage only AFTER the first
+        # planned batch reveals the authoritative start offset: this
+        # API's latestOffset() never sees the checkpoint-restored
+        # offset, so capping from a guessed floor could return an
+        # offset BELOW the restored one and stall (or regress) the
+        # stream — the first trigger after any (re)start is therefore
+        # uncapped, same size as an initial snapshot.
         self.max_versions = int(options.get("maxversionspertrigger", 0))
+        self.max_bytes = int(options.get("maxbytespertrigger", 0))
         self._floor: int | None = None  # authoritative once partitions() runs
         self.schema = schema
 
@@ -128,11 +168,43 @@ class ManifestStreamReader(DataSourceStreamReader):
         return {"version": self.starting}
 
     def latestOffset(self) -> dict:
-        v = _latest_version(self.table_dir)
+        v = _latest_version(self.fs, self.table_dir)
         if v is None:
             return {"version": self.starting}
-        if self.max_versions > 0 and self._floor is not None:
+        if self._floor is None:
+            return {"version": v}
+        if self.max_versions > 0:
             v = min(v, self._floor + self.max_versions)
+        if self.max_bytes > 0 and v > self._floor:
+            # walk the candidate versions' manifests accumulating the
+            # NEW non-negative batches' recorded `_bytes`, and stop
+            # past the cap — O(admitted backlog) metadata reads, which
+            # the cap itself bounds after the first trigger. Always
+            # admit >= 1 version (progress guarantee).
+            try:
+                seen = set(
+                    _read_manifest_json(
+                        self.fs, self.table_dir, self._floor
+                    )["batch_ids"]
+                ) if self._floor >= 0 else set()
+            except FileNotFoundError:
+                return {"version": v}  # retention edge: let planning raise
+            admitted = self._floor
+            spent = 0
+            for cand in range(self._floor + 1, v + 1):
+                m = _read_manifest_json(self.fs, self.table_dir, cand)
+                ids = set(m["batch_ids"])
+                stats = m.get("stats") or {}
+                add = sum(
+                    int((stats.get(str(b)) or {}).get("_bytes") or 0)
+                    for b in ids - seen
+                    if b >= 0
+                )
+                if admitted > self._floor and spent + add > self.max_bytes:
+                    break
+                admitted, spent = cand, spent + add
+                seen |= ids
+            v = admitted
         return {"version": v}
 
     # ---- planning (driver, metadata-only) -----------------------------
@@ -140,7 +212,7 @@ class ManifestStreamReader(DataSourceStreamReader):
         if version < 0:
             return set(), set()
         try:
-            m = _read_manifest_json(self.table_dir, version)
+            m = _read_manifest_json(self.fs, self.table_dir, version)
         except FileNotFoundError:
             raise ValueError(
                 f"manifest_stream: manifest v{version} of "
@@ -155,8 +227,9 @@ class ManifestStreamReader(DataSourceStreamReader):
             f"manifest_stream: versions {sv}->{ev} of {self.table_dir} "
             f"carry equality deletes {sorted(dels)}; an append-only "
             "stream cannot represent retractions. Read the change feed "
-            "(manifest.snapshot_diff) instead, or set ignoreDeletes="
-            "true to stream raw inserts only (delete masks NOT applied)."
+            "(manifest_cdf_stream / manifest.snapshot_diff) instead, or "
+            "set ignoreDeletes=true to stream raw inserts only (delete "
+            "masks NOT applied)."
         )
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
@@ -169,7 +242,7 @@ class ManifestStreamReader(DataSourceStreamReader):
         self._floor = max(ev, self._floor if self._floor is not None else ev)
         if ev <= sv:
             return []
-        if sv < 0:
+        if sv < 0 and self.snapshot_mode:
             # INITIAL SNAPSHOT (the Delta streaming-source contract): a
             # fresh stream's first batch is the CURRENT snapshot's full
             # content — including compaction bases, whose rows this
@@ -183,10 +256,11 @@ class ManifestStreamReader(DataSourceStreamReader):
         # tail: walk EVERY intermediate version, not just the endpoint
         # diff — a batch committed then compacted away inside one
         # interval appears in no endpoint diff, and a delete added then
-        # GC'd inside one interval must still refuse
+        # GC'd inside one interval must still refuse. (sv < 0 here is
+        # startingVersion=0: an empty baseline walked the same way.)
         seen, dels_seen = self._ids_at(sv)
         emit: list[int] = []
-        for v in range(sv + 1, ev + 1):
+        for v in range(max(sv + 1, 0), ev + 1):
             ids_v, dels_v = self._ids_at(v)
             new_dels = dels_v - dels_seen
             if new_dels and not self.ignore_deletes:
@@ -203,10 +277,11 @@ class ManifestStreamReader(DataSourceStreamReader):
     def _parts_for(self, ids: list[int]) -> list[InputPartition]:
         parts: list[InputPartition] = []
         for b in ids:
+            bdir = f"{self.table_dir}/_batch_id={b}"
             files = sorted(
-                glob.glob(
-                    os.path.join(self.table_dir, f"_batch_id={b}", "*.parquet")
-                )
+                f"{bdir}/{n}"
+                for n in self.fs.listdir(bdir)
+                if n.endswith(".parquet")
             )
             if not files:
                 raise ValueError(
@@ -219,13 +294,9 @@ class ManifestStreamReader(DataSourceStreamReader):
 
     # ---- execution (executors, arrow-batched) -------------------------
     def read(self, partition: _ParquetFilePartition):
-        import pyarrow.parquet as pq
-
-        names = [f.name for f in self.schema.fields]
-        table = pq.read_table(partition.path, columns=names)
-        # column-pruned to the declared schema, emitted as RecordBatches
-        # so rows never round-trip through Python objects
-        for rb in table.select(names).to_batches():
+        for rb in _read_evolved_batches(
+            self.fs, partition.path, self.schema
+        ):
             yield rb
 
     def commit(self, end: dict) -> None:
@@ -234,6 +305,39 @@ class ManifestStreamReader(DataSourceStreamReader):
         # guaranteed to reach the planning worker), so belt-and-braces
         v = end["version"]
         self._floor = max(v, self._floor if self._floor is not None else v)
+
+
+def _read_evolved_batches(
+    fs: StorageBackend, path: str, schema: StructType
+):
+    """Read one parquet file column-pruned to `schema`, tolerating
+    ADDITIVE schema evolution: declared columns missing from the file
+    (written before the column existed) come back as typed nulls, and
+    present columns are cast to the declared arrow types. Yields
+    RecordBatches so rows never round-trip through Python objects."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    declared = to_arrow_schema(schema)
+    names = declared.names
+    local = fs.local_path(path)
+    src = local if local is not None else fs.open(path, "rb")
+    pf = pq.ParquetFile(src)
+    in_file = [n for n in names if n in pf.schema_arrow.names]
+    table = pf.read(columns=in_file)
+    cols = []
+    for field in declared:
+        if field.name in in_file:
+            cols.append(table.column(field.name).cast(field.type))
+        else:
+            cols.append(pa.nulls(table.num_rows, type=field.type))
+    out = pa.Table.from_arrays(cols, schema=declared)
+    if local is None:
+        src.close()
+    for rb in out.to_batches():
+        yield rb
 
 
 class ManifestStreamSource(DataSource):

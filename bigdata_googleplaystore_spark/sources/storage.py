@@ -1,0 +1,193 @@
+"""Pluggable storage seam for the Python-DataSource connector tier.
+
+The connector modules (`manifest_stream`, `manifest_cdf_stream`) plan
+micro-batches from manifest JSONs and read parquet bytes on executors.
+Both kinds of I/O go through the tiny `StorageBackend` interface below
+instead of bare `open()`/`os.listdir()`, so the connector tier is
+storage-agnostic the way its module docs promise:
+
+- `LocalBackend` — plain local paths (and `file://`); the default, and
+  the fast path (parquet reads hand pyarrow the path itself so it can
+  memory-map instead of streaming through a file object).
+- `MemoryBackend` — an in-process `memory://` filesystem for unit
+  tests. The store travels WITH the backend when a reader is pickled,
+  so executor-side reads observe a snapshot taken at plan-serialization
+  time — exactly the immutability the manifest protocol guarantees for
+  committed files, and sufficient for driver-side unit tests.
+- `FsspecBackend` — any scheme fsspec knows (`s3://`, `gs://`, ...)
+  when the `fsspec` package is importable. This container does not ship
+  it, so the class is exercised only through its refusal path here; the
+  adapter is three one-line delegations, kept so a real deployment
+  needs zero connector changes.
+
+Only four operations exist because only four are needed: `open` (read a
+manifest / parquet bytes), `exists` (checkpoint + version probes),
+`listdir` (manifest listing, batch-dir file listing), `isdir`. Write
+paths stay in the operator tier (streaming/manifest.py, Hadoop FS API);
+this seam is the READ half by design — the Python DataSource API only
+reads.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+
+
+def _scheme(path: str) -> str:
+    """URL scheme of `path`, '' for plain local paths. Windows drive
+    letters are not schemes, but this environment is POSIX-only."""
+    i = path.find("://")
+    return path[:i] if i > 0 else ""
+
+
+class StorageBackend:
+    """Minimal read-side filesystem contract (see module doc)."""
+
+    def open(self, path: str, mode: str = "rb"):
+        raise NotImplementedError
+
+    def exists(self, path: str) -> bool:
+        raise NotImplementedError
+
+    def isdir(self, path: str) -> bool:
+        raise NotImplementedError
+
+    def listdir(self, path: str) -> list[str]:
+        """Child NAMES (not paths) of a directory; [] if absent."""
+        raise NotImplementedError
+
+    def local_path(self, path: str) -> str | None:
+        """A local filesystem path pyarrow may mmap, else None."""
+        return None
+
+
+class LocalBackend(StorageBackend):
+    def _strip(self, path: str) -> str:
+        return path[len("file://"):] if path.startswith("file://") else path
+
+    def open(self, path: str, mode: str = "rb"):
+        return open(self._strip(path), mode)
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(self._strip(path))
+
+    def isdir(self, path: str) -> bool:
+        return os.path.isdir(self._strip(path))
+
+    def listdir(self, path: str) -> list[str]:
+        p = self._strip(path)
+        return sorted(os.listdir(p)) if os.path.isdir(p) else []
+
+    def local_path(self, path: str) -> str | None:
+        return self._strip(path)
+
+
+class MemoryBackend(StorageBackend):
+    """memory:// — a dict of path -> bytes. Directories are implicit
+    (every prefix segment of a stored key). One process-wide shared
+    store backs `get_backend("memory://...")` so tests can write
+    through one handle and plan through another; instances pickle their
+    store by value (snapshot semantics, see module doc)."""
+
+    _shared: dict[str, bytes] = {}
+
+    def __init__(self, store: dict[str, bytes] | None = None):
+        self.store = self._shared if store is None else store
+
+    @staticmethod
+    def _norm(path: str) -> str:
+        p = path[len("memory://"):] if path.startswith("memory://") else path
+        return p.strip("/")
+
+    def put(self, path: str, data: bytes) -> None:
+        self.store[self._norm(path)] = bytes(data)
+
+    def delete(self, path: str) -> None:
+        self.store.pop(self._norm(path), None)
+
+    def clear(self) -> None:
+        self.store.clear()
+
+    def open(self, path: str, mode: str = "rb"):
+        key = self._norm(path)
+        if mode == "rb":
+            if key not in self.store:
+                raise FileNotFoundError(path)
+            return io.BytesIO(self.store[key])
+        if mode == "wb":
+            backend, k = self, key
+
+            class _Writer(io.BytesIO):
+                def close(_self):
+                    backend.store[k] = _self.getvalue()
+                    super().close()
+
+            return _Writer()
+        raise ValueError(f"MemoryBackend supports rb/wb, not {mode!r}")
+
+    def exists(self, path: str) -> bool:
+        key = self._norm(path)
+        return key in self.store or self.isdir(path)
+
+    def isdir(self, path: str) -> bool:
+        prefix = self._norm(path) + "/"
+        return any(k.startswith(prefix) for k in self.store)
+
+    def listdir(self, path: str) -> list[str]:
+        prefix = self._norm(path)
+        prefix = prefix + "/" if prefix else ""
+        names = {
+            k[len(prefix):].split("/", 1)[0]
+            for k in self.store
+            if k.startswith(prefix)
+        }
+        return sorted(names)
+
+    def __reduce__(self):
+        # pickle the store BY VALUE: a deserialized reader on another
+        # process sees the files that existed when the plan shipped
+        return (MemoryBackend, (dict(self.store),))
+
+
+class FsspecBackend(StorageBackend):
+    """Adapter over fsspec when the package is available (not in this
+    container — constructor raises a clear refusal otherwise)."""
+
+    def __init__(self, scheme: str):
+        try:
+            import fsspec
+        except ImportError as e:
+            raise ImportError(
+                f"scheme {scheme!r}:// needs the fsspec package, which is "
+                "not installed in this environment; local and memory:// "
+                "paths work without it"
+            ) from e
+        self.scheme = scheme
+        self.fs = fsspec.filesystem(scheme)
+
+    def open(self, path: str, mode: str = "rb"):
+        return self.fs.open(path, mode)
+
+    def exists(self, path: str) -> bool:
+        return self.fs.exists(path)
+
+    def isdir(self, path: str) -> bool:
+        return self.fs.isdir(path)
+
+    def listdir(self, path: str) -> list[str]:
+        if not self.fs.isdir(path):
+            return []
+        return sorted(p.rstrip("/").rsplit("/", 1)[-1] for p in self.fs.ls(path))
+
+
+def get_backend(path: str) -> StorageBackend:
+    """Backend for `path` by scheme: ''/file -> local, memory -> the
+    shared in-process store, anything else -> fsspec (or a clear
+    ImportError when fsspec is absent)."""
+    s = _scheme(path)
+    if s in ("", "file"):
+        return LocalBackend()
+    if s == "memory":
+        return MemoryBackend()
+    return FsspecBackend(s)

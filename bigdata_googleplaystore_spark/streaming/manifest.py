@@ -427,7 +427,10 @@ def compact_snapshot(
 
 
 def vacuum(
-    spark: SparkSession, table_dir: str, keep_versions: int = 2
+    spark: SparkSession,
+    table_dir: str,
+    keep_versions: int = 2,
+    tmp_grace_seconds: float = 3600.0,
 ) -> tuple[int, int]:
     """Garbage-collect: keep the newest `keep_versions` manifests and
     every partition directory any of them references; delete the rest —
@@ -494,14 +497,24 @@ def vacuum(
             )
             man_deleted += 1
     # crashed committers leave behind uniquely-named *.tmp staging files
-    # in _manifests that no rename ever consumed — reclaim those as well
+    # in _manifests that no rename ever consumed — reclaim those as
+    # well, but only past a grace period: a young .tmp may belong to a
+    # LIVE committer between RenameCommitBackend's write and rename,
+    # and deleting it there forces a spurious ConcurrentCommitError.
+    # tmp_grace_seconds=0 reclaims unconditionally (tests / known-quiet
+    # tables).
+    import time as _time
+
+    now_ms = _time.time() * 1000.0
     mdir = jvm.org.apache.hadoop.fs.Path(
         table_dir.rstrip("/") + "/" + MANIFEST_DIR
     )
     if fs.exists(mdir):
         for st in fs.listStatus(mdir):
             if st.getPath().getName().endswith(".tmp"):
-                fs.delete(st.getPath(), False)
+                age_ms = now_ms - st.getModificationTime()
+                if age_ms >= tmp_grace_seconds * 1000.0:
+                    fs.delete(st.getPath(), False)
     # keep the advisory pointer inside the retained window so the fast
     # path stays fast (a stale pointer would fall back to listing)
     write_checkpoint(spark, table_dir, retained[-1])
@@ -832,7 +845,7 @@ def compact_rows_apply_deletes(
     if all(e is not None for e in sub_entries) and sub_entries:
         common = set.intersection(*(set(e) for e in sub_entries))
         for c in common:
-            if c == "_rows":  # recounted exactly below, not min/max-merged
+            if c in ("_rows", "_bytes"):  # remeasured exactly below
                 continue
             los = [e[c][0] for e in sub_entries]
             his = [e[c][1] for e in sub_entries]
@@ -840,10 +853,12 @@ def compact_rows_apply_deletes(
                 merged_cols[c] = [min(los), max(his)]
     # the rewritten base's EXACT row count (deletes were applied above,
     # so summing subsumed counts would overcount) — keeps the
-    # metadata-only COUNT(*) path exact through compaction
+    # metadata-only COUNT(*) path exact through compaction; same for
+    # the on-disk bytes the streaming source's byte admission reads
     merged_cols["_rows"] = spark.read.parquet(
         f"{table_dir.rstrip('/')}/_batch_id={base_id}"
     ).count()
+    merged_cols["_bytes"] = _partition_bytes(spark, table_dir, base_id)
     stats[str(base_id)] = merged_cols
     blooms = {
         k: v for k, v in (cur.get("blooms") or {}).items() if int(k) > upto_batch
@@ -1004,6 +1019,22 @@ def _json_scalar(v):
     return v
 
 
+def _partition_bytes(spark: SparkSession, table_dir: str, batch_id: int) -> int:
+    """Sum of data-file lengths under `_batch_id=<id>` — filesystem
+    metadata only."""
+    jvm, fs, _ = _fs(spark, table_dir)
+    pdir = jvm.org.apache.hadoop.fs.Path(
+        table_dir.rstrip("/"), f"_batch_id={batch_id}"
+    )
+    if not fs.exists(pdir):
+        return 0
+    return sum(
+        st.getLen()
+        for st in fs.listStatus(pdir)
+        if not st.getPath().getName().startswith("_")
+    )
+
+
 def write_and_commit_batch(
     spark: SparkSession,
     df: DataFrame,
@@ -1048,6 +1079,10 @@ def write_and_commit_batch(
         }
         # per-batch row count: the metadata-only COUNT(*) input
         stats_entry["_rows"] = int(row["_rc"])
+        # per-batch on-disk bytes: the streaming source's
+        # maxBytesPerTrigger admission input — one O(|files|) metadata
+        # listing of the partition just written, never a data read
+        stats_entry["_bytes"] = _partition_bytes(spark, table_dir, batch_id)
     last: ConcurrentCommitError | None = None
     for _ in range(retries):
         cur = read_manifest(spark, table_dir)

@@ -550,6 +550,92 @@ def test_append_ivf_assignments_equals_full_build(spark, sf_dir, tmp_path):
     assert got_map == want_map
 
 
+def test_metaless_index_requires_explicit_params(spark, sf_dir, tmp_path):
+    """Legacy meta-less index layouts (r10 ADVICE): the indexed
+    incremental entry points must not silently shingle/hash the delta
+    with defaults that may differ from the base's build — no meta +
+    no explicit params raises; explicit params reproduce the flat
+    path; params conflicting with an existing meta raise."""
+    import pytest
+
+    from bigdata_googleplaystore_spark.operators import dedup
+    from bigdata_googleplaystore_spark.sources import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    delta = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 500000).alias("doc_id"), "text"
+    )
+    # legacy Jaccard layout: postings only, built with NON-default n=4
+    jac = str(tmp_path / "jac_legacy")
+    dedup.build_jaccard_index(d, "doc_id", "text", n=4).write.parquet(
+        jac + "/postings"
+    )
+    with pytest.raises(ValueError, match="no meta"):
+        dedup.jaccard_pairs_incremental_indexed(
+            spark, jac, delta, "doc_id", "text", threshold=0.5
+        )
+    got = sorted(
+        map(
+            tuple,
+            dedup.jaccard_pairs_incremental_indexed(
+                spark, jac, delta, "doc_id", "text", threshold=0.5, n=4
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            dedup.jaccard_pairs_incremental(
+                dedup.read_jaccard_index(spark, jac),
+                delta, "doc_id", "text", 4, 0.5,
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+    # legacy LSH layout: buckets/hashed only, non-default band shape
+    lsh = str(tmp_path / "lsh_legacy")
+    b, h = dedup.build_lsh_index(d, "doc_id", "text", 3, 32, 8)
+    b.write.parquet(lsh + "/buckets")
+    h.write.parquet(lsh + "/hashed")
+    with pytest.raises(ValueError, match="no meta"):
+        dedup.minhash_lsh_pairs_incremental_indexed(
+            spark, lsh, delta, "doc_id", "text", threshold=0.5
+        )
+    got_l = sorted(
+        map(
+            tuple,
+            dedup.minhash_lsh_pairs_incremental_indexed(
+                spark, lsh, delta, "doc_id", "text",
+                threshold=0.5, n=3, num_hashes=32, bands=8,
+            ).collect(),
+        )
+    )
+    want_l = sorted(
+        map(
+            tuple,
+            dedup.minhash_lsh_pairs_incremental(
+                *dedup.read_lsh_index(spark, lsh),
+                delta, "doc_id", "text",
+                n=3, num_hashes=32, bands=8, threshold=0.5,
+            ).collect(),
+        )
+    )
+    assert got_l == want_l and len(got_l) > 0
+    # explicit params that CONTRADICT an existing meta are a caller bug
+    jac2 = str(tmp_path / "jac_meta")
+    dedup.write_jaccard_index(d, jac2, "doc_id", "text", n=3, buckets=8)
+    with pytest.raises(ValueError, match="conflict"):
+        dedup.jaccard_pairs_incremental_indexed(
+            spark, jac2, delta, "doc_id", "text", threshold=0.5, n=4
+        )
+    lsh2 = str(tmp_path / "lsh_meta")
+    dedup.write_lsh_index(d, lsh2, "doc_id", "text", n=3, partitions=16)
+    with pytest.raises(ValueError, match="conflict"):
+        dedup.minhash_lsh_pairs_incremental_indexed(
+            spark, lsh2, delta, "doc_id", "text", threshold=0.5, bands=8
+        )
+
+
 def test_incremental_jaccard_equals_full_recompute(spark, sf_dir, tmp_path):
     """Incremental pairs == one-shot jaccard_pairs over base+delta,
     restricted to delta-touching pairs — exact equality, no

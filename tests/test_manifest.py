@@ -672,11 +672,27 @@ def test_vacuum_reclaims_orphan_manifest_tmp(spark, tmp_path):
         manifest._version_path(table, 99) + ".deadbeefdeadbeef.tmp"
     )
     manifest._write_small_file(spark, orphan, b"{}")
-    manifest.vacuum(spark, table, keep_versions=1)
+    manifest.vacuum(spark, table, keep_versions=1, tmp_grace_seconds=0)
     jvm, fs, _ = manifest._fs(spark, table)
     assert not fs.exists(jvm.org.apache.hadoop.fs.Path(orphan))
     # staged-but-never-renamed junk must not corrupt version listing
     assert manifest.list_versions(spark, table) == [3]
+
+
+def test_vacuum_spares_young_manifest_tmp(spark, tmp_path):
+    # a .tmp younger than the grace period may belong to a LIVE
+    # committer between stage-write and rename — the default vacuum
+    # must not yank it out from under that commit (r10 ADVICE)
+    table = str(tmp_path / "tbl")
+    _write_committed_batches(spark, table)
+    staged = manifest._version_path(table, 99) + ".cafebabecafebabe.tmp"
+    manifest._write_small_file(spark, staged, b"{}")
+    manifest.vacuum(spark, table, keep_versions=1)  # default 1h grace
+    jvm, fs, _ = manifest._fs(spark, table)
+    assert fs.exists(jvm.org.apache.hadoop.fs.Path(staged))
+    # ...and a later pass past the grace period reclaims it
+    manifest.vacuum(spark, table, keep_versions=1, tmp_grace_seconds=0)
+    assert not fs.exists(jvm.org.apache.hadoop.fs.Path(staged))
 
 
 def test_checkpoint_pointer_and_forward_probe(spark, tmp_path):
@@ -895,8 +911,9 @@ def test_manifest_stream_source_max_versions_per_trigger(spark, tmp_path):
 
 
 def test_manifest_stream_source_starting_version(spark, tmp_path):
-    # startingVersion=N tails from version N: the initial snapshot is
-    # skipped and only commits AFTER N are emitted
+    # startingVersion=N is INCLUSIVE of N (Delta parity, r10 ADVICE):
+    # the initial snapshot is skipped and the changes committed AT and
+    # after N are emitted
     table = str(tmp_path / "tbl")
     raw = _raw(spark)
     for b in range(3):
@@ -906,13 +923,29 @@ def test_manifest_stream_source_starting_version(spark, tmp_path):
         manifest.commit_batch(spark, table, b)
     got = _stream_drain(
         spark, table, str(tmp_path / "c"), str(tmp_path / "s"),
-        "id long, k string, v double", startingVersion="0",
+        "id long, k string, v double", startingVersion="1",
     )
-    # version 0 committed batch 0; tail emits batches 1 and 2 only
+    # version 1 committed batch 1; inclusive tail emits batches 1 and 2
     want = sorted(
         r["id"] for r in raw.where(F.col("id") % 3 != 0).collect()
     )
     assert sorted(r["id"] for r in got.collect()) == want
+    # startingVersion=0 replays the whole log (not the snapshot path)
+    got0 = _stream_drain(
+        spark, table, str(tmp_path / "c0"), str(tmp_path / "s0"),
+        "id long, k string, v double", startingVersion="0",
+    )
+    assert sorted(r["id"] for r in got0.collect()) == sorted(
+        r["id"] for r in raw.collect()
+    )
+    # negative startingVersion is a caller error, refused at once
+    from bigdata_googleplaystore_spark.sources import manifest_stream as ms
+    from pyspark.sql.types import StructType
+
+    with pytest.raises(ValueError, match="startingVersion"):
+        ms.ManifestStreamReader(
+            StructType([]), {"path": table, "startingversion": "-1"}
+        )
 
 
 def test_manifest_stream_planning_model(spark, tmp_path):
@@ -987,3 +1020,74 @@ def test_manifest_stream_planning_model(spark, tmp_path):
             start_ids |= log[v]
         want = sorted(list(log[cuts[0]]) + sorted(tail_batches))
         assert sorted(emitted) == want, (cuts, emitted, want)
+
+
+def test_manifest_stream_source_max_bytes_per_trigger(spark, tmp_path):
+    # byte-based admission control: write_and_commit_batch records
+    # `_bytes` per batch in the manifest stats; with the cap set below
+    # one batch's size, the post-initial catch-up drains one version
+    # per trigger (>=1 version always admitted), with no loss and no
+    # duplication — the maxBytesPerTrigger analog of the version cap
+    from bigdata_googleplaystore_spark.sources import manifest_stream
+
+    manifest_stream.register(spark)
+    table = str(tmp_path / "tbl")
+    raw = _raw(spark)
+    manifest.write_and_commit_batch(
+        spark, raw.where(F.col("id") < 50), table, 0
+    )
+    m = manifest.read_manifest(spark, table)
+    assert m["stats"]["0"]["_bytes"] > 0  # recorded at commit
+    q = (
+        spark.readStream.format("manifest_stream")
+        .schema("id long, k string, v double")
+        .option("path", table)
+        .option("maxBytesPerTrigger", 1)  # < any real batch
+        .load()
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "sink"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    for b in range(1, 4):
+        manifest.write_and_commit_batch(
+            spark,
+            raw.where((F.col("id") >= 50 * b) & (F.col("id") < 50 * (b + 1))),
+            table,
+            b,
+        )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.read.parquet(str(tmp_path / "sink"))
+    assert sorted(r["id"] for r in got.collect()) == list(range(200))
+    nonempty = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(nonempty) >= 4  # 1 initial + 3 byte-capped catch-ups
+
+
+def test_manifest_stream_source_reads_pre_evolution_batches(spark, tmp_path):
+    # additive schema evolution (r10 ADVICE): a batch committed BEFORE
+    # a column existed still streams — the missing column comes back
+    # as typed nulls, same as the operator tier's merge_schema reads
+    from bigdata_googleplaystore_spark.sources import manifest_stream
+
+    manifest_stream.register(spark)
+    table = str(tmp_path / "tbl")
+    raw = _raw(spark)
+    streaming.write_batch_partition(
+        raw.where(F.col("id") < 100).drop("v"), table, 0
+    )
+    manifest.commit_batch(spark, table, 0)
+    streaming.write_batch_partition(
+        raw.where(F.col("id") >= 100), table, 1
+    )
+    manifest.commit_batch(spark, table, 1)
+    got = _stream_drain(
+        spark, table, str(tmp_path / "c"), str(tmp_path / "s"),
+        "id long, k string, v double",
+    )
+    rows = {r["id"]: r for r in got.collect()}
+    assert sorted(rows) == list(range(200))
+    assert all(rows[i]["v"] is None for i in range(100))
+    want = {r["id"]: r["v"] for r in raw.where(F.col("id") >= 100).collect()}
+    assert all(rows[i]["v"] == want[i] for i in range(100, 200))

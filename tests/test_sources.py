@@ -215,3 +215,143 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     assert old.filter(F.col("v2").isNull()).count() == 5  # backfilled nulls
     new = merged.filter(F.col("batch") == 1)
     assert new.filter(F.col("v2") == 1.5).count() == 3
+
+
+# ---------------------------------------------------------------------------
+# storage seam (sources/storage.py) — the connector tier's pluggable
+# read-side filesystem: local by default, memory:// for tests, fsspec
+# schemes refused with a clear message when the package is absent
+# ---------------------------------------------------------------------------
+
+
+def test_storage_backend_dispatch_and_memory_fs(tmp_path):
+    import pickle
+
+    import pytest
+
+    from bigdata_googleplaystore_spark.sources import storage
+
+    local = storage.get_backend(str(tmp_path / "x"))
+    assert isinstance(local, storage.LocalBackend)
+    assert isinstance(storage.get_backend("file:///tmp/x"), storage.LocalBackend)
+    mem = storage.get_backend("memory://tbl")
+    assert isinstance(mem, storage.MemoryBackend)
+    with pytest.raises(ImportError, match="fsspec"):
+        storage.get_backend("s3://bucket/key")
+
+    # local: open/exists/listdir/local_path against a real dir
+    p = tmp_path / "d" / "a.txt"
+    p.parent.mkdir()
+    p.write_bytes(b"hi")
+    assert local.exists(str(p)) and not local.exists(str(p) + ".nope")
+    assert local.isdir(str(p.parent)) and not local.isdir(str(p))
+    assert local.listdir(str(p.parent)) == ["a.txt"]
+    assert local.open(str(p)).read() == b"hi"
+    assert local.local_path(f"file://{p}") == str(p)
+
+    # memory://: same contract over the shared in-process store
+    mem.clear()
+    mem.put("memory://tbl/_manifests/v000000000000.json", b"{}")
+    mem.put("memory://tbl/_batch_id=0/part-0.parquet", b"PAR1")
+    assert mem.exists("memory://tbl/_manifests/v000000000000.json")
+    assert mem.isdir("memory://tbl/_batch_id=0")
+    assert mem.listdir("memory://tbl") == ["_batch_id=0", "_manifests"]
+    assert mem.listdir("memory://tbl/_batch_id=0") == ["part-0.parquet"]
+    assert mem.open("memory://tbl/_batch_id=0/part-0.parquet").read() == b"PAR1"
+    assert mem.local_path("memory://tbl/x") is None
+    with mem.open("memory://tbl/w.bin", "wb") as f:
+        f.write(b"xyz")
+    assert mem.open("memory://tbl/w.bin").read() == b"xyz"
+    # a SECOND handle sees the shared store (write-one-plan-another)
+    assert storage.get_backend("memory://tbl").exists("memory://tbl/w.bin")
+    # pickling snapshots the store by value (executor-shipping semantics)
+    clone = pickle.loads(pickle.dumps(mem))
+    mem.put("memory://tbl/after.bin", b"!")
+    assert clone.exists("memory://tbl/w.bin")
+    assert not clone.exists("memory://tbl/after.bin")
+    mem.clear()
+
+
+def test_manifest_stream_plans_through_memory_backend():
+    """The manifest_stream planning helpers are storage-agnostic: the
+    same offset ladder (checkpoint pointer, listing fallback) and
+    partition planning run against a memory:// table no local path
+    ever backed."""
+    import json
+
+    from pyspark.sql.types import StructType
+
+    from bigdata_googleplaystore_spark.sources import manifest_stream as ms
+    from bigdata_googleplaystore_spark.sources import storage
+
+    mem = storage.get_backend("memory://mtbl")
+    mem.clear()
+    tbl = "memory://mtbl"
+    for v, ids in enumerate([[0], [0, 1], [0, 1, 2]]):
+        mem.put(
+            f"{tbl}/_manifests/v{v:012d}.json",
+            json.dumps({"version": v, "batch_ids": ids}).encode(),
+        )
+    for b in range(3):
+        mem.put(f"{tbl}/_batch_id={b}/part-0.parquet", b"PAR1")
+    assert ms._latest_version(mem, tbl) == 2
+    # checkpoint pointer fast path, including forward probing
+    mem.put(
+        f"{tbl}/_manifests/_last_checkpoint.json",
+        json.dumps({"version": 1}).encode(),
+    )
+    assert ms._latest_version(mem, tbl) == 2
+    r = ms.ManifestStreamReader(StructType([]), {"path": tbl})
+    snap = r.partitions({"version": -1}, {"version": 2})
+    assert sorted(p.path for p in snap) == [
+        f"{tbl}/_batch_id={b}/part-0.parquet" for b in range(3)
+    ]
+    r2 = ms.ManifestStreamReader(StructType([]), {"path": tbl})
+    tail = r2.partitions({"version": 1}, {"version": 2})
+    assert [p.path for p in tail] == [f"{tbl}/_batch_id=2/part-0.parquet"]
+    mem.clear()
+
+
+def test_manifest_stream_read_tolerates_added_column(tmp_path):
+    """read()'s schema-evolution tolerance (r10 ADVICE): a batch file
+    written BEFORE a column was added streams back with typed nulls in
+    the missing column — against both the local and memory backends,
+    straight through _read_evolved_batches (the exact executor path)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from bigdata_googleplaystore_spark.sources import manifest_stream as ms
+    from bigdata_googleplaystore_spark.sources import storage
+
+    old = pa.table({"id": pa.array([1, 2], pa.int64()),
+                    "k": pa.array(["a", "b"])})
+    f = tmp_path / "old.parquet"
+    pq.write_table(old, str(f))
+    declared = StructType([
+        StructField("id", LongType()),
+        StructField("k", StringType()),
+        StructField("v", DoubleType()),  # added AFTER the file was written
+    ])
+    got = pa.Table.from_batches(
+        list(ms._read_evolved_batches(storage.LocalBackend(), str(f), declared))
+    )
+    assert got.column_names == ["id", "k", "v"]
+    assert got.column("v").null_count == 2
+    assert got.column("v").type == pa.float64()
+    assert got.column("id").to_pylist() == [1, 2]
+    # memory:// takes the file-like branch of the same helper
+    mem = storage.get_backend("memory://evo")
+    mem.clear()
+    mem.put("memory://evo/old.parquet", f.read_bytes())
+    got2 = pa.Table.from_batches(
+        list(ms._read_evolved_batches(mem, "memory://evo/old.parquet", declared))
+    )
+    assert got.equals(got2)
+    mem.clear()
