@@ -54,6 +54,7 @@ What the manifest buys, concretely:
 
 from __future__ import annotations
 
+import contextlib
 import json
 
 from pyspark.sql import DataFrame, SparkSession
@@ -119,7 +120,100 @@ class RenameCommitBackend(CommitBackend):
             )
 
 
+class MockObjectStore:
+    """In-process model of an object store's conditional-write
+    primitive — the generation map IS the store's arbitration state,
+    while object bodies land on the real filesystem so every reader in
+    the protocol (read_manifest, list_versions, vacuum) sees them
+    unchanged. Exposes exactly what S3 (`If-None-Match: *`) / GCS
+    (`x-goog-if-generation-match: 0`) expose: one atomic
+    put-if-generation-zero. `interpose` is the CONTENTION INJECTION
+    hook: a test installs a callback that fires between a committer's
+    decision to publish and the store's atomic section — a rival put
+    landed there must make this put fail with the 412 analog, which is
+    the entire point of a conditional put.
+
+    Generations are never reset on FS deletes (vacuum): versions are
+    monotone, nobody re-puts an old version path, and a stale non-zero
+    generation only makes a re-put refuse — the safe direction."""
+
+    def __init__(self):
+        import threading
+
+        self._lock = threading.Lock()
+        self._gen: dict[str, int] = {}
+        self.interpose = None  # fn(key) | None — test hook, see above
+        self.puts = 0  # successful conditional puts (observability)
+
+    def put_if_absent(self, key: str, writer, exists_probe=None) -> bool:
+        """Atomically: if `key` has generation 0 (and, for objects that
+        predate this store handle, `exists_probe()` is false), run
+        `writer()` to materialize the body and bump the generation;
+        else refuse. Returns whether the put won."""
+        hook = self.interpose
+        if hook is not None:
+            hook(key)
+        with self._lock:
+            if self._gen.get(key, 0) != 0:
+                return False
+            if exists_probe is not None and exists_probe():
+                # adopt an object created before this handle existed
+                # (e.g. a table whose early commits used the rename
+                # backend) — conditional put must refuse, not clobber
+                self._gen[key] = 1
+                return False
+            writer()
+            self._gen[key] = 1
+            self.puts += 1
+            return True
+
+
+class ConditionalPutCommitBackend(CommitBackend):
+    """Object-store publish: ONE conditional PUT that the store itself
+    arbitrates — no temp file, no rename, no namespace assumption
+    (this is the backend for stores where rename is copy+delete and
+    never atomic). Wired to MockObjectStore because this environment
+    has no object-store endpoint; a real deployment replaces
+    `store.put_if_absent` with the SDK call carrying the
+    `If-None-Match: *` / generation-match header — nothing above the
+    CommitBackend seam changes (asserted by running the protocol suite
+    parameterized over both backends in tests/test_manifest.py)."""
+
+    def __init__(self, store: MockObjectStore):
+        self.store = store
+
+    def publish(self, spark: SparkSession, data: bytes, final_path: str) -> None:
+        jvm, fs, jfinal = _fs(spark, final_path)
+        fs.mkdirs(jfinal.getParent())
+        won = self.store.put_if_absent(
+            final_path,
+            lambda: _write_small_file(spark, final_path, data),
+            exists_probe=lambda: fs.exists(jfinal),
+        )
+        if not won:
+            raise ConcurrentCommitError(
+                f"{final_path}: conditional put refused (412 "
+                "Precondition Failed analog) — another committer owns "
+                "this version; re-read latest and retry"
+            )
+
+
 _DEFAULT_BACKEND = RenameCommitBackend()
+
+
+@contextlib.contextmanager
+def default_commit_backend(backend: CommitBackend):
+    """Scope every commit that doesn't pass an explicit backend to
+    `backend` — how a deployment (or the parameterized test suite)
+    swaps the publish primitive table-wide without threading it
+    through each helper."""
+    global _DEFAULT_BACKEND
+    prev = _DEFAULT_BACKEND
+    _DEFAULT_BACKEND = backend
+    try:
+        yield backend
+    finally:
+        _DEFAULT_BACKEND = prev
 
 
 def _fs(spark: SparkSession, path: str):

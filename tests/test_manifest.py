@@ -1091,3 +1091,100 @@ def test_manifest_stream_source_reads_pre_evolution_batches(spark, tmp_path):
     assert all(rows[i]["v"] is None for i in range(100))
     want = {r["id"]: r["v"] for r in raw.where(F.col("id") >= 100).collect()}
     assert all(rows[i]["v"] == want[i] for i in range(100, 200))
+
+
+# ---------------------------------------------------------------------------
+# conditional-put commit backend (r10 VERDICT item 3): a SECOND real
+# CommitBackend — object-store conditional-write semantics against a
+# mock store with injected contention — and the existing concurrency/
+# crash protocol suite re-run parameterized over BOTH backends
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(params=["rename", "conditional_put"])
+def commit_backend(request):
+    if request.param == "rename":
+        return manifest.RenameCommitBackend()
+    return manifest.ConditionalPutCommitBackend(manifest.MockObjectStore())
+
+
+def test_protocol_suite_under_both_backends(spark, tmp_path, commit_backend):
+    # the backend is the ONE pluggable primitive: the whole protocol
+    # (roundtrip+versions, optimistic conflict, compaction crash
+    # recovery, vacuum GC, MoR deletes, checkpoint pointer) must hold
+    # verbatim under either publish implementation
+    with manifest.default_commit_backend(commit_backend):
+        test_commit_read_roundtrip_and_versions(spark, tmp_path / "t1")
+        test_concurrent_commit_conflict(spark, tmp_path / "t2")
+        test_compact_is_atomic_and_crash_safe(spark, tmp_path / "t3")
+        test_vacuum_reclaims_unreferenced_and_orphans(spark, tmp_path / "t4")
+        test_merge_on_read_deletes_and_compaction(spark, tmp_path / "t5")
+        test_checkpoint_pointer_and_forward_probe(spark, tmp_path / "t6")
+
+
+def test_conditional_put_arbitrates_injected_contention(spark, tmp_path):
+    # the 412 path: a rival's put lands BETWEEN this committer's
+    # read-latest and its own PUT (the interpose hook fires inside
+    # that window); the store must refuse the second put and the
+    # optimistic retry in commit_batch must then land on the next
+    # version — the exact race conditional-put exists to arbitrate
+    table = str(tmp_path / "tbl")
+    store = manifest.MockObjectStore()
+    backend = manifest.ConditionalPutCommitBackend(store)
+    raw = _raw(spark)
+    with manifest.default_commit_backend(backend):
+        streaming.write_batch_partition(
+            raw.where(F.col("id") < 100), table, 0
+        )
+        manifest.commit_batch(spark, table, 0)
+        streaming.write_batch_partition(
+            raw.where(F.col("id") >= 100), table, 1
+        )
+
+        fired = {"n": 0}
+        rival_backend = manifest.ConditionalPutCommitBackend(store)
+
+        def rival_commits_first(key):
+            # fire exactly once, and commit the RIVAL through a
+            # separate backend handle sharing the same store
+            if fired["n"] == 0 and key.endswith("v000000000001.json"):
+                fired["n"] += 1
+                store.interpose = None
+                try:
+                    manifest.commit_version(
+                        spark, table, [0, 7], None, expected_prev=0,
+                        backend=rival_backend,
+                    )
+                finally:
+                    store.interpose = rival_commits_first
+
+        store.interpose = rival_commits_first
+        v = manifest.commit_batch(spark, table, 1)  # retries internally
+        store.interpose = None
+    assert fired["n"] == 1
+    assert v == 2  # lost v1 to the rival, retried on top of it
+    m = manifest.read_manifest(spark, table)
+    assert m["batch_ids"] == [0, 1, 7]
+    # the rival's v1 bytes were never clobbered
+    assert manifest.read_manifest(spark, table, 1)["batch_ids"] == [0, 7]
+    assert store.puts == 3  # v0, rival v1, retried v2
+
+
+def test_conditional_put_adopts_preexisting_objects(spark, tmp_path):
+    # a table whose early commits used the rename backend: a FRESH
+    # store handle must refuse to clobber version files it has no
+    # generation for (exists-probe adoption), not silently overwrite
+    table = str(tmp_path / "tbl")
+    _write_committed_batches(spark, table, n_batches=2)  # rename backend
+    store = manifest.MockObjectStore()
+    backend = manifest.ConditionalPutCommitBackend(store)
+    with pytest.raises(manifest.ConcurrentCommitError, match="412"):
+        manifest.commit_version(
+            spark, table, [0], None, expected_prev=0, backend=backend
+        )
+    # and the natural next version still commits fine
+    v = manifest.commit_version(
+        spark, table, [0, 1], None, expected_prev=1, backend=backend
+    )
+    assert v == 2
+    assert manifest.read_manifest(spark, table)["batch_ids"] == [0, 1]
