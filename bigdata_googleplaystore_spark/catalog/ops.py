@@ -8765,3 +8765,106 @@ def stream_from_manifest_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("v"), 2).cast("double").alias("total_price"),
         )
     )
+
+
+@register(
+    "stream_cdf_from_manifest",
+    oracle="""
+    SELECT 'insert' AS _change_type,
+           o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+             AS total_price
+    FROM orders GROUP BY o_orderpriority
+    UNION ALL
+    SELECT 'delete' AS _change_type,
+           o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+             AS total_price
+    FROM orders
+    WHERE o_orderkey % 3 <> 2 AND o_orderkey % 10 = 7
+    GROUP BY o_orderpriority
+    """,
+    tags=("streaming", "manifest", "cdf", "connector", "scale"),
+)
+def stream_cdf_from_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE-DATA-FEED STREAMING SOURCE over a manifest table
+    (sources/manifest_cdf_stream.py) — the retraction-capable twin of
+    `stream_from_manifest_source`, the public Delta readChangeFeed
+    streaming design: every drained row carries `_change_type`
+    ('insert' | 'delete'); planning composes manifest.snapshot_diff's
+    per-version-step semantics from two manifest JSONs per step, with
+    delete applicability resolved at PLANNING time (masks are
+    batch-level: a cutoff delete masks batches whose ingestion
+    sequence is <= the cutoff), so executors only ever see
+    (file, key-frame) pairs and rows never funnel through the driver.
+    Compaction steps emit nothing and the stream keeps running —
+    where the batch snapshot_diff must refuse across a rewrite.
+
+    The gate commits two orders batches, a mid-log cutoff delete of
+    every o_orderkey ending in 7 (masking only the first two
+    batches), then a third batch the delete must NOT touch; a live
+    Structured Streaming query drains the whole log
+    (startingVersion=0) through a parquet sink, and the sink
+    aggregates by change type — a missed retraction, a delete eating
+    the later batch, or a double-emitted step changes the counts and
+    hash-fails against the two-branch oracle. Mid-stream delete
+    arrival, upsert replay parity with the batch feed, compaction
+    skip, and the initial-snapshot mode are unit-gated in
+    tests/test_manifest.py."""
+    import shutil
+
+    from .. import streaming
+    from ..sources import manifest_cdf_stream
+    from ..streaming import manifest
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", dec2(F.col("o_totalprice")).alias("v")
+    )
+    table = _stream_src_dir("mcdf", sf_dir)
+    sink = _stream_src_dir("mcdf_sink", sf_dir)
+    ckpt = _stream_src_dir("mcdf_ckpt", sf_dir)
+    for d in (table, sink, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    for b in range(2):
+        streaming.write_batch_partition(
+            o.filter(F.col("o_orderkey") % 3 == b), table, b
+        )
+        manifest.commit_batch(spark, table, b)
+    manifest.commit_deletes(
+        spark,
+        table,
+        o.filter(F.col("o_orderkey") % 10 == 7).select("o_orderkey"),
+        delete_id=0,
+        cutoff=1,
+    )
+    streaming.write_batch_partition(
+        o.filter(F.col("o_orderkey") % 3 == 2), table, 2
+    )
+    manifest.commit_batch(spark, table, 2)
+    manifest_cdf_stream.register(spark)
+    q = (
+        spark.readStream.format("manifest_cdf_stream")
+        .schema(
+            "o_orderkey bigint, o_orderpriority string, v decimal(12,2),"
+            " _change_type string"
+        )
+        .option("path", table)
+        .option("startingVersion", "0")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return (
+        spark.read.parquet(sink)
+        .groupBy("_change_type", "o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.round(F.sum("v"), 2).cast("double").alias("total_price"),
+        )
+    )

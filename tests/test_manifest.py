@@ -1188,3 +1188,196 @@ def test_conditional_put_adopts_preexisting_objects(spark, tmp_path):
     )
     assert v == 2
     assert manifest.read_manifest(spark, table)["batch_ids"] == [0, 1]
+
+
+# ---------------------------------------------------------------------------
+# CDF streaming source (sources/manifest_cdf_stream.py): the
+# retraction-capable twin of manifest_stream — _change_type-tagged
+# rows, per-version-step planning, compaction steps skipped
+# ---------------------------------------------------------------------------
+
+_CDF_DDL = "id long, k string, v double, _change_type string"
+
+
+def _cdf_drain(spark, table, ckpt, sink, **opts):
+    from bigdata_googleplaystore_spark.sources import manifest_cdf_stream
+
+    manifest_cdf_stream.register(spark)
+    reader = (
+        spark.readStream.format("manifest_cdf_stream")
+        .schema(_CDF_DDL)
+        .option("path", table)
+    )
+    for kk, vv in opts.items():
+        reader = reader.option(kk, vv)
+    q = (
+        reader.load()
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.read.parquet(sink)
+
+
+def _feed_rows(df):
+    return sorted(
+        (r["_change_type"], r["id"], r["k"], r["v"]) for r in df.collect()
+    )
+
+
+def test_cdf_stream_inserts_then_mid_stream_deletes(spark, tmp_path):
+    # a delete committed WHILE the stream runs lands as 'delete' rows
+    # in the next trigger — exactly the gap manifest_stream refuses
+    from bigdata_googleplaystore_spark.sources import manifest_cdf_stream
+
+    manifest_cdf_stream.register(spark)
+    table = str(tmp_path / "tbl")
+    raw = _raw(spark)
+    for b in range(2):
+        streaming.write_batch_partition(
+            raw.where(F.col("id") % 2 == b), table, b
+        )
+        manifest.commit_batch(spark, table, b)
+    q = (
+        spark.readStream.format("manifest_cdf_stream")
+        .schema(_CDF_DDL)
+        .option("path", table)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "sink"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    # mid-stream: retract every id % 10 == 0, then append batch 2
+    manifest.commit_deletes(
+        spark, table, raw.where(F.col("id") % 10 == 0).select("id"), 0,
+        cutoff=1,
+    )
+    streaming.write_batch_partition(
+        raw.select((F.col("id") + 1000).alias("id"), "k", "v"), table, 2
+    )
+    manifest.commit_batch(spark, table, 2)
+    q.processAllAvailable()
+    q.stop()
+    got = _feed_rows(spark.read.parquet(str(tmp_path / "sink")))
+    ins0 = [("insert", r["id"], r["k"], r["v"]) for r in raw.collect()]
+    dels = [
+        ("delete", r["id"], r["k"], r["v"])
+        for r in raw.where(F.col("id") % 10 == 0).collect()
+    ]
+    ins2 = [
+        ("insert", r["id"] + 1000, r["k"], r["v"]) for r in raw.collect()
+    ]
+    assert got == sorted(ins0 + dels + ins2)
+
+
+def test_cdf_stream_replay_matches_batch_feed_through_upsert(spark, tmp_path):
+    # startingVersion=0 whole-log replay == the batch CDF composed per
+    # version step, including an upsert version (batch + cutoff delete
+    # committed atomically: old rows retract, new rows insert, the
+    # upsert's own rows NOT eaten by its own delete file)
+    table = str(tmp_path / "tbl")
+    raw = _raw(spark)
+    streaming.write_batch_partition(raw.where(F.col("id") < 100), table, 0)
+    manifest.commit_batch(spark, table, 0)
+    updates = raw.where(F.col("id") < 20).select(
+        "id", "k", (F.col("v") + 0.5).alias("v")
+    )
+    manifest.commit_upsert(spark, table, updates, ["id"], 1, 0)
+    got = _feed_rows(
+        _cdf_drain(
+            spark, table, str(tmp_path / "c"), str(tmp_path / "s"),
+            startingVersion="0",
+        )
+    )
+    want = []
+    for v in range(0, manifest.latest_version(spark, table) + 1):
+        step = manifest.snapshot_diff(spark, table, max(v - 1, 0), v) \
+            if v > 0 else manifest.read_snapshot_rows(
+                spark, table, version=0
+            ).withColumn("_change_type", F.lit("insert"))
+        want += [
+            (r["_change_type"], r["id"], r["k"], r["v"])
+            for r in step.collect()
+        ]
+    assert got == sorted(want) and len(got) > 0
+    # the updated rows appear exactly as delete(old) + insert(new)
+    by_type = {}
+    for t, i, k, v in got:
+        by_type.setdefault(t, set()).add((i, v))
+    assert all((i, float(i) + 0.5) in by_type["insert"] for i in range(20))
+    assert all((i, float(i)) in by_type["delete"] for i in range(20))
+
+
+def test_cdf_stream_skips_compaction_step_and_keeps_running(spark, tmp_path):
+    # OPTIMIZE-style maintenance mid-log: the compaction version emits
+    # nothing (no change data in a rewrite) and the stream continues —
+    # where the batch snapshot_diff must refuse across the rewrite
+    table = str(tmp_path / "tbl")
+    raw = _raw(spark)
+    for b in range(2):
+        streaming.write_batch_partition(
+            raw.where(F.col("id") % 2 == b), table, b
+        )
+        manifest.commit_batch(spark, table, b)
+    manifest.commit_deletes(
+        spark, table, raw.where(F.col("id") >= 190).select("id"), 0, cutoff=1
+    )
+    manifest.compact_rows_apply_deletes(spark, table, upto_batch=1)
+    streaming.write_batch_partition(
+        raw.select((F.col("id") + 1000).alias("id"), "k", "v"), table, 2
+    )
+    manifest.commit_batch(spark, table, 2)
+    with pytest.raises(ValueError, match="compaction"):
+        manifest.snapshot_diff(
+            spark, table, 0, manifest.latest_version(spark, table)
+        )
+    got = _feed_rows(
+        _cdf_drain(
+            spark, table, str(tmp_path / "c"), str(tmp_path / "s"),
+            startingVersion="0",
+        )
+    )
+    ins = [("insert", r["id"], r["k"], r["v"]) for r in raw.collect()]
+    dels = [
+        ("delete", r["id"], r["k"], r["v"])
+        for r in raw.where(F.col("id") >= 190).collect()
+    ]
+    ins2 = [("insert", r["id"] + 1000, r["k"], r["v"]) for r in raw.collect()]
+    assert got == sorted(ins + dels + ins2)
+
+
+def test_cdf_stream_initial_snapshot_and_schema_guard(spark, tmp_path):
+    # absent startingVersion: first batch = current VISIBLE snapshot as
+    # 'insert' rows (deletes already applied, Delta CDF contract); and
+    # a schema without _change_type is refused up front
+    from bigdata_googleplaystore_spark.sources import manifest_cdf_stream as mc
+    from pyspark.sql.types import StructType
+
+    table = str(tmp_path / "tbl")
+    raw = _raw(spark)
+    for b in range(2):
+        streaming.write_batch_partition(
+            raw.where(F.col("id") % 2 == b), table, b
+        )
+        manifest.commit_batch(spark, table, b)
+    manifest.commit_deletes(
+        spark, table, raw.where(F.col("id") % 10 == 3).select("id"), 0,
+        cutoff=1,
+    )
+    got = _feed_rows(
+        _cdf_drain(spark, table, str(tmp_path / "c"), str(tmp_path / "s"))
+    )
+    want = sorted(
+        ("insert", r["id"], r["k"], r["v"])
+        for r in raw.where(F.col("id") % 10 != 3).collect()
+    )
+    assert got == want
+    with pytest.raises(ValueError, match="_change_type"):
+        mc.ManifestCDFStreamReader(
+            StructType([]), {"path": table}
+        )
