@@ -163,6 +163,25 @@ def main() -> None:
     # every sample of whichever query it lands on (observed: the same
     # query reading 1.3 s in one bench run and 8.5 s min-of-3 in the
     # next). Interleaving spreads each query's samples ~minutes apart.
+    # HOST-BURST CANARY (round-10 verdict item 6): this host's background
+    # load arrives in multi-minute bursts that once inflated a whole
+    # board uniformly (~1.4x in BENCH_r10 vs an idle same-code re-run).
+    # One cheap fixed query with a stable plan (q6: scan + agg) is timed
+    # at board START and END; a burst overlapping the board shows up as
+    # a canary_ratio far from 1.0 and/or canary times far above their
+    # cross-round record, so a uniformly-slow round self-identifies
+    # inside the JSON without stderr cross-referencing.
+    CANARY = "q6_forecast_revenue"
+
+    def _canary_time() -> float:
+        t0 = time.perf_counter()
+        materialize(QUERIES[CANARY].fn(spark, SF_DIR))
+        dt = time.perf_counter() - t0
+        spark.catalog.clearCache()
+        return round(dt, 3)
+
+    canary_start = _canary_time()
+
     best: dict[str, float] = {name: float("inf") for name in bench_fns}
     # Row counts are reported for sanity but counted OUTSIDE the timed
     # region (count() runs the cheap pruned plan; the timing below runs
@@ -177,6 +196,7 @@ def main() -> None:
             materialize(fn(spark, SF_DIR))
             best[name] = min(best[name], time.perf_counter() - t0)
             spark.catalog.clearCache()
+    canary_end = _canary_time()
     timings: dict[str, float] = {}
     for name in bench_fns:
         timings[name] = round(best[name], 3)
@@ -234,6 +254,12 @@ def main() -> None:
                 # stated so cross-round comparisons are honest: timings
                 # exclude per-plan codegen compile (warmed at sf0.001)
                 # and take the best of three timed runs per query
+                "canary": {
+                    "query": CANARY,
+                    "start_sec": canary_start,
+                    "end_sec": canary_end,
+                    "ratio": round(canary_end / max(canary_start, 1e-9), 3),
+                },
                 "warmup": "plans@sf0.001+input_listing",
                 "action": "noop_write_full_materialization",
                 "timing": "min_of_3_interleaved_rounds (playstore pipeline: min_of_3 back-to-back)",
