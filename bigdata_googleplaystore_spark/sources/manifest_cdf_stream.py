@@ -206,18 +206,30 @@ class ManifestCDFStreamReader(DataSourceStreamReader):
             )
         return files
 
-    def _mask_frames(self, m: dict, batch_id: int) -> list:
+    def _keys_cached(self, ds: list[int], memo: dict):
+        """Per-plan memo over delete-group key frames: a group's key
+        file is read ONCE per partitions() call however many batches it
+        applies to — without this, one new delete over a B-batch table
+        costs O(B) re-reads of the same kilobyte parquet at planning."""
+        k = tuple(ds)
+        if k not in memo:
+            memo[k] = _load_keys(self.fs, self.table_dir, list(ds))
+        return memo[k]
+
+    def _mask_frames(self, m: dict, batch_id: int, memo: dict) -> list:
         """Key frames of m's delete groups applicable to `batch_id`."""
         return [
-            _load_keys(self.fs, self.table_dir, ds)
+            self._keys_cached(ds, memo)
             for cutoff, ds in self._groups(m)
             if _applies(cutoff, batch_id)
         ]
 
-    def _insert_parts(self, m: dict, batch_ids: list[int]) -> list[_CDFPartition]:
+    def _insert_parts(
+        self, m: dict, batch_ids: list[int], memo: dict
+    ) -> list[_CDFPartition]:
         parts = []
         for b in sorted(batch_ids):
-            masks = self._mask_frames(m, b)
+            masks = self._mask_frames(m, b, memo)
             parts += [
                 _CDFPartition(f, "insert", masks)
                 for f in self._data_files(b)
@@ -229,10 +241,11 @@ class ManifestCDFStreamReader(DataSourceStreamReader):
         self._floor = max(ev, self._floor if self._floor is not None else ev)
         if ev <= sv:
             return []
+        memo: dict = {}
         if sv < 0 and self.snapshot_mode:
             # initial snapshot: the CURRENT visible rows, all 'insert'
             m = self._manifest(ev)
-            return self._insert_parts(m, m["batch_ids"])
+            return self._insert_parts(m, m["batch_ids"], memo)
         parts: list[InputPartition] = []
         m_prev = self._manifest(sv) if sv >= 0 else {
             "version": -1, "batch_ids": [], "delete_ids": [],
@@ -260,19 +273,19 @@ class ManifestCDFStreamReader(DataSourceStreamReader):
                     ngroups[cutoffs_v.get(str(d))].append(d)
                 for b in sorted(prev_ids):
                     match = [
-                        _load_keys(self.fs, self.table_dir, ds)
+                        self._keys_cached(ds, memo)
                         for cutoff, ds in ngroups.items()
                         if _applies(cutoff, b)
                     ]
                     if not match:
                         continue
-                    exclude = self._mask_frames(m_prev, b)
+                    exclude = self._mask_frames(m_prev, b, memo)
                     parts += [
                         _CDFPartition(f, "delete", exclude, match)
                         for f in self._data_files(b)
                     ]
             if new_ids:
-                parts += self._insert_parts(m_v, sorted(new_ids))
+                parts += self._insert_parts(m_v, sorted(new_ids), memo)
             m_prev = m_v
         return parts
 
