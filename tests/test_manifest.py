@@ -1381,3 +1381,49 @@ def test_cdf_stream_initial_snapshot_and_schema_guard(spark, tmp_path):
         mc.ManifestCDFStreamReader(
             StructType([]), {"path": table}
         )
+
+
+def test_cdf_stream_max_versions_per_trigger(spark, tmp_path):
+    # the CDF source shares the append-only source's admission-control
+    # floor discipline: after the uncapped first batch, catch-up drains
+    # one version per trigger — inserts AND retractions — with no loss
+    from bigdata_googleplaystore_spark.sources import manifest_cdf_stream
+
+    manifest_cdf_stream.register(spark)
+    table = str(tmp_path / "tbl")
+    raw = _raw(spark)
+    streaming.write_batch_partition(raw.where(F.col("id") < 50), table, 0)
+    manifest.commit_batch(spark, table, 0)
+    q = (
+        spark.readStream.format("manifest_cdf_stream")
+        .schema(_CDF_DDL)
+        .option("path", table)
+        .option("maxVersionsPerTrigger", 1)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "sink"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    streaming.write_batch_partition(
+        raw.where((F.col("id") >= 50) & (F.col("id") < 100)), table, 1
+    )
+    manifest.commit_batch(spark, table, 1)
+    manifest.commit_deletes(
+        spark, table, raw.where(F.col("id") % 10 == 1).select("id"), 0,
+        cutoff=1,
+    )
+    streaming.write_batch_partition(raw.where(F.col("id") >= 100), table, 2)
+    manifest.commit_batch(spark, table, 2)
+    q.processAllAvailable()
+    q.stop()
+    got = _feed_rows(spark.read.parquet(str(tmp_path / "sink")))
+    ins = [("insert", r["id"], r["k"], r["v"]) for r in raw.collect()]
+    dels = [
+        ("delete", r["id"], r["k"], r["v"])
+        for r in raw.where((F.col("id") % 10 == 1) & (F.col("id") < 100)).collect()
+    ]
+    assert got == sorted(ins + dels)
+    nonempty = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(nonempty) >= 4  # 1 initial + 3 capped catch-ups
