@@ -93,6 +93,7 @@ _PRIORITY: list[str] = [
     "set_intersect",
     # ===== past slot 50: r11's new gates — the r12 rotation head =====
     "stream_cdf_from_manifest",
+    "mv_manifest_conditional_put",
 ]
 
 # Pre-rotation (round-2) window order, kept for the record of what r02
