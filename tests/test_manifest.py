@@ -1427,3 +1427,130 @@ def test_cdf_stream_max_versions_per_trigger(spark, tmp_path):
     assert got == sorted(ins + dels)
     nonempty = [p for p in q.recentProgress if p["numInputRows"] > 0]
     assert len(nonempty) >= 4  # 1 initial + 3 capped catch-ups
+
+
+def test_cdf_stream_planning_model(tmp_path):
+    # PLANNING-LEVEL model check, no Spark session: across ANY chunking
+    # of the commit log into triggers, the composed CDF plan is
+    # IDENTICAL — every insert planned exactly once at its commit
+    # version with that version's masks, every delete group planned
+    # exactly once against the pre-step snapshot's applicable batches,
+    # compaction steps contributing nothing — because the walk is
+    # per-version inside partitions() regardless of trigger boundaries
+    import json as _json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from bigdata_googleplaystore_spark.sources import manifest_cdf_stream as mc
+
+    table = str(tmp_path / "tbl")
+    os.makedirs(os.path.join(table, "_manifests"))
+
+    def put_manifest(v, batch_ids, delete_ids=(), cutoffs=None):
+        with open(
+            os.path.join(table, "_manifests", f"v{v:012d}.json"), "w"
+        ) as f:
+            _json.dump(
+                {
+                    "version": v,
+                    "batch_ids": sorted(batch_ids),
+                    "delete_ids": sorted(delete_ids),
+                    "delete_cutoffs": cutoffs or {},
+                },
+                f,
+            )
+
+    def put_batch(b):
+        d = os.path.join(table, f"_batch_id={b}")
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(
+            pa.table({"id": pa.array([b * 10], pa.int64())}),
+            os.path.join(d, "part-0.parquet"),
+        )
+
+    def put_delete(d, keys):
+        dd = os.path.join(table, "_deletes", f"d{d:08d}")
+        os.makedirs(dd, exist_ok=True)
+        pq.write_table(
+            pa.table({"id": pa.array(keys, pa.int64())}),
+            os.path.join(dd, "part-0.parquet"),
+        )
+
+    # log: append 0; append 1; delete d0 (cutoff=1, masks batches<=1);
+    # compact(<=1) -> base -2 (d0 spent: dropped); append 2;
+    # delete d1 (unbounded); append 3
+    put_batch(0), put_batch(1), put_batch(2), put_batch(3), put_batch(-2)
+    put_delete(0, [0]), put_delete(1, [20])
+    log = [
+        ({0}, [], {}),
+        ({0, 1}, [], {}),
+        ({0, 1}, [0], {"0": 1}),
+        ({-2}, [], {}),
+        ({-2, 2}, [], {}),
+        ({-2, 2}, [1], {}),
+        ({-2, 2, 3}, [1], {}),
+    ]
+    for v, (ids, dels, cuts) in enumerate(log):
+        put_manifest(v, ids, dels, cuts)
+
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("_change_type", StringType()),
+        ]
+    )
+
+    def fingerprint(parts):
+        # (kind, file, n_exclude_masks, match key tuples) — the full
+        # observable planning decision for one partition
+        out = []
+        for p in sorted(parts, key=lambda p: (p.kind, p.path)):
+            match = tuple(
+                tuple(sorted(map(tuple, k.itertuples(index=False))))
+                for k in p.match
+            )
+            excl = tuple(
+                tuple(sorted(map(tuple, k.itertuples(index=False))))
+                for k in p.exclude
+            )
+            out.append((p.kind, p.path, excl, match))
+        return out
+
+    head = len(log) - 1
+    plans = {}
+    for cuts in ([head], [2, head], [0, 1, 2, 3, 4, 5, head], [3, head],
+                 [1, 4, head]):
+        r = mc.ManifestCDFStreamReader(
+            schema, {"path": table, "startingversion": "0"}
+        )
+        acc = []
+        sv = -1
+        for ev in cuts:
+            acc += fingerprint(
+                r.partitions({"version": sv}, {"version": ev})
+            )
+            sv = ev
+        plans[tuple(cuts)] = sorted(acc)
+    vals = list(plans.values())
+    assert all(v == vals[0] for v in vals[1:]), "chunking changed the plan"
+    # shape of the canonical plan: inserts 0,1 (masked later is MOOT —
+    # planned at their commit versions, pre-delete), the d0 delete over
+    # batches 0 and 1, nothing for the compaction, insert 2, the
+    # unbounded d1 delete over the THEN-visible {-2, 2}, insert 3
+    kinds = [(k, p.rsplit("_batch_id=", 1)[1].split("/")[0], m)
+             for k, p, _e, m in vals[0]]
+    ins = sorted(b for k, b, _ in kinds if k == "insert")
+    assert ins == ["0", "1", "2", "3"]
+    dels = sorted((b, m) for k, b, m in kinds if k == "delete")
+    assert [b for b, _ in dels] == ["-2", "0", "1", "2"]
+    # d0 (key id=0) hit batches 0,1; d1 (key id=20) hit base -2 and 2
+    assert dels[1][1] == ((((0,),)),) and dels[2][1] == ((((0,),)),)
+    assert dels[0][1] == ((((20,),)),) and dels[3][1] == ((((20,),)),)
