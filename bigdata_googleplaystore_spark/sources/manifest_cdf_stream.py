@@ -38,8 +38,11 @@ per-version-step logic, evaluated at PLANNING time):
 Option contract mirrors `manifest_stream`: absent `startingVersion`
 the first micro-batch is the CURRENT snapshot as 'insert' rows (the
 Delta CDF initial-snapshot contract), `startingVersion=N` replays
-changes inclusive of version N, `maxVersionsPerTrigger` bounds
-catch-up (first post-restart trigger uncapped, same floor discipline).
+changes inclusive of version N, `maxVersionsPerTrigger` /
+`maxBytesPerTrigger` bound catch-up (bytes count the new data
+batches' recorded `_bytes` stat — delete key files are kilobyte-scale
+and uncounted; first post-restart trigger uncapped, same floor
+discipline).
 The declared schema must contain a `_change_type` string column; the
 remaining columns read the data files with the same additive-schema-
 evolution tolerance as `manifest_stream` (missing columns -> typed
@@ -59,6 +62,7 @@ from pyspark.sql.datasource import (
 from pyspark.sql.types import StructType
 
 from .manifest_stream import (
+    _byte_capped_end,
     _latest_version,
     _read_evolved_batches,
     _read_manifest_json,
@@ -149,6 +153,7 @@ class ManifestCDFStreamReader(DataSourceStreamReader):
             self.starting = n - 1
             self.snapshot_mode = False
         self.max_versions = int(options.get("maxversionspertrigger", 0))
+        self.max_bytes = int(options.get("maxbytespertrigger", 0))
         self._floor: int | None = None
         self.schema = schema
 
@@ -160,8 +165,17 @@ class ManifestCDFStreamReader(DataSourceStreamReader):
         v = _latest_version(self.fs, self.table_dir)
         if v is None:
             return {"version": self.starting}
-        if self.max_versions > 0 and self._floor is not None:
+        if self._floor is None:
+            return {"version": v}
+        if self.max_versions > 0:
             v = min(v, self._floor + self.max_versions)
+        if self.max_bytes > 0 and v > self._floor:
+            # byte admission counts NEW data batches' recorded `_bytes`
+            # (the insert volume); delete key files are kilobyte-scale
+            # and uncounted — pacing, not accounting
+            v = _byte_capped_end(
+                self.fs, self.table_dir, self._floor, v, self.max_bytes
+            )
         return {"version": v}
 
     def commit(self, end: dict) -> None:

@@ -116,6 +116,42 @@ def _latest_version(fs: StorageBackend, table_dir: str) -> int | None:
     return max(vs) if vs else None
 
 
+def _byte_capped_end(
+    fs: StorageBackend, table_dir: str, floor: int, latest: int, max_bytes: int
+) -> int:
+    """The farthest version <= `latest` whose cumulative NEW
+    non-negative batches' recorded `_bytes` (manifest stats, written by
+    manifest.write_and_commit_batch) stay within `max_bytes` past
+    `floor` — the maxBytesPerTrigger admission decision, shared by the
+    append-only and CDF stream readers. Walks O(admitted backlog)
+    manifest JSONs, which the cap itself bounds after the first
+    trigger; batches without the stat count 0 (admission is backlog
+    PACING, never a correctness input). Always admits >= 1 version
+    (progress guarantee)."""
+    try:
+        seen = set(
+            _read_manifest_json(fs, table_dir, floor)["batch_ids"]
+        ) if floor >= 0 else set()
+    except FileNotFoundError:
+        return latest  # retention edge: let planning raise the loud error
+    admitted = floor
+    spent = 0
+    for cand in range(floor + 1, latest + 1):
+        m = _read_manifest_json(fs, table_dir, cand)
+        ids = set(m["batch_ids"])
+        stats = m.get("stats") or {}
+        add = sum(
+            int((stats.get(str(b)) or {}).get("_bytes") or 0)
+            for b in ids - seen
+            if b >= 0
+        )
+        if admitted > floor and spent + add > max_bytes:
+            break
+        admitted, spent = cand, spent + add
+        seen |= ids
+    return admitted
+
+
 class _ParquetFilePartition(InputPartition):
     def __init__(self, path: str):
         self.path = path
@@ -176,35 +212,9 @@ class ManifestStreamReader(DataSourceStreamReader):
         if self.max_versions > 0:
             v = min(v, self._floor + self.max_versions)
         if self.max_bytes > 0 and v > self._floor:
-            # walk the candidate versions' manifests accumulating the
-            # NEW non-negative batches' recorded `_bytes`, and stop
-            # past the cap — O(admitted backlog) metadata reads, which
-            # the cap itself bounds after the first trigger. Always
-            # admit >= 1 version (progress guarantee).
-            try:
-                seen = set(
-                    _read_manifest_json(
-                        self.fs, self.table_dir, self._floor
-                    )["batch_ids"]
-                ) if self._floor >= 0 else set()
-            except FileNotFoundError:
-                return {"version": v}  # retention edge: let planning raise
-            admitted = self._floor
-            spent = 0
-            for cand in range(self._floor + 1, v + 1):
-                m = _read_manifest_json(self.fs, self.table_dir, cand)
-                ids = set(m["batch_ids"])
-                stats = m.get("stats") or {}
-                add = sum(
-                    int((stats.get(str(b)) or {}).get("_bytes") or 0)
-                    for b in ids - seen
-                    if b >= 0
-                )
-                if admitted > self._floor and spent + add > self.max_bytes:
-                    break
-                admitted, spent = cand, spent + add
-                seen |= ids
-            v = admitted
+            v = _byte_capped_end(
+                self.fs, self.table_dir, self._floor, v, self.max_bytes
+            )
         return {"version": v}
 
     # ---- planning (driver, metadata-only) -----------------------------

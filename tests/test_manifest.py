@@ -1554,3 +1554,51 @@ def test_cdf_stream_planning_model(tmp_path):
     # d0 (key id=0) hit batches 0,1; d1 (key id=20) hit base -2 and 2
     assert dels[1][1] == ((((0,),)),) and dels[2][1] == ((((0,),)),)
     assert dels[0][1] == ((((20,),)),) and dels[3][1] == ((((20,),)),)
+
+
+def test_cdf_stream_max_bytes_per_trigger(spark, tmp_path):
+    # the CDF source honors the shared byte-admission walk: with the
+    # cap below one batch's recorded _bytes, catch-up drains one
+    # version per trigger, retractions included, no loss
+    from bigdata_googleplaystore_spark.sources import manifest_cdf_stream
+
+    manifest_cdf_stream.register(spark)
+    table = str(tmp_path / "tbl")
+    raw = _raw(spark)
+    manifest.write_and_commit_batch(
+        spark, raw.where(F.col("id") < 50), table, 0
+    )
+    q = (
+        spark.readStream.format("manifest_cdf_stream")
+        .schema(_CDF_DDL)
+        .option("path", table)
+        .option("maxBytesPerTrigger", 1)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "sink"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    for b in range(1, 4):
+        manifest.write_and_commit_batch(
+            spark,
+            raw.where((F.col("id") >= 50 * b) & (F.col("id") < 50 * (b + 1))),
+            table,
+            b,
+        )
+    manifest.commit_deletes(
+        spark, table, raw.where(F.col("id") % 10 == 9).select("id"), 0,
+        cutoff=3,
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = _feed_rows(spark.read.parquet(str(tmp_path / "sink")))
+    ins = [("insert", r["id"], r["k"], r["v"]) for r in raw.collect()]
+    dels = [
+        ("delete", r["id"], r["k"], r["v"])
+        for r in raw.where(F.col("id") % 10 == 9).collect()
+    ]
+    assert got == sorted(ins + dels)
+    nonempty = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(nonempty) >= 5  # 1 initial + 3 byte-capped + the delete
