@@ -1602,3 +1602,28 @@ def test_cdf_stream_max_bytes_per_trigger(spark, tmp_path):
     assert got == sorted(ins + dels)
     nonempty = [p for p in q.recentProgress if p["numInputRows"] > 0]
     assert len(nonempty) >= 5  # 1 initial + 3 byte-capped + the delete
+
+
+def test_mock_store_thread_race_single_winner():
+    # the store's atomic section under REAL concurrency: 16 threads
+    # race put_if_absent on one key; exactly one writer runs, exactly
+    # one caller wins, everyone else gets the 412 path
+    import threading
+
+    store = manifest.MockObjectStore()
+    wrote, wins = [], []
+    barrier = threading.Barrier(16)
+
+    def race(i):
+        barrier.wait()
+        won = store.put_if_absent("k", lambda: wrote.append(i))
+        if won:
+            wins.append(i)
+
+    ts = [threading.Thread(target=race, args=(i,)) for i in range(16)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert len(wins) == 1 and len(wrote) == 1 and wins == wrote
+    assert store.puts == 1
