@@ -28,6 +28,12 @@ per-version-step logic, evaluated at PLANNING time):
   deliberately more useful than the batch `snapshot_diff`, which must
   refuse endpoint diffs spanning a rewrite because it cannot
   attribute per-version changes across one.
+- `_change_type` values are 'insert' and 'delete' only: an upsert
+  surfaces as delete(old)+insert(new) rather than Delta's
+  update_preimage/update_postimage pair — the manifest protocol
+  stores upserts physically as batch+delete, and pairing the two back
+  into update images would need a key-equality join the source tier
+  deliberately doesn't do (consumers that need it join on their key).
 - Two divergences from the batch feed, both documented trades:
   (a) a row inserted and deleted WITHIN one batch-feed window emits
   as insert-then-delete here (net-equivalent; a streaming CDF is a
