@@ -94,6 +94,7 @@ _PRIORITY: list[str] = [
     # ===== past slot 50: r11's new gates — the r12 rotation head =====
     "stream_cdf_from_manifest",
     "mv_manifest_conditional_put",
+    "stream_cdf_mv_maintenance",
 ]
 
 # Pre-rotation (round-2) window order, kept for the record of what r02

@@ -8956,3 +8956,110 @@ def mv_manifest_conditional_put(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("v"), 2).cast("double").alias("total_price"),
         F.lit(ok).alias("contention_arbitrated"),
     )
+
+
+@register(
+    "stream_cdf_mv_maintenance",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+             AS total_price,
+           TRUE AS view_matches_snapshot
+    FROM orders
+    WHERE NOT (o_orderkey % 10 = 7 AND o_orderkey % 3 <> 2)
+    GROUP BY o_orderpriority
+    """,
+    tags=("streaming", "manifest", "cdf", "incremental", "scale"),
+)
+def stream_cdf_mv_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAKEHOUSE IVM END TO END: a downstream materialized view
+    maintained DIRECTLY off the table's change feed — the composition
+    the CDF source exists for. The manifest table takes two insert
+    batches, a mid-log cutoff delete, and a third batch; the
+    `manifest_cdf_stream` source (maxVersionsPerTrigger=1, so every
+    commit is its own micro-batch and the retractions arrive in a
+    DIFFERENT batch than the inserts they cancel) feeds `_change_type`
+    rows mapped to Z-weights (+1 insert / -1 delete) into the existing
+    signed-aggregate streaming machinery (run_stream_signed_agg):
+    per-batch signed partials land in idempotent `_batch_id`
+    partitions, and the read-side fold absorbs the deletes by the same
+    addition that absorbs inserts — no special retraction handling
+    anywhere, because the Z-set algebra is split-invariant.
+
+    The folded view must hash-match the oracle's post-delete aggregate
+    AND (flag-pinned) equal the source table's own snapshot aggregate
+    read directly through the manifest — the invariant that makes a
+    CDF-maintained view trustworthy: view(fold of changes) ==
+    aggregate(current snapshot), with the change feed costing O(delta)
+    per trigger while a snapshot recompute costs O(table). At 100 TB
+    that difference is the reason change feeds exist."""
+    import shutil
+
+    from .. import streaming
+    from ..sources import manifest_cdf_stream
+    from ..streaming import manifest
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", dec2(F.col("o_totalprice")).alias("v")
+    )
+    table = _stream_src_dir("cdfmv", sf_dir)
+    state = _stream_src_dir("cdfmv_state", sf_dir)
+    ckpt = _stream_src_dir("cdfmv_ckpt", sf_dir)
+    for d in (table, state, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    for b in range(2):
+        streaming.write_batch_partition(
+            o.filter(F.col("o_orderkey") % 3 == b), table, b
+        )
+        manifest.commit_batch(spark, table, b)
+    manifest.commit_deletes(
+        spark,
+        table,
+        o.filter(F.col("o_orderkey") % 10 == 7).select("o_orderkey"),
+        delete_id=0,
+        cutoff=1,
+    )
+    streaming.write_batch_partition(
+        o.filter(F.col("o_orderkey") % 3 == 2), table, 2
+    )
+    manifest.commit_batch(spark, table, 2)
+    manifest_cdf_stream.register(spark)
+    changes = (
+        spark.readStream.format("manifest_cdf_stream")
+        .schema(
+            "o_orderkey bigint, o_orderpriority string, v decimal(12,2),"
+            " _change_type string"
+        )
+        .option("path", table)
+        .option("startingVersion", "0")
+        .option("maxVersionsPerTrigger", 1)
+        .load()
+        .withColumn(
+            "_mult",
+            F.when(F.col("_change_type") == "delete", F.lit(-1)).otherwise(
+                F.lit(1)
+            ),
+        )
+        .drop("_change_type")
+    )
+    streaming.run_stream_signed_agg(
+        changes, ["o_orderpriority"], "v", state, ckpt
+    )
+    view = streaming.read_signed_state(spark, state).select(
+        "o_orderpriority",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.round(F.col("total"), 2).cast("double").alias("total_price"),
+    )
+    direct = (
+        manifest.read_snapshot_rows(spark, table)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.round(F.sum("v"), 2).cast("double").alias("total_price"),
+        )
+    )
+    ok = sorted(map(tuple, view.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    return view.withColumn("view_matches_snapshot", F.lit(ok))
