@@ -95,6 +95,7 @@ _PRIORITY: list[str] = [
     "stream_cdf_from_manifest",
     "mv_manifest_conditional_put",
     "stream_cdf_mv_maintenance",
+    "stream_cdf_table_replication",
 ]
 
 # Pre-rotation (round-2) window order, kept for the record of what r02

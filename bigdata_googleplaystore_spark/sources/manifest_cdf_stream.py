@@ -49,10 +49,15 @@ changes inclusive of version N, `maxVersionsPerTrigger` /
 batches' recorded `_bytes` stat — delete key files are kilobyte-scale
 and uncounted; first post-restart trigger uncapped, same floor
 discipline).
-The declared schema must contain a `_change_type` string column; the
-remaining columns read the data files with the same additive-schema-
-evolution tolerance as `manifest_stream` (missing columns -> typed
-nulls). All storage I/O routes through `sources/storage.py`.
+The declared schema must contain a `_change_type` string column and
+may contain a `_commit_version` long column (Delta CDF parity): when
+declared, every row carries the commit version its change belongs to
+(the initial snapshot stamps its endpoint version), which is what
+lets a consumer ORDER changes inside a multi-version catch-up trigger
+— apply-to-replica flows are ambiguous without it. The remaining
+columns read the data files with the same additive-schema-evolution
+tolerance as `manifest_stream` (missing columns -> typed nulls). All
+storage I/O routes through `sources/storage.py`.
 
 Reference parity: §2.7 streaming extension tier (the reference's only
 streaming surface is console output, challenge.scala C:26-44).
@@ -76,6 +81,7 @@ from .manifest_stream import (
 from .storage import StorageBackend, get_backend
 
 CHANGE_COL = "_change_type"
+VERSION_COL = "_commit_version"
 DELETE_DIR = "_deletes"
 
 
@@ -125,13 +131,15 @@ class _CDFPartition(InputPartition):
     kind='insert': emit the file's rows minus `exclude` key frames.
     kind='delete': emit the file's rows minus `exclude` (the visible-
     before masks), intersected with `match` (the new delete groups'
-    keys), deduplicated per file."""
+    keys), deduplicated per file. `version` = the commit the change
+    belongs to (the initial snapshot carries its endpoint version)."""
 
-    def __init__(self, path, kind, exclude, match=None):
+    def __init__(self, path, kind, exclude, match=None, version=None):
         self.path = path
         self.kind = kind
         self.exclude = exclude  # list[pandas key frames]
         self.match = match or []
+        self.version = version
 
 
 class ManifestCDFStreamReader(DataSourceStreamReader):
@@ -245,13 +253,13 @@ class ManifestCDFStreamReader(DataSourceStreamReader):
         ]
 
     def _insert_parts(
-        self, m: dict, batch_ids: list[int], memo: dict
+        self, m: dict, batch_ids: list[int], memo: dict, version: int
     ) -> list[_CDFPartition]:
         parts = []
         for b in sorted(batch_ids):
             masks = self._mask_frames(m, b, memo)
             parts += [
-                _CDFPartition(f, "insert", masks)
+                _CDFPartition(f, "insert", masks, version=version)
                 for f in self._data_files(b)
             ]
         return parts
@@ -265,7 +273,7 @@ class ManifestCDFStreamReader(DataSourceStreamReader):
         if sv < 0 and self.snapshot_mode:
             # initial snapshot: the CURRENT visible rows, all 'insert'
             m = self._manifest(ev)
-            return self._insert_parts(m, m["batch_ids"], memo)
+            return self._insert_parts(m, m["batch_ids"], memo, ev)
         parts: list[InputPartition] = []
         m_prev = self._manifest(sv) if sv >= 0 else {
             "version": -1, "batch_ids": [], "delete_ids": [],
@@ -301,11 +309,13 @@ class ManifestCDFStreamReader(DataSourceStreamReader):
                         continue
                     exclude = self._mask_frames(m_prev, b, memo)
                     parts += [
-                        _CDFPartition(f, "delete", exclude, match)
+                        _CDFPartition(
+                            f, "delete", exclude, match, version=v
+                        )
                         for f in self._data_files(b)
                     ]
             if new_ids:
-                parts += self._insert_parts(m_v, sorted(new_ids), memo)
+                parts += self._insert_parts(m_v, sorted(new_ids), memo, v)
             m_prev = m_v
         return parts
 
@@ -317,7 +327,11 @@ class ManifestCDFStreamReader(DataSourceStreamReader):
 
         declared = to_arrow_schema(self.schema)
         data_schema = StructType(
-            [f for f in self.schema.fields if f.name != CHANGE_COL]
+            [
+                f
+                for f in self.schema.fields
+                if f.name not in (CHANGE_COL, VERSION_COL)
+            ]
         )
         table = pa.Table.from_batches(
             list(_read_evolved_batches(self.fs, partition.path, data_schema))
@@ -350,6 +364,10 @@ class ManifestCDFStreamReader(DataSourceStreamReader):
             if field.name == CHANGE_COL:
                 out_cols.append(
                     pa.array([partition.kind] * len(pdf), pa.string())
+                )
+            elif field.name == VERSION_COL:
+                out_cols.append(
+                    pa.array([partition.version] * len(pdf), pa.int64())
                 )
             else:
                 out_cols.append(

@@ -1627,3 +1627,73 @@ def test_mock_store_thread_race_single_winner():
         t.join()
     assert len(wins) == 1 and len(wrote) == 1 and wins == wrote
     assert store.puts == 1
+
+
+def test_cdf_stream_commit_version_column(spark, tmp_path):
+    # Delta-CDF-parity _commit_version: when declared, every row is
+    # stamped with the commit its change belongs to — the column that
+    # makes multi-version catch-up triggers ORDERABLE (apply-to-replica
+    # flows are ambiguous without it); the initial snapshot stamps its
+    # endpoint version
+    from bigdata_googleplaystore_spark.sources import manifest_cdf_stream
+
+    manifest_cdf_stream.register(spark)
+    table = str(tmp_path / "tbl")
+    raw = _raw(spark)
+    for b in range(2):
+        streaming.write_batch_partition(
+            raw.where(F.col("id") % 2 == b), table, b
+        )
+        manifest.commit_batch(spark, table, b)
+    manifest.commit_deletes(
+        spark, table, raw.where(F.col("id") % 10 == 4).select("id"), 0,
+        cutoff=1,
+    )
+    ddl = _CDF_DDL + ", _commit_version long"
+    q = (
+        spark.readStream.format("manifest_cdf_stream")
+        .schema(ddl)
+        .option("path", table)
+        .option("startingVersion", "0")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "s"))
+        .option("checkpointLocation", str(tmp_path / "c"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.read.parquet(str(tmp_path / "s"))
+    by_ver = {
+        (r["_commit_version"], r["_change_type"])
+        for r in got.select("_commit_version", "_change_type").distinct().collect()
+    }
+    assert by_ver == {(0, "insert"), (1, "insert"), (2, "delete")}
+    # per-version content: version v's inserts are exactly batch v
+    for v in (0, 1):
+        ids = sorted(
+            r["id"]
+            for r in got.filter(F.col("_commit_version") == v).collect()
+        )
+        assert ids == sorted(
+            r["id"] for r in raw.where(F.col("id") % 2 == v).collect()
+        )
+    # initial-snapshot mode stamps the endpoint version on every row
+    got2 = spark.read.parquet(str(tmp_path / "s2")) if False else None
+    q2 = (
+        spark.readStream.format("manifest_cdf_stream")
+        .schema(ddl)
+        .option("path", table)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "s2"))
+        .option("checkpointLocation", str(tmp_path / "c2"))
+        .start()
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    got2 = spark.read.parquet(str(tmp_path / "s2"))
+    assert {
+        r["_commit_version"]
+        for r in got2.select("_commit_version").distinct().collect()
+    } == {2}
