@@ -1697,3 +1697,86 @@ def test_cdf_stream_commit_version_column(spark, tmp_path):
         r["_commit_version"]
         for r in got2.select("_commit_version").distinct().collect()
     } == {2}
+
+
+def test_cdf_stream_plans_through_memory_backend_and_fails_loud():
+    # the CDF planner is storage-agnostic (memory:// table no local
+    # path ever backed), and its retention edges fail LOUD with named
+    # remedies: a vacuumed manifest and a vacuumed delete-key file both
+    # raise ValueError naming the table and the fix
+    import io
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from bigdata_googleplaystore_spark.sources import manifest_cdf_stream as mc
+    from bigdata_googleplaystore_spark.sources import storage
+
+    mem = storage.get_backend("memory://cdftbl")
+    mem.clear()
+    tbl = "memory://cdftbl"
+
+    def put_parquet(path, table):
+        buf = io.BytesIO()
+        pq.write_table(table, buf)
+        mem.put(path, buf.getvalue())
+
+    put_parquet(
+        f"{tbl}/_batch_id=0/part-0.parquet",
+        pa.table({"id": pa.array([1, 2], pa.int64())}),
+    )
+    put_parquet(
+        f"{tbl}/_deletes/d00000000/part-0.parquet",
+        pa.table({"id": pa.array([1], pa.int64())}),
+    )
+    mem.put(
+        f"{tbl}/_manifests/v000000000000.json",
+        _json.dumps({"version": 0, "batch_ids": [0], "delete_ids": []}).encode(),
+    )
+    mem.put(
+        f"{tbl}/_manifests/v000000000001.json",
+        _json.dumps(
+            {
+                "version": 1,
+                "batch_ids": [0],
+                "delete_ids": [0],
+                "delete_cutoffs": {"0": 0},
+            }
+        ).encode(),
+    )
+    schema = StructType(
+        [StructField("id", LongType()), StructField("_change_type", StringType())]
+    )
+    r = mc.ManifestCDFStreamReader(schema, {"path": tbl, "startingversion": "0"})
+    parts = r.partitions({"version": -1}, {"version": 1})
+    kinds = sorted((p.kind, p.version) for p in parts)
+    assert kinds == [("delete", 1), ("insert", 0)]
+    # the delete partition carries the key frame loaded through memory://
+    dp = [p for p in parts if p.kind == "delete"][0]
+    assert dp.match[0]["id"].tolist() == [1]
+    # ...and the executor read path works against memory:// too
+    got = pa.Table.from_batches(list(r.read(dp)))
+    assert got.column("id").to_pylist() == [1]
+    assert got.column("_change_type").to_pylist() == ["delete"]
+    # vacuumed manifest -> loud, named error
+    mem.delete(f"{tbl}/_manifests/v000000000000.json")
+    r2 = mc.ManifestCDFStreamReader(schema, {"path": tbl, "startingversion": "0"})
+    with pytest.raises(ValueError, match="vacuum retention"):
+        r2.partitions({"version": -1}, {"version": 1})
+    # vacuumed delete keys -> loud, named error
+    mem.put(
+        f"{tbl}/_manifests/v000000000000.json",
+        _json.dumps({"version": 0, "batch_ids": [0], "delete_ids": []}).encode(),
+    )
+    mem.delete(f"{tbl}/_deletes/d00000000/part-0.parquet")
+    r3 = mc.ManifestCDFStreamReader(schema, {"path": tbl, "startingversion": "0"})
+    with pytest.raises(ValueError, match="no key files"):
+        r3.partitions({"version": -1}, {"version": 1})
+    mem.clear()
