@@ -333,6 +333,28 @@ class ManifestCDFStreamReader(DataSourceStreamReader):
                 if f.name not in (CHANGE_COL, VERSION_COL)
             ]
         )
+
+        def tag_cols(n: int) -> dict:
+            return {
+                CHANGE_COL: pa.array([partition.kind] * n, pa.string()),
+                VERSION_COL: pa.array([partition.version] * n, pa.int64()),
+            }
+
+        if partition.kind == "insert" and not partition.exclude:
+            # the HOT path: an unmasked insert file (the overwhelming
+            # majority of a real feed's volume) streams arrow-to-arrow
+            # — no pandas materialization, constant tag columns appended
+            # per RecordBatch
+            for rb in _read_evolved_batches(
+                self.fs, partition.path, data_schema
+            ):
+                tags = tag_cols(rb.num_rows)
+                cols = [
+                    tags[f.name] if f.name in tags else rb.column(f.name)
+                    for f in declared
+                ]
+                yield pa.RecordBatch.from_arrays(cols, schema=declared)
+            return
         table = pa.Table.from_batches(
             list(_read_evolved_batches(self.fs, partition.path, data_schema))
         )
