@@ -96,6 +96,7 @@ _PRIORITY: list[str] = [
     "mv_manifest_conditional_put",
     "stream_cdf_mv_maintenance",
     "stream_cdf_table_replication",
+    "mv_manifest_schema_enforcement",
 ]
 
 # Pre-rotation (round-2) window order, kept for the record of what r02

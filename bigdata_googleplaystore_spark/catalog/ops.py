@@ -9196,3 +9196,88 @@ def stream_cdf_table_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("v"), 2).cast("double").alias("total_price"),
         F.lit(ok).alias("replica_equals_source"),
     )
+
+
+@register(
+    "mv_manifest_schema_enforcement",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+             AS total_price,
+           CAST(count(CASE WHEN o_orderkey % 2 = 1 THEN 1 END) AS BIGINT)
+             AS n_channelled,
+           TRUE AS bad_writes_refused
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("incremental", "manifest", "schema", "scale"),
+)
+def mv_manifest_schema_enforcement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Writer-side SCHEMA ENFORCEMENT on the manifest table (the public
+    Delta split: writes VALIDATE against the table, reads MERGE):
+    `write_and_commit_batch(enforce_schema=True)` refuses a batch that
+    flips a shared column's type or drops a table column BEFORE any
+    bytes land — one parquet-footer union over the current snapshot,
+    no data scan — while an additive nullable column passes and
+    surfaces table-wide through the merged read with typed nulls.
+
+    The gate writes orders in two halves: the second adds an
+    `o_channel` column (additive — accepted), then attempts the two
+    poison writes (a decimal→string type flip, a dropped column); both
+    must refuse with the table's version and partition set UNCHANGED,
+    pinned in `bad_writes_refused` alongside the refusal class. The
+    merged snapshot's per-priority aggregate (+ the count of rows that
+    carry the evolved column) hash-matches the oracle — a guard that
+    silently let the flip through would poison every later merged read
+    at 100 TB, which is exactly why table formats validate at the
+    writer."""
+    import shutil
+
+    from .. import streaming
+    from ..streaming import manifest
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", dec2(F.col("o_totalprice")).alias("v")
+    )
+    table = _stream_src_dir("schenf", sf_dir)
+    shutil.rmtree(table, ignore_errors=True)
+    manifest.write_and_commit_batch(
+        spark, o.filter(F.col("o_orderkey") % 2 == 0), table, 0,
+        enforce_schema=True,
+    )
+    manifest.write_and_commit_batch(
+        spark,
+        o.filter(F.col("o_orderkey") % 2 == 1).withColumn(
+            "o_channel", F.lit("web")
+        ),
+        table, 1, enforce_schema=True,
+    )
+    refusals = 0
+    try:
+        manifest.write_and_commit_batch(
+            spark,
+            o.withColumn("o_channel", F.lit("x")).withColumn(
+                "v", F.col("v").cast("string")
+            ),
+            table, 2, enforce_schema=True,
+        )
+    except manifest.SchemaEnforcementError:
+        refusals += 1
+    try:
+        manifest.write_and_commit_batch(
+            spark, o, table, 2, enforce_schema=True
+        )
+    except manifest.SchemaEnforcementError:
+        refusals += 1
+    ok = (
+        refusals == 2
+        and manifest.latest_version(spark, table) == 1
+        and streaming.list_batch_partitions(spark, table) == [0, 1]
+    )
+    snap = manifest.read_snapshot_rows(spark, table, merge_schema=True)
+    return snap.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.round(F.sum("v"), 2).cast("double").alias("total_price"),
+        F.count("o_channel").cast("bigint").alias("n_channelled"),
+        F.lit(ok).alias("bad_writes_refused"),
+    )

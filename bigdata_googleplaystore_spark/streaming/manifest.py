@@ -1113,6 +1113,54 @@ def _json_scalar(v):
     return v
 
 
+class SchemaEnforcementError(ValueError):
+    """The batch's schema is incompatible with the table's (see
+    check_batch_schema) — the writer-side guard every table format
+    raises instead of letting one bad job poison the table."""
+
+
+def check_batch_schema(
+    spark: SparkSession, table_dir: str, df: DataFrame
+) -> None:
+    """Writer-side SCHEMA ENFORCEMENT (the public Delta design: writes
+    are validated against the table, reads merge): a batch may ADD
+    nullable columns (additive evolution — read paths fill typed
+    nulls), but a column shared with the table must keep its exact
+    type, and dropping a column is refused (silent data loss for
+    by-position consumers; drop via an explicit rewrite, not a write).
+    The table's schema is the CURRENT snapshot's merged read schema —
+    one parquet-footer union over the newest manifest's batches, no
+    data scan. An empty table accepts any schema (the first write
+    defines it)."""
+    cur = read_manifest(spark, table_dir)
+    ids = cur["batch_ids"]
+    if not ids:
+        return
+    table_schema = spark.read.option("mergeSchema", "true").parquet(
+        *[f"{table_dir.rstrip('/')}/_batch_id={b}" for b in ids]
+    ).schema
+    batch = {f.name: f.dataType for f in df.schema.fields}
+    table = {f.name: f.dataType for f in table_schema.fields}
+    missing = sorted(set(table) - set(batch))
+    if missing:
+        raise SchemaEnforcementError(
+            f"batch drops table columns {missing} of {table_dir} — "
+            "additive evolution only; drop columns via an explicit "
+            "rewrite, not a write"
+        )
+    mismatched = {
+        n: (str(batch[n]), str(table[n]))
+        for n in batch
+        if n in table and batch[n] != table[n]
+    }
+    if mismatched:
+        raise SchemaEnforcementError(
+            f"batch column types diverge from {table_dir}: "
+            f"{mismatched} (batch, table) — cast explicitly before "
+            "writing; a type flip would poison every merged read"
+        )
+
+
 def _partition_bytes(spark: SparkSession, table_dir: str, batch_id: int) -> int:
     """Sum of data-file lengths under `_batch_id=<id>` — filesystem
     metadata only."""
@@ -1136,6 +1184,7 @@ def write_and_commit_batch(
     batch_id: int,
     stats_cols: list[str] | None = None,
     retries: int = 5,
+    enforce_schema: bool = False,
 ) -> int:
     """Write a row batch AND publish it with per-batch ZONE-MAP stats:
     the manifest records each committed batch's [min, max] for
@@ -1144,11 +1193,16 @@ def write_and_commit_batch(
     the Delta/Iceberg data-skipping design one level above parquet's
     own row-group stats. The stats aggregate is one map-side-combinable
     min/max pass over the batch being written (it is already in memory
-    of the job that produced it)."""
+    of the job that produced it). With `enforce_schema`, the batch is
+    validated against the table BEFORE any bytes land
+    (check_batch_schema — additive columns pass, type flips and
+    dropped columns refuse)."""
     from pyspark.sql import functions as F
 
     from .. import streaming
 
+    if enforce_schema:
+        check_batch_schema(spark, table_dir, df)
     streaming.write_batch_partition(df, table_dir, batch_id)
     # an EMPTY batch writes no partition directory (dynamic partition
     # overwrite has nothing to overwrite) — committing its id would

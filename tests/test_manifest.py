@@ -1780,3 +1780,42 @@ def test_cdf_stream_plans_through_memory_backend_and_fails_loud():
     with pytest.raises(ValueError, match="no key files"):
         r3.partitions({"version": -1}, {"version": 1})
     mem.clear()
+
+
+def test_schema_enforcement_on_write(spark, tmp_path):
+    # writer-side schema guard (the Delta design: writes validate,
+    # reads merge): additive nullable columns pass, type flips and
+    # dropped columns refuse BEFORE any bytes land
+    table = str(tmp_path / "tbl")
+    raw = _raw(spark)
+    manifest.write_and_commit_batch(
+        spark, raw.where(F.col("id") < 100), table, 0, enforce_schema=True
+    )
+    # additive: a new column passes and merged reads fill typed nulls
+    manifest.write_and_commit_batch(
+        spark,
+        raw.where(F.col("id") >= 100).withColumn("src", F.lit("b")),
+        table, 1, enforce_schema=True,
+    )
+    merged = manifest.read_snapshot_rows(spark, table, merge_schema=True)
+    assert merged.count() == 200 and "src" in merged.columns
+    # type flip refused, nothing written
+    with pytest.raises(manifest.SchemaEnforcementError, match="diverge"):
+        manifest.write_and_commit_batch(
+            spark,
+            raw.withColumn("src", F.lit("c")).withColumn(
+                "v", F.col("v").cast("string")
+            ),
+            table, 2, enforce_schema=True,
+        )
+    # dropped column refused (src joined the table schema at batch 1)
+    with pytest.raises(manifest.SchemaEnforcementError, match="drops"):
+        manifest.write_and_commit_batch(
+            spark, raw, table, 2, enforce_schema=True
+        )
+    # the refusals landed NO bytes and NO version
+    assert manifest.latest_version(spark, table) == 1
+    assert streaming.list_batch_partitions(spark, table) == [0, 1]
+    # default stays permissive (the pre-r11 contract)
+    manifest.write_and_commit_batch(spark, raw.drop("k"), table, 2)
+    assert manifest.latest_version(spark, table) == 2
