@@ -1898,3 +1898,60 @@ def test_cdf_replication_through_upsert_and_later_reinsert(spark, tmp_path):
     counts = Counter(t[0] for t in rep_rows)
     assert all(counts[i] == 2 for i in range(10))
     assert all(counts[i] == 1 for i in range(10, 100))
+
+
+def test_byte_capped_end_model():
+    # model-check the admission decision as a pure function over random
+    # commit logs (memory backend, no Spark): the admitted endpoint is
+    # maximal under the cap — within budget OR the forced single
+    # version, and never extendable by one more version within budget
+    import json as _json
+    import random
+
+    from bigdata_googleplaystore_spark.sources import manifest_stream as ms
+    from bigdata_googleplaystore_spark.sources import storage
+
+    rng = random.Random(11)
+    mem = storage.get_backend("memory://bcap")
+    for trial in range(30):
+        mem.clear()
+        tbl = "memory://bcap"
+        n_versions = rng.randint(2, 12)
+        ids: list[int] = []
+        stats: dict = {}
+        per_version_new: list[list[int]] = []
+        next_id = 0
+        for v in range(n_versions):
+            new = []
+            for _ in range(rng.randint(0, 3)):
+                b = next_id if rng.random() < 0.9 else -(next_id + 1)
+                next_id += 1
+                if b >= 0:
+                    stats[str(b)] = {"_bytes": rng.choice([0, 10, 100, 1000])}
+                ids.append(b)
+                new.append(b)
+            per_version_new.append(new)
+            mem.put(
+                f"{tbl}/_manifests/v{v:012d}.json",
+                _json.dumps(
+                    {"version": v, "batch_ids": sorted(ids), "stats": stats}
+                ).encode(),
+            )
+        floor = rng.randint(0, n_versions - 2)
+        latest = n_versions - 1
+        cap = rng.choice([1, 50, 500, 5000])
+        got = ms._byte_capped_end(mem, tbl, floor, latest, cap)
+
+        def cost(upto: int) -> int:
+            return sum(
+                stats[str(b)]["_bytes"]
+                for v in range(floor + 1, upto + 1)
+                for b in per_version_new[v]
+                if b >= 0
+            )
+
+        assert floor + 1 <= got <= latest
+        assert got == floor + 1 or cost(got) <= cap
+        if got < latest:
+            assert cost(got + 1) > cap  # maximality: one more would bust
+    mem.clear()
