@@ -355,3 +355,52 @@ def test_manifest_stream_read_tolerates_added_column(tmp_path):
     )
     assert got.equals(got2)
     mem.clear()
+
+
+def test_storage_backends_contract_equivalence(tmp_path):
+    """Random op sequences observe the SAME filesystem contract through
+    LocalBackend and MemoryBackend — the property that lets the
+    connector tier treat the seam as interchangeable."""
+    import random
+
+    from bigdata_googleplaystore_spark.sources import storage
+
+    rng = random.Random(7)
+    local = storage.LocalBackend()
+    mem = storage.MemoryBackend(store={})
+    root_l = str(tmp_path / "root")
+    root_m = "memory://eqroot"
+    names = ["a", "b/c", "b/d", "e/f/g", "b/c2"]
+    written: list[str] = []
+    for step in range(60):
+        op = rng.choice(["put", "exists", "isdir", "listdir", "read"])
+        rel = rng.choice(names)
+        if op == "put":
+            data = bytes([rng.randrange(256) for _ in range(rng.randrange(9))])
+            p = f"{root_l}/{rel}"
+            import os as _os
+
+            _os.makedirs(_os.path.dirname(p), exist_ok=True)
+            open(p, "wb").write(data)
+            mem.put(f"{root_m}/{rel}", data)
+            written.append(rel)
+        elif op == "exists":
+            assert local.exists(f"{root_l}/{rel}") == mem.exists(
+                f"{root_m}/{rel}"
+            ), (step, rel)
+        elif op == "isdir":
+            parent = rel.rsplit("/", 1)[0] if "/" in rel else rel
+            assert local.isdir(f"{root_l}/{parent}") == mem.isdir(
+                f"{root_m}/{parent}"
+            ), (step, parent)
+        elif op == "listdir":
+            d = rng.choice(["", "b", "e", "e/f", "zz"])
+            pl = f"{root_l}/{d}" if d else root_l
+            pm = f"{root_m}/{d}" if d else root_m
+            assert local.listdir(pl) == mem.listdir(pm), (step, d)
+        elif op == "read" and written:
+            rel = rng.choice(written)
+            assert (
+                local.open(f"{root_l}/{rel}").read()
+                == mem.open(f"{root_m}/{rel}").read()
+            ), (step, rel)
