@@ -525,6 +525,8 @@ def vacuum(
     table_dir: str,
     keep_versions: int = 2,
     tmp_grace_seconds: float = 3600.0,
+    keep_hours: float | None = None,
+    dry_run: bool = False,
 ) -> tuple[int, int]:
     """Garbage-collect: keep the newest `keep_versions` manifests and
     every partition directory any of them references; delete the rest —
@@ -535,8 +537,22 @@ def vacuum(
     files (_deletes/d*) referenced by no retained manifest and orphan
     manifest staging files (*.tmp) are reclaimed on the same pass.
 
+    `keep_hours` widens retention by AGE (the Delta `RETAIN N HOURS`
+    contract): every version whose manifest is younger than the window
+    survives in addition to the newest `keep_versions` — time-travel
+    and slow readers get a wall-clock guarantee instead of a commit-
+    rate-dependent one. Because manifest mtimes are monotone with
+    version order, the retained set stays a contiguous suffix (enforced
+    by cutting at the oldest survivor), which the checkpoint pointer's
+    forward-probe contiguity relies on.
+
+    `dry_run=True` computes and returns what WOULD be deleted without
+    touching a byte (no deletes, no checkpoint refresh) — the audit
+    step a retention change should run first.
+
     Returns (dirs_deleted, manifests_deleted) where dirs_deleted counts
-    data partitions plus delete-key dirs."""
+    data partitions plus delete-key dirs (would-be counts under
+    dry_run)."""
     from .. import streaming
 
     if keep_versions < 1:
@@ -548,27 +564,44 @@ def vacuum(
     versions = list_versions(spark, table_dir)
     if not versions:
         return (0, 0)
-    retained = versions[-keep_versions:]
+    jvm, fs, _ = _fs(spark, table_dir)
+    import time as _time
+
+    now_ms = _time.time() * 1000.0
+    cut = versions[-keep_versions:][0]
+    if keep_hours is not None:
+        window_ms = float(keep_hours) * 3600.0 * 1000.0
+        for v in versions:
+            if v >= cut:
+                break
+            st = fs.getFileStatus(
+                jvm.org.apache.hadoop.fs.Path(_version_path(table_dir, v))
+            )
+            if now_ms - st.getModificationTime() <= window_ms:
+                cut = v
+                break
+    retained = [v for v in versions if v >= cut]
     keep_ids: set[int] = set()
     keep_dids: set[int] = set()
     for v in retained:
         m = read_manifest(spark, table_dir, v)
         keep_ids |= set(m["batch_ids"])
         keep_dids |= set(m.get("delete_ids") or [])
-    jvm, fs, _ = _fs(spark, table_dir)
     dirs_deleted = 0
     for b in streaming.list_batch_partitions(spark, table_dir):
         if b not in keep_ids:
-            fs.delete(
-                jvm.org.apache.hadoop.fs.Path(
-                    table_dir.rstrip("/"), f"_batch_id={b}"
-                ),
-                True,
-            )
-            # the batch's bloom sidecar ages out with it
-            fs.delete(
-                jvm.org.apache.hadoop.fs.Path(_bloom_path(table_dir, b)), False
-            )
+            if not dry_run:
+                fs.delete(
+                    jvm.org.apache.hadoop.fs.Path(
+                        table_dir.rstrip("/"), f"_batch_id={b}"
+                    ),
+                    True,
+                )
+                # the batch's bloom sidecar ages out with it
+                fs.delete(
+                    jvm.org.apache.hadoop.fs.Path(_bloom_path(table_dir, b)),
+                    False,
+                )
             dirs_deleted += 1
     # delete-key files referenced by NO retained manifest age out too —
     # for right-to-be-forgotten flows the keys themselves are PII, so
@@ -581,14 +614,19 @@ def vacuum(
             name = st.getPath().getName()
             if name.startswith("d") and name[1:].isdigit():
                 if int(name[1:]) not in keep_dids:
-                    fs.delete(st.getPath(), True)
+                    if not dry_run:
+                        fs.delete(st.getPath(), True)
                     dirs_deleted += 1
     man_deleted = 0
     for v in versions:
         if v not in retained:
-            fs.delete(
-                jvm.org.apache.hadoop.fs.Path(_version_path(table_dir, v)), False
-            )
+            if not dry_run:
+                fs.delete(
+                    jvm.org.apache.hadoop.fs.Path(
+                        _version_path(table_dir, v)
+                    ),
+                    False,
+                )
             man_deleted += 1
     # crashed committers leave behind uniquely-named *.tmp staging files
     # in _manifests that no rename ever consumed — reclaim those as
@@ -597,9 +635,6 @@ def vacuum(
     # and deleting it there forces a spurious ConcurrentCommitError.
     # tmp_grace_seconds=0 reclaims unconditionally (tests / known-quiet
     # tables).
-    import time as _time
-
-    now_ms = _time.time() * 1000.0
     mdir = jvm.org.apache.hadoop.fs.Path(
         table_dir.rstrip("/") + "/" + MANIFEST_DIR
     )
@@ -607,11 +642,12 @@ def vacuum(
         for st in fs.listStatus(mdir):
             if st.getPath().getName().endswith(".tmp"):
                 age_ms = now_ms - st.getModificationTime()
-                if age_ms >= tmp_grace_seconds * 1000.0:
+                if age_ms >= tmp_grace_seconds * 1000.0 and not dry_run:
                     fs.delete(st.getPath(), False)
     # keep the advisory pointer inside the retained window so the fast
     # path stays fast (a stale pointer would fall back to listing)
-    write_checkpoint(spark, table_dir, retained[-1])
+    if not dry_run:
+        write_checkpoint(spark, table_dir, retained[-1])
     return (dirs_deleted, man_deleted)
 
 

@@ -1955,3 +1955,39 @@ def test_byte_capped_end_model():
         if got < latest:
             assert cost(got + 1) > cap  # maximality: one more would bust
     mem.clear()
+
+
+def test_vacuum_dry_run_and_age_retention(spark, tmp_path):
+    # dry_run reports the exact would-delete counts without touching a
+    # byte (no deletes, no checkpoint refresh); keep_hours widens
+    # retention by manifest AGE (the Delta RETAIN-N-HOURS contract) —
+    # fresh manifests survive a keep_versions=1 vacuum, and the
+    # retained set stays a contiguous version suffix
+    import os
+
+    table = str(tmp_path / "tbl")
+    raw = _write_committed_batches(spark, table)
+    manifest.compact_snapshot(spark, table, upto_batch=2)
+    before_versions = manifest.list_versions(spark, table)
+    before_parts = streaming.list_batch_partitions(spark, table)
+    ckpt_before = manifest.read_checkpoint(spark, table)
+    # dry run: same counts the real pass would report, nothing changed
+    dirs, mans = manifest.vacuum(spark, table, keep_versions=1, dry_run=True)
+    assert (dirs, mans) == (3, 4)
+    assert manifest.list_versions(spark, table) == before_versions
+    assert streaming.list_batch_partitions(spark, table) == before_parts
+    assert manifest.read_checkpoint(spark, table) == ckpt_before
+    # age retention: everything here is seconds old, so a 1h window
+    # retains every version even at keep_versions=1
+    dirs, mans = manifest.vacuum(spark, table, keep_versions=1, keep_hours=1.0)
+    assert (dirs, mans) == (0, 0)
+    assert manifest.list_versions(spark, table) == before_versions
+    # age the old manifests out by backdating their mtimes, then the
+    # same call reclaims exactly the pre-compaction history
+    for v in before_versions[:-1]:
+        p = manifest._version_path(table, v)
+        os.utime(p, (1_000_000_000, 1_000_000_000))
+    dirs, mans = manifest.vacuum(spark, table, keep_versions=1, keep_hours=1.0)
+    assert (dirs, mans) == (3, 4)
+    assert manifest.list_versions(spark, table) == [before_versions[-1]]
+    assert _agg_rows(manifest.read_snapshot_agg(spark, table)) == _direct_rows(raw)
