@@ -97,6 +97,7 @@ _PRIORITY: list[str] = [
     "stream_cdf_mv_maintenance",
     "stream_cdf_table_replication",
     "mv_manifest_schema_enforcement",
+    "dedup_ingest_on_write",
 ]
 
 # Pre-rotation (round-2) window order, kept for the record of what r02

@@ -5543,3 +5543,126 @@ def dedup_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("node").alias("doc"), F.col("component").alias("keep_id")
     )
+
+
+@register(
+    "dedup_ingest_on_write",
+    oracle=rf"""
+    WITH base AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id % 3 = 0 AND text IS NOT NULL
+    ),
+    batch AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id % 3 = 1 AND text IS NOT NULL
+      UNION ALL
+      SELECT doc_id + 10000000 AS doc_id, text FROM documents
+      WHERE doc_id % 15 = 0 AND text IS NOT NULL
+      UNION ALL
+      SELECT doc_id + 20000000 AS doc_id, text FROM documents
+      WHERE doc_id % 3 = 1 AND doc_id % 10 = 1 AND text IS NOT NULL
+    ),
+    corpus AS (
+      SELECT * FROM base UNION ALL SELECT * FROM batch
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(ws) >= 3
+                  THEN list_transform(range(1, len(ws)-1),
+                                      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+                  ELSE [] END) AS shingles
+      FROM (SELECT doc_id, {_TOKS_SQL} AS ws FROM corpus)
+    ),
+    ex AS (SELECT doc_id, len(shingles) AS set_size,
+                  unnest(shingles) AS shingle FROM sh),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             round(CAST(count(*) AS DOUBLE)
+                   / (a.set_size + b.set_size - count(*)), 6) AS jaccard
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b, a.set_size, b.set_size
+    ),
+    flagged AS (
+      SELECT DISTINCT d.doc_id FROM batch d
+      WHERE EXISTS (
+        SELECT 1 FROM pairs p
+        WHERE p.jaccard >= 0.5
+          AND (p.doc_b = d.doc_id
+               OR (p.doc_a = d.doc_id
+                   AND p.doc_b IN (SELECT doc_id FROM base)))
+      )
+    ),
+    admitted AS (
+      SELECT doc_id, text FROM base
+      UNION ALL
+      SELECT doc_id, text FROM batch
+      WHERE doc_id NOT IN (SELECT doc_id FROM flagged)
+    )
+    SELECT CAST(doc_id % 7 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(text)) AS BIGINT) AS total_chars
+    FROM admitted GROUP BY bucket
+    """,
+    tags=("llm", "dedup", "incremental", "manifest", "scale"),
+)
+def dedup_ingest_on_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEDUP-GATED INGESTION end to end — the cross-tier composition a
+    training-data pipeline runs at the door (dedup tier × lakehouse
+    tier): the base corpus (every 3rd doc) is indexed once
+    (write_jaccard_index, shingle-bucketed) and committed as batch 0 of
+    a manifest table; an incoming batch — fresh docs, PLANTED exact
+    copies of base docs (must be rejected against the index), and
+    planted in-batch copies (must lose to their smaller-id originals)
+    — is admitted through `dedup.ingest_unless_duplicate`: pair search
+    costs O(|batch|) against the bucket-pruned index, the greedy
+    keep-min rule drops flagged docs, survivors COMMIT ATOMICALLY as
+    batch 1 and fold into the index for the next increment. The gate
+    aggregates the TABLE's final snapshot (per doc_id%7 bucket: doc
+    count + total chars) against an oracle that re-derives the whole
+    admission decision — trigram shingles, exact-threshold Jaccard,
+    base-wins/keep-min flagging — in plain SQL, so a pair the index
+    missed (wrongly pruned bucket), a survivor dropped, a duplicate
+    admitted, or a commit that lost rows all hash-fail. Natural
+    near-dups the synthetic corpus happens to contain are decided by
+    the SAME rule in both engines, so the gate is exact without
+    assuming the plants are the only duplicates. At 100 TB this is the
+    shape that keeps ingestion O(delta): the corpus is never
+    re-shingled, the index append is O(|survivors|), and the admission
+    decision reads only the buckets the batch touches."""
+    import shutil
+
+    from .ops import _stream_src_dir
+    from ..streaming import manifest
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = d.filter(F.col("text").isNotNull())
+    base = d.filter(F.col("doc_id") % 3 == 0)
+    batch = (
+        d.filter(F.col("doc_id") % 3 == 1)
+        .unionByName(
+            d.filter(F.col("doc_id") % 15 == 0).select(
+                (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            d.filter(
+                (F.col("doc_id") % 3 == 1) & (F.col("doc_id") % 10 == 1)
+            ).select((F.col("doc_id") + 20_000_000).alias("doc_id"), "text")
+        )
+    )
+    idx = _stream_src_dir("ingest_idx", sf_dir)
+    table = _stream_src_dir("ingest_tbl", sf_dir)
+    for p in (idx, table):
+        shutil.rmtree(p, ignore_errors=True)
+    dedup.write_jaccard_index(base, idx, "doc_id", "text", n=3, buckets=8)
+    manifest.write_and_commit_batch(spark, base, table, 0)
+    dedup.ingest_unless_duplicate(
+        spark, idx, table, batch, "doc_id", "text", batch_id=1, threshold=0.5
+    )
+    snap = manifest.read_snapshot_rows(spark, table)
+    return snap.groupBy(
+        (F.col("doc_id") % 7).cast("bigint").alias("bucket")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+    )

@@ -1343,6 +1343,72 @@ def jaccard_pairs_incremental_indexed(
     )
 
 
+def ingest_unless_duplicate(
+    spark,
+    index_path: str,
+    table_dir: str,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    batch_id: int,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """DEDUP-GATED INGESTION — the composition a training-data pipeline
+    runs at the door: a new batch is admitted into a manifest-committed
+    table ONLY net of near-duplicates, decided against the maintained
+    bucketed Jaccard index in O(|batch|) work (never a corpus rescan):
+
+      1. `jaccard_pairs_incremental_indexed` finds every >= threshold
+         pair the batch introduces (vs the indexed base AND within the
+         batch), reading only the touched index buckets;
+      2. the GREEDY KEEP-MIN rule drops a batch doc iff it pairs with
+         a base doc or a smaller-id batch doc — base content always
+         wins, and within the batch the earliest id represents its
+         group (same orientation discipline the pair generator uses);
+      3. survivors commit atomically via write_and_commit_batch (one
+         manifest version — a crashed ingest is invisible) and fold
+         into the index via append_jaccard_index, so the NEXT batch
+         dedups against base + this batch with no rebuild.
+
+    Returns the surviving rows. The flagged-id frame is broadcast on
+    the anti-join: duplicates are assumed batch-bounded (they are a
+    subset of the batch by construction)."""
+    from ..streaming import manifest as _manifest
+
+    pairs = jaccard_pairs_incremental_indexed(
+        spark, index_path, batch, id_col, text_col,
+        threshold=threshold, max_shingle_df=max_shingle_df,
+    )
+    ids = batch.select(F.col(id_col).alias("_in_id")).distinct()
+    a_mark = ids.select(
+        F.col("_in_id").alias("doc_a"), F.lit(True).alias("_a_in")
+    )
+    b_mark = ids.select(
+        F.col("_in_id").alias("doc_b"), F.lit(True).alias("_b_in")
+    )
+    p = (
+        pairs.join(F.broadcast(a_mark), "doc_a", "left")
+        .join(F.broadcast(b_mark), "doc_b", "left")
+    )
+    flagged = p.select(
+        F.when(
+            F.col("_a_in").isNotNull() & F.col("_b_in").isNotNull(),
+            F.greatest("doc_a", "doc_b"),
+        )
+        .when(F.col("_a_in").isNotNull(), F.col("doc_a"))
+        .otherwise(F.col("doc_b"))
+        .alias("_dup")
+    ).distinct()
+    survivors = batch.join(
+        F.broadcast(flagged), batch[id_col] == F.col("_dup"), "left_anti"
+    )
+    survivors = survivors.localCheckpoint()  # pin: committed == appended
+    _manifest.write_and_commit_batch(spark, survivors, table_dir, batch_id)
+    append_jaccard_index(spark, index_path, survivors, id_col, text_col)
+    return survivors
+
+
 def connected_components_incremental(
     base_labels: DataFrame,
     new_pairs: DataFrame,

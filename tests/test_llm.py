@@ -752,3 +752,54 @@ def test_incremental_cc_equals_full_recompute(spark):
     assert got[100] == 1 and got[10] == 1  # transitive merge through 100
     assert got[20] == 20 and got[30] == 30  # untouched components
     assert got[41] == 40  # brand-new component
+
+
+def test_ingest_unless_duplicate_lifecycle(spark, sf_dir, tmp_path):
+    """Dedup-gated ingestion across TWO increments: batch-1 survivors
+    fold into the index and the committed table, so batch 2's copies of
+    batch-1 SURVIVORS are rejected against the grown index — and the
+    table's snapshot only ever advances by the survivor sets."""
+    from bigdata_googleplaystore_spark.streaming import manifest
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = d.filter(F.col("text").isNotNull())
+    base = d.filter(F.col("doc_id") % 4 == 0)
+    idx = str(tmp_path / "idx")
+    table = str(tmp_path / "tbl")
+    dedup.write_jaccard_index(base, idx, "doc_id", "text", n=3, buckets=8)
+    manifest.write_and_commit_batch(spark, base, table, 0)
+    # batch 1: fresh docs + exact copies of base docs (rejected)
+    fresh1 = d.filter(F.col("doc_id") % 4 == 1)
+    copies1 = base.filter(F.col("doc_id") % 8 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+    )
+    s1 = dedup.ingest_unless_duplicate(
+        spark, idx, table, fresh1.unionByName(copies1), "doc_id", "text", 1
+    )
+    s1_ids = {r["doc_id"] for r in s1.select("doc_id").collect()}
+    assert not {r["doc_id"] for r in copies1.collect()} & s1_ids
+    # every planted copy rejected; fresh docs survive unless they
+    # near-dup base/each other under the SAME rule a full-recompute
+    # pair set implies (spot: at least the majority of fresh survive)
+    n_fresh = fresh1.count()
+    assert len(s1_ids) > n_fresh * 0.5
+    # batch 2: copies of batch-1 SURVIVORS — only rejectable if the
+    # index actually grew by s1
+    copies2 = s1.limit(20).select(
+        (F.col("doc_id") + 20_000_000).alias("doc_id"), "text"
+    )
+    fresh2 = d.filter(F.col("doc_id") % 4 == 2)
+    s2 = dedup.ingest_unless_duplicate(
+        spark, idx, table, fresh2.unionByName(copies2), "doc_id", "text", 2
+    )
+    s2_ids = {r["doc_id"] for r in s2.select("doc_id").collect()}
+    assert not {r["doc_id"] for r in copies2.collect()} & s2_ids
+    # the table's snapshot is exactly base + s1 + s2 (atomic commits)
+    snap_ids = {
+        r["doc_id"]
+        for r in manifest.read_snapshot_rows(spark, table)
+        .select("doc_id")
+        .collect()
+    }
+    base_ids = {r["doc_id"] for r in base.select("doc_id").collect()}
+    assert snap_ids == base_ids | s1_ids | s2_ids
