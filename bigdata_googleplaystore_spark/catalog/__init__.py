@@ -24,80 +24,80 @@ from .tpch import flagship  # noqa: E402,F401
 # then the remaining never-checked (the next round's rotation head), then
 # the rest of the previously-green set, oldest evidence first.
 #
-# Round-11 window (VERDICT r10 item 1, prescription followed verbatim):
-# (a) `stream_from_manifest_source` — the one gate that has never had a
-# driver row (registered late-r10, judge-verified green at r10 HEAD; its
-# implementation ALSO changes this round: schema-evolution tolerant
-# reads, inclusive startingVersion, pluggable storage opener,
-# maxBytesPerTrigger) — then (b) the 49 r05-stale names, r05 window
-# order. 50 names total = the driver's window; after r11 no query's
-# newest driver row is older than r06. Gates NEW this round (the CDF
-# streaming source etc.) are registered immediately after slot 50 and
-# form the r12 head; changed-but-r10-fresh gates (mv_manifest_* vacuum
-# age guard, dedup incremental flat-fallback params) keep their r10 rows
-# — the deltas are defensive-path-only and re-checked this round by a
-# committed targeted tools/driver_sim.py run (see COVERAGE.md).
+# Round-12 window (VERDICT r11 item 1, prescription followed verbatim):
+# (a) the 6 gates that landed in r11 and have never had a driver row
+# (judge-sim green at r11 HEAD); the CDF stream trio's implementation
+# ALSO changes this round (arrow-side masked paths, key-frame size
+# guard, optional update-image pairing) so they need the fresh row
+# regardless; then (b) 44 of the 48 r06-stale names, r06 window order.
+# 50 names total = the driver's window. The 4 r06-stale names that
+# don't fit (the three sink/scan round-trips + pydatasource_scan_agg —
+# connector paths with dense pytest coverage) get a committed targeted
+# tools/driver_sim.py run this round (see COVERAGE.md) and head the
+# r13 rotation together with gates NEW this round (registered
+# immediately after slot 50, per policy).
 _PRIORITY: list[str] = [
-    # ===== ROUND-11 WINDOW (the driver records exactly 50 rows) =====
-    # (a) never-driver-checked + implementation-changed this round:
-    "stream_from_manifest_source",
-    # (b) the 49 r05-stale names, r05 window order:
-    "embedding_pq_codes",
-    "sim_ann_pq_adc",
-    "dedup_minhash_lsh",
-    "dedup_exact_substring",
-    "markov_transition_matrix",
-    "curriculum_length_buckets",
-    "graph_bipartite_projection",
-    "posexplode_ordinality",
-    "incremental_agg_merge",
-    "zorder_bucket_histogram",
-    "regexp_extract_all_tokens",
-    "listagg_distinct_sources",
-    "fuzzy_name_match_blocked",
-    "data_quality_audit",
-    "global_row_number_shards",
-    "collation_case_insensitive",
-    "pivot_multi_agg",
-    "generator_null_semantics",
-    "histogram_fixed_buckets",
-    "mad_robust_stats",
-    "sliding_distinct_users",
-    "chi2_contingency_assoc",
-    "argmax_deterministic",
-    "monthly_revenue_moving_avg",
-    "value_band_join",
-    "nation_revenue_share",
-    "attribution_last_touch",
-    "segment_repeat_rate",
-    "hourly_seasonal_baseline",
-    "pii_redact_stats",
-    "bpe_encode_fixed_vocab",
-    "string_predicates",
-    "cast_and_date_parts",
-    "round_currency_conversion",
-    "groupby_stats",
-    "na_fill_zero",
-    "dedup_keep_min",
-    "distinct_projection",
-    "left_join_null_path",
-    "orderby_desc_topk",
-    "json_extract_field",
-    "split_explode_tokens",
-    "window_rank_per_group",
-    "anti_join_not_exists",
-    "semi_join_exists",
-    "full_outer_join",
-    "rollup_counts",
-    "set_union_all",
-    "set_intersect",
-    # ===== past slot 50: r11's new gates — the r12 rotation head =====
+    # ===== ROUND-12 WINDOW (the driver records exactly 50 rows) =====
+    # (a) never-driver-checked (r11 additions; CDF trio also
+    # implementation-changed this round):
     "stream_cdf_from_manifest",
-    "mv_manifest_conditional_put",
     "stream_cdf_mv_maintenance",
     "stream_cdf_table_replication",
+    "mv_manifest_conditional_put",
     "mv_manifest_schema_enforcement",
     "dedup_ingest_on_write",
+    # (b) 44 of the 48 r06-stale names, r06 window order:
+    "dedup_simhash",
+    "sim_cosine_topk",
+    "text_token_stats",
+    "text_quality_score",
+    "text_lang_id",
+    "doc_fingerprint_winnow",
+    "text_bpe_token_count",
+    "text_repetition_ratio",
+    "split_train_test",
+    "sample_quota_per_source",
+    "text_scrub_patterns",
+    "distinct_count_agg",
+    "set_except",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_supplier_volume",
+    "q6_forecast_revenue",
+    "q4_order_priority",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "q13_customer_distribution",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_predicates",
+    "q22_inactive_customers",
+    "q7_nation_volume_shipping",
+    "q15_top_supplier",
+    "q21_waiting_suppliers",
+    "q9_product_profit",
+    "q16_supplier_variety",
+    "q20_excess_stock_suppliers",
+    "q12_priority_shipping",
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q11_important_stock",
+    "window_range_frame_sum",
+    "asof_join_last_click",
+    "bpe_learn_merges",
+    "bucketed_join_no_shuffle",
+    "dedup_image_ahash",
+    "dedup_image_ahash_recall",
+    "graph_triangle_count",
+    "schema_evolution_merge",
+    "embedding_pq_train_invariant",
+    # ===== past slot 50: r13 rotation head =====
+    # the 4 r06-stale names deferred from this window (driver-sim'd this
+    # round, evidence in COVERAGE.md):
+    "pydatasource_scan_agg",
+    "text_sink_scan_roundtrip",
+    "json_sink_scan_roundtrip",
+    "orc_sink_scan_roundtrip",
 ]
 
 # Pre-rotation (round-2) window order, kept for the record of what r02
