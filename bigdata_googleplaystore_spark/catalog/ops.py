@@ -8934,9 +8934,15 @@ def mv_manifest_conditional_put(spark: SparkSession, sf_dir: str) -> DataFrame:
                 store.interpose = None
                 try:
                     cur = manifest.read_manifest(spark, table)
+                    # carry EVERY manifest field through so the rival
+                    # commit is a genuine no-op version bump — dropping
+                    # delete_ids/stats/delete_cutoffs/blooms here would
+                    # silently erase them on a table that had any
                     manifest.commit_version(
                         spark, table, cur["batch_ids"], cur.get("horizon"),
-                        cur["version"], backend=rival,
+                        cur["version"], cur.get("delete_ids"),
+                        cur.get("stats"), cur.get("delete_cutoffs"),
+                        cur.get("blooms"), backend=rival,
                     )
                 finally:
                     store.interpose = rival_commits_first

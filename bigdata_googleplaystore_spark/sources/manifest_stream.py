@@ -60,8 +60,13 @@ Schema: additive evolution is READ-TOLERANT — a batch file written
 before a column was added is read with the declared columns it has,
 and the missing ones are emitted as typed nulls (the same
 mergeSchema-on-read semantics the operator-tier snapshot read offers).
-A declared column absent from BOTH the file and evolution would be a
-caller schema error and still raises.
+This tolerance is per-file and total: ANY declared column a file lacks
+becomes typed nulls, including a column NO file has ever carried — a
+typo'd declared name therefore reads as all-null rather than raising.
+That is the same trade Spark's own mergeSchema read makes (a selected
+column absent everywhere is null, not an error); callers who want the
+strict check validate their schema against a snapshot read's schema
+once, up front, where the footers are already being merged.
 
 Reference parity: the reference's only streaming surface is console
 output (challenge.scala C:26-44); this source is part of the engine's
@@ -137,7 +142,15 @@ def _byte_capped_end(
     admitted = floor
     spent = 0
     for cand in range(floor + 1, latest + 1):
-        m = _read_manifest_json(fs, table_dir, cand)
+        try:
+            m = _read_manifest_json(fs, table_dir, cand)
+        except FileNotFoundError:
+            # vacuum removed a manifest in (floor, latest] mid-walk —
+            # same retention edge as the floor read above: return the
+            # uncapped end so partitions() walks the gap and raises its
+            # descriptive vacuum-retention error instead of this raw
+            # FileNotFoundError escaping from latestOffset()
+            return latest
         ids = set(m["batch_ids"])
         stats = m.get("stats") or {}
         add = sum(

@@ -1156,7 +1156,10 @@ class SchemaEnforcementError(ValueError):
 
 
 def check_batch_schema(
-    spark: SparkSession, table_dir: str, df: DataFrame
+    spark: SparkSession,
+    table_dir: str,
+    df: DataFrame,
+    manifest: dict | None = None,
 ) -> None:
     """Writer-side SCHEMA ENFORCEMENT (the public Delta design: writes
     are validated against the table, reads merge): a batch may ADD
@@ -1167,8 +1170,13 @@ def check_batch_schema(
     The table's schema is the CURRENT snapshot's merged read schema —
     one parquet-footer union over the newest manifest's batches, no
     data scan. An empty table accepts any schema (the first write
-    defines it)."""
-    cur = read_manifest(spark, table_dir)
+    defines it). `manifest` lets a caller validate against a manifest
+    it already read — write_and_commit_batch uses it to RE-validate
+    inside its optimistic-commit retry loop, so a concurrent
+    schema-evolving commit landing between check and publish cannot
+    slip past enforcement (the same validate-within-the-transaction-
+    attempt discipline table formats use)."""
+    cur = manifest if manifest is not None else read_manifest(spark, table_dir)
     ids = cur["batch_ids"]
     if not ids:
         return
@@ -1237,8 +1245,11 @@ def write_and_commit_batch(
 
     from .. import streaming
 
+    validated_version: int | None = None
     if enforce_schema:
-        check_batch_schema(spark, table_dir, df)
+        cur0 = read_manifest(spark, table_dir)
+        check_batch_schema(spark, table_dir, df, manifest=cur0)
+        validated_version = cur0["version"]
     streaming.write_batch_partition(df, table_dir, batch_id)
     # an EMPTY batch writes no partition directory (dynamic partition
     # overwrite has nothing to overwrite) — committing its id would
@@ -1270,6 +1281,15 @@ def write_and_commit_batch(
     last: ConcurrentCommitError | None = None
     for _ in range(retries):
         cur = read_manifest(spark, table_dir)
+        # re-validate when the table advanced past the version the
+        # pre-write check saw — a concurrent schema-evolving commit in
+        # the check->publish window must not slip past enforcement
+        # (TOCTOU; the batch's data files are already on disk but stay
+        # invisible until the manifest commit, so refusing here still
+        # leaves the snapshot untouched)
+        if enforce_schema and cur["version"] != validated_version:
+            check_batch_schema(spark, table_dir, df, manifest=cur)
+            validated_version = cur["version"]
         ids = set(cur["batch_ids"]) | ({batch_id} if wrote else set())
         stats = dict(cur.get("stats", {}))
         if stats_entry is not None:

@@ -1821,6 +1821,60 @@ def test_schema_enforcement_on_write(spark, tmp_path):
     assert manifest.latest_version(spark, table) == 2
 
 
+def test_schema_enforcement_revalidates_inside_commit_retry(spark, tmp_path):
+    # TOCTOU guard (ADVICE r11): the pre-write schema check validates
+    # against the manifest it read, but a concurrent schema-evolving
+    # commit can land between that check and the publish. The retry
+    # loop must RE-validate against the re-read manifest — mirroring
+    # how table formats validate within each transaction attempt —
+    # so the stale-checked batch refuses instead of committing a
+    # now-column-dropping write.
+    table = str(tmp_path / "tbl")
+    raw = _raw(spark)
+    store = manifest.MockObjectStore()
+    backend = manifest.ConditionalPutCommitBackend(store)
+    rival = manifest.ConditionalPutCommitBackend(store)
+    fired = {"n": 0}
+    with manifest.default_commit_backend(backend):
+        manifest.write_and_commit_batch(
+            spark, raw.where(F.col("id") < 100), table, 0,
+            enforce_schema=True,
+        )
+
+        def rival_evolves_schema(key: str) -> None:
+            # inside the victim's publish window: a rival lands batch 1
+            # carrying a NEW column `src`, evolving the table schema
+            # after the victim's pre-write check already passed
+            if fired["n"] == 0 and key.endswith("v000000000001.json"):
+                fired["n"] += 1
+                store.interpose = None
+                try:
+                    manifest.write_and_commit_batch(
+                        spark,
+                        raw.where(F.col("id") >= 100).withColumn(
+                            "src", F.lit("rival")
+                        ),
+                        table, 1,
+                    )
+                finally:
+                    store.interpose = rival_evolves_schema
+
+        store.interpose = rival_evolves_schema
+        # victim batch lacks `src`: its pre-write check saw the
+        # pre-rival table and passed; the conflict retry must re-check
+        # and refuse the now-dropping write
+        with pytest.raises(manifest.SchemaEnforcementError, match="drops"):
+            manifest.write_and_commit_batch(
+                spark, raw.where(F.col("id") < 10), table, 2,
+                enforce_schema=True,
+            )
+        store.interpose = None
+    assert fired["n"] == 1
+    # the rival's version is the table's latest; the victim landed none
+    assert manifest.latest_version(spark, table) == 1
+    assert 2 not in manifest.read_manifest(spark, table)["batch_ids"]
+
+
 def test_cdf_replication_through_upsert_and_later_reinsert(spark, tmp_path):
     # replication correctness on the two delete-ordering edges: an
     # UPSERT version (delete+insert atomically — the delete must mask
@@ -1954,6 +2008,44 @@ def test_byte_capped_end_model():
         assert got == floor + 1 or cost(got) <= cap
         if got < latest:
             assert cost(got + 1) > cap  # maximality: one more would bust
+    mem.clear()
+
+
+def test_byte_capped_end_mid_walk_vacuum_returns_latest():
+    # ADVICE r11: vacuum removing a manifest in (floor, latest] while
+    # the byte-cap walk is in flight must NOT leak a raw
+    # FileNotFoundError out of latestOffset() — the admission decision
+    # returns `latest` uncapped so partitions() walks the gap and
+    # raises its descriptive vacuum-retention ValueError instead
+    import json as _json
+
+    from bigdata_googleplaystore_spark.sources import manifest_stream as ms
+    from bigdata_googleplaystore_spark.sources import storage
+
+    mem = storage.get_backend("memory://bcapvac")
+    mem.clear()
+    tbl = "memory://bcapvac"
+    for v in range(4):
+        mem.put(
+            f"{tbl}/_manifests/v{v:012d}.json",
+            _json.dumps(
+                {
+                    "version": v,
+                    "batch_ids": list(range(v + 1)),
+                    "stats": {str(v): {"_bytes": 10}},
+                }
+            ).encode(),
+        )
+    # vacuum takes out v2, strictly inside (floor=0, latest=3]
+    mem.delete(f"{tbl}/_manifests/v000000000002.json")
+    assert ms._byte_capped_end(mem, tbl, 0, 3, 5) == 3
+    # and the planning walk over that gap surfaces the loud error
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    schema = StructType([StructField("id", IntegerType())])
+    r = ms.ManifestStreamReader(schema, {"path": tbl, "startingversion": "0"})
+    with pytest.raises(ValueError, match="vacuum retention"):
+        r.partitions({"version": 0}, {"version": 3})
     mem.clear()
 
 
