@@ -92,6 +92,8 @@ _PRIORITY: list[str] = [
     "schema_evolution_merge",
     "embedding_pq_train_invariant",
     # ===== past slot 50: r13 rotation head =====
+    # gates NEW this round (judge-sim green; see COVERAGE.md):
+    "stream_cdf_update_pairing",
     # the 4 r06-stale names deferred from this window (driver-sim'd this
     # round, evidence in COVERAGE.md):
     "pydatasource_scan_agg",

@@ -9205,6 +9205,104 @@ def stream_cdf_table_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_cdf_update_pairing",
+    oracle="""
+    SELECT 'insert' AS _change_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+             AS total_value
+    FROM orders WHERE o_orderkey % 3 = 0
+    UNION ALL
+    SELECT 'update_preimage' AS _change_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+             AS total_value
+    FROM orders WHERE o_orderkey % 30 = 0
+    UNION ALL
+    SELECT 'update_postimage' AS _change_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2)) + 1), 2) AS DOUBLE)
+             AS total_value
+    FROM orders WHERE o_orderkey % 30 = 0
+    """,
+    tags=("streaming", "manifest", "cdf", "upsert", "scale"),
+)
+def stream_cdf_update_pairing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE-IMAGE PAIRING on the CDF stream (Delta CDF parity,
+    closing the one documented divergence r11 left): the manifest
+    protocol stores a MERGE physically as batch+delete in one commit
+    (manifest.commit_upsert), and by default the feed surfaces it as
+    delete(old)+insert(new). With `keyColumns`, the source pairs the
+    two back into Delta's `update_preimage` / `update_postimage` rows
+    — classification happens executor-side per RecordBatch via an
+    Acero semi-join against the version's own delete-key frame
+    (kilobyte-scale by the protocol's design), so pairing adds no
+    shuffle and no driver data path.
+
+    The gate commits a base batch (o_orderkey % 3 = 0), then ONE
+    atomic upsert bumping v by 1 for every o_orderkey % 30 = 0 (a
+    subset of existing keys); the stream drains the whole log with
+    maxVersionsPerTrigger=1 so the upsert replays mid-stream in its
+    own micro-batch. The sink aggregate must carry the base rows as
+    'insert', the OLD upserted values as 'update_preimage', and the
+    NEW values (old + 1) as 'update_postimage' — a mispair, a missed
+    preimage, or a postimage carrying the old value all hash-fail
+    against the three-branch oracle."""
+    import shutil
+
+    from .. import streaming
+    from ..sources import manifest_cdf_stream
+    from ..streaming import manifest
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", dec2(F.col("o_totalprice")).alias("v")
+    )
+    table = _stream_src_dir("cdfpair", sf_dir)
+    sink = _stream_src_dir("cdfpair_sink", sf_dir)
+    ckpt = _stream_src_dir("cdfpair_ckpt", sf_dir)
+    for d in (table, sink, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    streaming.write_batch_partition(
+        o.filter(F.col("o_orderkey") % 3 == 0), table, 0
+    )
+    manifest.commit_batch(spark, table, 0)
+    manifest.commit_upsert(
+        spark,
+        table,
+        o.filter(F.col("o_orderkey") % 30 == 0).withColumn(
+            "v", dec2(F.col("v") + 1)
+        ),
+        ["o_orderkey"],
+        batch_id=1,
+        delete_id=0,
+    )
+    manifest_cdf_stream.register(spark)
+    q = (
+        spark.readStream.format("manifest_cdf_stream")
+        .schema("o_orderkey bigint, v decimal(12,2), _change_type string")
+        .option("path", table)
+        .option("startingVersion", "0")
+        .option("maxVersionsPerTrigger", "1")
+        .option("keyColumns", "o_orderkey")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return (
+        spark.read.parquet(sink)
+        .groupBy("_change_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.round(F.sum("v"), 2).cast("double").alias("total_value"),
+        )
+    )
+
+
+@register(
     "mv_manifest_schema_enforcement",
     oracle="""
     SELECT o_orderpriority,

@@ -20,7 +20,12 @@ per-version-step logic, evaluated at PLANNING time):
   mask decision resolves at planning time from two manifest JSONs,
   and executors only ever see (file, key-set) pairs. Key files ride
   the partition objects; they are broadcast-small by the same design
-  premise the batch CDF's broadcast joins rest on.
+  premise the batch CDF's broadcast joins rest on, and a SIZE GUARD
+  enforces that premise: a plan whose cumulative partition-riding key
+  bytes exceed `maxKeyFrameBytes` (default 64 MiB) raises a loud
+  error steering to compaction instead of degrading silently (a
+  copy-on-write catch-up folds delete masks into data files, after
+  which the key frames vanish from every later plan).
 - COMPACTION steps (a negative id appears) emit NOTHING and the
   stream keeps running: a compaction rewrites the same logical rows
   (its applied deletes were emitted as 'delete' rows when THEIR
@@ -28,12 +33,22 @@ per-version-step logic, evaluated at PLANNING time):
   deliberately more useful than the batch `snapshot_diff`, which must
   refuse endpoint diffs spanning a rewrite because it cannot
   attribute per-version changes across one.
-- `_change_type` values are 'insert' and 'delete' only: an upsert
-  surfaces as delete(old)+insert(new) rather than Delta's
-  update_preimage/update_postimage pair — the manifest protocol
-  stores upserts physically as batch+delete, and pairing the two back
-  into update images would need a key-equality join the source tier
-  deliberately doesn't do (consumers that need it join on their key).
+- `_change_type` values are 'insert' and 'delete' by default: an
+  upsert surfaces as delete(old)+insert(new) — the manifest protocol
+  stores upserts physically as batch+delete. With the opt-in
+  `keyColumns=a,b` option the source PAIRS them back into Delta's
+  update images: for a version that commits BOTH new inserts and new
+  delete groups whose key columns equal `keyColumns` (the
+  commit_upsert shape), the delete rows emit as 'update_preimage' and
+  the insert rows whose key appears in that version's delete keys
+  emit as 'update_postimage' (other inserts in the same version stay
+  'insert'). One documented divergence from Delta MERGE: a paired key
+  that did NOT previously exist emits its new row as
+  'update_postimage' with no preimage row, where MERGE would tag it
+  'insert' — the source classifies from the version's own key frames
+  without re-reading the prior snapshot; pair on upserts over
+  existing keys, or treat a postimage without preimage as an insert
+  downstream.
 - Two divergences from the batch feed, both documented trades:
   (a) a row inserted and deleted WITHIN one batch-feed window emits
   as insert-then-delete here (net-equivalent; a streaming CDF is a
@@ -59,6 +74,17 @@ columns read the data files with the same additive-schema-evolution
 tolerance as `manifest_stream` (missing columns -> typed nulls). All
 storage I/O routes through `sources/storage.py`.
 
+Execution is arrow-native end to end: the unmasked-insert hot path
+streams RecordBatch-to-RecordBatch, and the MASKED paths (excluded
+inserts, delete partitions) process RecordBatch-at-a-time through
+Acero semi/anti joins against the kilobyte key frames — a
+heavily-masked table never holds a whole data file in pandas; only
+the MATCHED delete rows (bounded by the delete's own size) accumulate
+for the per-file dedup. Join-key equality is SQL equality: a null key
+never matches (the pre-arrow pandas path matched NaN==NaN; null
+equality-delete keys are not a thing the writer tier produces, so
+this is a semantics correction, not a regression).
+
 Reference parity: §2.7 streaming extension tier (the reference's only
 streaming surface is console output, challenge.scala C:26-44).
 """
@@ -83,6 +109,9 @@ from .storage import StorageBackend, get_backend
 CHANGE_COL = "_change_type"
 VERSION_COL = "_commit_version"
 DELETE_DIR = "_deletes"
+
+# default cumulative cap on partition-riding key-frame bytes per plan
+DEFAULT_MAX_KEY_FRAME_BYTES = 64 << 20
 
 
 def _effective_seq(batch_id: int) -> int:
@@ -128,18 +157,28 @@ def _load_keys(fs: StorageBackend, table_dir: str, delete_ids: list[int]):
 class _CDFPartition(InputPartition):
     """One data file plus its planning-time-resolved masks.
 
-    kind='insert': emit the file's rows minus `exclude` key frames.
+    kind='insert': emit the file's rows minus `exclude` key frames;
+    rows whose key appears in `pair_match` (the same-version delete
+    groups' keys, present only under the keyColumns option) tag
+    'update_postimage' instead of 'insert'.
     kind='delete': emit the file's rows minus `exclude` (the visible-
     before masks), intersected with `match` (the new delete groups'
-    keys), deduplicated per file. `version` = the commit the change
-    belongs to (the initial snapshot carries its endpoint version)."""
+    keys), deduplicated per file; `pair=True` tags them
+    'update_preimage' instead of 'delete'. `version` = the commit the
+    change belongs to (the initial snapshot carries its endpoint
+    version)."""
 
-    def __init__(self, path, kind, exclude, match=None, version=None):
+    def __init__(
+        self, path, kind, exclude, match=None, version=None,
+        pair=False, pair_match=None,
+    ):
         self.path = path
         self.kind = kind
         self.exclude = exclude  # list[pandas key frames]
         self.match = match or []
         self.version = version
+        self.pair = pair
+        self.pair_match = pair_match or []
 
 
 class ManifestCDFStreamReader(DataSourceStreamReader):
@@ -168,6 +207,27 @@ class ManifestCDFStreamReader(DataSourceStreamReader):
             self.snapshot_mode = False
         self.max_versions = int(options.get("maxversionspertrigger", 0))
         self.max_bytes = int(options.get("maxbytespertrigger", 0))
+        self.max_key_bytes = int(
+            options.get("maxkeyframebytes", DEFAULT_MAX_KEY_FRAME_BYTES)
+        )
+        kc_opt = options.get("keycolumns")
+        if kc_opt is None:
+            self.key_columns: list[str] | None = None
+        else:
+            cols = [c.strip() for c in str(kc_opt).split(",") if c.strip()]
+            bad = [
+                c
+                for c in cols
+                if c in (CHANGE_COL, VERSION_COL)
+                or c not in schema.fieldNames()
+            ]
+            if not cols or bad:
+                raise ValueError(
+                    f"manifest_cdf_stream: keyColumns={kc_opt!r} — must "
+                    "name one or more declared DATA columns (not "
+                    f"{CHANGE_COL}/{VERSION_COL}); offending: {bad}"
+                )
+            self.key_columns = cols
         self._floor: int | None = None
         self.schema = schema
 
@@ -253,15 +313,53 @@ class ManifestCDFStreamReader(DataSourceStreamReader):
         ]
 
     def _insert_parts(
-        self, m: dict, batch_ids: list[int], memo: dict, version: int
+        self, m: dict, batch_ids: list[int], memo: dict, version: int,
+        pair_match: list | None = None,
     ) -> list[_CDFPartition]:
         parts = []
         for b in sorted(batch_ids):
             masks = self._mask_frames(m, b, memo)
             parts += [
-                _CDFPartition(f, "insert", masks, version=version)
+                _CDFPartition(
+                    f, "insert", masks, version=version,
+                    pair_match=pair_match,
+                )
                 for f in self._data_files(b)
             ]
+        return parts
+
+    def _guard_key_bytes(self, parts: list) -> list:
+        """The broadcast-small premise, ENFORCED: key frames are
+        pickled into every partition they mask, so the plan's real
+        serialized key cost is the per-partition sum. Past the cap the
+        plan refuses loudly (steering to compaction) instead of
+        shipping hundreds of MB of keys to every task — the silent
+        degradation a pathological delete set would otherwise cause."""
+        sizes: dict[int, int] = {}
+
+        def sz(f) -> int:
+            k = id(f)
+            if k not in sizes:
+                sizes[k] = int(f.memory_usage(deep=True).sum())
+            return sizes[k]
+
+        total = 0
+        for p in parts:
+            total += sum(sz(f) for f in p.exclude)
+            total += sum(sz(f) for f in p.match)
+            total += sum(sz(f) for f in p.pair_match)
+        if self.max_key_bytes > 0 and total > self.max_key_bytes:
+            raise ValueError(
+                f"manifest_cdf_stream: this micro-batch plan carries "
+                f"{total} bytes of delete-key frames across "
+                f"{len(parts)} partitions, over the "
+                f"maxKeyFrameBytes={self.max_key_bytes} cap. The table's "
+                "delete masks have outgrown the broadcast-small design "
+                "premise — run a copy-on-write catch-up/compaction "
+                "(streaming.manifest) to fold the deletes into data "
+                "files, then resume; or raise maxKeyFrameBytes if the "
+                "executors can genuinely afford it."
+            )
         return parts
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
@@ -273,8 +371,10 @@ class ManifestCDFStreamReader(DataSourceStreamReader):
         if sv < 0 and self.snapshot_mode:
             # initial snapshot: the CURRENT visible rows, all 'insert'
             m = self._manifest(ev)
-            return self._insert_parts(m, m["batch_ids"], memo, ev)
-        parts: list[InputPartition] = []
+            return self._guard_key_bytes(
+                self._insert_parts(m, m["batch_ids"], memo, ev)
+            )
+        parts: list[_CDFPartition] = []
         m_prev = self._manifest(sv) if sv >= 0 else {
             "version": -1, "batch_ids": [], "delete_ids": [],
         }
@@ -291,14 +391,32 @@ class ManifestCDFStreamReader(DataSourceStreamReader):
                 # versions) — no change data; skip and keep streaming
                 m_prev = m_v
                 continue
-            # deletes FIRST: they retract from the pre-step snapshot
+            ngroups: dict[object, list[int]] = {}
             if new_dels:
-                cutoffs_v = m_v.get("delete_cutoffs") or {}
                 from collections import defaultdict
 
-                ngroups: dict[object, list[int]] = defaultdict(list)
+                cutoffs_v = m_v.get("delete_cutoffs") or {}
+                ngroups = defaultdict(list)
                 for d in sorted(new_dels):
                     ngroups[cutoffs_v.get(str(d))].append(d)
+            # UPDATE-IMAGE PAIRING (keyColumns option): a version that
+            # commits BOTH inserts and delete groups keyed exactly on
+            # keyColumns is the commit_upsert shape — its deletes
+            # become preimages and its inserts matching those keys
+            # become postimages (see module doc for the one divergence
+            # from Delta MERGE on never-present keys)
+            pair_v = (
+                self.key_columns is not None
+                and bool(new_ids)
+                and bool(ngroups)
+                and all(
+                    sorted(self._keys_cached(ds, memo).columns)
+                    == sorted(self.key_columns)
+                    for ds in ngroups.values()
+                )
+            )
+            # deletes FIRST: they retract from the pre-step snapshot
+            if ngroups:
                 for b in sorted(prev_ids):
                     match = [
                         self._keys_cached(ds, memo)
@@ -310,17 +428,26 @@ class ManifestCDFStreamReader(DataSourceStreamReader):
                     exclude = self._mask_frames(m_prev, b, memo)
                     parts += [
                         _CDFPartition(
-                            f, "delete", exclude, match, version=v
+                            f, "delete", exclude, match, version=v,
+                            pair=pair_v,
                         )
                         for f in self._data_files(b)
                     ]
             if new_ids:
-                parts += self._insert_parts(m_v, sorted(new_ids), memo, v)
+                pair_match = (
+                    [self._keys_cached(ds, memo) for ds in ngroups.values()]
+                    if pair_v
+                    else None
+                )
+                parts += self._insert_parts(
+                    m_v, sorted(new_ids), memo, v, pair_match=pair_match
+                )
             m_prev = m_v
-        return parts
+        return self._guard_key_bytes(parts)
 
     # ---- execution (executors, arrow-batched) -------------------------
     def read(self, partition: _CDFPartition):
+        import numpy as np
         import pyarrow as pa
 
         from pyspark.sql.pandas.types import to_arrow_schema
@@ -333,71 +460,127 @@ class ManifestCDFStreamReader(DataSourceStreamReader):
                 if f.name not in (CHANGE_COL, VERSION_COL)
             ]
         )
+        data_arrow = to_arrow_schema(data_schema)
+        base_tag = (
+            "update_preimage"
+            if partition.kind == "delete" and partition.pair
+            else partition.kind
+        )
 
-        def tag_cols(n: int) -> dict:
-            return {
-                CHANGE_COL: pa.array([partition.kind] * n, pa.string()),
-                VERSION_COL: pa.array([partition.version] * n, pa.int64()),
-            }
+        def emit(tbl, tags=None):
+            """Tag a data-column table and yield it as RecordBatches.
+            `tags` (per-row string array) overrides the constant tag —
+            the paired-insert path mixes insert/update_postimage."""
+            if tbl.num_rows == 0:
+                return
+            cols = []
+            for field in declared:
+                if field.name == CHANGE_COL:
+                    cols.append(
+                        tags
+                        if tags is not None
+                        else pa.array([base_tag] * tbl.num_rows, pa.string())
+                    )
+                elif field.name == VERSION_COL:
+                    cols.append(
+                        pa.array(
+                            [partition.version] * tbl.num_rows, pa.int64()
+                        )
+                    )
+                else:
+                    cols.append(tbl.column(field.name))
+            yield from pa.table(cols, schema=declared).to_batches()
 
-        if partition.kind == "insert" and not partition.exclude:
+        def key_table(pdf) -> pa.Table:
+            """A key frame as an arrow table, key columns cast to the
+            declared data types so Acero join keys line up exactly."""
+            kt = pa.Table.from_pandas(pdf, preserve_index=False)
+            cols = []
+            for name in kt.column_names:
+                col = kt.column(name)
+                if name in data_arrow.names:
+                    col = col.cast(data_arrow.field(name).type)
+                cols.append(col)
+            return pa.table(cols, names=kt.column_names)
+
+        if (
+            partition.kind == "insert"
+            and not partition.exclude
+            and not partition.pair_match
+        ):
             # the HOT path: an unmasked insert file (the overwhelming
             # majority of a real feed's volume) streams arrow-to-arrow
-            # — no pandas materialization, constant tag columns appended
-            # per RecordBatch
+            # — constant tag columns appended per RecordBatch
             for rb in _read_evolved_batches(
                 self.fs, partition.path, data_schema
             ):
-                tags = tag_cols(rb.num_rows)
-                cols = [
-                    tags[f.name] if f.name in tags else rb.column(f.name)
-                    for f in declared
-                ]
-                yield pa.RecordBatch.from_arrays(cols, schema=declared)
+                yield from emit(pa.Table.from_batches([rb]))
             return
-        table = pa.Table.from_batches(
-            list(_read_evolved_batches(self.fs, partition.path, data_schema))
-        )
-        pdf = table.to_pandas()
 
-        def matched(df, keys):
-            merged = df.merge(
-                keys, on=list(keys.columns), how="left", indicator=True
+        # MASKED paths, still RecordBatch-at-a-time: per batch, Acero
+        # anti-joins drop excluded keys and semi-joins pick matches —
+        # the kilobyte key frames are the only per-batch join state, so
+        # a heavily-masked file never materializes in pandas. Only
+        # MATCHED delete rows (bounded by the delete's own size)
+        # accumulate, for the per-file dedup the module doc promises.
+        exclude = [key_table(k) for k in partition.exclude]
+        match = [key_table(k) for k in partition.match]
+        pair_match = [key_table(k) for k in partition.pair_match]
+
+        def fresh_rid(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "__rid", pa.array(np.arange(t.num_rows, dtype=np.int64))
             )
-            return (merged["_merge"] == "both").to_numpy()
 
-        for keys in partition.exclude:
-            if len(pdf):
-                pdf = pdf[~matched(pdf, keys)]
-        if partition.kind == "delete":
-            import numpy as np
+        def semi_rids(t_rid: pa.Table, kt: pa.Table) -> np.ndarray:
+            """__rid values of rows whose key tuple appears in `kt`
+            (left-semi; null keys never match — SQL equality)."""
+            sub = t_rid.select(list(kt.column_names) + ["__rid"]).join(
+                kt, keys=list(kt.column_names), join_type="left semi"
+            )
+            return sub.column("__rid").to_numpy(zero_copy_only=False)
 
-            if len(pdf):
-                hit = np.zeros(len(pdf), dtype=bool)
-                for keys in partition.match:
-                    hit |= matched(pdf, keys)
-                pdf = pdf[hit]
-            try:
-                pdf = pdf.drop_duplicates()
-            except TypeError:
-                pass  # unhashable cell types (arrays): emit as-is
-        out_cols = []
-        for field in declared:
-            if field.name == CHANGE_COL:
-                out_cols.append(
-                    pa.array([partition.kind] * len(pdf), pa.string())
+        matched_deletes: list[pa.Table] = []
+        for rb in _read_evolved_batches(self.fs, partition.path, data_schema):
+            t = pa.Table.from_batches([rb])
+            t_rid = fresh_rid(t)
+            for kt in exclude:
+                t_rid = t_rid.join(
+                    kt, keys=list(kt.column_names), join_type="left anti"
                 )
-            elif field.name == VERSION_COL:
-                out_cols.append(
-                    pa.array([partition.version] * len(pdf), pa.int64())
-                )
+            if t_rid.num_rows == 0:
+                continue
+            if partition.kind == "insert":
+                out = t_rid.drop_columns(["__rid"])
+                tags = None
+                if pair_match:
+                    out_rid = fresh_rid(out)
+                    hit = np.zeros(out.num_rows, dtype=bool)
+                    for kt in pair_match:
+                        hit[semi_rids(out_rid, kt)] = True
+                    tags = pa.array(
+                        ["update_postimage" if h else "insert" for h in hit],
+                        pa.string(),
+                    )
+                yield from emit(out, tags)
             else:
-                out_cols.append(
-                    pa.Array.from_pandas(pdf[field.name], type=field.type)
-                )
-        out = pa.Table.from_arrays(out_cols, schema=declared)
-        for rb in out.to_batches():
-            yield rb
+                survivors = fresh_rid(t_rid.drop_columns(["__rid"]))
+                hit = np.zeros(survivors.num_rows, dtype=bool)
+                for kt in match:
+                    hit[semi_rids(survivors, kt)] = True
+                sel = survivors.filter(pa.array(hit)).drop_columns(["__rid"])
+                if sel.num_rows:
+                    matched_deletes.append(sel)
+        if partition.kind == "delete" and matched_deletes:
+            acc = pa.concat_tables(matched_deletes)
+            try:
+                # per-file dedup (module contract), arrow-side distinct
+                acc = acc.group_by(
+                    acc.column_names, use_threads=False
+                ).aggregate([])
+            except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+                pass  # unhashable cell types (arrays): emit as-is
+            yield from emit(acc.select(data_arrow.names))
 
 
 class ManifestCDFStreamSource(DataSource):

@@ -2011,6 +2011,225 @@ def test_byte_capped_end_model():
     mem.clear()
 
 
+def _mem_cdf_table(mem, tbl):
+    """A memory:// manifest table in the commit_upsert shape: v0 =
+    batch 0 (ids 1..4), v1 = batch 1 (new values for ids 1,2 plus a
+    NEVER-PRESENT id 9) + delete group 0 keyed on id {1,2,9} with
+    cutoff 0 — the atomic MERGE a CDF pairing consumer cares about."""
+    import io
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def put_parquet(path, table):
+        buf = io.BytesIO()
+        pq.write_table(table, buf)
+        mem.put(path, buf.getvalue())
+
+    put_parquet(
+        f"{tbl}/_batch_id=0/part-0.parquet",
+        pa.table(
+            {
+                "id": pa.array([1, 2, 3, 4], pa.int64()),
+                "v": pa.array([10.0, 20.0, 30.0, 40.0]),
+            }
+        ),
+    )
+    put_parquet(
+        f"{tbl}/_batch_id=1/part-0.parquet",
+        pa.table(
+            {
+                "id": pa.array([1, 2, 9], pa.int64()),
+                "v": pa.array([11.0, 22.0, 99.0]),
+            }
+        ),
+    )
+    put_parquet(
+        f"{tbl}/_deletes/d00000000/part-0.parquet",
+        pa.table({"id": pa.array([1, 2, 9], pa.int64())}),
+    )
+    mem.put(
+        f"{tbl}/_manifests/v000000000000.json",
+        _json.dumps({"version": 0, "batch_ids": [0], "delete_ids": []}).encode(),
+    )
+    mem.put(
+        f"{tbl}/_manifests/v000000000001.json",
+        _json.dumps(
+            {
+                "version": 1,
+                "batch_ids": [0, 1],
+                "delete_ids": [0],
+                "delete_cutoffs": {"0": 0},
+            }
+        ).encode(),
+    )
+
+
+def _cdf_schema():
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    return StructType(
+        [
+            StructField("id", LongType()),
+            StructField("v", DoubleType()),
+            StructField("_change_type", StringType()),
+        ]
+    )
+
+
+def test_cdf_update_image_pairing_and_default_unpaired():
+    # keyColumns pairing (Delta CDF parity): an upsert version's
+    # delete rows emit as update_preimage and its key-matching insert
+    # rows as update_postimage; a never-present upserted key emits a
+    # postimage with NO preimage (the documented divergence from
+    # MERGE). Without the option, the same log stays delete+insert.
+    import pyarrow as pa
+
+    from bigdata_googleplaystore_spark.sources import manifest_cdf_stream as mc
+    from bigdata_googleplaystore_spark.sources import storage
+
+    mem = storage.get_backend("memory://cdfpair")
+    mem.clear()
+    tbl = "memory://cdfpair"
+    _mem_cdf_table(mem, tbl)
+    schema = _cdf_schema()
+
+    def drain(opts):
+        r = mc.ManifestCDFStreamReader(schema, {"path": tbl, **opts})
+        parts = r.partitions({"version": 0}, {"version": 1})
+        rows = []
+        for p in parts:
+            for rb in r.read(p):
+                t = pa.Table.from_batches([rb])
+                rows += list(
+                    zip(
+                        t.column("id").to_pylist(),
+                        t.column("v").to_pylist(),
+                        t.column("_change_type").to_pylist(),
+                    )
+                )
+        return sorted(rows)
+
+    paired = drain({"startingversion": "0", "keycolumns": "id"})
+    assert paired == [
+        (1, 10.0, "update_preimage"),
+        (1, 11.0, "update_postimage"),
+        (2, 20.0, "update_preimage"),
+        (2, 22.0, "update_postimage"),
+        (9, 99.0, "update_postimage"),  # never-present key: no preimage
+    ]
+    unpaired = drain({"startingversion": "0"})
+    assert unpaired == [
+        (1, 10.0, "delete"),
+        (1, 11.0, "insert"),
+        (2, 20.0, "delete"),
+        (2, 22.0, "insert"),
+        (9, 99.0, "insert"),
+    ]
+    # pairing only engages when the delete groups are keyed EXACTLY on
+    # keyColumns — a different key column leaves the step unpaired
+    assert drain({"startingversion": "0", "keycolumns": "v"}) == unpaired
+    # option validation: unknown / meta columns refuse up front
+    for bad in ("nope", "_change_type", ""):
+        with pytest.raises(ValueError, match="keyColumns"):
+            mc.ManifestCDFStreamReader(
+                schema, {"path": tbl, "keycolumns": bad}
+            )
+    mem.clear()
+
+
+def test_cdf_key_frame_size_guard():
+    # the broadcast-small premise, enforced: a plan whose cumulative
+    # partition-riding key bytes exceed maxKeyFrameBytes refuses loudly
+    # steering to compaction; the default cap leaves small plans alone
+    from bigdata_googleplaystore_spark.sources import manifest_cdf_stream as mc
+    from bigdata_googleplaystore_spark.sources import storage
+
+    mem = storage.get_backend("memory://cdfguard")
+    mem.clear()
+    tbl = "memory://cdfguard"
+    _mem_cdf_table(mem, tbl)
+    schema = _cdf_schema()
+    # default cap: fine
+    r = mc.ManifestCDFStreamReader(schema, {"path": tbl, "startingversion": "0"})
+    assert len(r.partitions({"version": 0}, {"version": 1})) > 0
+    # tiny cap: the same plan refuses with the named remedy
+    r2 = mc.ManifestCDFStreamReader(
+        schema,
+        {"path": tbl, "startingversion": "0", "maxkeyframebytes": "8"},
+    )
+    with pytest.raises(ValueError, match="maxKeyFrameBytes"):
+        r2.partitions({"version": 0}, {"version": 1})
+    # cap 0 disables the guard
+    r3 = mc.ManifestCDFStreamReader(
+        schema,
+        {"path": tbl, "startingversion": "0", "maxkeyframebytes": "0"},
+    )
+    assert len(r3.partitions({"version": 0}, {"version": 1})) > 0
+    mem.clear()
+
+
+def test_cdf_masked_paths_stream_arrow_side():
+    # the masked read paths process RecordBatch-at-a-time arrow-side:
+    # a masked insert file excludes delete keys per batch, and a delete
+    # partition emits only matched rows, deduplicated per file even
+    # when the file carries physical duplicates across row groups
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bigdata_googleplaystore_spark.sources import manifest_cdf_stream as mc
+    from bigdata_googleplaystore_spark.sources import storage
+
+    mem = storage.get_backend("memory://cdfarrow")
+    mem.clear()
+    tbl = "memory://cdfarrow"
+    _mem_cdf_table(mem, tbl)
+    schema = _cdf_schema()
+    # duplicate a batch-0 row across TWO row groups of the same file so
+    # per-batch processing must still dedup the matched delete rows
+    dup = pa.table(
+        {
+            "id": pa.array([1, 2, 3, 4, 1], pa.int64()),
+            "v": pa.array([10.0, 20.0, 30.0, 40.0, 10.0]),
+        }
+    )
+    buf = io.BytesIO()
+    pq.write_table(dup, buf, row_group_size=3)
+    mem.put(f"{tbl}/_batch_id=0/part-0.parquet", buf.getvalue())
+    r = mc.ManifestCDFStreamReader(schema, {"path": tbl, "startingversion": "0"})
+    parts = r.partitions({"version": 0}, {"version": 1})
+    dels = [p for p in parts if p.kind == "delete"]
+    assert len(dels) == 1
+    got = pa.Table.from_batches(list(r.read(dels[0])))
+    assert sorted(
+        zip(got.column("id").to_pylist(), got.column("v").to_pylist())
+    ) == [(1, 10.0), (2, 20.0)]  # duplicate (1, 10.0) emitted once
+    # masked INSERT: read batch 0's file as the post-delete snapshot
+    # (exclude = the delete keys) — ids 1,2 drop, 3,4 survive, and the
+    # duplicate of id 1 drops in BOTH row-group batches
+    snap = mc.ManifestCDFStreamReader(schema, {"path": tbl})
+    sparts = snap.partitions({"version": -1}, {"version": 1})
+    b0 = [p for p in sparts if "_batch_id=0" in p.path]
+    assert b0 and b0[0].exclude  # masked: the delete group applies
+    rows = []
+    for rb in snap.read(b0[0]):
+        t = pa.Table.from_batches([rb])
+        rows += list(
+            zip(t.column("id").to_pylist(), t.column("v").to_pylist())
+        )
+    assert sorted(rows) == [(3, 30.0), (4, 40.0)]
+    mem.clear()
+
+
 def test_byte_capped_end_mid_walk_vacuum_returns_latest():
     # ADVICE r11: vacuum removing a manifest in (floor, latest] while
     # the byte-cap walk is in flight must NOT leak a raw
