@@ -16,9 +16,11 @@ storage-agnostic the way its module docs promise:
   committed files, and sufficient for driver-side unit tests.
 - `FsspecBackend` — any scheme fsspec knows (`s3://`, `gs://`, ...)
   when the `fsspec` package is importable. This container does not ship
-  it, so the class is exercised only through its refusal path here; the
-  adapter is three one-line delegations, kept so a real deployment
-  needs zero connector changes.
+  it; the refusal path raises a clear ImportError, and the adapter's
+  delegations are covered for real by a vendored fsspec-compatible
+  shim (tests/_fsspec_shim.py installed as sys.modules['fsspec'] —
+  plan + executor read run end-to-end through it), so a real
+  deployment needs zero connector changes.
 
 Only four operations exist because only four are needed: `open` (read a
 manifest / parquet bytes), `exists` (checkpoint + version probes),
