@@ -71,8 +71,11 @@ declared, every row carries the commit version its change belongs to
 lets a consumer ORDER changes inside a multi-version catch-up trigger
 — apply-to-replica flows are ambiguous without it. The remaining
 columns read the data files with the same additive-schema-evolution
-tolerance as `manifest_stream` (missing columns -> typed nulls). All
-storage I/O routes through `sources/storage.py`.
+tolerance as `manifest_stream` (missing columns -> typed nulls;
+opt-in `strictSchemaCheck=true` validates the declared data columns
+against one footer per batch at first plan and raises on
+never-carried names). All storage I/O routes through
+`sources/storage.py`.
 
 Execution is arrow-native end to end: the unmasked-insert hot path
 streams RecordBatch-to-RecordBatch, and the MASKED paths (excluded
@@ -103,6 +106,7 @@ from .manifest_stream import (
     _latest_version,
     _read_evolved_batches,
     _read_manifest_json,
+    validate_declared_columns,
 )
 from .storage import StorageBackend, get_backend
 
@@ -228,6 +232,10 @@ class ManifestCDFStreamReader(DataSourceStreamReader):
                     f"{CHANGE_COL}/{VERSION_COL}); offending: {bad}"
                 )
             self.key_columns = cols
+        self.strict_schema = (
+            str(options.get("strictschemacheck", "false")).lower() == "true"
+        )
+        self._strict_checked = False
         self._floor: int | None = None
         self.schema = schema
 
@@ -367,6 +375,15 @@ class ManifestCDFStreamReader(DataSourceStreamReader):
         self._floor = max(ev, self._floor if self._floor is not None else ev)
         if ev <= sv:
             return []
+        if self.strict_schema and not self._strict_checked:
+            validate_declared_columns(
+                self.fs,
+                self.table_dir,
+                self._manifest(ev),
+                self.schema,
+                skip=(CHANGE_COL, VERSION_COL),
+            )
+            self._strict_checked = True
         memo: dict = {}
         if sv < 0 and self.snapshot_mode:
             # initial snapshot: the CURRENT visible rows, all 'insert'

@@ -64,9 +64,13 @@ This tolerance is per-file and total: ANY declared column a file lacks
 becomes typed nulls, including a column NO file has ever carried — a
 typo'd declared name therefore reads as all-null rather than raising.
 That is the same trade Spark's own mergeSchema read makes (a selected
-column absent everywhere is null, not an error); callers who want the
-strict check validate their schema against a snapshot read's schema
-once, up front, where the footers are already being merged.
+column absent everywhere is null, not an error). The opt-in
+`strictSchemaCheck=true` closes the footgun at a declared cost: the
+FIRST plan validates every declared data column against the union of
+one parquet footer per committed batch (a batch's files share the
+schema of the job that wrote them) and raises naming any column no
+batch has ever carried — O(|batches|) footer reads once per stream
+start, zero cost thereafter.
 
 Reference parity: the reference's only streaming surface is console
 output (challenge.scala C:26-44); this source is part of the engine's
@@ -165,6 +169,52 @@ def _byte_capped_end(
     return admitted
 
 
+def validate_declared_columns(
+    fs: StorageBackend,
+    table_dir: str,
+    manifest: dict,
+    schema: StructType,
+    skip: tuple = (),
+) -> None:
+    """strictSchemaCheck: every declared data column (minus `skip`
+    meta columns) must appear in the union of the table's batch file
+    schemas — ONE parquet footer per committed batch (a batch's files
+    share the schema of the job that wrote them), early-exiting once
+    all names are found. Raises naming the never-carried columns, the
+    loud alternative to the default mergeSchema-style typed-null
+    tolerance (see module doc)."""
+    import pyarrow.parquet as pq
+
+    declared = {f.name for f in schema.fields if f.name not in skip}
+    if not declared or not manifest.get("batch_ids"):
+        return
+    seen: set = set()
+    for b in manifest["batch_ids"]:
+        bdir = f"{table_dir}/_batch_id={b}"
+        names = sorted(
+            n for n in fs.listdir(bdir) if n.endswith(".parquet")
+        )
+        if not names:
+            continue
+        path = f"{bdir}/{names[0]}"
+        local = fs.local_path(path)
+        src = local if local is not None else fs.open(path, "rb")
+        seen |= set(pq.read_schema(src).names)
+        if local is None:
+            src.close()
+        if declared <= seen:
+            return
+    missing = sorted(declared - seen)
+    if missing:
+        raise ValueError(
+            f"manifest stream source: declared columns {missing} appear "
+            f"in NO committed batch file of {table_dir} "
+            "(strictSchemaCheck=true) — fix the declared schema, or "
+            "drop the option to read never-carried columns as typed "
+            "nulls (mergeSchema semantics)"
+        )
+
+
 class _ParquetFilePartition(InputPartition):
     def __init__(self, path: str):
         self.path = path
@@ -209,6 +259,10 @@ class ManifestStreamReader(DataSourceStreamReader):
         # uncapped, same size as an initial snapshot.
         self.max_versions = int(options.get("maxversionspertrigger", 0))
         self.max_bytes = int(options.get("maxbytespertrigger", 0))
+        self.strict_schema = (
+            str(options.get("strictschemacheck", "false")).lower() == "true"
+        )
+        self._strict_checked = False
         self._floor: int | None = None  # authoritative once partitions() runs
         self.schema = schema
 
@@ -265,6 +319,15 @@ class ManifestStreamReader(DataSourceStreamReader):
         self._floor = max(ev, self._floor if self._floor is not None else ev)
         if ev <= sv:
             return []
+        if self.strict_schema and not self._strict_checked:
+            self._ids_at(ev)  # vacuumed endpoint -> the loud retention error
+            validate_declared_columns(
+                self.fs,
+                self.table_dir,
+                _read_manifest_json(self.fs, self.table_dir, ev),
+                self.schema,
+            )
+            self._strict_checked = True
         if sv < 0 and self.snapshot_mode:
             # INITIAL SNAPSHOT (the Delta streaming-source contract): a
             # fresh stream's first batch is the CURRENT snapshot's full

@@ -2230,6 +2230,77 @@ def test_cdf_masked_paths_stream_arrow_side():
     mem.clear()
 
 
+def test_strict_schema_check_catches_never_carried_columns():
+    # the typo'd-declared-column footgun (ADVICE r11 item 1), closed by
+    # the opt-in: strictSchemaCheck=true validates declared data
+    # columns against one footer per batch at FIRST plan and raises on
+    # names no batch ever carried; the default stays typed-null
+    # tolerant, and a column carried by ANY batch passes strict
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from bigdata_googleplaystore_spark.sources import manifest_cdf_stream as mc
+    from bigdata_googleplaystore_spark.sources import manifest_stream as ms
+    from bigdata_googleplaystore_spark.sources import storage
+
+    mem = storage.get_backend("memory://strict")
+    mem.clear()
+    tbl = "memory://strict"
+    _mem_cdf_table(mem, tbl)  # batches carry columns id, v
+
+    typo = StructType(
+        [StructField("id", LongType()), StructField("vv", DoubleType())]
+    )
+    r = ms.ManifestStreamReader(
+        typo, {"path": tbl, "strictschemacheck": "true"}
+    )
+    with pytest.raises(ValueError, match=r"\['vv'\].*strictSchemaCheck"):
+        r.partitions({"version": -1}, {"version": 0})
+    # same option through the CDF reader, meta columns skipped
+    typo_cdf = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("vv", DoubleType()),
+            StructField("_change_type", StringType()),
+        ]
+    )
+    r2 = mc.ManifestCDFStreamReader(
+        typo_cdf, {"path": tbl, "strictschemacheck": "true"}
+    )
+    with pytest.raises(ValueError, match=r"\['vv'\]"):
+        r2.partitions({"version": -1}, {"version": 1})
+    # correct declared names pass strict on both sources, and the
+    # check runs once (flag set after the first plan)
+    ok = StructType(
+        [StructField("id", LongType()), StructField("v", DoubleType())]
+    )
+    r3 = ms.ManifestStreamReader(
+        ok, {"path": tbl, "strictschemacheck": "true"}
+    )
+    assert len(r3.partitions({"version": -1}, {"version": 0})) > 0
+    assert r3._strict_checked
+    ok_cdf = _cdf_schema()
+    r4 = mc.ManifestCDFStreamReader(
+        ok_cdf, {"path": tbl, "strictschemacheck": "true"}
+    )
+    assert len(r4.partitions({"version": -1}, {"version": 1})) > 0
+    # default (no option): the typo'd column reads as typed nulls
+    r5 = ms.ManifestStreamReader(typo, {"path": tbl})
+    parts = r5.partitions({"version": -1}, {"version": 0})
+    import pyarrow as pa
+
+    got = pa.Table.from_batches(
+        [rb for p in parts for rb in r5.read(p)]
+    )
+    assert got.column("vv").null_count == got.num_rows
+    mem.clear()
+
+
 def test_byte_capped_end_mid_walk_vacuum_returns_latest():
     # ADVICE r11: vacuum removing a manifest in (floor, latest] while
     # the byte-cap walk is in flight must NOT leak a raw
