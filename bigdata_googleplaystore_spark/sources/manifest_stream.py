@@ -40,6 +40,15 @@ Option contract (Delta-parity where Delta has the option):
   As in Delta, a startingVersion replay is a LOG replay: compaction
   bases stay skipped, so rows that exist only inside a base rewritten
   before N are not re-emitted.
+- `skipChangeCommits=true` (the modern Delta option that replaced
+  ignoreChanges): a tail version that adds equality deletes is a
+  CHANGE commit and is skipped WHOLE — its deletes AND the inserts
+  committed beside them (an upsert's new rows are updates, not
+  appends) — while pure-append versions stream through. Mutually
+  exclusive with `ignoreDeletes` (which emits a change commit's raw
+  inserts and ignores only its deletes). Governs the TAIL only: an
+  initial snapshot over a table with delete groups still refuses
+  (applying masks is the CDF source's job, not this source's).
 - `maxVersionsPerTrigger` / `maxBytesPerTrigger` — admission control
   (Delta's maxFilesPerTrigger/maxBytesPerTrigger analog at this
   layer's version granularity). Bytes come from the `_bytes` zone-map
@@ -228,6 +237,16 @@ class ManifestStreamReader(DataSourceStreamReader):
         self.ignore_deletes = (
             str(options.get("ignoredeletes", "false")).lower() == "true"
         )
+        self.skip_change_commits = (
+            str(options.get("skipchangecommits", "false")).lower() == "true"
+        )
+        if self.ignore_deletes and self.skip_change_commits:
+            raise ValueError(
+                "manifest_stream: ignoreDeletes and skipChangeCommits "
+                "are mutually exclusive — the first emits a change "
+                "commit's raw inserts (masks not applied), the second "
+                "skips the commit whole; pick the semantics you mean"
+            )
         # startingVersion=N tails INCLUSIVE of N (Delta parity): the
         # offset baseline is N-1, whose ids are treated as already
         # seen. Absent -> baseline -1 + snapshot mode (first batch =
@@ -349,6 +368,15 @@ class ManifestStreamReader(DataSourceStreamReader):
         for v in range(max(sv + 1, 0), ev + 1):
             ids_v, dels_v = self._ids_at(v)
             new_dels = dels_v - dels_seen
+            if new_dels and self.skip_change_commits:
+                # CHANGE commit (Delta skipChangeCommits): skip the
+                # version WHOLE — the inserts committed beside the
+                # deletes are an upsert's updated rows, not appends, so
+                # emitting them without the retractions would be wrong;
+                # mark them seen so no later step re-emits them
+                dels_seen |= dels_v
+                seen |= ids_v
+                continue
             if new_dels and not self.ignore_deletes:
                 self._refuse_deletes(sv, ev, new_dels)
             dels_seen |= dels_v

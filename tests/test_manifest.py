@@ -2230,6 +2230,69 @@ def test_cdf_masked_paths_stream_arrow_side():
     mem.clear()
 
 
+def test_skip_change_commits_skips_change_versions_whole():
+    # Delta's skipChangeCommits parity on the append-only source: a
+    # tail version that adds deletes is skipped WHOLE (its co-committed
+    # inserts are an upsert's updates, not appends), pure appends
+    # stream through, and the skipped batch never re-emits later
+    import json as _json
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from bigdata_googleplaystore_spark.sources import manifest_stream as ms
+    from bigdata_googleplaystore_spark.sources import storage
+
+    mem = storage.get_backend("memory://skipcc")
+    mem.clear()
+    tbl = "memory://skipcc"
+    for b in range(3):
+        mem.put(f"{tbl}/_batch_id={b}/part-0.parquet", b"PAR1")
+    logs = [
+        {"version": 0, "batch_ids": [0], "delete_ids": []},
+        # v1 = change commit: upsert shape (new batch + new delete)
+        {"version": 1, "batch_ids": [0, 1], "delete_ids": [0],
+         "delete_cutoffs": {"0": 0}},
+        # v2 = pure append
+        {"version": 2, "batch_ids": [0, 1, 2], "delete_ids": [0],
+         "delete_cutoffs": {"0": 0}},
+    ]
+    for m in logs:
+        mem.put(
+            f"{tbl}/_manifests/v{m['version']:012d}.json",
+            _json.dumps(m).encode(),
+        )
+    schema = StructType([StructField("id", LongType())])
+    r = ms.ManifestStreamReader(
+        schema,
+        {"path": tbl, "startingversion": "0", "skipchangecommits": "true"},
+    )
+    parts = r.partitions({"version": -1}, {"version": 2})
+    assert sorted(p.path for p in parts) == [
+        f"{tbl}/_batch_id=0/part-0.parquet",  # v0 append
+        f"{tbl}/_batch_id=2/part-0.parquet",  # v2 append; v1 skipped whole
+    ]
+    # ...and batch 1 does not sneak into a LATER step either
+    r2 = ms.ManifestStreamReader(
+        schema,
+        {"path": tbl, "startingversion": "0", "skipchangecommits": "true"},
+    )
+    assert [
+        p.path for p in r2.partitions({"version": 1}, {"version": 2})
+    ] == [f"{tbl}/_batch_id=2/part-0.parquet"]
+    # without the option the change commit still refuses loudly
+    r3 = ms.ManifestStreamReader(schema, {"path": tbl, "startingversion": "0"})
+    with pytest.raises(ValueError, match="append-only stream"):
+        r3.partitions({"version": -1}, {"version": 2})
+    # the two delete-handling options are mutually exclusive
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        ms.ManifestStreamReader(
+            schema,
+            {"path": tbl, "skipchangecommits": "true",
+             "ignoredeletes": "true"},
+        )
+    mem.clear()
+
+
 def test_strict_schema_check_catches_never_carried_columns():
     # the typo'd-declared-column footgun (ADVICE r11 item 1), closed by
     # the opt-in: strictSchemaCheck=true validates declared data
