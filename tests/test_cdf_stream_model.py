@@ -42,6 +42,7 @@ from pyspark.sql.types import (
 )
 
 from bigdata_googleplaystore_spark.sources import manifest_cdf_stream as mc
+from bigdata_googleplaystore_spark.sources import manifest_stream as ms
 from bigdata_googleplaystore_spark.sources import storage
 
 SCHEMA = StructType(
@@ -67,6 +68,7 @@ class _Log:
         self.version = -1
         self.next_batch = 0
         self.next_delete = 0
+        self.append_batches: list[tuple[int, dict]] = []  # pure appends
 
     def _commit(self) -> None:
         self.version += 1
@@ -116,7 +118,8 @@ class _Log:
         self.masks.append((set(keys), cutoff))
 
     def append(self, kv: dict[int, float]) -> None:
-        self._write_batch(kv)
+        b = self._write_batch(kv)
+        self.append_batches.append((b, dict(kv)))
         self._commit()
 
     def plain_delete(self, keys: set) -> None:
@@ -217,4 +220,31 @@ def test_cdf_feed_folds_to_snapshot_over_random_logs():
         ) == sorted(
             (k, round(v, 6), cv, sgn(ct)) for k, v, ct, cv in rows1
         ), f"trial {trial}: paired==unpaired modulo labels"
+        # append-only source with skipChangeCommits: exactly the
+        # pure-append versions' rows, change commits skipped whole
+        app_schema = StructType(
+            [StructField("k", LongType()), StructField("v", DoubleType())]
+        )
+        r4 = ms.ManifestStreamReader(
+            app_schema,
+            {
+                "path": log.tbl,
+                "startingversion": "0",
+                "skipchangecommits": "true",
+            },
+        )
+        got: Counter = Counter()
+        for p in r4.partitions({"version": -1}, {"version": log.version}):
+            for rb in r4.read(p):
+                t = pa.Table.from_batches([rb])
+                got.update(
+                    zip(
+                        t.column("k").to_pylist(),
+                        (round(v, 6) for v in t.column("v").to_pylist()),
+                    )
+                )
+        want: Counter = Counter()
+        for _, kv in log.append_batches:
+            want.update((k, round(v, 6)) for k, v in kv.items())
+        assert got == want, f"trial {trial}: skipChangeCommits appends"
     mem.clear()
