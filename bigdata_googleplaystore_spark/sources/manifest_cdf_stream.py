@@ -48,7 +48,10 @@ per-version-step logic, evaluated at PLANNING time):
   'insert' — the source classifies from the version's own key frames
   without re-reading the prior snapshot; pair on upserts over
   existing keys, or treat a postimage without preimage as an insert
-  downstream.
+  downstream. Pairing is all-or-nothing PER VERSION: if any new
+  delete group in the version is keyed on different columns (a mixed
+  upsert+unrelated-delete commit — not the commit_upsert shape), the
+  whole version stays plain delete+insert.
 - Two divergences from the batch feed, both documented trades:
   (a) a row inserted and deleted WITHIN one batch-feed window emits
   as insert-then-delete here (net-equivalent; a streaming CDF is a
