@@ -94,6 +94,7 @@ _PRIORITY: list[str] = [
     # ===== past slot 50: r13 rotation head =====
     # gates NEW this round (judge-sim green; see COVERAGE.md):
     "stream_cdf_update_pairing",
+    "stream_cdf_scd2_dimension",
     # the 4 r06-stale names deferred from this window (driver-sim'd this
     # round, evidence in COVERAGE.md):
     "pydatasource_scan_agg",

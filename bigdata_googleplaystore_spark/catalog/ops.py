@@ -8871,6 +8871,137 @@ def stream_cdf_from_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_cdf_scd2_dimension",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey AS k,
+               CAST(o_totalprice AS DECIMAL(12,2)) AS v
+        FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    intervals AS (
+        -- batch-0 rows: open at v0; closed at v1 iff upserted there
+        SELECT k, v, CAST(0 AS BIGINT) AS valid_from,
+               CASE WHEN k % 30 = 0 THEN CAST(1 AS BIGINT) END AS valid_to
+        FROM base
+        UNION ALL
+        -- first upsert (keys %30): open at v1; closed at v2 iff
+        -- upserted again (keys %60)
+        SELECT k, v + 1, CAST(1 AS BIGINT),
+               CASE WHEN k % 60 = 0 THEN CAST(2 AS BIGINT) END
+        FROM base WHERE k % 30 = 0
+        UNION ALL
+        -- second upsert (keys %60): open at v2, never closed
+        SELECT k, v + 2, CAST(2 AS BIGINT), NULL
+        FROM base WHERE k % 60 = 0
+    )
+    SELECT valid_from,
+           valid_to IS NULL AS is_current,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(round(sum(v), 2) AS DOUBLE) AS total_value
+    FROM intervals
+    GROUP BY valid_from, valid_to IS NULL
+    """,
+    tags=("streaming", "manifest", "cdf", "scd2", "scale"),
+)
+def stream_cdf_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD TYPE-2 DIMENSION maintained off the PAIRED change feed —
+    the classic warehouse consumer a CDF exists for: every key's value
+    history becomes validity intervals [valid_from, valid_to), the
+    current row having valid_to NULL. The manifest table takes a base
+    batch and TWO atomic upserts (commit_upsert: keys %30 bump v by 1
+    at version 1, keys %60 bump again at version 2); the
+    `manifest_cdf_stream` source with `keyColumns` drains the log as
+    insert / update_preimage / update_postimage rows, and one
+    windowed pass over the drained log builds the intervals:
+
+    - OPEN events (insert, update_postimage) start an interval at
+      their `_commit_version`;
+    - CLOSE events (update_preimage, delete) end the key's currently
+      open interval — `lead(_commit_version)` over each key's event
+      log ordered by (version, close-before-open) pairs every open
+      with the next close, NULL when none follows.
+
+    ONE shuffle by key for the window; the feed itself ships O(changed
+    rows) per version — at 100 TB the alternative reconstructs history
+    by diffing full snapshots, O(table) per version. The three-branch
+    oracle rebuilds the intervals arithmetically from the
+    deterministic bumps; a mispaired image, a lost preimage, or a
+    wrong interval boundary shifts a (valid_from, is_current) bucket
+    and hash-fails."""
+    import shutil
+
+    from .. import streaming
+    from ..sources import manifest_cdf_stream
+    from ..streaming import manifest
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        dec2(F.col("o_totalprice")).alias("v"),
+    )
+    table = _stream_src_dir("scd2", sf_dir)
+    sink = _stream_src_dir("scd2_sink", sf_dir)
+    ckpt = _stream_src_dir("scd2_ckpt", sf_dir)
+    for d in (table, sink, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    streaming.write_batch_partition(o.filter(F.col("k") % 3 == 0), table, 0)
+    manifest.commit_batch(spark, table, 0)
+    manifest.commit_upsert(
+        spark, table,
+        o.filter(F.col("k") % 30 == 0).withColumn("v", dec2(F.col("v") + 1)),
+        ["k"], batch_id=1, delete_id=0,
+    )
+    manifest.commit_upsert(
+        spark, table,
+        o.filter(F.col("k") % 60 == 0).withColumn("v", dec2(F.col("v") + 2)),
+        ["k"], batch_id=2, delete_id=1,
+    )
+    manifest_cdf_stream.register(spark)
+    q = (
+        spark.readStream.format("manifest_cdf_stream")
+        .schema("k bigint, v decimal(12,2), _change_type string,"
+                " _commit_version long")
+        .option("path", table)
+        .option("startingVersion", "0")
+        .option("keyColumns", "k")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    log = spark.read.parquet(sink).withColumn(
+        "is_open",
+        F.col("_change_type").isin("insert", "update_postimage"),
+    )
+    # close-before-open within a version: the upsert's preimage ends
+    # the old interval at the same version its postimage opens the new
+    w = Window.partitionBy("k").orderBy(
+        F.col("_commit_version"), F.col("is_open").cast("int")
+    )
+    scd2 = (
+        log.withColumn("next_version", F.lead("_commit_version").over(w))
+        .withColumn("next_is_open", F.lead("is_open").over(w))
+        .filter(F.col("is_open"))
+        .select(
+            "k",
+            "v",
+            F.col("_commit_version").alias("valid_from"),
+            F.when(~F.col("next_is_open"), F.col("next_version")).alias(
+                "valid_to"
+            ),
+        )
+    )
+    return scd2.groupBy(
+        "valid_from", F.col("valid_to").isNull().alias("is_current")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.round(F.sum("v"), 2).cast("double").alias("total_value"),
+    )
+
+
+@register(
     "mv_manifest_conditional_put",
     oracle="""
     SELECT o_orderpriority,
