@@ -9114,15 +9114,18 @@ def stream_cdf_mv_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     maintained DIRECTLY off the table's change feed — the composition
     the CDF source exists for. The manifest table takes two insert
     batches, a mid-log cutoff delete, and a third batch; the
-    `manifest_cdf_stream` source (maxVersionsPerTrigger=1, so every
-    commit is its own micro-batch and the retractions arrive in a
-    DIFFERENT batch than the inserts they cancel) feeds `_change_type`
-    rows mapped to Z-weights (+1 insert / -1 delete) into the existing
+    `manifest_cdf_stream` source feeds `_change_type` rows mapped to
+    Z-weights (+1 insert / -1 delete) into the existing
     signed-aggregate streaming machinery (run_stream_signed_agg):
     per-batch signed partials land in idempotent `_batch_id`
     partitions, and the read-side fold absorbs the deletes by the same
     addition that absorbs inserts — no special retraction handling
-    anywhere, because the Z-set algebra is split-invariant.
+    anywhere, because the Z-set algebra is split-invariant — which is
+    also why trigger slicing is immaterial here: a fresh stream's
+    first trigger is deliberately uncapped (the reader can't see a
+    checkpoint-restored offset, manifest_stream.py), so this whole
+    log drains as ONE catch-up batch; per-version slicing of the same
+    log is pinned equivalent by tests/test_cdf_stream_model.py.
 
     The folded view must hash-match the oracle's post-delete aggregate
     AND (flag-pinned) equal the source table's own snapshot aggregate
@@ -9170,7 +9173,6 @@ def stream_cdf_mv_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .option("path", table)
         .option("startingVersion", "0")
-        .option("maxVersionsPerTrigger", 1)
         .load()
         .withColumn(
             "_mult",
@@ -9221,8 +9223,8 @@ def stream_cdf_table_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-catalog story a CDF exists to enable: a REPLICA manifest
     table (not an aggregate view) maintained by applying each
     micro-batch's inserts and deletes through the replica's own commit
-    protocol. Per trigger (one source commit each,
-    maxVersionsPerTrigger=1):
+    protocol. Per SOURCE VERSION (a catch-up trigger spans many — the
+    foreachBatch below re-slices by `_commit_version`):
 
       - 'insert' rows land as a new replica batch via
         write_and_commit_batch (which records zone/row/byte stats, so
@@ -9372,13 +9374,15 @@ def stream_cdf_update_pairing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The gate commits a base batch (o_orderkey % 3 = 0), then ONE
     atomic upsert bumping v by 1 for every o_orderkey % 30 = 0 (a
-    subset of existing keys); the stream drains the whole log with
-    maxVersionsPerTrigger=1 so the upsert replays mid-stream in its
-    own micro-batch. The sink aggregate must carry the base rows as
-    'insert', the OLD upserted values as 'update_preimage', and the
-    NEW values (old + 1) as 'update_postimage' — a mispair, a missed
-    preimage, or a postimage carrying the old value all hash-fail
-    against the three-branch oracle."""
+    subset of existing keys); the stream drains the whole log in one
+    catch-up trigger (a fresh stream's first trigger is deliberately
+    uncapped — manifest_stream.py; per-version slicing of the same
+    log is pinned equivalent in tests/test_cdf_stream_model.py). The
+    sink aggregate must carry the base rows as 'insert', the OLD
+    upserted values as 'update_preimage', and the NEW values (old +
+    1) as 'update_postimage' — a mispair, a missed preimage, or a
+    postimage carrying the old value all hash-fail against the
+    three-branch oracle."""
     import shutil
 
     from .. import streaming
@@ -9413,7 +9417,6 @@ def stream_cdf_update_pairing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .schema("o_orderkey bigint, v decimal(12,2), _change_type string")
         .option("path", table)
         .option("startingVersion", "0")
-        .option("maxVersionsPerTrigger", "1")
         .option("keyColumns", "o_orderkey")
         .load()
         .writeStream.format("parquet")

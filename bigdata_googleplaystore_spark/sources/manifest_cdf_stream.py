@@ -48,10 +48,13 @@ per-version-step logic, evaluated at PLANNING time):
   'insert' — the source classifies from the version's own key frames
   without re-reading the prior snapshot; pair on upserts over
   existing keys, or treat a postimage without preimage as an insert
-  downstream. Pairing is all-or-nothing PER VERSION: if any new
-  delete group in the version is keyed on different columns (a mixed
-  upsert+unrelated-delete commit — not the commit_upsert shape), the
-  whole version stays plain delete+insert.
+  downstream. Pairing is all-or-nothing PER VERSION and requires the
+  true commit_upsert shape: every new delete group keyed exactly on
+  `keyColumns` AND carrying a cutoff that excludes every new batch
+  (an upsert's delete masks old rows, never its own inserts). A
+  version mixing an append with an unrelated delete — different key
+  columns, or a cutoff-None plain delete that masks the co-committed
+  batch too — stays plain delete+insert.
 - Two divergences from the batch feed, both documented trades:
   (a) a row inserted and deleted WITHIN one batch-feed window emits
   as insert-then-delete here (net-equivalent; a streaming CDF is a
@@ -378,11 +381,13 @@ class ManifestCDFStreamReader(DataSourceStreamReader):
         self._floor = max(ev, self._floor if self._floor is not None else ev)
         if ev <= sv:
             return []
+        m_end: dict | None = None
         if self.strict_schema and not self._strict_checked:
+            m_end = self._manifest(ev)
             validate_declared_columns(
                 self.fs,
                 self.table_dir,
-                self._manifest(ev),
+                m_end,
                 self.schema,
                 skip=(CHANGE_COL, VERSION_COL),
             )
@@ -390,7 +395,7 @@ class ManifestCDFStreamReader(DataSourceStreamReader):
         memo: dict = {}
         if sv < 0 and self.snapshot_mode:
             # initial snapshot: the CURRENT visible rows, all 'insert'
-            m = self._manifest(ev)
+            m = m_end if m_end is not None else self._manifest(ev)
             return self._guard_key_bytes(
                 self._insert_parts(m, m["batch_ids"], memo, ev)
             )
@@ -419,20 +424,28 @@ class ManifestCDFStreamReader(DataSourceStreamReader):
                 ngroups = defaultdict(list)
                 for d in sorted(new_dels):
                     ngroups[cutoffs_v.get(str(d))].append(d)
-            # UPDATE-IMAGE PAIRING (keyColumns option): a version that
-            # commits BOTH inserts and delete groups keyed exactly on
-            # keyColumns is the commit_upsert shape — its deletes
-            # become preimages and its inserts matching those keys
-            # become postimages (see module doc for the one divergence
-            # from Delta MERGE on never-present keys)
+            # UPDATE-IMAGE PAIRING (keyColumns option): a version is
+            # the commit_upsert shape iff it commits BOTH inserts and
+            # delete groups keyed exactly on keyColumns whose cutoffs
+            # EXCLUDE every new batch (an upsert's delete masks old
+            # rows, never its own inserts). A cutoff-None plain delete
+            # co-committed with an append fails the cutoff test and
+            # stays unpaired — its retractions are real deletes (the
+            # masked-out co-inserts emit nothing), not update
+            # preimages. Paired deletes become preimages; paired
+            # inserts matching those keys become postimages (module
+            # doc covers the one Delta MERGE divergence on
+            # never-present keys).
             pair_v = (
                 self.key_columns is not None
                 and bool(new_ids)
                 and bool(ngroups)
                 and all(
-                    sorted(self._keys_cached(ds, memo).columns)
+                    cutoff is not None
+                    and all(not _applies(cutoff, b) for b in new_ids)
+                    and sorted(self._keys_cached(ds, memo).columns)
                     == sorted(self.key_columns)
-                    for ds in ngroups.values()
+                    for cutoff, ds in ngroups.items()
                 )
             )
             # deletes FIRST: they retract from the pre-step snapshot
@@ -538,57 +551,57 @@ class ManifestCDFStreamReader(DataSourceStreamReader):
             return
 
         # MASKED paths, still RecordBatch-at-a-time: per batch, Acero
-        # anti-joins drop excluded keys and semi-joins pick matches —
-        # the kilobyte key frames are the only per-batch join state, so
-        # a heavily-masked file never materializes in pandas. Only
+        # semi-joins over the KEY COLUMNS ONLY (plus a row-id) compute
+        # membership masks, and the batch is row-filtered by mask —
+        # nested payload columns (arrays, structs) never enter a join,
+        # which Acero would reject even as non-key fields. The kilobyte
+        # key frames are the only per-batch join state, so a
+        # heavily-masked file never materializes in pandas; only
         # MATCHED delete rows (bounded by the delete's own size)
         # accumulate, for the per-file dedup the module doc promises.
+        import pyarrow.compute as pc
+
         exclude = [key_table(k) for k in partition.exclude]
         match = [key_table(k) for k in partition.match]
         pair_match = [key_table(k) for k in partition.pair_match]
 
-        def fresh_rid(t: pa.Table) -> pa.Table:
-            return t.append_column(
-                "__rid", pa.array(np.arange(t.num_rows, dtype=np.int64))
-            )
-
-        def semi_rids(t_rid: pa.Table, kt: pa.Table) -> np.ndarray:
-            """__rid values of rows whose key tuple appears in `kt`
-            (left-semi; null keys never match — SQL equality)."""
-            sub = t_rid.select(list(kt.column_names) + ["__rid"]).join(
-                kt, keys=list(kt.column_names), join_type="left semi"
-            )
-            return sub.column("__rid").to_numpy(zero_copy_only=False)
+        def hit_mask(t: pa.Table, kts: list) -> np.ndarray:
+            """Boolean per-row membership: row's key tuple appears in
+            ANY of `kts` (left-semi over key columns + __rid only;
+            null keys never match — SQL equality)."""
+            hit = np.zeros(t.num_rows, dtype=bool)
+            if not kts or t.num_rows == 0:
+                return hit
+            rid = pa.array(np.arange(t.num_rows, dtype=np.int64))
+            for kt in kts:
+                probe = t.select(list(kt.column_names)).append_column(
+                    "__rid", rid
+                )
+                sub = probe.join(
+                    kt, keys=list(kt.column_names), join_type="left semi"
+                )
+                hit[sub.column("__rid").to_numpy(zero_copy_only=False)] = True
+            return hit
 
         matched_deletes: list[pa.Table] = []
         for rb in _read_evolved_batches(self.fs, partition.path, data_schema):
             t = pa.Table.from_batches([rb])
-            t_rid = fresh_rid(t)
-            for kt in exclude:
-                t_rid = t_rid.join(
-                    kt, keys=list(kt.column_names), join_type="left anti"
-                )
-            if t_rid.num_rows == 0:
+            keep = ~hit_mask(t, exclude)
+            if not keep.any():
                 continue
+            t = t.filter(pa.array(keep))
             if partition.kind == "insert":
-                out = t_rid.drop_columns(["__rid"])
                 tags = None
                 if pair_match:
-                    out_rid = fresh_rid(out)
-                    hit = np.zeros(out.num_rows, dtype=bool)
-                    for kt in pair_match:
-                        hit[semi_rids(out_rid, kt)] = True
-                    tags = pa.array(
-                        ["update_postimage" if h else "insert" for h in hit],
-                        pa.string(),
+                    hit = hit_mask(t, pair_match)
+                    tags = pc.if_else(
+                        pa.array(hit),
+                        pa.scalar("update_postimage", pa.string()),
+                        pa.scalar("insert", pa.string()),
                     )
-                yield from emit(out, tags)
+                yield from emit(t, tags)
             else:
-                survivors = fresh_rid(t_rid.drop_columns(["__rid"]))
-                hit = np.zeros(survivors.num_rows, dtype=bool)
-                for kt in match:
-                    hit[semi_rids(survivors, kt)] = True
-                sel = survivors.filter(pa.array(hit)).drop_columns(["__rid"])
+                sel = t.filter(pa.array(hit_mask(t, match)))
                 if sel.num_rows:
                     matched_deletes.append(sel)
         if partition.kind == "delete" and matched_deletes:

@@ -304,11 +304,9 @@ class ManifestStreamReader(DataSourceStreamReader):
         return {"version": v}
 
     # ---- planning (driver, metadata-only) -----------------------------
-    def _ids_at(self, version: int) -> tuple[set, set]:
-        if version < 0:
-            return set(), set()
+    def _manifest_loud(self, version: int) -> dict:
         try:
-            m = _read_manifest_json(self.fs, self.table_dir, version)
+            return _read_manifest_json(self.fs, self.table_dir, version)
         except FileNotFoundError:
             raise ValueError(
                 f"manifest_stream: manifest v{version} of "
@@ -316,6 +314,11 @@ class ManifestStreamReader(DataSourceStreamReader):
                 "behind the table's vacuum retention. Widen "
                 "keep_versions or restart from a fresh checkpoint."
             ) from None
+
+    def _ids_at(self, version: int) -> tuple[set, set]:
+        if version < 0:
+            return set(), set()
+        m = self._manifest_loud(version)
         return set(m["batch_ids"]), set(m.get("delete_ids") or [])
 
     def _refuse_deletes(self, sv: int, ev: int, dels: set) -> None:
@@ -339,12 +342,10 @@ class ManifestStreamReader(DataSourceStreamReader):
         if ev <= sv:
             return []
         if self.strict_schema and not self._strict_checked:
-            self._ids_at(ev)  # vacuumed endpoint -> the loud retention error
+            # one manifest GET: _manifest_loud both probes retention
+            # (the descriptive vacuum error) and feeds the validation
             validate_declared_columns(
-                self.fs,
-                self.table_dir,
-                _read_manifest_json(self.fs, self.table_dir, ev),
-                self.schema,
+                self.fs, self.table_dir, self._manifest_loud(ev), self.schema
             )
             self._strict_checked = True
         if sv < 0 and self.snapshot_mode:

@@ -2230,6 +2230,174 @@ def test_cdf_masked_paths_stream_arrow_side():
     mem.clear()
 
 
+def test_cdf_masked_paths_handle_nested_payload_columns():
+    # regression (r12 self-review finding 1): the arrow rewrite's
+    # membership joins must probe KEY COLUMNS ONLY — Acero hash join
+    # rejects nested types even as non-key payload fields, so joining
+    # the full-width table crashed any masked read of a table carrying
+    # an array/struct column (the embedding shape every LLM pipeline
+    # table has)
+    import io
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from bigdata_googleplaystore_spark.sources import manifest_cdf_stream as mc
+    from bigdata_googleplaystore_spark.sources import storage
+
+    mem = storage.get_backend("memory://cdfnested")
+    mem.clear()
+    tbl = "memory://cdfnested"
+
+    def put_parquet(path, table):
+        buf = io.BytesIO()
+        pq.write_table(table, buf)
+        mem.put(path, buf.getvalue())
+
+    put_parquet(
+        f"{tbl}/_batch_id=0/part-0.parquet",
+        pa.table(
+            {
+                "id": pa.array([1, 2, 3], pa.int64()),
+                "emb": pa.array(
+                    [[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]],
+                    pa.list_(pa.float64()),
+                ),
+            }
+        ),
+    )
+    put_parquet(
+        f"{tbl}/_deletes/d00000000/part-0.parquet",
+        pa.table({"id": pa.array([2], pa.int64())}),
+    )
+    mem.put(
+        f"{tbl}/_manifests/v000000000000.json",
+        _json.dumps({"version": 0, "batch_ids": [0], "delete_ids": []}).encode(),
+    )
+    mem.put(
+        f"{tbl}/_manifests/v000000000001.json",
+        _json.dumps(
+            {"version": 1, "batch_ids": [0], "delete_ids": [0]}
+        ).encode(),
+    )
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("emb", ArrayType(DoubleType())),
+            StructField("_change_type", StringType()),
+        ]
+    )
+    # masked INSERT (initial snapshot at v1): nested column rides along
+    snap = mc.ManifestCDFStreamReader(schema, {"path": tbl})
+    (ipart,) = snap.partitions({"version": -1}, {"version": 1})
+    assert ipart.exclude
+    got = pa.Table.from_batches([rb for rb in snap.read(ipart)])
+    assert got.column("id").to_pylist() == [1, 3]
+    assert got.column("emb").to_pylist() == [[1.0, 2.0], [5.0, 6.0]]
+    # DELETE partition: matched row with its nested payload (per-file
+    # dedup falls back to emit-as-is for unhashable types)
+    tail = mc.ManifestCDFStreamReader(
+        schema, {"path": tbl, "startingversion": "0"}
+    )
+    dparts = [
+        p
+        for p in tail.partitions({"version": 0}, {"version": 1})
+        if p.kind == "delete"
+    ]
+    got_d = pa.Table.from_batches(
+        [rb for p in dparts for rb in tail.read(p)]
+    )
+    assert got_d.column("id").to_pylist() == [2]
+    assert got_d.column("emb").to_pylist() == [[3.0, 4.0]]
+    assert got_d.column("_change_type").to_pylist() == ["delete"]
+    mem.clear()
+
+
+def test_cdf_pairing_requires_true_upsert_cutoff_shape():
+    # regression (r12 self-review finding 2): a version committing an
+    # append PLUS a cutoff-None plain delete keyed on keyColumns is
+    # NOT the commit_upsert shape — the delete masks the co-committed
+    # batch too, so its retractions are real deletes (no postimage
+    # exists: the new rows are masked out). Pairing must not relabel
+    # them update_preimage.
+    import io
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bigdata_googleplaystore_spark.sources import manifest_cdf_stream as mc
+    from bigdata_googleplaystore_spark.sources import storage
+
+    mem = storage.get_backend("memory://cdfmixed")
+    mem.clear()
+    tbl = "memory://cdfmixed"
+
+    def put_parquet(path, table):
+        buf = io.BytesIO()
+        pq.write_table(table, buf)
+        mem.put(path, buf.getvalue())
+
+    put_parquet(
+        f"{tbl}/_batch_id=0/part-0.parquet",
+        pa.table(
+            {
+                "id": pa.array([1, 2, 3, 4], pa.int64()),
+                "v": pa.array([10.0, 20.0, 30.0, 40.0]),
+            }
+        ),
+    )
+    put_parquet(
+        f"{tbl}/_batch_id=1/part-0.parquet",
+        pa.table(
+            {"id": pa.array([1, 2], pa.int64()), "v": pa.array([11.0, 22.0])}
+        ),
+    )
+    # cutoff-None plain delete committed ALONGSIDE batch 1: masks both
+    put_parquet(
+        f"{tbl}/_deletes/d00000000/part-0.parquet",
+        pa.table({"id": pa.array([1, 2], pa.int64())}),
+    )
+    mem.put(
+        f"{tbl}/_manifests/v000000000000.json",
+        _json.dumps({"version": 0, "batch_ids": [0], "delete_ids": []}).encode(),
+    )
+    mem.put(
+        f"{tbl}/_manifests/v000000000001.json",
+        _json.dumps(
+            {"version": 1, "batch_ids": [0, 1], "delete_ids": [0]}
+        ).encode(),
+    )
+    schema = _cdf_schema()
+    r = mc.ManifestCDFStreamReader(
+        schema, {"path": tbl, "startingversion": "0", "keycolumns": "id"}
+    )
+    rows = []
+    for p in r.partitions({"version": 0}, {"version": 1}):
+        for rb in r.read(p):
+            t = pa.Table.from_batches([rb])
+            rows += list(
+                zip(
+                    t.column("id").to_pylist(),
+                    t.column("v").to_pylist(),
+                    t.column("_change_type").to_pylist(),
+                )
+            )
+    # real deletes of the old rows, nothing else: the co-committed
+    # batch's rows are masked by the same cutoff-None group
+    assert sorted(rows) == [(1, 10.0, "delete"), (2, 20.0, "delete")]
+    mem.clear()
+
+
 def test_skip_change_commits_skips_change_versions_whole():
     # Delta's skipChangeCommits parity on the append-only source: a
     # tail version that adds deletes is skipped WHOLE (its co-committed
