@@ -65,7 +65,9 @@ per-version-step logic, evaluated at PLANNING time):
 Option contract mirrors `manifest_stream`: absent `startingVersion`
 the first micro-batch is the CURRENT snapshot as 'insert' rows (the
 Delta CDF initial-snapshot contract), `startingVersion=N` replays
-changes inclusive of version N, `maxVersionsPerTrigger` /
+changes inclusive of version N, `startingTimestamp=T` resolves to the
+first version whose manifest mtime >= T (mutually exclusive with
+startingVersion; O(log versions) probes), `maxVersionsPerTrigger` /
 `maxBytesPerTrigger` bound catch-up (bytes count the new data
 batches' recorded `_bytes` stat — delete key files are kilobyte-scale
 and uncounted; first post-restart trigger uncapped, same floor
@@ -110,8 +112,10 @@ from pyspark.sql.types import StructType
 from .manifest_stream import (
     _byte_capped_end,
     _latest_version,
+    _parse_timestamp,
     _read_evolved_batches,
     _read_manifest_json,
+    resolve_starting_timestamp,
     validate_declared_columns,
 )
 from .storage import StorageBackend, get_backend
@@ -202,7 +206,20 @@ class ManifestCDFStreamReader(DataSourceStreamReader):
                 "insert/delete tag"
             )
         sv_opt = options.get("startingversion")
-        if sv_opt is None:
+        st_opt = options.get("startingtimestamp")
+        if sv_opt is not None and st_opt is not None:
+            raise ValueError(
+                "manifest_cdf_stream: startingVersion and "
+                "startingTimestamp are mutually exclusive (Delta "
+                "parity) — pick one"
+            )
+        if st_opt is not None:
+            n = resolve_starting_timestamp(
+                self.fs, self.table_dir, _parse_timestamp(st_opt)
+            )
+            self.starting = n - 1
+            self.snapshot_mode = False
+        elif sv_opt is None:
             self.starting = -1
             self.snapshot_mode = True
         else:

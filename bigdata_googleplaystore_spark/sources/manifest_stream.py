@@ -40,6 +40,14 @@ Option contract (Delta-parity where Delta has the option):
   As in Delta, a startingVersion replay is a LOG replay: compaction
   bases stay skipped, so rows that exist only inside a base rewritten
   before N are not re-emitted.
+- `startingTimestamp=T` (mutually exclusive with startingVersion;
+  ISO date/datetime, naive = UTC, or epoch seconds) resolves to the
+  first version whose manifest file mtime >= T and tails from there —
+  O(log versions) metadata probes by binary search, sound because
+  manifest mtimes are monotone with version (the invariant vacuum's
+  age-based retention already rests on). Every commit older than T ->
+  the stream reads only future commits; a backend without mtimes
+  refuses loudly.
 - `skipChangeCommits=true` (the modern Delta option that replaced
   ignoreChanges): a tail version that adds equality deletes is a
   CHANGE commit and is skipped WHOLE — its deletes AND the inserts
@@ -178,6 +186,61 @@ def _byte_capped_end(
     return admitted
 
 
+def _parse_timestamp(v) -> float:
+    """startingTimestamp value -> epoch seconds: a float/int literal,
+    or an ISO date/datetime (naive = UTC, matching the engine's UTC
+    session discipline)."""
+    try:
+        return float(v)
+    except (TypeError, ValueError):
+        pass
+    from datetime import datetime, timezone
+
+    dt = datetime.fromisoformat(str(v))
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return dt.timestamp()
+
+
+def resolve_starting_timestamp(
+    fs: StorageBackend, table_dir: str, ts: float
+) -> int:
+    """The SMALLEST committed version whose manifest mtime >= ts —
+    Delta's startingTimestamp resolution, done in O(log versions)
+    metadata probes via binary search (manifest mtimes are monotone
+    with version, the invariant vacuum's age-based retention already
+    rests on). Returns latest+1 when every commit predates ts (the
+    stream reads only future commits), 0 on an empty table. Vacuumed
+    manifests probe as mtime None and count as older-than-ts (they
+    are); a backend that cannot provide mtimes at all refuses loudly
+    rather than silently skipping history."""
+    latest = _latest_version(fs, table_dir)
+    if latest is None:
+        return 0
+
+    def mt(v: int) -> float | None:
+        return fs.mtime(f"{table_dir}/{MANIFEST_DIR}/v{v:012d}.json")
+
+    m_latest = mt(latest)
+    if m_latest is None:
+        raise ValueError(
+            f"manifest stream source: startingTimestamp needs file "
+            f"modification times, which the storage backend for "
+            f"{table_dir} does not provide — use startingVersion"
+        )
+    if m_latest < ts:
+        return latest + 1
+    lo, hi = 0, latest  # invariant: mt(hi) >= ts
+    while lo < hi:
+        mid = (lo + hi) // 2
+        m = mt(mid)
+        if m is None or m < ts:
+            lo = mid + 1
+        else:
+            hi = mid
+    return lo
+
+
 def validate_declared_columns(
     fs: StorageBackend,
     table_dir: str,
@@ -249,10 +312,24 @@ class ManifestStreamReader(DataSourceStreamReader):
             )
         # startingVersion=N tails INCLUSIVE of N (Delta parity): the
         # offset baseline is N-1, whose ids are treated as already
-        # seen. Absent -> baseline -1 + snapshot mode (first batch =
-        # current snapshot). N=0 is the everything-in-the-log replay.
+        # seen. startingTimestamp=T resolves to the first version whose
+        # manifest mtime >= T (O(log versions) probes) and tails from
+        # there. Absent both -> baseline -1 + snapshot mode (first
+        # batch = current snapshot). N=0 is the whole-log replay.
         sv_opt = options.get("startingversion")
-        if sv_opt is None:
+        st_opt = options.get("startingtimestamp")
+        if sv_opt is not None and st_opt is not None:
+            raise ValueError(
+                "manifest_stream: startingVersion and startingTimestamp "
+                "are mutually exclusive (Delta parity) — pick one"
+            )
+        if st_opt is not None:
+            n = resolve_starting_timestamp(
+                self.fs, self.table_dir, _parse_timestamp(st_opt)
+            )
+            self.starting = n - 1
+            self.snapshot_mode = False
+        elif sv_opt is None:
             self.starting = -1
             self.snapshot_mode = True
         else:

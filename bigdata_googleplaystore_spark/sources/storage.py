@@ -22,12 +22,13 @@ storage-agnostic the way its module docs promise:
   plan + executor read run end-to-end through it), so a real
   deployment needs zero connector changes.
 
-Only four operations exist because only four are needed: `open` (read a
+Only five operations exist because only five are needed: `open` (read a
 manifest / parquet bytes), `exists` (checkpoint + version probes),
-`listdir` (manifest listing, batch-dir file listing), `isdir`. Write
-paths stay in the operator tier (streaming/manifest.py, Hadoop FS API);
-this seam is the READ half by design — the Python DataSource API only
-reads.
+`listdir` (manifest listing, batch-dir file listing), `isdir`, and
+`mtime` (startingTimestamp resolution; optional — None means "unknown",
+and the resolution degrades gracefully). Write paths stay in the
+operator tier (streaming/manifest.py, Hadoop FS API); this seam is the
+READ half by design — the Python DataSource API only reads.
 """
 
 from __future__ import annotations
@@ -59,6 +60,13 @@ class StorageBackend:
         """Child NAMES (not paths) of a directory; [] if absent."""
         raise NotImplementedError
 
+    def mtime(self, path: str) -> float | None:
+        """Last-modified epoch seconds, None if absent/unknown. Used by
+        the stream sources' startingTimestamp resolution (manifest
+        mtimes are monotone with version — the same invariant vacuum's
+        age-based retention already rests on)."""
+        return None
+
     def local_path(self, path: str) -> str | None:
         """A local filesystem path pyarrow may mmap, else None."""
         return None
@@ -81,6 +89,10 @@ class LocalBackend(StorageBackend):
         p = self._strip(path)
         return sorted(os.listdir(p)) if os.path.isdir(p) else []
 
+    def mtime(self, path: str) -> float | None:
+        p = self._strip(path)
+        return os.path.getmtime(p) if os.path.exists(p) else None
+
     def local_path(self, path: str) -> str | None:
         return self._strip(path)
 
@@ -93,23 +105,38 @@ class MemoryBackend(StorageBackend):
     store by value (snapshot semantics, see module doc)."""
 
     _shared: dict[str, bytes] = {}
+    _shared_mtimes: dict[str, float] = {}
 
-    def __init__(self, store: dict[str, bytes] | None = None):
+    def __init__(
+        self,
+        store: dict[str, bytes] | None = None,
+        mtimes: dict[str, float] | None = None,
+    ):
         self.store = self._shared if store is None else store
+        self.mtimes = (
+            self._shared_mtimes if store is None else (mtimes or {})
+        )
 
     @staticmethod
     def _norm(path: str) -> str:
         p = path[len("memory://"):] if path.startswith("memory://") else path
         return p.strip("/")
 
-    def put(self, path: str, data: bytes) -> None:
-        self.store[self._norm(path)] = bytes(data)
+    def put(self, path: str, data: bytes, mtime: float | None = None) -> None:
+        import time
+
+        key = self._norm(path)
+        self.store[key] = bytes(data)
+        self.mtimes[key] = time.time() if mtime is None else float(mtime)
 
     def delete(self, path: str) -> None:
-        self.store.pop(self._norm(path), None)
+        key = self._norm(path)
+        self.store.pop(key, None)
+        self.mtimes.pop(key, None)
 
     def clear(self) -> None:
         self.store.clear()
+        self.mtimes.clear()
 
     def open(self, path: str, mode: str = "rb"):
         key = self._norm(path)
@@ -146,10 +173,13 @@ class MemoryBackend(StorageBackend):
         }
         return sorted(names)
 
+    def mtime(self, path: str) -> float | None:
+        return self.mtimes.get(self._norm(path))
+
     def __reduce__(self):
         # pickle the store BY VALUE: a deserialized reader on another
         # process sees the files that existed when the plan shipped
-        return (MemoryBackend, (dict(self.store),))
+        return (MemoryBackend, (dict(self.store), dict(self.mtimes)))
 
 
 class FsspecBackend(StorageBackend):
@@ -181,6 +211,13 @@ class FsspecBackend(StorageBackend):
         if not self.fs.isdir(path):
             return []
         return sorted(p.rstrip("/").rsplit("/", 1)[-1] for p in self.fs.ls(path))
+
+    def mtime(self, path: str) -> float | None:
+        try:
+            m = self.fs.modified(path)
+        except (FileNotFoundError, NotImplementedError, AttributeError):
+            return None
+        return m.timestamp() if hasattr(m, "timestamp") else float(m)
 
 
 def get_backend(path: str) -> StorageBackend:

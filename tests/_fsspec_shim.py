@@ -18,6 +18,7 @@ class _ShimFS:
     def __init__(self, scheme: str):
         self.scheme = scheme
         self.store: dict[str, bytes] = {}
+        self.mtimes: dict[str, float] = {}
 
     def _norm(self, path: str) -> str:
         pre = f"{self.scheme}://"
@@ -35,7 +36,10 @@ class _ShimFS:
 
             class _W(io.BytesIO):
                 def close(_self):
+                    import time
+
                     fs.store[k] = _self.getvalue()
+                    fs.mtimes[k] = time.time()
                     super().close()
 
             return _W()
@@ -58,6 +62,18 @@ class _ShimFS:
             if k.startswith(prefix)
         }
         return sorted(prefix + n for n in names)
+
+    def modified(self, path: str):
+        # fsspec's AbstractFileSystem.modified contract: datetime, or
+        # raise for a missing key
+        import datetime
+
+        key = self._norm(path)
+        if key not in self.store:
+            raise FileNotFoundError(path)
+        return datetime.datetime.fromtimestamp(
+            self.mtimes.get(key, 0.0), datetime.timezone.utc
+        )
 
 
 _instances: dict[str, _ShimFS] = {}

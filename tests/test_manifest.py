@@ -2398,6 +2398,77 @@ def test_cdf_pairing_requires_true_upsert_cutoff_shape():
     mem.clear()
 
 
+def test_starting_timestamp_resolution_and_option_contract():
+    # startingTimestamp (Delta parity): binary search over monotone
+    # manifest mtimes to the first version committed at/after T;
+    # all-older -> future-commits-only; empty table -> version 0;
+    # vacuumed (mtime-less) prefixes count as old; mutually exclusive
+    # with startingVersion; mtime-less backends refuse loudly
+    import json as _json
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from bigdata_googleplaystore_spark.sources import manifest_cdf_stream as mc
+    from bigdata_googleplaystore_spark.sources import manifest_stream as ms
+    from bigdata_googleplaystore_spark.sources import storage
+
+    mem = storage.get_backend("memory://stts")
+    mem.clear()
+    tbl = "memory://stts"
+    # versions 0..4 committed at t=100,200,300,400,500
+    for v in range(5):
+        mem.put(
+            f"{tbl}/_manifests/v{v:012d}.json",
+            _json.dumps({"version": v, "batch_ids": list(range(v + 1))}).encode(),
+            mtime=100.0 * (v + 1),
+        )
+        mem.put(f"{tbl}/_batch_id={v}/part-0.parquet", b"PAR1", mtime=1.0)
+    R = ms.resolve_starting_timestamp
+    assert R(mem, tbl, 50.0) == 0      # before everything
+    assert R(mem, tbl, 100.0) == 0     # boundary inclusive
+    assert R(mem, tbl, 250.0) == 2     # mid-log
+    assert R(mem, tbl, 500.0) == 4     # last commit exactly
+    assert R(mem, tbl, 501.0) == 5     # all older: future commits only
+    # vacuumed prefix (v0,v1 gone) still resolves by mtime order
+    mem.delete(f"{tbl}/_manifests/v000000000000.json")
+    mem.delete(f"{tbl}/_manifests/v000000000001.json")
+    assert R(mem, tbl, 250.0) == 2
+    assert R(mem, tbl, 50.0) == 2      # floor: first still-probing version
+    # the reader wires it as startingVersion=resolved (inclusive tail)
+    schema = StructType([StructField("id", LongType())])
+    r = ms.ManifestStreamReader(
+        schema, {"path": tbl, "startingtimestamp": "450"}
+    )
+    assert r.starting == 3 and not r.snapshot_mode
+    parts = r.partitions({"version": r.starting}, {"version": 4})
+    assert [p.path for p in parts] == [f"{tbl}/_batch_id=4/part-0.parquet"]
+    # ISO form parses; CDF reader shares the contract
+    r2 = mc.ManifestCDFStreamReader(
+        _cdf_schema(),
+        {"path": tbl, "startingtimestamp": "1970-01-01 00:07:00"},
+    )
+    assert r2.starting == 3  # 420s -> first commit at/after is v4
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        ms.ManifestStreamReader(
+            schema,
+            {"path": tbl, "startingversion": "1", "startingtimestamp": "9"},
+        )
+    # a backend without mtimes refuses rather than skipping history
+    class _NoMtime(storage.MemoryBackend):
+        def mtime(self, path):
+            return None
+
+    nm = _NoMtime(dict(mem.store))
+    with pytest.raises(ValueError, match="modification times"):
+        ms.resolve_starting_timestamp(nm, tbl, 250.0)
+    # empty table: first future commit is v0
+    mem2 = storage.get_backend("memory://sttsempty")
+    mem2.clear()
+    assert R(mem2, "memory://sttsempty", 123.0) == 0
+    mem.clear()
+    mem2.clear()
+
+
 def test_skip_change_commits_skips_change_versions_whole():
     # Delta's skipChangeCommits parity on the append-only source: a
     # tail version that adds deletes is skipped WHOLE (its co-committed
