@@ -95,6 +95,7 @@ _PRIORITY: list[str] = [
     # gates NEW this round (judge-sim green; see COVERAGE.md):
     "stream_cdf_update_pairing",
     "stream_cdf_scd2_dimension",
+    "mv_manifest_timestamp_travel",
     # the 4 r06-stale names deferred from this window (driver-sim'd this
     # round, evidence in COVERAGE.md):
     "pydatasource_scan_agg",

@@ -9002,6 +9002,75 @@ def stream_cdf_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mv_manifest_timestamp_travel",
+    oracle="""
+    SELECT 'as_of' AS snapshot,
+           o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+             AS total_price
+    FROM orders WHERE o_orderkey % 2 = 0
+    GROUP BY o_orderpriority
+    UNION ALL
+    SELECT 'current' AS snapshot,
+           o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+             AS total_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("manifest", "time-travel", "scale"),
+)
+def mv_manifest_timestamp_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """timestampAsOf TIME TRAVEL (the Delta batch-read parity piece
+    next to the existing version-pinned reads): `manifest.
+    version_as_of_timestamp` resolves a wall-clock instant to the
+    largest version whose manifest mtime <= t by binary search over
+    the monotone mtime sequence — O(log versions) metadata probes,
+    zero data I/O, the same invariant vacuum's age-based retention
+    rests on. The gate commits two batches with a wall-clock instant
+    captured between them, then reads BOTH the as-of snapshot (must
+    see only batch 0's even orderkeys) and the current one; a
+    resolution off by one version moves whole batches between the two
+    aggregates and hash-fails the union oracle."""
+    import time
+
+    import shutil
+
+    from ..streaming import manifest
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", dec2(F.col("o_totalprice")).alias("v")
+    )
+    table = _stream_src_dir("tstravel", sf_dir)
+    shutil.rmtree(table, ignore_errors=True)
+    manifest.write_and_commit_batch(
+        spark, o.filter(F.col("o_orderkey") % 2 == 0), table, 0
+    )
+    t_mid = time.time()
+    manifest.write_and_commit_batch(
+        spark, o.filter(F.col("o_orderkey") % 2 == 1), table, 1
+    )
+    v_asof = manifest.version_as_of_timestamp(spark, table, t_mid)
+
+    def agg(df, tag):
+        return df.groupBy("o_orderpriority").agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.round(F.sum("v"), 2).cast("double").alias("total_price"),
+        ).select(
+            F.lit(tag).alias("snapshot"),
+            "o_orderpriority",
+            "n_rows",
+            "total_price",
+        )
+
+    asof = manifest.read_snapshot_rows(spark, table, version=v_asof)
+    cur = manifest.read_snapshot_rows(spark, table)
+    return agg(asof, "as_of").unionAll(agg(cur, "current"))
+
+
+@register(
     "mv_manifest_conditional_put",
     oracle="""
     SELECT o_orderpriority,

@@ -2398,6 +2398,32 @@ def test_cdf_pairing_requires_true_upsert_cutoff_shape():
     mem.clear()
 
 
+def test_version_as_of_timestamp_resolution(spark, tmp_path):
+    # timestampAsOf (batch time travel): largest version with manifest
+    # mtime <= ts; before-first-commit and aged-out-of-retention refuse
+    import time
+
+    table = str(tmp_path / "tbl")
+    raw = _raw(spark)
+    t_before = time.time()
+    stamps = []
+    for b in range(3):
+        manifest.write_and_commit_batch(
+            spark, raw.where(F.col("id") % 3 == b), table, b
+        )
+        stamps.append(time.time())
+    for v, t in enumerate(stamps):
+        assert manifest.version_as_of_timestamp(spark, table, t) == v
+    assert manifest.version_as_of_timestamp(spark, table, t_before + 1e9) == 2
+    with pytest.raises(ValueError, match="newer"):
+        manifest.version_as_of_timestamp(spark, table, t_before - 10)
+    # the resolved snapshot really is the historical one
+    v0 = manifest.version_as_of_timestamp(spark, table, stamps[0])
+    assert manifest.read_snapshot_rows(spark, table, version=v0).count() == (
+        raw.where(F.col("id") % 3 == 0).count()
+    )
+
+
 def test_starting_timestamp_resolution_and_option_contract():
     # startingTimestamp (Delta parity): binary search over monotone
     # manifest mtimes to the first version committed at/after T;
