@@ -96,6 +96,7 @@ _PRIORITY: list[str] = [
     "stream_cdf_update_pairing",
     "stream_cdf_scd2_dimension",
     "mv_manifest_timestamp_travel",
+    "batch_table_changes",
     # the 4 r06-stale names deferred from this window (driver-sim'd this
     # round, evidence in COVERAGE.md):
     "pydatasource_scan_agg",

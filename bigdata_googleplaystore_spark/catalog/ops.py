@@ -9002,6 +9002,84 @@ def stream_cdf_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "batch_table_changes",
+    oracle="""
+    SELECT 'delete' AS _change_type,
+           o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+             AS total_price
+    FROM orders
+    WHERE o_orderkey % 10 = 7 AND o_orderkey % 3 <> 2
+    GROUP BY o_orderpriority
+    UNION ALL
+    SELECT 'insert' AS _change_type,
+           o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+             AS total_price
+    FROM orders WHERE o_orderkey % 3 = 2
+    GROUP BY o_orderpriority
+    """,
+    tags=("manifest", "cdf", "batch", "connector", "scale"),
+)
+def batch_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH table_changes (Delta parity): `spark.read.format(
+    "manifest_cdf_stream")` with a version range reads the change feed
+    as ONE DataFrame — same planner, same executor read paths, same
+    per-version attribution as the streaming feed (the batch reader
+    wraps the stream reader's partitions()/read(), so the two can
+    never drift). The gate slices versions [2, 3] out of a 4-version
+    log: version 2's cutoff delete must emit the masked old rows
+    (orderkeys ending in 7 from the first two batches only) and
+    version 3's append must emit the third batch — rows from versions
+    0-1 must NOT appear, which the two-branch oracle hash-pins."""
+    import shutil
+
+    from .. import streaming
+    from ..sources import manifest_cdf_stream
+    from ..streaming import manifest
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", dec2(F.col("o_totalprice")).alias("v")
+    )
+    table = _stream_src_dir("btc", sf_dir)
+    shutil.rmtree(table, ignore_errors=True)
+    for b in range(2):
+        streaming.write_batch_partition(
+            o.filter(F.col("o_orderkey") % 3 == b), table, b
+        )
+        manifest.commit_batch(spark, table, b)
+    manifest.commit_deletes(
+        spark,
+        table,
+        o.filter(F.col("o_orderkey") % 10 == 7).select("o_orderkey"),
+        delete_id=0,
+        cutoff=1,
+    )
+    streaming.write_batch_partition(
+        o.filter(F.col("o_orderkey") % 3 == 2), table, 2
+    )
+    manifest.commit_batch(spark, table, 2)
+    manifest_cdf_stream.register(spark)
+    changes = (
+        spark.read.format("manifest_cdf_stream")
+        .schema(
+            "o_orderkey bigint, o_orderpriority string, v decimal(12,2),"
+            " _change_type string"
+        )
+        .option("path", table)
+        .option("startingVersion", "2")
+        .option("endingVersion", "3")
+        .load()
+    )
+    return changes.groupBy("_change_type", "o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.round(F.sum("v"), 2).cast("double").alias("total_price"),
+    )
+
+
+@register(
     "mv_manifest_timestamp_travel",
     oracle="""
     SELECT 'as_of' AS snapshot,

@@ -104,6 +104,7 @@ from __future__ import annotations
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceReader,
     DataSourceStreamReader,
     InputPartition,
 )
@@ -633,9 +634,64 @@ class ManifestCDFStreamReader(DataSourceStreamReader):
             yield from emit(acc.select(data_arrow.names))
 
 
+class ManifestCDFBatchReader(DataSourceReader):
+    """BATCH change feed — Delta's `table_changes(tbl, start, end)`
+    parity: `spark.read.format("manifest_cdf_stream")` with
+    `startingVersion` (or `startingTimestamp`; one is REQUIRED — a
+    batch of "changes since nothing" is the snapshot read's job, not
+    this reader's) and optional `endingVersion` (default: the current
+    latest). Planning and execution are the STREAM reader's own
+    partitions()/read(), run once over [start, end] — per-version
+    attribution, compaction-step skipping, pairing, masks, guards and
+    the arrow paths are all shared, so the batch and streaming feeds
+    can never drift apart."""
+
+    def __init__(self, schema: StructType, options: dict):
+        if (
+            options.get("startingversion") is None
+            and options.get("startingtimestamp") is None
+        ):
+            raise ValueError(
+                "manifest_cdf_stream batch read: startingVersion or "
+                "startingTimestamp is required (table_changes "
+                "semantics) — for current rows use the snapshot read"
+            )
+        self._inner = ManifestCDFStreamReader(schema, options)
+        ev_opt = options.get("endingversion")
+        latest = _latest_version(self._inner.fs, self._inner.table_dir)
+        if latest is None:
+            raise ValueError(
+                f"manifest_cdf_stream batch read: no committed snapshot "
+                f"in {self._inner.table_dir}"
+            )
+        self._end = latest if ev_opt is None else int(ev_opt)
+        if self._end > latest:
+            raise ValueError(
+                f"manifest_cdf_stream batch read: endingVersion="
+                f"{self._end} exceeds the latest committed version "
+                f"{latest}"
+            )
+        if self._end < self._inner.starting + 1:
+            raise ValueError(
+                "manifest_cdf_stream batch read: endingVersion="
+                f"{self._end} precedes the resolved starting version "
+                f"{self._inner.starting + 1}"
+            )
+
+    def partitions(self):
+        return self._inner.partitions(
+            {"version": self._inner.starting}, {"version": self._end}
+        )
+
+    def read(self, partition):
+        return self._inner.read(partition)
+
+
 class ManifestCDFStreamSource(DataSource):
     """`spark.readStream.format("manifest_cdf_stream")
-    .option("path", dir).schema(... , _change_type string)`."""
+    .option("path", dir).schema(... , _change_type string)` — and the
+    BATCH form `spark.read.format("manifest_cdf_stream")` for Delta's
+    table_changes parity (see ManifestCDFBatchReader)."""
 
     @classmethod
     def name(cls) -> str:
@@ -649,6 +705,9 @@ class ManifestCDFStreamSource(DataSource):
 
     def streamReader(self, schema: StructType) -> ManifestCDFStreamReader:
         return ManifestCDFStreamReader(schema, self.options)
+
+    def reader(self, schema: StructType) -> ManifestCDFBatchReader:
+        return ManifestCDFBatchReader(schema, self.options)
 
 
 def register(spark) -> None:

@@ -2398,6 +2398,54 @@ def test_cdf_pairing_requires_true_upsert_cutoff_shape():
     mem.clear()
 
 
+def test_cdf_batch_reader_option_contract():
+    # batch table_changes: start required, end defaults to latest and
+    # is validated against the log; planning/read shared with the
+    # stream reader (same partitions objects)
+    import pyarrow as pa
+
+    from bigdata_googleplaystore_spark.sources import manifest_cdf_stream as mc
+    from bigdata_googleplaystore_spark.sources import storage
+
+    mem = storage.get_backend("memory://cdfbatch")
+    mem.clear()
+    tbl = "memory://cdfbatch"
+    _mem_cdf_table(mem, tbl)  # versions 0 (append) and 1 (upsert)
+    schema = _cdf_schema()
+    with pytest.raises(ValueError, match="startingVersion or"):
+        mc.ManifestCDFBatchReader(schema, {"path": tbl})
+    with pytest.raises(ValueError, match="exceeds the latest"):
+        mc.ManifestCDFBatchReader(
+            schema,
+            {"path": tbl, "startingversion": "0", "endingversion": "9"},
+        )
+    with pytest.raises(ValueError, match="precedes the resolved"):
+        mc.ManifestCDFBatchReader(
+            schema,
+            {"path": tbl, "startingversion": "1", "endingversion": "0"},
+        )
+    r = mc.ManifestCDFBatchReader(schema, {"path": tbl, "startingversion": "0"})
+    rows = []
+    for p in r.partitions():
+        for rb in r.read(p):
+            t = pa.Table.from_batches([rb])
+            rows += list(
+                zip(
+                    t.column("id").to_pylist(),
+                    t.column("_change_type").to_pylist(),
+                )
+            )
+    # whole log: v0 inserts 1..4; v1 deletes OLD 1,2 and inserts NEW
+    # 1,2,9 — upserted keys carry two insert rows (old value at v0,
+    # new value at v1) plus the retraction between them
+    assert sorted(rows) == [
+        (1, "delete"), (1, "insert"), (1, "insert"),
+        (2, "delete"), (2, "insert"), (2, "insert"),
+        (3, "insert"), (4, "insert"), (9, "insert"),
+    ]
+    mem.clear()
+
+
 def test_version_as_of_timestamp_resolution(spark, tmp_path):
     # timestampAsOf (batch time travel): largest version with manifest
     # mtime <= ts; before-first-commit and aged-out-of-retention refuse
