@@ -187,48 +187,43 @@ def _byte_capped_end(
 
 
 def _parse_timestamp(v) -> float:
-    """startingTimestamp value -> epoch seconds: a float/int literal,
-    or an ISO date/datetime (naive = UTC, matching the engine's UTC
-    session discipline)."""
-    try:
-        return float(v)
-    except (TypeError, ValueError):
-        pass
+    """startingTimestamp value -> epoch seconds. ISO date/datetime is
+    tried FIRST (naive = UTC, matching the engine's UTC session
+    discipline) so compact ISO forms like '20260816' don't misparse as
+    epoch numbers; a plain numeric literal is epoch SECONDS, bounded
+    to [0, ~year 2200] so epoch-milliseconds habits (and NaN/inf) fail
+    loudly instead of silently replaying everything or nothing."""
+    import math
     from datetime import datetime, timezone
 
-    dt = datetime.fromisoformat(str(v))
-    if dt.tzinfo is None:
-        dt = dt.replace(tzinfo=timezone.utc)
-    return dt.timestamp()
-
-
-def resolve_starting_timestamp(
-    fs: StorageBackend, table_dir: str, ts: float
-) -> int:
-    """The SMALLEST committed version whose manifest mtime >= ts —
-    Delta's startingTimestamp resolution, done in O(log versions)
-    metadata probes via binary search (manifest mtimes are monotone
-    with version, the invariant vacuum's age-based retention already
-    rests on). Returns latest+1 when every commit predates ts (the
-    stream reads only future commits), 0 on an empty table. Vacuumed
-    manifests probe as mtime None and count as older-than-ts (they
-    are); a backend that cannot provide mtimes at all refuses loudly
-    rather than silently skipping history."""
-    latest = _latest_version(fs, table_dir)
-    if latest is None:
-        return 0
-
-    def mt(v: int) -> float | None:
-        return fs.mtime(f"{table_dir}/{MANIFEST_DIR}/v{v:012d}.json")
-
-    m_latest = mt(latest)
-    if m_latest is None:
+    try:
+        dt = datetime.fromisoformat(str(v))
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=timezone.utc)
+        return dt.timestamp()
+    except (TypeError, ValueError):
+        pass
+    ts = float(v)
+    if not math.isfinite(ts) or ts < 0 or ts > 7258118400:  # 2200-01-01
         raise ValueError(
-            f"manifest stream source: startingTimestamp needs file "
-            f"modification times, which the storage backend for "
-            f"{table_dir} does not provide — use startingVersion"
+            f"startingTimestamp={v!r}: numeric timestamps are epoch "
+            "SECONDS in [0, 7258118400) — an epoch-milliseconds value "
+            "or NaN/inf would silently mis-resolve, so it refuses "
+            "instead; pass seconds or an ISO date/datetime"
         )
-    if m_latest < ts:
+    return ts
+
+
+def min_version_at_or_after(mt, latest: int, ts: float) -> int:
+    """The smallest v in [0, latest] with mt(v) >= ts, else latest+1 —
+    binary search over a monotone mtime sequence. `mt(v)` returns
+    epoch seconds or None meaning DEFINITELY-OLDER (a vacuumed
+    prefix); `mt` itself must raise for anomalies (an existing file
+    whose mtime the backend cannot give), so a probe failure never
+    silently classifies a commit as old. Shared by the stream
+    sources' startingTimestamp and, mirrored (`max_version_at_or_
+    before`), by the operator tier's timestampAsOf."""
+    if mt(latest) < ts:
         return latest + 1
     lo, hi = 0, latest  # invariant: mt(hi) >= ts
     while lo < hi:
@@ -239,6 +234,74 @@ def resolve_starting_timestamp(
         else:
             hi = mid
     return lo
+
+
+def max_version_at_or_before(mt, latest: int, ts: float):
+    """The largest v in [0, latest] whose mtime is KNOWN and <= ts,
+    else None (every retained commit is newer, or the as-of version
+    was vacuumed). Same `mt` contract as min_version_at_or_after."""
+    m_latest = mt(latest)
+    if m_latest is not None and m_latest <= ts:
+        return latest
+    lo, hi = 0, latest  # invariant: predicate(hi) is False
+    while lo < hi:
+        mid = (lo + hi + 1) // 2
+        m = mt(mid)
+        if m is None or m <= ts:
+            lo = mid
+        else:
+            hi = mid - 1
+    m_lo = mt(lo)
+    return lo if (m_lo is not None and m_lo <= ts) else None
+
+
+def resolve_starting_timestamp(
+    fs: StorageBackend, table_dir: str, ts: float
+) -> int:
+    """The SMALLEST committed version whose manifest mtime >= ts —
+    Delta's startingTimestamp resolution, done in O(log versions)
+    metadata probes (manifest mtimes are monotone with version, the
+    invariant vacuum's age-based retention already rests on). Returns
+    latest+1 when every commit predates ts (the stream reads only
+    future commits), 0 on an empty table. Vacuumed manifests probe as
+    older-than-ts (they are), but a resolution landing ON the vacuum
+    retention floor refuses loudly — the replay's baseline manifest
+    (resolved-1) is gone, so tailing from there cannot be exact (the
+    same loud-over-wrong policy as timestampAsOf). Backends that
+    cannot provide mtimes, or that fail to stat an EXISTING manifest,
+    also refuse rather than silently skipping history."""
+    latest = _latest_version(fs, table_dir)
+    if latest is None:
+        return 0
+
+    def mt(v: int) -> float | None:
+        p = f"{table_dir}/{MANIFEST_DIR}/v{v:012d}.json"
+        m = fs.mtime(p)
+        if m is None and fs.exists(p):
+            raise ValueError(
+                f"manifest stream source: the storage backend returned "
+                f"no modification time for EXISTING manifest v{v} of "
+                f"{table_dir} — startingTimestamp cannot resolve "
+                "soundly on this backend; use startingVersion"
+            )
+        return m
+
+    if mt(latest) is None:
+        raise ValueError(
+            f"manifest stream source: startingTimestamp needs file "
+            f"modification times, which the storage backend for "
+            f"{table_dir} does not provide — use startingVersion"
+        )
+    resolved = min_version_at_or_after(mt, latest, ts)
+    if 0 < resolved <= latest and mt(resolved - 1) is None:
+        raise ValueError(
+            f"manifest stream source: startingTimestamp resolves to "
+            f"v{resolved}, whose replay baseline v{resolved - 1} of "
+            f"{table_dir} was vacuumed — the tail cannot start exactly "
+            "there. Pick a later timestamp, pass startingVersion "
+            "explicitly, or omit both for initial-snapshot semantics."
+        )
+    return resolved
 
 
 def validate_declared_columns(

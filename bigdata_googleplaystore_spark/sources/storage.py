@@ -217,7 +217,18 @@ class FsspecBackend(StorageBackend):
             m = self.fs.modified(path)
         except (FileNotFoundError, NotImplementedError, AttributeError):
             return None
-        return m.timestamp() if hasattr(m, "timestamp") else float(m)
+        if hasattr(m, "timestamp"):
+            if getattr(m, "tzinfo", None) is None:
+                # several fsspec filesystems return NAIVE datetimes
+                # that are UTC by convention (sftp/ftp, older local);
+                # a bare .timestamp() would reinterpret them in the
+                # machine's local zone and skew startingTimestamp
+                # resolution by the UTC offset
+                from datetime import timezone
+
+                m = m.replace(tzinfo=timezone.utc)
+            return m.timestamp()
+        return float(m)
 
 
 def get_backend(path: str) -> StorageBackend:

@@ -341,39 +341,31 @@ def version_as_of_timestamp(
     RESOLVED version itself was vacuumed, or every retained commit is
     newer than ts, the read refuses with a retention error rather than
     silently answering from the wrong snapshot."""
+    from ..sources.manifest_stream import max_version_at_or_before
+
     jvm, fs, _ = _fs(spark, table_dir)
     latest = latest_version(spark, table_dir)
     if latest is None:
         raise ValueError(f"no committed snapshot in {table_dir}")
 
     def mt(v: int) -> float | None:
+        # Hadoop FS probe: exists-check distinguishes vacuumed (None,
+        # definitely-older) from an existing file, whose status always
+        # carries a modification time — the shared search's contract
         p = jvm.org.apache.hadoop.fs.Path(_version_path(table_dir, v))
         if not fs.exists(p):
             return None
         return fs.getFileStatus(p).getModificationTime() / 1000.0
 
-    m_latest = mt(latest)
-    if m_latest is not None and m_latest <= ts:
-        return latest
-    # find the LAST v with (vacuumed or mtime <= ts): predicate is
-    # monotone decreasing in v, and mt(latest) > ts here
-    lo, hi = 0, latest  # invariant: predicate(hi) is False
-    while lo < hi:
-        mid = (lo + hi + 1) // 2
-        m = mt(mid)
-        if m is None or m <= ts:
-            lo = mid
-        else:
-            hi = mid - 1
-    m_lo = mt(lo)
-    if m_lo is None or m_lo > ts:
+    resolved = max_version_at_or_before(mt, latest, ts)
+    if resolved is None:
         raise ValueError(
             f"timestampAsOf {ts}: every retained manifest of "
             f"{table_dir} is newer (the as-of version aged out of "
             "vacuum retention, or predates the first commit) — widen "
             "keep_versions or pick a later timestamp"
         )
-    return lo
+    return resolved
 
 
 def read_manifest(

@@ -2503,11 +2503,22 @@ def test_starting_timestamp_resolution_and_option_contract():
     assert R(mem, tbl, 250.0) == 2     # mid-log
     assert R(mem, tbl, 500.0) == 4     # last commit exactly
     assert R(mem, tbl, 501.0) == 5     # all older: future commits only
-    # vacuumed prefix (v0,v1 gone) still resolves by mtime order
+    # vacuumed prefix: resolutions whose replay BASELINE survives keep
+    # working; a resolution landing on the retention floor refuses
+    # loudly (its baseline manifest is gone — a tail from there cannot
+    # be exact), instead of returning an unreadable stream
     mem.delete(f"{tbl}/_manifests/v000000000000.json")
-    mem.delete(f"{tbl}/_manifests/v000000000001.json")
-    assert R(mem, tbl, 250.0) == 2
-    assert R(mem, tbl, 50.0) == 2      # floor: first still-probing version
+    assert R(mem, tbl, 250.0) == 2     # baseline v1 still retained
+    with pytest.raises(ValueError, match="vacuumed"):
+        R(mem, tbl, 150.0)             # resolves to v1; baseline v0 gone
+    with pytest.raises(ValueError, match="vacuumed"):
+        R(mem, tbl, 50.0)              # predates retained history
+    # an existing manifest the backend cannot stat refuses, never
+    # silently classifies as old
+    saved = mem.mtimes.pop(mem._norm(f"{tbl}/_manifests/v000000000002.json"))
+    with pytest.raises(ValueError, match="EXISTING manifest"):
+        R(mem, tbl, 250.0)
+    mem.mtimes[mem._norm(f"{tbl}/_manifests/v000000000002.json")] = saved
     # the reader wires it as startingVersion=resolved (inclusive tail)
     schema = StructType([StructField("id", LongType())])
     r = ms.ManifestStreamReader(
@@ -2533,7 +2544,7 @@ def test_starting_timestamp_resolution_and_option_contract():
             return None
 
     nm = _NoMtime(dict(mem.store))
-    with pytest.raises(ValueError, match="modification times"):
+    with pytest.raises(ValueError, match="modification time"):
         ms.resolve_starting_timestamp(nm, tbl, 250.0)
     # empty table: first future commit is v0
     mem2 = storage.get_backend("memory://sttsempty")
@@ -2541,6 +2552,19 @@ def test_starting_timestamp_resolution_and_option_contract():
     assert R(mem2, "memory://sttsempty", 123.0) == 0
     mem.clear()
     mem2.clear()
+    # parse safety (r12 self-review finding 2): compact ISO parses as a
+    # DATE, not as epoch seconds; epoch-milliseconds habits and
+    # NaN/inf refuse loudly instead of silently mis-resolving
+    import datetime as _dt
+
+    assert ms._parse_timestamp("20260816") == _dt.datetime(
+        2026, 8, 16, tzinfo=_dt.timezone.utc
+    ).timestamp()
+    assert ms._parse_timestamp("450") == 450.0
+    assert ms._parse_timestamp(450) == 450.0
+    for bad in ("1755302400000", "nan", "inf", "-5"):
+        with pytest.raises(ValueError, match="epoch"):
+            ms._parse_timestamp(bad)
 
 
 def test_skip_change_commits_skips_change_versions_whole():
