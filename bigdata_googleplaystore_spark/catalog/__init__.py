@@ -24,29 +24,85 @@ from .tpch import flagship  # noqa: E402,F401
 # then the remaining never-checked (the next round's rotation head), then
 # the rest of the previously-green set, oldest evidence first.
 #
-# Round-12 window (VERDICT r11 item 1, prescription followed verbatim):
-# (a) the 6 gates that landed in r11 and have never had a driver row
-# (judge-sim green at r11 HEAD); the CDF stream trio's implementation
-# ALSO changes this round (arrow-side masked paths, key-frame size
-# guard, optional update-image pairing) so they need the fresh row
-# regardless; then (b) 44 of the 48 r06-stale names, r06 window order.
-# 50 names total = the driver's window. The 4 r06-stale names that
-# don't fit (the three sink/scan round-trips + pydatasource_scan_agg —
-# connector paths with dense pytest coverage) get a committed targeted
-# tools/driver_sim.py run this round (see COVERAGE.md) and head the
-# r13 rotation together with gates NEW this round (registered
-# immediately after slot 50, per policy).
+# Round-13 window (VERDICT r12 item 1, prescription followed verbatim):
+# (a) the 4 gates that landed late in r12 and have never had a driver
+# row (judge full-sim green at r12 HEAD), plus (b) the 4 names whose
+# newest driver row is still r06 (deferred from the r12 window with a
+# committed targeted sim); then (c) 42 of the 46 r07-stale names,
+# alphabetical. 50 names total = the driver's window. The 4 r07-stale
+# names that don't fit (unpivot_measures + the three window_* shapes —
+# pure-expression gates with dense pytest coverage) head the r14
+# rotation together with gates NEW this round (registered immediately
+# after slot 50, per policy).
 _PRIORITY: list[str] = [
-    # ===== ROUND-12 WINDOW (the driver records exactly 50 rows) =====
-    # (a) never-driver-checked (r11 additions; CDF trio also
-    # implementation-changed this round):
+    # ===== ROUND-13 WINDOW (the driver records exactly 50 rows) =====
+    # (a) never-driver-checked (late-r12 additions):
+    "stream_cdf_update_pairing",
+    "stream_cdf_scd2_dimension",
+    "mv_manifest_timestamp_travel",
+    "batch_table_changes",
+    # (b) newest driver row is r06:
+    "pydatasource_scan_agg",
+    "text_sink_scan_roundtrip",
+    "json_sink_scan_roundtrip",
+    "orc_sink_scan_roundtrip",
+    # (c) 42 of the 46 r07-stale names, alphabetical:
+    "agg_approx_distinct",
+    "array_l2_norm",
+    "array_set_functions",
+    "case_when_buckets",
+    "cohort_retention",
+    "collect_list_sorted",
+    "compaction_fidelity",
+    "corpus_curation_pipeline",
+    "cross_join_dims",
+    "cube_counts",
+    "dedup_embedding_cosine",
+    "dedup_exact_docs",
+    "dedup_fingerprint_md5",
+    "dedup_near_clusters",
+    "embedding_covariance",
+    "filter_null_nan_threshold",
+    "heavy_hitter_terms",
+    "incremental_join_view_maintenance",
+    "interval_join_sessions",
+    "json_variant_extract",
+    "max_string_and_date",
+    "nested_struct_map",
+    "observed_scan_metrics",
+    "pack_sequences",
+    "percentiles_exact",
+    "pivot_status_counts",
+    "pydatasource_stream_scan_agg",
+    "pydatasource_writer_roundtrip",
+    "regexp_extract_number",
+    "scan_project_prune",
+    "session_window_gap",
+    "set_except_all",
+    "sql_interface_revenue",
+    "sql_pipe_syntax_agg",
+    "sql_session_vars_params",
+    "stream_incremental_agg_view",
+    "stream_static_enrich_counts",
+    "string_function_suite",
+    "text_quality_rules",
+    "time_bounded_self_join",
+    "time_window_sliding",
+    "time_window_tumbling",
+    # ===== past slot 50: r14 rotation head =====
+    # the 4 r07-stale names deferred from this window:
+    "unpivot_measures",
+    "window_lag_delta",
+    "window_ntile_percent_rank",
+    "window_running_sum",
+    # gates NEW this round are appended here as they land (policy above).
+    # ===== r12 window, kept for the record (all green in r12) =====
     "stream_cdf_from_manifest",
     "stream_cdf_mv_maintenance",
     "stream_cdf_table_replication",
     "mv_manifest_conditional_put",
     "mv_manifest_schema_enforcement",
     "dedup_ingest_on_write",
-    # (b) 44 of the 48 r06-stale names, r06 window order:
     "dedup_simhash",
     "sim_cosine_topk",
     "text_token_stats",
@@ -91,18 +147,6 @@ _PRIORITY: list[str] = [
     "graph_triangle_count",
     "schema_evolution_merge",
     "embedding_pq_train_invariant",
-    # ===== past slot 50: r13 rotation head =====
-    # gates NEW this round (judge-sim green; see COVERAGE.md):
-    "stream_cdf_update_pairing",
-    "stream_cdf_scd2_dimension",
-    "mv_manifest_timestamp_travel",
-    "batch_table_changes",
-    # the 4 r06-stale names deferred from this window (driver-sim'd this
-    # round, evidence in COVERAGE.md):
-    "pydatasource_scan_agg",
-    "text_sink_scan_roundtrip",
-    "json_sink_scan_roundtrip",
-    "orc_sink_scan_roundtrip",
 ]
 
 # Pre-rotation (round-2) window order, kept for the record of what r02
