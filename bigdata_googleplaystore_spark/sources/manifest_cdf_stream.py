@@ -454,6 +454,21 @@ class ManifestCDFStreamReader(DataSourceStreamReader):
             # inserts matching those keys become postimages (module
             # doc covers the one Delta MERGE divergence on
             # never-present keys).
+            #
+            # SINGLE-NEW-BATCH ASSUMPTION: pair_v is version-global —
+            # when a version is tagged as the upsert shape, EVERY new
+            # batch's rows matching the delete keys become
+            # update_postimage. commit_upsert commits exactly one new
+            # batch per version, so this is exact for every log this
+            # engine writes; a HAND-BUILT log that co-commits the
+            # upsert batch plus an unrelated second append in the same
+            # version (cutoffs excluding both) would get that second
+            # batch's key-colliding rows mislabeled update_postimage.
+            # The manifest format carries no per-batch writer intent,
+            # so the two batches are indistinguishable post hoc —
+            # callers synthesizing logs by hand must commit unrelated
+            # appends as their own versions (as write_and_commit_batch
+            # does).
             pair_v = (
                 self.key_columns is not None
                 and bool(new_ids)

@@ -192,12 +192,28 @@ def _parse_timestamp(v) -> float:
     discipline) so compact ISO forms like '20260816' don't misparse as
     epoch numbers; a plain numeric literal is epoch SECONDS, bounded
     to [0, ~year 2200] so epoch-milliseconds habits (and NaN/inf) fail
-    loudly instead of silently replaying everything or nothing."""
+    loudly instead of silently replaying everything or nothing.
+
+    Compact 8-digit dates are matched EXPLICITLY (strptime %Y%m%d)
+    before any other path: fromisoformat only accepts them on
+    Python >= 3.11, and without the explicit match an older
+    interpreter would silently fall through to the numeric branch and
+    resolve '20260816' as epoch 1970 — the exact mis-resolution the
+    ISO-first rule exists to prevent."""
     import math
+    import re
     from datetime import datetime, timezone
 
+    s = str(v)
+    if re.fullmatch(r"\d{8}", s):
+        try:
+            return datetime.strptime(s, "%Y%m%d").replace(
+                tzinfo=timezone.utc
+            ).timestamp()
+        except ValueError:
+            pass  # not a real YYYYMMDD (e.g. month 00) -> numeric path
     try:
-        dt = datetime.fromisoformat(str(v))
+        dt = datetime.fromisoformat(s)
         if dt.tzinfo is None:
             dt = dt.replace(tzinfo=timezone.utc)
         return dt.timestamp()
@@ -222,8 +238,12 @@ def min_version_at_or_after(mt, latest: int, ts: float) -> int:
     whose mtime the backend cannot give), so a probe failure never
     silently classifies a commit as old. Shared by the stream
     sources' startingTimestamp and, mirrored (`max_version_at_or_
-    before`), by the operator tier's timestampAsOf."""
-    if mt(latest) < ts:
+    before`), by the operator tier's timestampAsOf. None at `latest`
+    is handled HERE (definitely-older -> latest+1), not left to the
+    caller: the helper is shared/exported and a raw TypeError from the
+    first probe would betray the documented mt contract."""
+    m_latest = mt(latest)
+    if m_latest is None or m_latest < ts:
         return latest + 1
     lo, hi = 0, latest  # invariant: mt(hi) >= ts
     while lo < hi:
@@ -263,7 +283,11 @@ def resolve_starting_timestamp(
     metadata probes (manifest mtimes are monotone with version, the
     invariant vacuum's age-based retention already rests on). Returns
     latest+1 when every commit predates ts (the stream reads only
-    future commits), 0 on an empty table. Vacuumed manifests probe as
+    future commits). A table with NO commits refuses (Delta parity):
+    returning 0 would drop ts on the floor, so a stream created with
+    a future startingTimestamp on a not-yet-committed table would
+    emit later commits whose mtime < ts — violating the
+    first-version-with-mtime>=ts contract. Vacuumed manifests probe as
     older-than-ts (they are), but a resolution landing ON the vacuum
     retention floor refuses loudly — the replay's baseline manifest
     (resolved-1) is gone, so tailing from there cannot be exact (the
@@ -272,7 +296,13 @@ def resolve_starting_timestamp(
     also refuse rather than silently skipping history."""
     latest = _latest_version(fs, table_dir)
     if latest is None:
-        return 0
+        raise ValueError(
+            f"manifest stream source: startingTimestamp cannot resolve "
+            f"on {table_dir} — the table has no commits, so there is "
+            "no first-version-with-mtime>=T to anchor the tail; use "
+            "startingVersion=0 (replay from the first future commit) "
+            "or omit both for initial-snapshot semantics"
+        )
 
     def mt(v: int) -> float | None:
         p = f"{table_dir}/{MANIFEST_DIR}/v{v:012d}.json"

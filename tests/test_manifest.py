@@ -2547,9 +2547,16 @@ def test_starting_timestamp_resolution_and_option_contract():
     with pytest.raises(ValueError, match="modification time"):
         ms.resolve_starting_timestamp(nm, tbl, 250.0)
     # empty table: first future commit is v0
+    # empty table REFUSES (r12 advice): returning 0 would drop ts, so
+    # a future startingTimestamp on a not-yet-committed table would
+    # emit commits whose mtime < ts
     mem2 = storage.get_backend("memory://sttsempty")
     mem2.clear()
-    assert R(mem2, "memory://sttsempty", 123.0) == 0
+    with pytest.raises(ValueError, match="no commits"):
+        R(mem2, "memory://sttsempty", 123.0)
+    # the shared helper handles None at `latest` itself (the exported
+    # contract: None = definitely-older), no caller pre-guard needed
+    assert ms.min_version_at_or_after(lambda v: None, 4, 10.0) == 5
     mem.clear()
     mem2.clear()
     # parse safety (r12 self-review finding 2): compact ISO parses as a
@@ -2562,6 +2569,10 @@ def test_starting_timestamp_resolution_and_option_contract():
     ).timestamp()
     assert ms._parse_timestamp("450") == 450.0
     assert ms._parse_timestamp(450) == 450.0
+    # invalid 8-digit "dates" (month 00) fall to the numeric path —
+    # matching fromisoformat's acceptance set, but via an explicit
+    # %Y%m%d match so the behavior is interpreter-version-independent
+    assert ms._parse_timestamp("86400000") == 86400000.0
     for bad in ("1755302400000", "nan", "inf", "-5"):
         with pytest.raises(ValueError, match="epoch"):
             ms._parse_timestamp(bad)
