@@ -1,0 +1,137 @@
+"""AVI video container tier: pure-stdlib RIFF parser round-trips,
+foreign-writer tolerance, fail-loud refusals, and the Spark frame-stats
+surface (VERDICT r12 item 6 — retires the last declared multimodal
+stand-in: frame extraction now parses a REAL video container)."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_googleplaystore_spark.operators import codecs, multimodal
+
+
+# ----------------------------------------------------------------------
+# Codec unit level (no Spark)
+# ----------------------------------------------------------------------
+
+
+def test_avi_roundtrip_frame_exact():
+    frames = [bytes(range(64)), bytes(range(64, 128)), b"\x07" * 30]
+    payload = codecs.encode_avi_gray(frames, 16, 4, fps=5)
+    assert codecs.sniff(payload) == "avi"
+    w, h, fps, out = codecs.decode_avi_gray(payload)
+    assert (w, h, fps) == (16, 4, 5)
+    assert out[0] == frames[0]
+    assert out[1] == frames[1]
+    assert out[2] == frames[2].ljust(64, b"\x00")  # short frame zero-pads
+
+
+def test_avi_single_frame_and_odd_width_stride():
+    # width 5 -> 15-byte rows pad to a 16-byte stride; both sides must
+    # agree on the padding or pixels shear
+    frames = [bytes(range(35))]
+    payload = codecs.encode_avi_gray(frames, 5, 7, fps=1)
+    w, h, fps, out = codecs.decode_avi_gray(payload)
+    assert (w, h, fps) == (5, 7, 1)
+    assert out == [frames[0]]
+
+
+def test_avi_decoder_tolerates_foreign_chunks_and_00dc_tag():
+    """Real muxers emit JUNK padding, INFO lists, and tag compressed-
+    codec frames '00dc' even for DIB; the walker must skip the former
+    and accept the latter."""
+    payload = codecs.encode_avi_gray([bytes(range(64))], 16, 4, fps=5)
+    junk = (
+        b"JUNK" + struct.pack("<I", 13) + b"\x00" * 13 + b"\x00"  # word pad
+        + b"LIST" + struct.pack("<I", 4 + 12) + b"INFO"
+        + b"ISFT" + struct.pack("<I", 4) + b"test"
+    )
+    hacked = payload[:12] + junk + payload[12:]
+    hacked = b"RIFF" + struct.pack("<I", len(hacked) - 8) + hacked[8:]
+    hacked = hacked.replace(b"00db", b"00dc")  # movi chunk + idx1 entry
+    w, h, fps, out = codecs.decode_avi_gray(hacked)
+    assert (w, h, fps) == (16, 4, 5)
+    assert out == [bytes(range(64))]
+
+
+def test_avi_refusals_fail_loudly():
+    payload = codecs.encode_avi_gray([b"\x01" * 64], 16, 4)
+    # wrong magic
+    with pytest.raises(ValueError, match="RIFF/AVI"):
+        codecs.decode_avi_gray(b"RIFF" + payload[4:8] + b"WAVE" + payload[12:])
+    # compressed stream (strf biCompression != 0, e.g. MJPG): refuse,
+    # never emit garbage frames
+    strf_rgb = struct.pack("<IiiHHI", 40, 16, 4, 1, 24, 0)
+    strf_mjpg = struct.pack("<IiiHHI", 40, 16, 4, 1, 24, 0x47504A4D)
+    with pytest.raises(ValueError, match="unsupported AVI"):
+        codecs.decode_avi_gray(payload.replace(strf_rgb, strf_mjpg, 1))
+    # truncated mid-movi (cutting only the trailing idx1 is tolerated —
+    # the index is optional — so cut into the frame data itself)
+    with pytest.raises(ValueError, match="truncated"):
+        codecs.decode_avi_gray(payload[: payload.index(b"idx1") - 10])
+    # no frames at all
+    with pytest.raises(ValueError, match="at least one frame"):
+        codecs.encode_avi_gray([], 16, 4)
+
+
+def test_avi_golden_bytes_stable():
+    """The encoder's bytes are part of the oracle contract (DuckDB
+    re-derives frame sums from the source text), so the container
+    layout must not drift silently."""
+    payload = codecs.encode_avi_gray([b"ab", b"cd"], 2, 1, fps=10)
+    # spot-pin the structure: RIFF/AVI magic, hdrl first, 2 frames in
+    # movi, idx1 with 2 keyframe entries
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"AVI "
+    assert payload.count(b"00db") == 4  # 2 movi chunks + 2 idx1 entries
+    assert b"idx1" in payload and b"vids" in payload and b"DIB " in payload
+    import hashlib
+
+    assert hashlib.md5(payload).hexdigest() == GOLDEN_MD5
+
+
+# filled by the first run; pinned so layout drift is loud
+GOLDEN_MD5 = "22fb95a5996a223b11cb1f8b237e6724"
+
+
+# ----------------------------------------------------------------------
+# Spark surface
+# ----------------------------------------------------------------------
+
+
+def test_video_frame_stats_matches_per_text_sums(spark):
+    texts = [
+        ("a" * 70, 0),     # 2 frames: 64 'a's + 6 'a's
+        ("xyz", 1),        # 1 partial frame
+        ("b" * 500, 2),    # capped at 6 frames (500 > 6*64)
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for t, i in texts], "doc_id long, text string"
+    )
+    media = multimodal.attach_video_payload(df, "text", "doc_id")
+    rows = multimodal.video_frame_stats(media).collect()
+    by_id: dict = {}
+    for r in rows:
+        by_id.setdefault(r.media_id, []).append(r)
+    assert [r.frame_sum for r in sorted(by_id[0], key=lambda r: r.frame_idx)] == [
+        97 * 64,
+        97 * 6,
+    ]
+    assert by_id[0][0].n_frames == 2 and by_id[0][0].fps == 10
+    assert [r.frame_sum for r in by_id[1]] == [ord("x") + ord("y") + ord("z")]
+    caps = sorted(by_id[2], key=lambda r: r.frame_idx)
+    assert len(caps) == 6 and all(r.frame_sum == 98 * 64 for r in caps)
+    assert all(r.n_px == 64 for r in rows)
+
+
+def test_video_payloads_are_real_avi(spark):
+    df = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
+    payload = bytes(
+        multimodal.attach_video_payload(df, "text", "doc_id").first().payload
+    )
+    assert codecs.sniff(payload) == "avi"
+    w, h, fps, frames = codecs.decode_avi_gray(payload)
+    assert (w, h) == (16, 4) and len(frames) == 1
+    assert frames[0].rstrip(b"\x00") == b"hello world"
