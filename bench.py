@@ -90,6 +90,106 @@ def _ensure_bench_manifest_table(spark, sf_dir) -> str:
     return table
 
 
+def _ensure_bench_scd2_table(spark, sf_dir) -> str:
+    """PRE-BUILT paired-upsert table for the SCD2 bench entry (r12
+    verdict item 4): base batch of (k, v) from orders, then 8 atomic
+    upserts (commit_upsert) over NESTED key subsets — k % 12 at v1
+    down to k % 1536 at v8 — so deep keys carry 8-interval version
+    chains. Built once per sf and reused across warmup/min-of-3, like
+    the manifest read table."""
+    import shutil
+
+    from pyspark.sql import functions as FF
+
+    from bigdata_googleplaystore_spark.streaming import manifest as mf
+
+    table = f"/tmp/bench_scd2_{sf_dir.rstrip('/').replace('/', '_')}"
+    if mf.latest_version(spark, table) != 8:
+        shutil.rmtree(table, ignore_errors=True)
+        o = load_table(spark, sf_dir, "orders").select(
+            FF.col("o_orderkey").alias("k"),
+            FF.col("o_totalprice").alias("v"),
+        )
+        mf.write_and_commit_batch(spark, o, table, 0)
+        for u in range(1, 9):
+            mf.commit_upsert(
+                spark,
+                table,
+                o.filter(FF.col("k") % (12 * 2 ** (u - 1)) == 0).withColumn(
+                    "v", FF.col("v") + u
+                ),
+                ["k"],
+                batch_id=u,
+                delete_id=u - 1,
+            )
+    return table
+
+
+def _scd2_drain_bench(spark, sf_dir):
+    """SCD TYPE-2 MAINTENANCE DRAIN (r12 verdict item 4): replay the
+    whole 9-version PAIRED feed (keyColumns -> insert/update_preimage/
+    update_postimage tagging) off the pre-built upsert table through
+    the manifest_cdf_stream source, then build the dimension's
+    validity intervals with one windowed pass by key — the complete
+    warehouse-consumer pipeline the SCD2 gate checks at sf0.01, timed
+    here at the bench SF. Fresh checkpoint every invocation so the
+    timed number is the full replay a new consumer pays."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from bigdata_googleplaystore_spark.sources import manifest_cdf_stream
+
+    table = _ensure_bench_scd2_table(spark, sf_dir)
+    manifest_cdf_stream.register(spark)
+    ckpt = tempfile.mkdtemp(prefix="bench_scd2_ckpt_")
+    sink = tempfile.mkdtemp(prefix="bench_scd2_sink_")
+    q = (
+        spark.readStream.format("manifest_cdf_stream")
+        .schema("k bigint, v double, _change_type string, _commit_version long")
+        .option("path", table)
+        .option("startingVersion", "0")
+        .option("keyColumns", "k")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    log = spark.read.parquet(sink).withColumn(
+        "is_open", F.col("_change_type").isin("insert", "update_postimage")
+    )
+    w = Window.partitionBy("k").orderBy(
+        F.col("_commit_version"), F.col("is_open").cast("int")
+    )
+    scd2 = (
+        log.withColumn("next_version", F.lead("_commit_version").over(w))
+        .withColumn("next_is_open", F.lead("is_open").over(w))
+        .filter(F.col("is_open"))
+        .select(
+            "k",
+            "v",
+            F.col("_commit_version").alias("valid_from"),
+            F.when(~F.col("next_is_open"), F.col("next_version")).alias("valid_to"),
+        )
+    )
+    out = scd2.groupBy(
+        "valid_from", F.col("valid_to").isNull().alias("is_current")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.sum("v").alias("total_value"),
+    )
+    # materialize INSIDE the timed fn so the temp dirs can be cleaned;
+    # the returned 1-row handle keeps the harness action trivial
+    out.write.format("noop").mode("overwrite").save()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(sink, ignore_errors=True)
+    return spark.range(1).select(F.lit("scd2_maintained").alias("status"))
+
+
 def _manifest_read_bench(spark, sf_dir):
     """Manifest-table READ path over a PRE-BUILT row table — the
     lakehouse layer's steady-state cost (the gates time build+read;
@@ -162,6 +262,7 @@ EXTRA_BENCH = {
     "bpe_train_corpus": _bpe_train_corpus,
     "manifest_snapshot_read": _manifest_read_bench,
     "cdf_feed_drain": _cdf_drain_bench,
+    "scd2_dimension_maintenance": _scd2_drain_bench,
 }
 
 
@@ -266,11 +367,16 @@ def main() -> None:
 
         from bigdata_googleplaystore_spark import playstore
 
-        # min-of-3 like every other timing (round-3 verdict item 7; the
-        # first pass pays CSV page-cache and codegen-compile noise this
-        # pipeline's unique plans can't share with the warmup loop above)
+        # One UNTIMED warmup pass first (round-13, bimodality fix): this
+        # pipeline's unique plans can't share the sf0.001 warmup loop
+        # above, and the r12 runs showed min-of-3 alone does NOT absorb
+        # the first-run compile under host load — background JIT kept
+        # bleeding into runs 2-3, flipping the row between ~1.9 s and
+        # ~3.7 s across invocations. Warm exactly like every headline
+        # query (compile + page cache outside the timed window), then
+        # time min-of-3.
         best = float("inf")
-        for run in range(3):
+        for run in range(-1, 3):
             with tempfile.TemporaryDirectory() as tmp:
                 t0 = time.perf_counter()
                 ps = playstore.read_playstore_csv(spark, ref_csv)
@@ -281,7 +387,8 @@ def main() -> None:
                 playstore.get_google_play_store_metrics_by_genre(
                     spark, df4, f"{tmp}/metrics.gz"
                 ).count()
-                best = min(best, time.perf_counter() - t0)
+                if run >= 0:
+                    best = min(best, time.perf_counter() - t0)
         timings["playstore_parts_2_3_4_5"] = round(best, 3)
         print(
             f"# playstore_parts_2_3_4_5: {timings['playstore_parts_2_3_4_5']:.3f}s"
