@@ -95,7 +95,8 @@ _PRIORITY: list[str] = [
     "window_lag_delta",
     "window_ntile_percent_rank",
     "window_running_sum",
-    # gates NEW this round are appended here as they land (policy above).
+    # gates NEW this round are appended here as they land (policy above):
+    "multimodal_video_frames",
     # ===== r12 window, kept for the record (all green in r12) =====
     "stream_cdf_from_manifest",
     "stream_cdf_mv_maintenance",

@@ -1299,16 +1299,61 @@ def multimodal_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     pixel stats. The oracle re-derives every frame's row index and
     pixel sum from the source text (pixel = text byte; the last row's
     zero padding drops out of both sums), so the decode + fan-out is
-    value-checked end-to-end. Scanlines of a decoded still stand in
-    for video keyframes — no video container parses with the stdlib —
-    and that substitution is the one declared stand-in left in the
-    multimodal suite."""
+    value-checked end-to-end. Historically scanlines stood in for
+    video keyframes; since r13 the real container tier lives in
+    `multimodal_video_frames` (AVI parse) and this gate keeps covering
+    the still-image fan-out shape."""
     from ..operators import multimodal
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 != 2)
     media = multimodal.attach_media_payload(d, "text", "doc_id")
     frames = multimodal.sample_frames(media, n_frames=4)
     return frames.select("media_id", "frame_idx", "row_idx", "n_px", "frame_sum")
+
+
+@register(
+    "multimodal_video_frames",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id, length(text) AS n, text,
+             least(CAST(ceil(length(text) / 64.0) AS BIGINT), 6) AS n_frames
+      FROM documents WHERE length(text) >= 1 AND doc_id % 4 = 1
+    ),
+    f AS (SELECT media_id, n, text, n_frames,
+                 unnest(range(0, n_frames)) AS frame_idx
+          FROM m)
+    SELECT media_id, CAST(10 AS BIGINT) AS fps, n_frames, frame_idx,
+           CAST(64 AS BIGINT) AS n_px,
+           CAST(coalesce(list_sum(list_transform(
+                 range(frame_idx*64 + 1, least((frame_idx+1)*64, n) + 1),
+                 i -> ascii(text[CAST(i AS INT)]))), 0) AS BIGINT) AS frame_sum
+    FROM f
+    """,
+    tags=("llm", "multimodal", "video"),
+)
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame extraction (r12 verdict item 6 — retires the
+    last declared multimodal stand-in): documents -> real AVI
+    containers (text-byte tiles as uncompressed 16x4 DIB frames,
+    capped at 6 — operators/codecs.encode_avi_gray) -> full RIFF-tree
+    parse back (decode_avi_gray: strh/strf validation, bottom-up DIB
+    to top-down gray) -> one row per extracted frame with pixel stats,
+    fps and frame count coming OUT OF THE CONTAINER HEADERS. The
+    oracle re-derives every frame's sum from 64-byte text tile ranges
+    (encoder zero-padding drops out of both sums) and the constant
+    fps/n_frames from the tiling arithmetic, so a header-parse bug, a
+    stride/padding shear, or a frame-order bug all hash-fail. Arrow
+    batches executor-side via mapInPandas; per-payload Python is the
+    irreducible cost of real container parsing at 100 TB."""
+    from ..operators import multimodal
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        (F.length("text") >= 1) & (F.col("doc_id") % 4 == 1)
+    )
+    media = multimodal.attach_video_payload(d, "text", "doc_id")
+    return multimodal.video_frame_stats(media).select(
+        "media_id", "fps", "n_frames", "frame_idx", "n_px", "frame_sum"
+    )
 
 
 @register(
