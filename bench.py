@@ -145,48 +145,59 @@ def _scd2_drain_bench(spark, sf_dir):
     manifest_cdf_stream.register(spark)
     ckpt = tempfile.mkdtemp(prefix="bench_scd2_ckpt_")
     sink = tempfile.mkdtemp(prefix="bench_scd2_sink_")
-    q = (
-        spark.readStream.format("manifest_cdf_stream")
-        .schema("k bigint, v double, _change_type string, _commit_version long")
-        .option("path", table)
-        .option("startingVersion", "0")
-        .option("keyColumns", "k")
-        .load()
-        .writeStream.format("parquet")
-        .option("path", sink)
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
-    log = spark.read.parquet(sink).withColumn(
-        "is_open", F.col("_change_type").isin("insert", "update_postimage")
-    )
-    w = Window.partitionBy("k").orderBy(
-        F.col("_commit_version"), F.col("is_open").cast("int")
-    )
-    scd2 = (
-        log.withColumn("next_version", F.lead("_commit_version").over(w))
-        .withColumn("next_is_open", F.lead("is_open").over(w))
-        .filter(F.col("is_open"))
-        .select(
-            "k",
-            "v",
-            F.col("_commit_version").alias("valid_from"),
-            F.when(~F.col("next_is_open"), F.col("next_version")).alias("valid_to"),
+    try:
+        q = (
+            spark.readStream.format("manifest_cdf_stream")
+            .schema(
+                "k bigint, v double, _change_type string, _commit_version long"
+            )
+            .option("path", table)
+            .option("startingVersion", "0")
+            .option("keyColumns", "k")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .start()
         )
-    )
-    out = scd2.groupBy(
-        "valid_from", F.col("valid_to").isNull().alias("is_current")
-    ).agg(
-        F.count("*").alias("n_rows"),
-        F.sum("v").alias("total_value"),
-    )
-    # materialize INSIDE the timed fn so the temp dirs can be cleaned;
-    # the returned 1-row handle keeps the harness action trivial
-    out.write.format("noop").mode("overwrite").save()
-    shutil.rmtree(ckpt, ignore_errors=True)
-    shutil.rmtree(sink, ignore_errors=True)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        log = spark.read.parquet(sink).withColumn(
+            "is_open", F.col("_change_type").isin("insert", "update_postimage")
+        )
+        w = Window.partitionBy("k").orderBy(
+            F.col("_commit_version"), F.col("is_open").cast("int")
+        )
+        scd2 = (
+            log.withColumn("next_version", F.lead("_commit_version").over(w))
+            .withColumn("next_is_open", F.lead("is_open").over(w))
+            .filter(F.col("is_open"))
+            .select(
+                "k",
+                "v",
+                F.col("_commit_version").alias("valid_from"),
+                F.when(~F.col("next_is_open"), F.col("next_version")).alias(
+                    "valid_to"
+                ),
+            )
+        )
+        out = scd2.groupBy(
+            "valid_from", F.col("valid_to").isNull().alias("is_current")
+        ).agg(
+            F.count("*").alias("n_rows"),
+            F.sum("v").alias("total_value"),
+        )
+        # materialize INSIDE the timed fn so the temp dirs can be
+        # cleaned; the returned 1-row handle keeps the harness action
+        # trivial
+        out.write.format("noop").mode("overwrite").save()
+    finally:
+        # the sink holds a full replay of the feed — never leak it
+        # across retried bench runs
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(sink, ignore_errors=True)
     return spark.range(1).select(F.lit("scd2_maintained").alias("status"))
 
 

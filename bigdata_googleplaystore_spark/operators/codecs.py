@@ -177,14 +177,7 @@ def encode_bmp_gray(pixels: bytes, width: int) -> bytes:
     if width <= 0:
         raise ValueError("width must be positive")
     height = max(1, -(-len(pixels) // width))
-    padded = pixels.ljust(width * height, b"\x00")
-    stride = (width * 3 + 3) & ~3
-    pad = b"\x00" * (stride - width * 3)
-    rows = []
-    for r in range(height - 1, -1, -1):  # bottom-up
-        row = padded[r * width : (r + 1) * width]
-        rows.append(b"".join(bytes((g, g, g)) for g in row) + pad)
-    body = b"".join(rows)
+    body = _dib_pack_gray(pixels.ljust(width * height, b"\x00"), width, height)
     info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0)
     header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 14 + 40)
     return header + info + body
@@ -210,15 +203,11 @@ def decode_bmp_gray(payload: bytes) -> tuple[int, int, bytes]:
         )
     topdown = height < 0
     height = abs(height)
-    stride = (width * 3 + 3) & ~3
-    if len(payload) < offset + stride * height:
-        raise ValueError("truncated BMP pixel data")
-    out = bytearray()
-    order = range(height) if topdown else range(height - 1, -1, -1)
-    for r in order:
-        row = payload[offset + r * stride : offset + r * stride + width * 3]
-        out += row[0::3]  # blue channel = gray
-    return width, height, bytes(out)
+    try:
+        out = _dib_unpack_gray(payload[offset:], width, height, topdown)
+    except ValueError:
+        raise ValueError("truncated BMP pixel data") from None
+    return width, height, out
 
 
 # ----------------------------------------------------------------------
@@ -288,15 +277,32 @@ def _riff_list(list_type: bytes, body: bytes) -> bytes:
     return _riff_chunk(b"LIST", list_type + body)
 
 
-def encode_avi_gray(
-    frames, width: int, height: int, fps: int = 10
-) -> bytes:
-    """AVI-1.0 RIFF container of uncompressed 24-bit DIB video frames
-    from gray ``frames`` (each ``width*height`` bytes, row-major
-    top-down; short frames are zero-padded). One 'vids' stream,
-    BI_RGB, bottom-up rows with 4-byte stride padding (the BMP pixel
-    layout), one '00db' chunk per frame, plus a spec-complete 'idx1'
-    index marking every frame a keyframe."""
+def _dib_pack_gray(pixels: bytes, width: int, height: int) -> bytes:
+    """Gray top-down pixels -> 24-bit BGR DIB rows (bottom-up, 4-byte
+    stride padding) — the BMP/AVI shared pixel layout."""
+    stride = (width * 3 + 3) & ~3
+    pad = b"\x00" * (stride - width * 3)
+    rows = []
+    for r in range(height - 1, -1, -1):
+        row = pixels[r * width : (r + 1) * width]
+        rows.append(b"".join(bytes((g, g, g)) for g in row) + pad)
+    return b"".join(rows)
+
+
+def _dib_unpack_gray(data: bytes, width: int, height: int, topdown: bool) -> bytes:
+    """24-bit DIB rows -> gray top-down pixels (blue channel), honoring
+    bottom-up vs top-down (negative biHeight) row order."""
+    stride = (width * 3 + 3) & ~3
+    if len(data) < stride * height:
+        raise ValueError("truncated DIB pixel data")
+    out = bytearray()
+    order = range(height) if topdown else range(height - 1, -1, -1)
+    for r in order:
+        out += data[r * stride : r * stride + width * 3][0::3]
+    return bytes(out)
+
+
+def encode_avi_gray(frames, width: int, height: int, fps: int = 10) -> bytes:
     if width <= 0 or height <= 0:
         raise ValueError("width and height must be positive")
     if fps <= 0:
@@ -304,59 +310,36 @@ def encode_avi_gray(
     frames = list(frames)
     if not frames:
         raise ValueError("AVI needs at least one frame")
-    stride = (width * 3 + 3) & ~3
-    pad = b"\x00" * (stride - width * 3)
-    dibs = []
-    for fr in frames:
-        fr = bytes(fr).ljust(width * height, b"\x00")[: width * height]
-        rows = []
-        for r in range(height - 1, -1, -1):  # bottom-up
-            row = fr[r * width : (r + 1) * width]
-            rows.append(b"".join(bytes((g, g, g)) for g in row) + pad)
-        dibs.append(b"".join(rows))
-    frame_bytes = stride * height
+    dibs = [
+        _dib_pack_gray(
+            bytes(fr).ljust(width * height, b"\x00")[: width * height],
+            width,
+            height,
+        )
+        for fr in frames
+    ]
+    frame_bytes = ((width * 3 + 3) & ~3) * height
 
     avih = struct.pack(
         "<14I",
-        1_000_000 // fps,      # dwMicroSecPerFrame
-        frame_bytes * fps,     # dwMaxBytesPerSec
-        0,                     # dwPaddingGranularity
-        0x10,                  # dwFlags: AVIF_HASINDEX
-        len(dibs),             # dwTotalFrames
-        0,                     # dwInitialFrames
-        1,                     # dwStreams
-        frame_bytes,           # dwSuggestedBufferSize
-        width,
-        height,
-        0, 0, 0, 0,            # dwReserved
+        1_000_000 // fps, frame_bytes * fps, 0, 0x10,
+        len(dibs), 0, 1, frame_bytes, width, height, 0, 0, 0, 0,
     )
     strh = struct.pack(
         "<4s4sIHHIIIIIIii4H",
-        b"vids", b"DIB ",
-        0,                     # dwFlags
-        0, 0,                  # wPriority, wLanguage
-        0,                     # dwInitialFrames
-        1, fps,                # dwScale, dwRate -> fps = rate/scale
-        0,                     # dwStart
-        len(dibs),             # dwLength (frames)
-        frame_bytes,           # dwSuggestedBufferSize
-        -1,                    # dwQuality
-        0,                     # dwSampleSize (0 = one sample per chunk)
-        0, 0, width, height,   # rcFrame
+        b"vids", b"DIB ", 0, 0, 0, 0,
+        1, fps, 0, len(dibs), frame_bytes, -1, 0,
+        0, 0, width, height,
     )
     strf = struct.pack(
-        "<IiiHHIIiiII",
-        40, width, height, 1, 24, 0, frame_bytes, 2835, 2835, 0, 0
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, frame_bytes, 2835, 2835, 0, 0
     )
     hdrl = _riff_list(
         b"hdrl",
         _riff_chunk(b"avih", avih)
         + _riff_list(b"strl", _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)),
     )
-    movi_body = b"".join(_riff_chunk(b"00db", d) for d in dibs)
-    movi = _riff_list(b"movi", movi_body)
-    # idx1 offsets are relative to the start of the 'movi' list type
-    # fourcc (the common convention players expect)
+    movi = _riff_list(b"movi", b"".join(_riff_chunk(b"00db", d) for d in dibs))
     idx_entries, off = [], 4
     for d in dibs:
         idx_entries.append(struct.pack("<4sIII", b"00db", 0x10, off, len(d)))
@@ -367,9 +350,6 @@ def encode_avi_gray(
 
 
 def _walk_chunks(payload: bytes, pos: int, end: int):
-    """Yield (tag, body_start, body_len) for each RIFF chunk in
-    [pos, end); LIST chunks are yielded whole (tag=b'LIST', body
-    includes the 4-byte list type). Raises on truncation."""
     while pos + 8 <= end:
         tag = payload[pos : pos + 4]
         (length,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
@@ -383,43 +363,55 @@ def decode_avi_gray(payload: bytes):
     """Parse an AVI-1.0 file of uncompressed 24-bit DIB frames ->
     (width, height, fps, [gray frame bytes top-down, ...]).
 
-    Walks the RIFF tree (tolerating extra chunks/LISTs such as INFO or
-    JUNK, and an optional idx1), validates the stream is 'vids' with
-    BI_RGB 24 bpp via strh/strf, and converts each '00db'/'00dc'
-    stream-0 frame from bottom-up padded BGR rows to top-down gray
-    (blue channel), exactly like decode_bmp_gray. Raises ValueError on
-    malformed or unsupported input — compressed codecs must fail
-    loudly, never yield garbage frames."""
+    Walks the RIFF tree tolerating what real muxers emit — extra
+    chunks/LISTs (JUNK, INFO), an optional idx1, the '00dc' tag,
+    'rec '-grouped interleave lists, and zero-length dropped-frame
+    chunks (VfW "repeat previous frame": replayed as a copy of the
+    prior frame so the stream keeps its declared frame count). strf is
+    authoritative for dimensions (negative biHeight = top-down rows,
+    decode_bmp_gray parity) and must declare BI_RGB 24 bpp; strh must
+    carry a nonzero dwScale (fps = round(rate/scale); NTSC-style
+    non-integral rates round) and, when it declares a nonzero
+    dwLength, the movi frame count must match it — a header/payload
+    mismatch raises rather than silently reporting the wrong count.
+    Raises ValueError on malformed or unsupported input."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not an AVI: bad RIFF/AVI magic")
     (riff_len,) = struct.unpack("<I", payload[4:8])
     end = min(len(payload), 8 + riff_len)
     width = height = None
+    topdown = False
     scale = rate = None
+    declared_frames = None
     compression = bpp = None
-    frames: list[bytes] = []
+    raw_frames: list[bytes | None] = []  # None = dropped-frame marker
     saw_movi = False
+
+    def walk_movi(pos: int, stop: int) -> None:
+        for t2, p2, l2 in _walk_chunks(payload, pos, stop):
+            if t2 == b"LIST" and payload[p2 : p2 + 4] == b"rec ":
+                walk_movi(p2 + 4, p2 + l2)  # interleave group
+            elif t2 in (b"00db", b"00dc"):
+                raw_frames.append(payload[p2 : p2 + l2] if l2 else None)
+
     for tag, bpos, blen in _walk_chunks(payload, 12, end):
         if tag != b"LIST":
             continue
         ltype = payload[bpos : bpos + 4]
         if ltype == b"hdrl":
             for t2, p2, l2 in _walk_chunks(payload, bpos + 4, bpos + blen):
-                if t2 == b"avih":
-                    if l2 < 40:
-                        raise ValueError("truncated AVI avih header")
-                    vals = struct.unpack("<10I", payload[p2 : p2 + 40])
-                    width, height = vals[8], vals[9]
-                elif t2 == b"LIST" and payload[p2 : p2 + 4] == b"strl":
+                if t2 == b"LIST" and payload[p2 : p2 + 4] == b"strl":
                     for t3, p3, l3 in _walk_chunks(payload, p2 + 4, p2 + l2):
                         if t3 == b"strh":
                             if l3 < 36:
                                 raise ValueError("truncated AVI strh")
-                            fcc_type = payload[p3 : p3 + 4]
-                            if fcc_type != b"vids":
+                            if payload[p3 : p3 + 4] != b"vids":
                                 break  # audio/other stream: ignore
                             scale, rate = struct.unpack(
                                 "<II", payload[p3 + 20 : p3 + 28]
+                            )
+                            (declared_frames,) = struct.unpack(
+                                "<I", payload[p3 + 32 : p3 + 36]
                             )
                         elif t3 == b"strf" and scale is not None and compression is None:
                             if l3 < 40:
@@ -427,31 +419,39 @@ def decode_avi_gray(payload: bytes):
                             (_hs, w2, h2, _pl, bpp, compression) = struct.unpack(
                                 "<IiiHHI", payload[p3 : p3 + 20]
                             )
-                            width = width or w2
-                            height = height or abs(h2)
+                            # strf is authoritative (avih dims are
+                            # informational in real files)
+                            width, height = w2, abs(h2)
+                            topdown = h2 < 0
         elif ltype == b"movi":
             saw_movi = True
-            for t2, p2, l2 in _walk_chunks(payload, bpos + 4, bpos + blen):
-                if t2 in (b"00db", b"00dc"):
-                    frames.append(payload[p2 : p2 + l2])
-    if width is None or height is None or not saw_movi:
-        raise ValueError("AVI missing hdrl dimensions or movi list")
-    if compression is None or scale is None:
+            walk_movi(bpos + 4, bpos + blen)
+    if not saw_movi:
+        raise ValueError("AVI missing movi list")
+    if compression is None or scale is None or width is None:
         raise ValueError("AVI missing vids strh/strf stream headers")
     if compression != 0 or bpp != 24:
         raise ValueError(
             f"unsupported AVI: bpp={bpp} compression={compression} "
             "(24-bit BI_RGB only)"
         )
-    fps = rate // scale if scale else 0
-    stride = (width * 3 + 3) & ~3
-    out = []
-    for d in frames:
-        if len(d) < stride * height:
-            raise ValueError("truncated AVI frame data")
-        gray = bytearray()
-        for r in range(height - 1, -1, -1):  # bottom-up -> top-down
-            row = d[r * stride : r * stride + width * 3]
-            gray += row[0::3]  # blue channel = gray
-        out.append(bytes(gray))
+    if scale == 0:
+        raise ValueError("malformed AVI: strh dwScale is 0 (fps undefined)")
+    if declared_frames and declared_frames != len(raw_frames):
+        raise ValueError(
+            f"corrupt AVI: strh declares {declared_frames} frames but the "
+            f"movi list carries {len(raw_frames)} — refusing to report a "
+            "frame count the container contradicts"
+        )
+    fps = round(rate / scale)
+    out: list[bytes] = []
+    for d in raw_frames:
+        if d is None:  # dropped frame: repeat the previous one
+            if not out:
+                raise ValueError(
+                    "corrupt AVI: dropped-frame marker before any frame"
+                )
+            out.append(out[-1])
+            continue
+        out.append(_dib_unpack_gray(d, width, height, topdown))
     return width, height, fps, out

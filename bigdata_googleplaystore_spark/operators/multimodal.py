@@ -126,7 +126,8 @@ def decode_features(media: DataFrame) -> DataFrame:
 
     Sniffs each payload's container by magic bytes and runs the matching
     parser (codecs.py): images yield (width, height, px_sum = sum of
-    gray values incl. padding), audio yields (n_samples, sample_sum).
+    gray values incl. padding), audio yields (n_samples, sample_sum),
+    video (AVI) yields frame dims with px_sum totalled across frames.
     The non-applicable columns are typed nulls — one stable schema for
     the whole heterogeneous media table. None/unknown payloads raise
     (fail-loud, like the PQ dim gate)."""
@@ -153,6 +154,9 @@ def decode_features(media: DataFrame) -> DataFrame:
                     w, h, px = codecs.decode_png_gray(b)
                 elif kind == "bmp":
                     w, h, px = codecs.decode_bmp_gray(b)
+                elif kind == "avi":
+                    w, h, _fps, frames = codecs.decode_avi_gray(b)
+                    px = b"".join(frames)
                 else:
                     rate, samples = codecs.decode_wav_pcm16(b)
                     out["width"].append(None)

@@ -276,35 +276,52 @@ def max_version_at_or_before(mt, latest: int, ts: float):
 
 
 def resolve_starting_timestamp(
-    fs: StorageBackend, table_dir: str, ts: float
+    fs: StorageBackend, table_dir: str, ts: float, now: float | None = None
 ) -> int:
     """The SMALLEST committed version whose manifest mtime >= ts —
     Delta's startingTimestamp resolution, done in O(log versions)
-    metadata probes (manifest mtimes are monotone with version, the
-    invariant vacuum's age-based retention already rests on). Returns
-    latest+1 when every commit predates ts (the stream reads only
-    future commits). A table with NO commits refuses (Delta parity):
-    returning 0 would drop ts on the floor, so a stream created with
-    a future startingTimestamp on a not-yet-committed table would
-    emit later commits whose mtime < ts — violating the
-    first-version-with-mtime>=ts contract. Vacuumed manifests probe as
-    older-than-ts (they are), but a resolution landing ON the vacuum
-    retention floor refuses loudly — the replay's baseline manifest
-    (resolved-1) is gone, so tailing from there cannot be exact (the
-    same loud-over-wrong policy as timestampAsOf). Backends that
-    cannot provide mtimes, or that fail to stat an EXISTING manifest,
-    also refuse rather than silently skipping history."""
+    metadata probes, each stat memoized (manifest mtimes are monotone
+    with version, the invariant vacuum's age-based retention already
+    rests on). Returns latest+1 when every commit predates ts (the
+    stream reads only future commits) and 0 on a table with no
+    commits — SOUND in both cases for any ts <= now, because a commit
+    landing after resolution time carries an mtime >= now >= ts. A ts
+    in the FUTURE of resolution wall-clock (`now`, injectable for
+    tests) refuses instead: a commit landing between now and T would
+    carry mtime < T yet be emitted, the one regime where the
+    first-version-with-mtime>=ts contract can actually break. (Delta
+    refuses EVERY ts past its last commit; this keeps the usable
+    resume-from-a-quiet-period case and refuses only the unsound one.
+    Driver/storage clock skew narrows the boundary by the skew —
+    callers needing exactness at the boundary should pass
+    startingVersion.) Vacuumed manifests probe as older-than-ts (they
+    are), but a resolution landing ON the vacuum retention floor
+    refuses loudly — the replay's baseline manifest (resolved-1) is
+    gone, so tailing from there cannot be exact (the same
+    loud-over-wrong policy as timestampAsOf). Backends that cannot
+    provide mtimes, or that fail to stat an EXISTING manifest, also
+    refuse rather than silently skipping history."""
+    import time
+
+    if now is None:
+        now = time.time()
     latest = _latest_version(fs, table_dir)
     if latest is None:
-        raise ValueError(
-            f"manifest stream source: startingTimestamp cannot resolve "
-            f"on {table_dir} — the table has no commits, so there is "
-            "no first-version-with-mtime>=T to anchor the tail; use "
-            "startingVersion=0 (replay from the first future commit) "
-            "or omit both for initial-snapshot semantics"
-        )
+        if ts > now:
+            raise ValueError(
+                f"manifest stream source: startingTimestamp {ts} is in "
+                f"the future and {table_dir} has no commits — a commit "
+                "landing before that instant would carry mtime < T yet "
+                "be emitted; pass a timestamp <= now, or "
+                "startingVersion=0 to tail every future commit"
+            )
+        return 0
+
+    _mt_cache: dict[int, float | None] = {}
 
     def mt(v: int) -> float | None:
+        if v in _mt_cache:
+            return _mt_cache[v]
         p = f"{table_dir}/{MANIFEST_DIR}/v{v:012d}.json"
         m = fs.mtime(p)
         if m is None and fs.exists(p):
@@ -314,15 +331,26 @@ def resolve_starting_timestamp(
                 f"{table_dir} — startingTimestamp cannot resolve "
                 "soundly on this backend; use startingVersion"
             )
+        _mt_cache[v] = m
         return m
 
     if mt(latest) is None:
         raise ValueError(
-            f"manifest stream source: startingTimestamp needs file "
-            f"modification times, which the storage backend for "
-            f"{table_dir} does not provide — use startingVersion"
+            f"manifest stream source: manifest v{latest} of {table_dir} "
+            "vanished between listing and stat (concurrent vacuum?) — "
+            "startingTimestamp cannot resolve against a moving log; "
+            "retry, or use startingVersion"
         )
     resolved = min_version_at_or_after(mt, latest, ts)
+    if resolved > latest and ts > now:
+        raise ValueError(
+            f"manifest stream source: startingTimestamp {ts} is in the "
+            f"future (past every commit of {table_dir} AND past "
+            "resolution wall-clock) — a commit landing before that "
+            "instant would carry mtime < T yet be emitted; pass a "
+            "timestamp <= now, or startingVersion to pin the tail "
+            "explicitly"
+        )
     if 0 < resolved <= latest and mt(resolved - 1) is None:
         raise ValueError(
             f"manifest stream source: startingTimestamp resolves to "

@@ -2547,13 +2547,24 @@ def test_starting_timestamp_resolution_and_option_contract():
     with pytest.raises(ValueError, match="modification time"):
         ms.resolve_starting_timestamp(nm, tbl, 250.0)
     # empty table: first future commit is v0
-    # empty table REFUSES (r12 advice): returning 0 would drop ts, so
-    # a future startingTimestamp on a not-yet-committed table would
-    # emit commits whose mtime < ts
+    # FUTURE timestamps refuse (r12 advice + r13 review): a commit
+    # landing between now and a future T carries mtime < T yet would
+    # be emitted — on an empty table AND on the all-older tail path.
+    # Past timestamps stay usable (unlike Delta's blanket refusal of
+    # any ts past the last commit): a commit landing after resolution
+    # gets mtime >= now >= ts, so the contract holds.
+    future = 4102444800.0  # 2100-01-01
+    with pytest.raises(ValueError, match="future"):
+        R(mem, tbl, future)
     mem2 = storage.get_backend("memory://sttsempty")
     mem2.clear()
-    with pytest.raises(ValueError, match="no commits"):
-        R(mem2, "memory://sttsempty", 123.0)
+    assert R(mem2, "memory://sttsempty", 123.0) == 0  # past ts: sound
+    with pytest.raises(ValueError, match="future"):
+        R(mem2, "memory://sttsempty", future)
+    # injectable clock: what counts as "future" is resolution-time now
+    assert R(mem2, "memory://sttsempty", 123.0, now=200.0) == 0
+    with pytest.raises(ValueError, match="future"):
+        R(mem2, "memory://sttsempty", 123.0, now=100.0)
     # the shared helper handles None at `latest` itself (the exported
     # contract: None = definitely-older), no caller pre-guard needed
     assert ms.min_version_at_or_after(lambda v: None, 4, 10.0) == 5

@@ -115,7 +115,9 @@ def test_resolution_is_sound_or_refuses_loudly(log, ts):
     mem, tbl = _table("proptts", mts)
     try:
         try:
-            r = ms.resolve_starting_timestamp(mem, tbl, ts)
+            # now far past every synthetic ts so the future-refusal
+            # guard never fires here (it has its own cases below)
+            r = ms.resolve_starting_timestamp(mem, tbl, ts, now=1e9)
         except ValueError as exc:
             # the only refusal this log shape can produce: resolution
             # landed at the vacuum retention floor (replay baseline
@@ -142,11 +144,19 @@ def test_resolution_is_sound_or_refuses_loudly(log, ts):
 
 
 def test_refusal_ladder_edges():
-    # empty table refuses (not version 0): a future-T stream on a
-    # not-yet-committed table must not emit commits with mtime < T
+    # FUTURE timestamps refuse everywhere (a commit landing between now
+    # and T carries mtime < T yet would be emitted); PAST timestamps on
+    # an empty table or past every commit stay usable — future commits
+    # get mtime >= now >= ts, so the contract holds
     mem, tbl = _table("proptts_empty", [])
-    with pytest.raises(ValueError, match="no commits"):
-        ms.resolve_starting_timestamp(mem, tbl, 123.0)
+    assert ms.resolve_starting_timestamp(mem, tbl, 123.0, now=200.0) == 0
+    with pytest.raises(ValueError, match="future"):
+        ms.resolve_starting_timestamp(mem, tbl, 123.0, now=100.0)
+    mem_f, tbl_f = _table("proptts_future", [100.0, 200.0])
+    assert ms.resolve_starting_timestamp(mem_f, tbl_f, 300.0, now=400.0) == 2
+    with pytest.raises(ValueError, match="future"):
+        ms.resolve_starting_timestamp(mem_f, tbl_f, 500.0, now=400.0)
+    mem_f.clear()
 
     # stat anomaly: an EXISTING manifest the backend cannot stat
     # refuses, never classifies as definitely-older
@@ -227,11 +237,20 @@ def test_both_stream_sources_share_the_resolution_contract():
     assert r1.starting == r2.starting == 0  # resolved v1, tail inclusive
     mem.clear()
 
+    # a genuinely-future timestamp refuses through both readers
+    future = "2100-01-01 00:00:00"
     mem2, tbl2 = _table("proptts_both_empty", [])
-    with pytest.raises(ValueError, match="no commits"):
-        ms.ManifestStreamReader(schema, {"path": tbl2, "startingtimestamp": "150"})
-    with pytest.raises(ValueError, match="no commits"):
-        mc.ManifestCDFStreamReader(
-            cdf_schema, {"path": tbl2, "startingtimestamp": "150"}
+    with pytest.raises(ValueError, match="future"):
+        ms.ManifestStreamReader(
+            schema, {"path": tbl2, "startingtimestamp": future}
         )
+    with pytest.raises(ValueError, match="future"):
+        mc.ManifestCDFStreamReader(
+            cdf_schema, {"path": tbl2, "startingtimestamp": future}
+        )
+    # a past timestamp on an empty table tails from the first commit
+    r3 = ms.ManifestStreamReader(
+        schema, {"path": tbl2, "startingtimestamp": "150"}
+    )
+    assert r3.starting == -1 and not r3.snapshot_mode
     mem2.clear()

@@ -57,6 +57,73 @@ def test_avi_decoder_tolerates_foreign_chunks_and_00dc_tag():
     assert out == [bytes(range(64))]
 
 
+def test_avi_foreign_layouts_decode_exactly():
+    """Real-muxer layouts the r13 review flagged: top-down DIBs
+    (negative strf biHeight), 'rec '-grouped interleave lists, and
+    zero-length dropped-frame markers (VfW repeat-previous) must all
+    decode to the right pixels, not silently-wrong ones."""
+    frame0, frame1 = bytes(range(64)), bytes(range(64, 128))
+    one = codecs.encode_avi_gray([frame0], 16, 4, fps=5)
+
+    # top-down: flip the strf height sign and store rows top-down
+    strf_bu = struct.pack("<IiiHHI", 40, 16, 4, 1, 24, 0)
+    strf_td = struct.pack("<IiiHHI", 40, 16, -4, 1, 24, 0)
+    td_rows = b"".join(
+        b"".join(bytes((g, g, g)) for g in frame0[r * 16 : (r + 1) * 16])
+        for r in range(4)
+    )
+    bu_rows = codecs._dib_pack_gray(frame0, 16, 4)
+    hacked = one.replace(strf_bu, strf_td, 1).replace(bu_rows, td_rows, 1)
+    assert codecs.decode_avi_gray(hacked)[3] == [frame0]
+
+    # rec-interleave: the frame chunk rides inside LIST 'rec '
+    plain_movi = codecs._riff_list(
+        b"movi", codecs._riff_chunk(b"00db", bu_rows)
+    )
+    rec_movi = codecs._riff_list(
+        b"movi",
+        codecs._riff_list(b"rec ", codecs._riff_chunk(b"00db", bu_rows)),
+    )
+    assert plain_movi in one
+    hacked2 = one.replace(plain_movi, rec_movi, 1)
+    hacked2 = b"RIFF" + struct.pack("<I", len(hacked2) - 8) + hacked2[8:]
+    assert codecs.decode_avi_gray(hacked2)[3] == [frame0]
+
+    # dropped frame (zero-length chunk) repeats the previous frame
+    two = codecs.encode_avi_gray([frame0, frame1], 16, 4, fps=5)
+    d0, d1 = codecs._dib_pack_gray(frame0, 16, 4), codecs._dib_pack_gray(frame1, 16, 4)
+    plain2 = codecs._riff_list(
+        b"movi", codecs._riff_chunk(b"00db", d0) + codecs._riff_chunk(b"00db", d1)
+    )
+    dropped = codecs._riff_list(
+        b"movi", codecs._riff_chunk(b"00db", d0) + codecs._riff_chunk(b"00db", b"")
+    )
+    assert plain2 in two
+    hacked3 = two.replace(plain2, dropped, 1)
+    hacked3 = b"RIFF" + struct.pack("<I", len(hacked3) - 8) + hacked3[8:]
+    assert codecs.decode_avi_gray(hacked3)[3] == [frame0, frame0]
+
+
+def test_avi_header_validation_refusals():
+    """Fail-loud on malformed headers (r13 review): dwScale=0 has no
+    defined fps, and a strh frame count the movi list contradicts must
+    not be reported as if it were the container's truth."""
+    one = codecs.encode_avi_gray([b"\x01" * 64], 16, 4, fps=5)
+    pre = struct.pack("<IHHI", 0, 0, 0, 0)  # dwFlags..dwInitialFrames
+    good = b"vids" + b"DIB " + pre + struct.pack("<II", 1, 5)
+    bad = b"vids" + b"DIB " + pre + struct.pack("<II", 0, 5)
+    assert good in one
+    with pytest.raises(ValueError, match="dwScale"):
+        codecs.decode_avi_gray(one.replace(good, bad, 1))
+    i = one.index(b"vids")
+    patched = one[: i + 32] + struct.pack("<I", 3) + one[i + 36 :]
+    with pytest.raises(ValueError, match="frame"):
+        codecs.decode_avi_gray(patched)
+    # NTSC-style non-integral rate rounds (29.97 -> 30), documented
+    ntsc = one.replace(good, b"vids" + b"DIB " + pre + struct.pack("<II", 1001, 30000), 1)
+    assert codecs.decode_avi_gray(ntsc)[2] == 30
+
+
 def test_avi_refusals_fail_loudly():
     payload = codecs.encode_avi_gray([b"\x01" * 64], 16, 4)
     # wrong magic
