@@ -97,6 +97,7 @@ _PRIORITY: list[str] = [
     "window_running_sum",
     # gates NEW this round are appended here as they land (policy above):
     "multimodal_video_frames",
+    "multimodal_av_demux",
     # ===== r12 window, kept for the record (all green in r12) =====
     "stream_cdf_from_manifest",
     "stream_cdf_mv_maintenance",

@@ -1357,6 +1357,51 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_av_demux",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id, length(text) AS n, text,
+             least(CAST(ceil(length(text) / 64.0) AS BIGINT), 6) AS n_frames
+      FROM documents WHERE length(text) >= 1 AND doc_id % 4 = 2
+    )
+    SELECT media_id, CAST(10 AS BIGINT) AS fps, n_frames,
+           CAST(list_sum(list_transform(range(1, least(n_frames*64, n) + 1),
+                i -> ascii(text[CAST(i AS INT)]))) AS BIGINT) AS px_sum,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           n AS n_samples,
+           CAST(list_sum(list_transform(range(1, n + 1),
+                i -> (ascii(text[CAST(i AS INT)]) - 128) * 128)) AS BIGINT)
+             AS sample_sum
+    FROM m
+    """,
+    tags=("llm", "multimodal", "video", "audio"),
+)
+def multimodal_av_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERLEAVED A/V DEMUX: documents -> real two-stream AVI
+    containers (stream 0 = text-tile DIB video, stream 1 = PCM16 audio
+    carrying every text byte as (byte-128)*128, interleaved per frame
+    period the classic VfW way) -> one RIFF walk demuxing BOTH streams
+    back (codecs.decode_avi_av) -> per-clip stats across modalities:
+    frame count + total pixel sum, sample count + exact int64 sample
+    sum, fps and sample_rate out of the container headers. The oracle
+    re-derives the video side from 64-byte tile ranges (framing cap
+    included) and the audio side from the whole text — a chunk-order
+    bug, a stream-id mixup, or an interleave boundary error shifts a
+    sum and hash-fails. The A/V feature-extraction shape an audio-
+    visual curation pipeline runs before filtering at 100 TB."""
+    from ..operators import multimodal
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        (F.length("text") >= 1) & (F.col("doc_id") % 4 == 2)
+    )
+    media = multimodal.attach_av_payload(d, "text", "doc_id")
+    return multimodal.av_demux_stats(media).select(
+        "media_id", "fps", "n_frames", "px_sum",
+        "sample_rate", "n_samples", "sample_sum",
+    )
+
+
+@register(
     "dedup_near_clusters",
     oracle=f"""
     WITH RECURSIVE sh AS ({_SHINGLES_SQL}),

@@ -359,40 +359,33 @@ def _walk_chunks(payload: bytes, pos: int, end: int):
         pos += 8 + length + (length & 1)
 
 
-def decode_avi_gray(payload: bytes):
-    """Parse an AVI-1.0 file of uncompressed 24-bit DIB frames ->
-    (width, height, fps, [gray frame bytes top-down, ...]).
-
-    Walks the RIFF tree tolerating what real muxers emit — extra
-    chunks/LISTs (JUNK, INFO), an optional idx1, the '00dc' tag,
-    'rec '-grouped interleave lists, and zero-length dropped-frame
-    chunks (VfW "repeat previous frame": replayed as a copy of the
-    prior frame so the stream keeps its declared frame count). strf is
-    authoritative for dimensions (negative biHeight = top-down rows,
-    decode_bmp_gray parity) and must declare BI_RGB 24 bpp; strh must
-    carry a nonzero dwScale (fps = round(rate/scale); NTSC-style
-    non-integral rates round) and, when it declares a nonzero
-    dwLength, the movi frame count must match it — a header/payload
-    mismatch raises rather than silently reporting the wrong count.
-    Raises ValueError on malformed or unsupported input."""
+def _parse_avi(payload: bytes) -> dict:
+    """Shared AVI-1.0 RIFF tree parse: header streams + per-stream movi
+    chunk lists. Tolerates extra chunks/LISTs (JUNK, INFO), an optional
+    idx1, 'rec '-grouped interleave lists, and any NNdb/NNdc/NNwb
+    stream-chunk tags. Returns {"streams": [per-strl dicts in stream
+    order], "chunks": {stream_id: [bytes|None, ...]}} where None marks a
+    zero-length video dropped-frame chunk. Raises on truncation."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not an AVI: bad RIFF/AVI magic")
     (riff_len,) = struct.unpack("<I", payload[4:8])
     end = min(len(payload), 8 + riff_len)
-    width = height = None
-    topdown = False
-    scale = rate = None
-    declared_frames = None
-    compression = bpp = None
-    raw_frames: list[bytes | None] = []  # None = dropped-frame marker
+    streams: list[dict] = []
+    chunks: dict[int, list] = {}
     saw_movi = False
 
     def walk_movi(pos: int, stop: int) -> None:
         for t2, p2, l2 in _walk_chunks(payload, pos, stop):
             if t2 == b"LIST" and payload[p2 : p2 + 4] == b"rec ":
                 walk_movi(p2 + 4, p2 + l2)  # interleave group
-            elif t2 in (b"00db", b"00dc"):
-                raw_frames.append(payload[p2 : p2 + l2] if l2 else None)
+            elif t2[:2].isdigit() and t2[2:4] in (b"db", b"dc", b"wb"):
+                sid = int(t2[:2])
+                body = payload[p2 : p2 + l2]
+                if t2[2:4] == b"wb":
+                    if l2:
+                        chunks.setdefault(sid, []).append(body)
+                else:  # video: zero-length = dropped-frame marker
+                    chunks.setdefault(sid, []).append(body if l2 else None)
 
     for tag, bpos, blen in _walk_chunks(payload, 12, end):
         if tag != b"LIST":
@@ -401,49 +394,101 @@ def decode_avi_gray(payload: bytes):
         if ltype == b"hdrl":
             for t2, p2, l2 in _walk_chunks(payload, bpos + 4, bpos + blen):
                 if t2 == b"LIST" and payload[p2 : p2 + 4] == b"strl":
+                    st: dict = {}
                     for t3, p3, l3 in _walk_chunks(payload, p2 + 4, p2 + l2):
                         if t3 == b"strh":
                             if l3 < 36:
                                 raise ValueError("truncated AVI strh")
-                            if payload[p3 : p3 + 4] != b"vids":
-                                break  # audio/other stream: ignore
-                            scale, rate = struct.unpack(
+                            st["type"] = payload[p3 : p3 + 4]
+                            st["scale"], st["rate"] = struct.unpack(
                                 "<II", payload[p3 + 20 : p3 + 28]
                             )
-                            (declared_frames,) = struct.unpack(
+                            (st["length"],) = struct.unpack(
                                 "<I", payload[p3 + 32 : p3 + 36]
                             )
-                        elif t3 == b"strf" and scale is not None and compression is None:
-                            if l3 < 40:
-                                raise ValueError("truncated AVI strf")
-                            (_hs, w2, h2, _pl, bpp, compression) = struct.unpack(
-                                "<IiiHHI", payload[p3 : p3 + 20]
-                            )
-                            # strf is authoritative (avih dims are
-                            # informational in real files)
-                            width, height = w2, abs(h2)
-                            topdown = h2 < 0
+                        elif t3 == b"strf" and "type" in st and "strf" not in st:
+                            if st["type"] == b"vids":
+                                if l3 < 40:
+                                    raise ValueError("truncated AVI strf")
+                                (_hs, w2, h2, _pl, bpp, comp) = struct.unpack(
+                                    "<IiiHHI", payload[p3 : p3 + 20]
+                                )
+                                # strf is authoritative (avih dims are
+                                # informational in real files)
+                                st["strf"] = {
+                                    "width": w2,
+                                    "height": abs(h2),
+                                    "topdown": h2 < 0,
+                                    "bpp": bpp,
+                                    "compression": comp,
+                                }
+                            elif st["type"] == b"auds":
+                                if l3 < 16:
+                                    raise ValueError("truncated AVI audio strf")
+                                fmt, ch, srate, _abps, _ba, bits = struct.unpack(
+                                    "<HHIIHH", payload[p3 : p3 + 16]
+                                )
+                                st["strf"] = {
+                                    "fmt": fmt,
+                                    "channels": ch,
+                                    "sample_rate": srate,
+                                    "bits": bits,
+                                }
+                            else:
+                                st["strf"] = {}
+                    streams.append(st)
         elif ltype == b"movi":
             saw_movi = True
             walk_movi(bpos + 4, bpos + blen)
     if not saw_movi:
         raise ValueError("AVI missing movi list")
-    if compression is None or scale is None or width is None:
+    return {"streams": streams, "chunks": chunks}
+
+
+def decode_avi_gray(payload: bytes):
+    """Parse an AVI-1.0 file of uncompressed 24-bit DIB frames ->
+    (width, height, fps, [gray frame bytes top-down, ...]).
+
+    Walks the RIFF tree tolerating what real muxers emit — extra
+    chunks/LISTs (JUNK, INFO), an optional idx1, the '00dc' tag,
+    'rec '-grouped interleave lists, zero-length dropped-frame
+    chunks (VfW "repeat previous frame": replayed as a copy of the
+    prior frame so the stream keeps its declared frame count), and
+    co-muxed audio streams (ignored here; decode_avi_av demuxes
+    them). strf is authoritative for dimensions (negative biHeight =
+    top-down rows, decode_bmp_gray parity) and must declare BI_RGB
+    24 bpp; strh must carry a nonzero dwScale (fps = round(rate/
+    scale); NTSC-style non-integral rates round) and, when it
+    declares a nonzero dwLength, the movi frame count must match it —
+    a header/payload mismatch raises rather than silently reporting
+    the wrong count. Raises ValueError on malformed or unsupported
+    input."""
+    parsed = _parse_avi(payload)
+    vids = [
+        (i, st)
+        for i, st in enumerate(parsed["streams"])
+        if st.get("type") == b"vids" and "strf" in st
+    ]
+    if not vids:
         raise ValueError("AVI missing vids strh/strf stream headers")
-    if compression != 0 or bpp != 24:
+    sid, st = vids[0]
+    f = st["strf"]
+    if f["compression"] != 0 or f["bpp"] != 24:
         raise ValueError(
-            f"unsupported AVI: bpp={bpp} compression={compression} "
-            "(24-bit BI_RGB only)"
+            f"unsupported AVI: bpp={f['bpp']} compression="
+            f"{f['compression']} (24-bit BI_RGB only)"
         )
-    if scale == 0:
+    if st["scale"] == 0:
         raise ValueError("malformed AVI: strh dwScale is 0 (fps undefined)")
-    if declared_frames and declared_frames != len(raw_frames):
+    raw_frames = parsed["chunks"].get(sid, [])
+    if st["length"] and st["length"] != len(raw_frames):
         raise ValueError(
-            f"corrupt AVI: strh declares {declared_frames} frames but the "
+            f"corrupt AVI: strh declares {st['length']} frames but the "
             f"movi list carries {len(raw_frames)} — refusing to report a "
             "frame count the container contradicts"
         )
-    fps = round(rate / scale)
+    fps = round(st["rate"] / st["scale"])
+    width, height, topdown = f["width"], f["height"], f["topdown"]
     out: list[bytes] = []
     for d in raw_frames:
         if d is None:  # dropped frame: repeat the previous one
@@ -455,3 +500,136 @@ def decode_avi_gray(payload: bytes):
             continue
         out.append(_dib_unpack_gray(d, width, height, topdown))
     return width, height, fps, out
+
+
+def encode_avi_av(
+    frames,
+    width: int,
+    height: int,
+    samples,
+    sample_rate: int = 8000,
+    fps: int = 10,
+) -> bytes:
+    """AVI-1.0 container with TWO interleaved streams — stream 0 the
+    uncompressed DIB video of encode_avi_gray, stream 1 PCM16 mono
+    audio — laid out the classic VfW way: per frame period, one '00db'
+    video chunk followed by one '01wb' audio chunk carrying that
+    period's round(sample_rate/fps) samples (the final chunk takes the
+    remainder). Headers are spec-complete: avih dwStreams=2, an auds
+    strh with byte-denominated dwScale/dwRate (nBlockAlign /
+    nAvgBytesPerSec, dwSampleSize=2) and a WAVEFORMATEX strf, plus a
+    keyframed idx1 over both streams."""
+    import numpy as np
+
+    if width <= 0 or height <= 0:
+        raise ValueError("width and height must be positive")
+    if fps <= 0 or sample_rate <= 0:
+        raise ValueError("fps and sample_rate must be positive")
+    frames = list(frames)
+    if not frames:
+        raise ValueError("AVI needs at least one frame")
+    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    dibs = [
+        _dib_pack_gray(
+            bytes(fr).ljust(width * height, b"\x00")[: width * height],
+            width,
+            height,
+        )
+        for fr in frames
+    ]
+    frame_bytes = ((width * 3 + 3) & ~3) * height
+    n_samples = len(pcm) // 2
+    per = round(sample_rate / fps)
+    audio_parts = [
+        pcm[i * 2 * per : (i + 1) * 2 * per] for i in range(len(dibs) - 1)
+    ]
+    audio_parts.append(pcm[(len(dibs) - 1) * 2 * per :])  # remainder
+    audio_parts = [a for a in audio_parts if a]
+
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps, frame_bytes * fps + sample_rate * 2, 0, 0x10,
+        len(dibs), 0, 2, frame_bytes, width, height, 0, 0, 0, 0,
+    )
+    strh_v = struct.pack(
+        "<4s4sIHHIIIIIIii4H",
+        b"vids", b"DIB ", 0, 0, 0, 0,
+        1, fps, 0, len(dibs), frame_bytes, -1, 0,
+        0, 0, width, height,
+    )
+    strf_v = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, frame_bytes, 2835, 2835, 0, 0
+    )
+    strh_a = struct.pack(
+        "<4s4sIHHIIIIIIii4H",
+        b"auds", b"\x00\x00\x00\x00", 0, 0, 0, 0,
+        2, sample_rate * 2,  # dwScale=nBlockAlign, dwRate=bytes/sec
+        0, n_samples, sample_rate * 2, -1, 2,  # dwSampleSize=2
+        0, 0, 0, 0,
+    )
+    strf_a = struct.pack(
+        "<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16
+    )
+    hdrl = _riff_list(
+        b"hdrl",
+        _riff_chunk(b"avih", avih)
+        + _riff_list(
+            b"strl", _riff_chunk(b"strh", strh_v) + _riff_chunk(b"strf", strf_v)
+        )
+        + _riff_list(
+            b"strl", _riff_chunk(b"strh", strh_a) + _riff_chunk(b"strf", strf_a)
+        ),
+    )
+    movi_chunks: list[tuple[bytes, bytes]] = []
+    for i, d in enumerate(dibs):
+        movi_chunks.append((b"00db", d))
+        if i < len(audio_parts):
+            movi_chunks.append((b"01wb", audio_parts[i]))
+    movi_chunks.extend((b"01wb", a) for a in audio_parts[len(dibs):])
+    movi = _riff_list(
+        b"movi", b"".join(_riff_chunk(t, d) for t, d in movi_chunks)
+    )
+    idx_entries, off = [], 4
+    for t, d in movi_chunks:
+        idx_entries.append(struct.pack("<4sIII", t, 0x10, off, len(d)))
+        off += 8 + len(d) + (len(d) & 1)
+    idx1 = _riff_chunk(b"idx1", b"".join(idx_entries))
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi_av(payload: bytes):
+    """Demux an interleaved A/V AVI -> (width, height, fps, frames,
+    sample_rate, numpy int16 samples): the video stream decoded exactly
+    as decode_avi_gray, plus the first 'auds' stream's PCM16 mono
+    samples reassembled in chunk order (interleave order IS sample
+    order). The audio strf must declare PCM 16-bit mono — compressed or
+    multi-channel audio refuses, like the video side's BI_RGB rule.
+    Raises ValueError when the container has no audio stream (use
+    decode_avi_gray for video-only files)."""
+    import numpy as np
+
+    width, height, fps, frames = decode_avi_gray(payload)
+    parsed = _parse_avi(payload)
+    auds = [
+        (i, st)
+        for i, st in enumerate(parsed["streams"])
+        if st.get("type") == b"auds" and "strf" in st
+    ]
+    if not auds:
+        raise ValueError("AVI has no audio stream (use decode_avi_gray)")
+    sid, st = auds[0]
+    f = st["strf"]
+    if f["fmt"] != 1 or f["channels"] != 1 or f["bits"] != 16:
+        raise ValueError(
+            f"unsupported AVI audio: fmt={f['fmt']} channels="
+            f"{f['channels']} bits={f['bits']} (PCM16 mono only)"
+        )
+    data = b"".join(parsed["chunks"].get(sid, []))
+    samples = np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2")
+    if st["length"] and st["length"] != samples.size:
+        raise ValueError(
+            f"corrupt AVI: audio strh declares {st['length']} samples "
+            f"but the movi chunks carry {samples.size}"
+        )
+    return width, height, fps, frames, f["sample_rate"], samples

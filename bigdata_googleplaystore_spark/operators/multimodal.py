@@ -14,10 +14,12 @@ Round 4: the decode step is REAL — pure-stdlib PNG/BMP/WAV codecs
 (operators/codecs.py) replace the round-1..3 `_fake_decode` stub. The
 container formats are sniffed by magic bytes and parsed per spec (chunk
 CRCs, BMP bottom-up padding, RIFF chunk walk, all five PNG scanline
-filters), so corrupt payloads raise instead of yielding garbage. The one
-remaining stand-in is video: no container format is parseable with the
-stdlib alone, so frame sampling operates on decoded image scanlines (real
-decoded data) and rejects unknown containers.
+filters), so corrupt payloads raise instead of yielding garbage.
+Round 13 retires the last stand-in: video is a REAL AVI-1.0 container
+tier (uncompressed DIB frames + optional interleaved PCM16 audio —
+attach_video_payload / video_frame_stats / attach_av_payload /
+av_demux_stats below), with compressed codecs refusing loudly rather
+than decoding approximately.
 
 The fixture generator `attach_media_payload` encodes document text bytes
 as real PNG/BMP/WAV files (round-robin by id). That convention is what
@@ -536,3 +538,93 @@ def video_frame_stats(media: DataFrame, stride: int = 1) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(batches, VIDEO_FRAME_SCHEMA)
+
+
+def attach_av_payload(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    frame_w: int = VIDEO_FRAME_W,
+    frame_h: int = VIDEO_FRAME_H,
+    max_frames: int = VIDEO_MAX_FRAMES,
+    sample_rate: int = 8000,
+    fps: int = 10,
+) -> DataFrame:
+    """Encode each row's text into a REAL interleaved A/V AVI container
+    (codecs.encode_avi_av): the video stream tiles the text bytes like
+    attach_video_payload; the audio stream carries EVERY text byte as a
+    PCM16 sample via the WAV fixture mapping sample = (byte-128)*128.
+    Both mappings stay SQL-derivable so the demux is oracle-checkable:
+    frame sums over tile ranges, sample sums over the whole text."""
+    per = frame_w * frame_h
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            ids, types, payloads = [], [], []
+            for mid, text in zip(pdf["media_id"], pdf["text"]):
+                data = text.encode("utf-8")
+                nf = min(max_frames, max(1, -(-len(data) // per)))
+                frames = [data[f * per : (f + 1) * per] for f in range(nf)]
+                samples = [(b - 128) * 128 for b in data]
+                payloads.append(
+                    codecs.encode_avi_av(
+                        frames, frame_w, frame_h, samples,
+                        sample_rate=sample_rate, fps=fps,
+                    )
+                )
+                types.append("video/avi")
+                ids.append(mid)
+            yield pd.DataFrame(
+                {"media_id": ids, "media_type": types, "payload": payloads}
+            )
+
+    base = df.select(F.col(id_col).alias("media_id"), F.col(text_col).alias("text"))
+    return base.mapInPandas(batches, MEDIA_SCHEMA)
+
+
+AV_DEMUX_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("fps", LongType(), True),
+        StructField("n_frames", LongType(), True),
+        StructField("px_sum", LongType(), True),
+        StructField("sample_rate", LongType(), True),
+        StructField("n_samples", LongType(), True),
+        StructField("sample_sum", LongType(), True),
+    ]
+)
+
+
+def av_demux_stats(media: DataFrame) -> DataFrame:
+    """REAL A/V demux: parse each payload's interleaved AVI
+    (codecs.decode_avi_av — one RIFF walk feeding both stream views),
+    emitting per-clip stats for BOTH modalities: frame count + total
+    pixel sum from the video stream, sample count + exact int64 sample
+    sum from the PCM audio stream, with fps and sample_rate taken from
+    the container headers. One output row per clip — the
+    feature-extraction shape an A/V curation pipeline runs before
+    filtering (silent clips, black frames) at 100 TB."""
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            out: dict[str, list] = {f.name: [] for f in AV_DEMUX_SCHEMA.fields}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                w, h, fps, frames, sr, samples = codecs.decode_avi_av(
+                    bytes(payload)
+                )
+                out["media_id"].append(mid)
+                out["fps"].append(fps)
+                out["n_frames"].append(len(frames))
+                out["px_sum"].append(sum(sum(fr) for fr in frames))
+                out["sample_rate"].append(sr)
+                out["n_samples"].append(int(samples.size))
+                out["sample_sum"].append(int(samples.astype("int64").sum()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, AV_DEMUX_SCHEMA)

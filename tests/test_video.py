@@ -163,6 +163,34 @@ def test_avi_golden_bytes_stable():
 GOLDEN_MD5 = "22fb95a5996a223b11cb1f8b237e6724"
 
 
+def test_avi_av_mux_demux_sample_and_frame_exact():
+    """Interleaved A/V: video frames and PCM samples both survive the
+    per-frame-period interleave byte-exact; the video-only view ignores
+    the audio stream; audio-less files refuse the A/V demux."""
+    import numpy as np
+
+    frames = [bytes(range(64)), bytes(range(64, 128)), b"\x05" * 64]
+    samples = [(i % 256 - 128) * 100 for i in range(2500)]
+    av = codecs.encode_avi_av(frames, 16, 4, samples, sample_rate=8000, fps=10)
+    assert codecs.sniff(av) == "avi"
+    w, h, fps, out, sr, s = codecs.decode_avi_av(av)
+    assert (w, h, fps, sr) == (16, 4, 10, 8000)
+    assert out == frames
+    assert s.dtype == np.dtype("<i2") and s.tolist() == samples
+    # video-only view of the same container
+    assert codecs.decode_avi_gray(av)[3] == frames
+    # decode_features treats it as a video payload (px over all frames)
+    # and audio-less files refuse the A/V demux
+    with pytest.raises(ValueError, match="no audio"):
+        codecs.decode_avi_av(codecs.encode_avi_gray(frames, 16, 4))
+    # stereo/compressed audio refuses
+    strf_mono = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    strf_stereo = struct.pack("<HHIIHH", 1, 2, 8000, 16000, 2, 16)
+    assert strf_mono in av
+    with pytest.raises(ValueError, match="PCM16 mono"):
+        codecs.decode_avi_av(av.replace(strf_mono, strf_stereo, 1))
+
+
 # ----------------------------------------------------------------------
 # Spark surface
 # ----------------------------------------------------------------------
@@ -191,6 +219,22 @@ def test_video_frame_stats_matches_per_text_sums(spark):
     caps = sorted(by_id[2], key=lambda r: r.frame_idx)
     assert len(caps) == 6 and all(r.frame_sum == 98 * 64 for r in caps)
     assert all(r.n_px == 64 for r in rows)
+
+
+def test_av_demux_stats_matches_per_text_sums(spark):
+    texts = [("a" * 70, 0), ("b" * 500, 1)]
+    df = spark.createDataFrame(
+        [(i, t) for t, i in texts], "doc_id long, text string"
+    )
+    media = multimodal.attach_av_payload(df, "text", "doc_id")
+    rows = {r.media_id: r for r in multimodal.av_demux_stats(media).collect()}
+    r0 = rows[0]
+    assert (r0.fps, r0.sample_rate) == (10, 8000)
+    assert r0.n_frames == 2 and r0.px_sum == 97 * 70
+    assert r0.n_samples == 70 and r0.sample_sum == (97 - 128) * 128 * 70
+    r1 = rows[1]  # capped at 6 frames; audio still carries every byte
+    assert r1.n_frames == 6 and r1.px_sum == 98 * 6 * 64
+    assert r1.n_samples == 500 and r1.sample_sum == (98 - 128) * 128 * 500
 
 
 def test_video_payloads_are_real_avi(spark):
