@@ -302,15 +302,11 @@ def _dib_unpack_gray(data: bytes, width: int, height: int, topdown: bool) -> byt
     return bytes(out)
 
 
-def encode_avi_gray(frames, width: int, height: int, fps: int = 10) -> bytes:
-    if width <= 0 or height <= 0:
-        raise ValueError("width and height must be positive")
-    if fps <= 0:
-        raise ValueError("fps must be positive")
-    frames = list(frames)
-    if not frames:
-        raise ValueError("AVI needs at least one frame")
-    dibs = [
+def _pack_dibs(frames, width: int, height: int) -> list:
+    """Pad/clip each gray frame to width*height and DIB-pack it — the
+    shared encoder front half of both AVI muxers (one copy, so the
+    video-only and A/V tiers can never diverge on pixel layout)."""
+    return [
         _dib_pack_gray(
             bytes(fr).ljust(width * height, b"\x00")[: width * height],
             width,
@@ -318,34 +314,62 @@ def encode_avi_gray(frames, width: int, height: int, fps: int = 10) -> bytes:
         )
         for fr in frames
     ]
-    frame_bytes = ((width * 3 + 3) & ~3) * height
 
-    avih = struct.pack(
-        "<14I",
-        1_000_000 // fps, frame_bytes * fps, 0, 0x10,
-        len(dibs), 0, 1, frame_bytes, width, height, 0, 0, 0, 0,
-    )
+
+def _video_headers(width: int, height: int, fps: int, n_frames: int, frame_bytes: int):
+    """The video stream's (strh, strf) pair — shared by both muxers."""
     strh = struct.pack(
         "<4s4sIHHIIIIIIii4H",
         b"vids", b"DIB ", 0, 0, 0, 0,
-        1, fps, 0, len(dibs), frame_bytes, -1, 0,
+        1, fps, 0, n_frames, frame_bytes, -1, 0,
         0, 0, width, height,
     )
     strf = struct.pack(
         "<IiiHHIIiiII", 40, width, height, 1, 24, 0, frame_bytes, 2835, 2835, 0, 0
     )
+    return strh, strf
+
+
+def _idx1(movi_chunks) -> bytes:
+    """Spec-complete keyframed idx1 over [(tag, body), ...] movi chunks
+    (offsets relative to the 'movi' list-type fourcc)."""
+    entries, off = [], 4
+    for t, d in movi_chunks:
+        entries.append(struct.pack("<4sIII", t, 0x10, off, len(d)))
+        off += 8 + len(d) + (len(d) & 1)
+    return _riff_chunk(b"idx1", b"".join(entries))
+
+
+def encode_avi_gray(frames, width: int, height: int, fps: int = 10) -> bytes:
+    """AVI-1.0 RIFF container of uncompressed 24-bit DIB video frames
+    from gray ``frames`` (each ``width*height`` bytes, row-major
+    top-down; short frames are zero-padded). One 'vids' stream,
+    BI_RGB, bottom-up rows with 4-byte stride padding (the BMP pixel
+    layout), one '00db' chunk per frame, plus a spec-complete 'idx1'
+    index marking every frame a keyframe."""
+    if width <= 0 or height <= 0:
+        raise ValueError("width and height must be positive")
+    if fps <= 0:
+        raise ValueError("fps must be positive")
+    frames = list(frames)
+    if not frames:
+        raise ValueError("AVI needs at least one frame")
+    dibs = _pack_dibs(frames, width, height)
+    frame_bytes = ((width * 3 + 3) & ~3) * height
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps, frame_bytes * fps, 0, 0x10,
+        len(dibs), 0, 1, frame_bytes, width, height, 0, 0, 0, 0,
+    )
+    strh, strf = _video_headers(width, height, fps, len(dibs), frame_bytes)
     hdrl = _riff_list(
         b"hdrl",
         _riff_chunk(b"avih", avih)
         + _riff_list(b"strl", _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)),
     )
-    movi = _riff_list(b"movi", b"".join(_riff_chunk(b"00db", d) for d in dibs))
-    idx_entries, off = [], 4
-    for d in dibs:
-        idx_entries.append(struct.pack("<4sIII", b"00db", 0x10, off, len(d)))
-        off += 8 + len(d) + (len(d) & 1)
-    idx1 = _riff_chunk(b"idx1", b"".join(idx_entries))
-    body = b"AVI " + hdrl + movi + idx1
+    movi_chunks = [(b"00db", d) for d in dibs]
+    movi = _riff_list(b"movi", b"".join(_riff_chunk(t, d) for t, d in movi_chunks))
+    body = b"AVI " + hdrl + movi + _idx1(movi_chunks)
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
@@ -362,8 +386,12 @@ def _walk_chunks(payload: bytes, pos: int, end: int):
 def _parse_avi(payload: bytes) -> dict:
     """Shared AVI-1.0 RIFF tree parse: header streams + per-stream movi
     chunk lists. Tolerates extra chunks/LISTs (JUNK, INFO), an optional
-    idx1, 'rec '-grouped interleave lists, and any NNdb/NNdc/NNwb
-    stream-chunk tags. Returns {"streams": [per-strl dicts in stream
+    idx1, and 'rec '-grouped interleave lists. Stream chunks are routed
+    by their NN stream id AND validated against the stream's declared
+    type — a 'wb' chunk aimed at a video stream (or 'db'/'dc' at an
+    audio stream, or any chunk for an undeclared stream id) raises
+    rather than polluting the other modality's chunk list with bytes it
+    would mis-decode. Returns {"streams": [per-strl dicts in stream
     order], "chunks": {stream_id: [bytes|None, ...]}} where None marks a
     zero-length video dropped-frame chunk. Raises on truncation."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
@@ -380,8 +408,25 @@ def _parse_avi(payload: bytes) -> dict:
                 walk_movi(p2 + 4, p2 + l2)  # interleave group
             elif t2[:2].isdigit() and t2[2:4] in (b"db", b"dc", b"wb"):
                 sid = int(t2[:2])
+                if sid >= len(streams):
+                    raise ValueError(
+                        f"corrupt AVI: movi chunk {t2!r} addresses stream "
+                        f"{sid}, but hdrl declares only {len(streams)}"
+                    )
+                stype = streams[sid].get("type")
+                suffix = t2[2:4]
+                if stype == b"vids" and suffix == b"wb" or (
+                    stype == b"auds" and suffix in (b"db", b"dc")
+                ):
+                    raise ValueError(
+                        f"corrupt AVI: movi chunk {t2!r} type contradicts "
+                        f"stream {sid}'s declared {stype!r} — refusing to "
+                        "decode one modality's bytes as the other"
+                    )
+                if stype not in (b"vids", b"auds"):
+                    continue  # text/other stream payloads: ignore
                 body = payload[p2 : p2 + l2]
-                if t2[2:4] == b"wb":
+                if suffix == b"wb":
                     if l2:
                         chunks.setdefault(sid, []).append(body)
                 else:  # video: zero-length = dropped-frame marker
@@ -445,25 +490,10 @@ def _parse_avi(payload: bytes) -> dict:
     return {"streams": streams, "chunks": chunks}
 
 
-def decode_avi_gray(payload: bytes):
-    """Parse an AVI-1.0 file of uncompressed 24-bit DIB frames ->
-    (width, height, fps, [gray frame bytes top-down, ...]).
-
-    Walks the RIFF tree tolerating what real muxers emit — extra
-    chunks/LISTs (JUNK, INFO), an optional idx1, the '00dc' tag,
-    'rec '-grouped interleave lists, zero-length dropped-frame
-    chunks (VfW "repeat previous frame": replayed as a copy of the
-    prior frame so the stream keeps its declared frame count), and
-    co-muxed audio streams (ignored here; decode_avi_av demuxes
-    them). strf is authoritative for dimensions (negative biHeight =
-    top-down rows, decode_bmp_gray parity) and must declare BI_RGB
-    24 bpp; strh must carry a nonzero dwScale (fps = round(rate/
-    scale); NTSC-style non-integral rates round) and, when it
-    declares a nonzero dwLength, the movi frame count must match it —
-    a header/payload mismatch raises rather than silently reporting
-    the wrong count. Raises ValueError on malformed or unsupported
-    input."""
-    parsed = _parse_avi(payload)
+def _decode_video_stream(parsed: dict):
+    """Video half of the decode, over an already-parsed container —
+    shared by decode_avi_gray and decode_avi_av so the A/V demux walks
+    the RIFF tree exactly once."""
     vids = [
         (i, st)
         for i, st in enumerate(parsed["streams"])
@@ -502,6 +532,27 @@ def decode_avi_gray(payload: bytes):
     return width, height, fps, out
 
 
+def decode_avi_gray(payload: bytes):
+    """Parse an AVI-1.0 file of uncompressed 24-bit DIB frames ->
+    (width, height, fps, [gray frame bytes top-down, ...]).
+
+    Walks the RIFF tree tolerating what real muxers emit — extra
+    chunks/LISTs (JUNK, INFO), an optional idx1, the '00dc' tag,
+    'rec '-grouped interleave lists, zero-length dropped-frame
+    chunks (VfW "repeat previous frame": replayed as a copy of the
+    prior frame so the stream keeps its declared frame count), and
+    co-muxed audio streams (ignored here; decode_avi_av demuxes
+    them). strf is authoritative for dimensions (negative biHeight =
+    top-down rows, decode_bmp_gray parity) and must declare BI_RGB
+    24 bpp; strh must carry a nonzero dwScale (fps = round(rate/
+    scale); NTSC-style non-integral rates round) and, when it
+    declares a nonzero dwLength, the movi frame count must match it —
+    a header/payload mismatch raises rather than silently reporting
+    the wrong count. Raises ValueError on malformed or unsupported
+    input."""
+    return _decode_video_stream(_parse_avi(payload))
+
+
 def encode_avi_av(
     frames,
     width: int,
@@ -511,12 +562,13 @@ def encode_avi_av(
     fps: int = 10,
 ) -> bytes:
     """AVI-1.0 container with TWO interleaved streams — stream 0 the
-    uncompressed DIB video of encode_avi_gray, stream 1 PCM16 mono
-    audio — laid out the classic VfW way: per frame period, one '00db'
-    video chunk followed by one '01wb' audio chunk carrying that
-    period's round(sample_rate/fps) samples (the final chunk takes the
-    remainder). Headers are spec-complete: avih dwStreams=2, an auds
-    strh with byte-denominated dwScale/dwRate (nBlockAlign /
+    uncompressed DIB video of encode_avi_gray (same shared header and
+    pixel-layout builders, so the tiers cannot diverge), stream 1
+    PCM16 mono audio — laid out the classic VfW way: per frame period,
+    one '00db' video chunk followed by one '01wb' audio chunk carrying
+    that period's round(sample_rate/fps) samples (the final chunk
+    takes the remainder). Headers are spec-complete: avih dwStreams=2,
+    an auds strh with byte-denominated dwScale/dwRate (nBlockAlign /
     nAvgBytesPerSec, dwSampleSize=2) and a WAVEFORMATEX strf, plus a
     keyframed idx1 over both streams."""
     import numpy as np
@@ -529,14 +581,7 @@ def encode_avi_av(
     if not frames:
         raise ValueError("AVI needs at least one frame")
     pcm = np.asarray(samples, dtype="<i2").tobytes()
-    dibs = [
-        _dib_pack_gray(
-            bytes(fr).ljust(width * height, b"\x00")[: width * height],
-            width,
-            height,
-        )
-        for fr in frames
-    ]
+    dibs = _pack_dibs(frames, width, height)
     frame_bytes = ((width * 3 + 3) & ~3) * height
     n_samples = len(pcm) // 2
     per = round(sample_rate / fps)
@@ -551,15 +596,7 @@ def encode_avi_av(
         1_000_000 // fps, frame_bytes * fps + sample_rate * 2, 0, 0x10,
         len(dibs), 0, 2, frame_bytes, width, height, 0, 0, 0, 0,
     )
-    strh_v = struct.pack(
-        "<4s4sIHHIIIIIIii4H",
-        b"vids", b"DIB ", 0, 0, 0, 0,
-        1, fps, 0, len(dibs), frame_bytes, -1, 0,
-        0, 0, width, height,
-    )
-    strf_v = struct.pack(
-        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, frame_bytes, 2835, 2835, 0, 0
-    )
+    strh_v, strf_v = _video_headers(width, height, fps, len(dibs), frame_bytes)
     strh_a = struct.pack(
         "<4s4sIHHIIIIIIii4H",
         b"auds", b"\x00\x00\x00\x00", 0, 0, 0, 0,
@@ -580,37 +617,32 @@ def encode_avi_av(
             b"strl", _riff_chunk(b"strh", strh_a) + _riff_chunk(b"strf", strf_a)
         ),
     )
-    movi_chunks: list[tuple[bytes, bytes]] = []
+    movi_chunks: list = []
     for i, d in enumerate(dibs):
         movi_chunks.append((b"00db", d))
         if i < len(audio_parts):
             movi_chunks.append((b"01wb", audio_parts[i]))
-    movi_chunks.extend((b"01wb", a) for a in audio_parts[len(dibs):])
     movi = _riff_list(
         b"movi", b"".join(_riff_chunk(t, d) for t, d in movi_chunks)
     )
-    idx_entries, off = [], 4
-    for t, d in movi_chunks:
-        idx_entries.append(struct.pack("<4sIII", t, 0x10, off, len(d)))
-        off += 8 + len(d) + (len(d) & 1)
-    idx1 = _riff_chunk(b"idx1", b"".join(idx_entries))
-    body = b"AVI " + hdrl + movi + idx1
+    body = b"AVI " + hdrl + movi + _idx1(movi_chunks)
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def decode_avi_av(payload: bytes):
     """Demux an interleaved A/V AVI -> (width, height, fps, frames,
-    sample_rate, numpy int16 samples): the video stream decoded exactly
-    as decode_avi_gray, plus the first 'auds' stream's PCM16 mono
-    samples reassembled in chunk order (interleave order IS sample
-    order). The audio strf must declare PCM 16-bit mono — compressed or
-    multi-channel audio refuses, like the video side's BI_RGB rule.
-    Raises ValueError when the container has no audio stream (use
-    decode_avi_gray for video-only files)."""
+    sample_rate, numpy int16 samples): ONE RIFF tree walk feeding both
+    stream views — the video stream decoded exactly as decode_avi_gray,
+    plus the first 'auds' stream's PCM16 mono samples reassembled in
+    chunk order (interleave order IS sample order). The audio strf must
+    declare PCM 16-bit mono — compressed or multi-channel audio
+    refuses, like the video side's BI_RGB rule. Raises ValueError when
+    the container has no audio stream (use decode_avi_gray for
+    video-only files)."""
     import numpy as np
 
-    width, height, fps, frames = decode_avi_gray(payload)
     parsed = _parse_avi(payload)
+    width, height, fps, frames = _decode_video_stream(parsed)
     auds = [
         (i, st)
         for i, st in enumerate(parsed["streams"])

@@ -450,6 +450,16 @@ VIDEO_FRAME_H = 4
 VIDEO_MAX_FRAMES = 6
 
 
+def _text_tiles(data: bytes, per: int, max_frames: int) -> list[bytes]:
+    """The ONE copy of the fixture tiling convention both video oracles
+    depend on: consecutive ``per``-byte tiles of the text, capped at
+    ``max_frames``, at least one (possibly empty -> zero-padded)
+    frame. Changing this changes the SQL oracles of every video gate —
+    keep them in lockstep."""
+    nf = min(max_frames, max(1, -(-len(data) // per)))
+    return [data[f * per : (f + 1) * per] for f in range(nf)]
+
+
 def attach_video_payload(
     df: DataFrame,
     text_col: str,
@@ -477,8 +487,7 @@ def attach_video_payload(
             ids, types, payloads = [], [], []
             for mid, text in zip(pdf["media_id"], pdf["text"]):
                 data = text.encode("utf-8")
-                nf = min(max_frames, max(1, -(-len(data) // per)))
-                frames = [data[f * per : (f + 1) * per] for f in range(nf)]
+                frames = _text_tiles(data, per, max_frames)
                 payloads.append(
                     codecs.encode_avi_gray(frames, frame_w, frame_h, fps=fps)
                 )
@@ -565,8 +574,7 @@ def attach_av_payload(
             ids, types, payloads = [], [], []
             for mid, text in zip(pdf["media_id"], pdf["text"]):
                 data = text.encode("utf-8")
-                nf = min(max_frames, max(1, -(-len(data) // per)))
-                frames = [data[f * per : (f + 1) * per] for f in range(nf)]
+                frames = _text_tiles(data, per, max_frames)
                 samples = [(b - 128) * 128 for b in data]
                 payloads.append(
                     codecs.encode_avi_av(

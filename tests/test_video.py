@@ -191,6 +191,51 @@ def test_avi_av_mux_demux_sample_and_frame_exact():
         codecs.decode_avi_av(av.replace(strf_mono, strf_stereo, 1))
 
 
+def _grow_movi(payload: bytes, old_chunk: bytes, new_chunks: bytes) -> bytes:
+    """Swap a movi chunk for a longer replacement, fixing the movi LIST
+    and RIFF lengths so the container stays structurally valid."""
+    hacked = payload.replace(old_chunk, new_chunks, 1)
+    i = hacked.index(b"movi") - 8  # the movi LIST header
+    (old_len,) = struct.unpack("<I", hacked[i + 4 : i + 8])
+    hacked = (
+        hacked[: i + 4]
+        + struct.pack("<I", old_len + len(new_chunks) - len(old_chunk))
+        + hacked[i + 8 :]
+    )
+    return b"RIFF" + struct.pack("<I", len(hacked) - 8) + hacked[8:]
+
+
+def test_avi_chunk_stream_type_routing_refusals():
+    """r13 review finding: a movi chunk whose type suffix contradicts
+    its stream's declared type (audio bytes as video frames, a dropped-
+    frame marker aimed at the audio stream) or addresses an undeclared
+    stream must raise ValueError — never TypeError, never garbage
+    pixels."""
+    frames = [bytes(range(64))]
+    av = codecs.encode_avi_av(frames, 16, 4, [1, -2, 3], 8000, fps=10)
+    d0 = codecs._dib_pack_gray(frames[0], 16, 4)
+    plain = codecs._riff_chunk(b"00db", d0)
+    assert plain in av
+    # video-typed chunk aimed at the audio stream (zero-length: the
+    # dropped-frame marker that previously became a None in the audio
+    # chunk list and crashed b"".join with TypeError)
+    with pytest.raises(ValueError, match="contradicts"):
+        codecs.decode_avi_av(
+            _grow_movi(av, plain, plain + codecs._riff_chunk(b"01dc", b""))
+        )
+    # audio-typed chunk aimed at the video stream (bytes would decode
+    # as garbage pixels when dwLength is 0)
+    with pytest.raises(ValueError, match="contradicts"):
+        codecs.decode_avi_gray(
+            _grow_movi(av, plain, plain + codecs._riff_chunk(b"00wb", b"xx"))
+        )
+    # chunk for a stream hdrl never declared
+    with pytest.raises(ValueError, match="declares only"):
+        codecs.decode_avi_gray(
+            _grow_movi(av, plain, plain + codecs._riff_chunk(b"07db", d0))
+        )
+
+
 # ----------------------------------------------------------------------
 # Spark surface
 # ----------------------------------------------------------------------
