@@ -98,6 +98,7 @@ _PRIORITY: list[str] = [
     # gates NEW this round are appended here as they land (policy above):
     "multimodal_video_frames",
     "multimodal_av_demux",
+    "dedup_video_frames",
     # ===== r12 window, kept for the record (all green in r12) =====
     "stream_cdf_from_manifest",
     "stream_cdf_mv_maintenance",

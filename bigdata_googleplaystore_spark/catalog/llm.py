@@ -1402,6 +1402,68 @@ def multimodal_av_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_video_frames",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, text FROM documents
+      WHERE length(text) >= 1 AND doc_id % 4 = 3
+    ),
+    planted AS (
+      SELECT doc_id + 10000000 AS doc_id, substr(text, 1, 384) AS text
+      FROM documents WHERE length(text) >= 1 AND doc_id % 20 = 3
+    ),
+    c AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+    k AS (
+      SELECT doc_id,
+             least(CAST(ceil(length(text)/64.0) AS BIGINT), 6) AS nf,
+             CAST(least(length(text),
+                  least(CAST(ceil(length(text)/64.0) AS BIGINT), 6)*64)
+               AS INT) AS clen,
+             text
+      FROM c
+    )
+    SELECT a.doc_id AS video_a, b.doc_id AS video_b
+    FROM k a JOIN k b
+      ON a.nf = b.nf AND a.clen = b.clen
+     AND substr(a.text, 1, a.clen) = substr(b.text, 1, b.clen)
+     AND a.doc_id < b.doc_id
+    """,
+    tags=("llm", "dedup", "multimodal", "video"),
+)
+def dedup_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-TIER VIDEO DEDUP: clips whose DECODED frames match
+    byte-for-byte, found by a hash self-join on a per-clip md5 over
+    the decoded frame stream — clips compare by 16-byte digest, never
+    by frame bytes (the image_ahash posture; join payload is ~32
+    bytes/clip regardless of clip size, the only shape that survives
+    100 TB of video). Planted copies TRUNCATED AT THE 6-FRAME CAP
+    (first 384 text chars) pair with their sources precisely because
+    the encoder caps and the decoder reproduces the same padded
+    tiles — 9 of the 25 sf0.01 pairs match ONLY through the cap
+    semantics, so an off-by-one in the tiling, the cap, or the
+    zero-padding breaks the pair set. The oracle re-derives every
+    pair from (frame count, capped content) equality — sound because
+    the ASCII corpus has no NUL bytes, so padded-tile equality
+    reduces to capped-prefix equality (operator docstring)."""
+    from ..operators import multimodal
+
+    base = load_table(spark, sf_dir, "documents").filter(
+        (F.length("text") >= 1) & (F.col("doc_id") % 4 == 3)
+    )
+    planted = (
+        load_table(spark, sf_dir, "documents")
+        .filter((F.length("text") >= 1) & (F.col("doc_id") % 20 == 3))
+        .select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"),
+            F.substring("text", 1, 384).alias("text"),
+        )
+    )
+    corpus = base.select("doc_id", "text").unionByName(planted)
+    media = multimodal.attach_video_payload(corpus, "text", "doc_id")
+    return multimodal.video_dup_pairs(media)
+
+
+@register(
     "dedup_near_clusters",
     oracle=f"""
     WITH RECURSIVE sh AS ({_SHINGLES_SQL}),

@@ -636,3 +636,62 @@ def av_demux_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(batches, AV_DEMUX_SCHEMA)
+
+
+VIDEO_SIG_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("sig", StringType(), True),
+        StructField("n_frames", LongType(), True),
+    ]
+)
+
+
+def video_signatures(media: DataFrame) -> DataFrame:
+    """Exact-tier video signature: REAL AVI decode, then md5 over the
+    concatenated DECODED frame bytes (dimensions + frame count mixed
+    in, so equal pixel streams at different geometry never collide).
+    Because the decode zero-pads the last tile, two clips sign equal
+    iff their frame count and every decoded pixel match — the cap and
+    padding semantics are part of the signature, which is exactly what
+    the planted cap-boundary oracle pairs pin."""
+
+    def batches(it: Iterator) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in it:
+            out: dict[str, list] = {f.name: [] for f in VIDEO_SIG_SCHEMA.fields}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                w, h, _fps, frames = codecs.decode_avi_gray(bytes(payload))
+                d = hashlib.md5(f"{w}x{h}x{len(frames)}|".encode())
+                for fr in frames:
+                    d.update(fr)
+                out["media_id"].append(mid)
+                out["sig"].append(d.hexdigest())
+                out["n_frames"].append(len(frames))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, VIDEO_SIG_SCHEMA)
+
+
+def video_dup_pairs(media: DataFrame) -> DataFrame:
+    """Video dedup at the 100 TB posture: decode once into a 16-byte
+    signature per clip, then a hash self-join on the signature — clips
+    compare by digest, NEVER by frame bytes (the image_ahash
+    group-join shape; the join side carries ~32 bytes/clip regardless
+    of clip size). Emits (video_a, video_b) with video_a < video_b."""
+    sigs = video_signatures(media).select("media_id", "sig")
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    return (
+        a.join(b, on="sig")
+        .filter(F.col("a.media_id") < F.col("b.media_id"))
+        .select(
+            F.col("a.media_id").alias("video_a"),
+            F.col("b.media_id").alias("video_b"),
+        )
+    )

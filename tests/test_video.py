@@ -282,6 +282,37 @@ def test_av_demux_stats_matches_per_text_sums(spark):
     assert r1.n_samples == 500 and r1.sample_sum == (98 - 128) * 128 * 500
 
 
+def test_video_dup_pairs_cap_and_geometry_semantics(spark):
+    """The dedup signature covers decoded frames AFTER the cap and
+    padding: a clip truncated at the 6-frame cap signs equal to its
+    longer source; same pixels at different geometry sign differently;
+    distinct content never pairs."""
+    long_text = "z" * 500
+    rows = [
+        (0, long_text),           # 6 capped frames
+        (1, long_text[:384]),     # same 6 frames via truncation -> dup of 0
+        (2, long_text[:383]),     # one byte short: last tile differs
+        (3, "q" * 500),           # different content entirely
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    media = multimodal.attach_video_payload(df, "text", "doc_id")
+    pairs = {
+        (r.video_a, r.video_b)
+        for r in multimodal.video_dup_pairs(media).collect()
+    }
+    assert pairs == {(0, 1)}
+    # geometry is part of the signature: same pixel stream, different
+    # frame shape -> no pair
+    m8 = multimodal.attach_video_payload(
+        df.filter("doc_id = 0"), "text", "doc_id", frame_w=8, frame_h=8
+    )
+    sig16 = multimodal.video_signatures(
+        media.filter("media_id = 0")
+    ).first().sig
+    sig8 = multimodal.video_signatures(m8).first().sig
+    assert sig16 != sig8
+
+
 def test_video_payloads_are_real_avi(spark):
     df = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
     payload = bytes(
