@@ -85,10 +85,15 @@ against one footer per batch at first plan and raises on
 never-carried names). All storage I/O routes through
 `sources/storage.py`.
 
-Execution is arrow-native end to end: the unmasked-insert hot path
-streams RecordBatch-to-RecordBatch, and the MASKED paths (excluded
-inserts, delete partitions) process RecordBatch-at-a-time through
-Acero semi/anti joins against the kilobyte key frames — a
+Execution is arrow-native end to end, and a plan decodes each data
+file ONCE however many versions touch it: partitions are per FILE,
+carrying every version-step's masks (r13 optimization — a 9-version
+upsert-table replay planned 45 file decodes as (version, file) pairs,
+9 as files; same Acero join work, 5x less parquet decode + I/O). The
+unmasked-insert hot path streams RecordBatch-to-RecordBatch, and the
+MASKED paths (excluded inserts, delete steps) process
+RecordBatch-at-a-time through Acero semi/anti joins against the
+kilobyte key frames — a
 heavily-masked table never holds a whole data file in pandas; only
 the MATCHED delete rows (bounded by the delete's own size) accumulate
 for the per-file dedup. Join-key equality is SQL equality: a null key
@@ -170,30 +175,36 @@ def _load_keys(fs: StorageBackend, table_dir: str, delete_ids: list[int]):
 
 
 class _CDFPartition(InputPartition):
-    """One data file plus its planning-time-resolved masks.
+    """One data FILE plus every version-step that touches it in this
+    plan, masks resolved at planning time.
 
-    kind='insert': emit the file's rows minus `exclude` key frames;
-    rows whose key appears in `pair_match` (the same-version delete
-    groups' keys, present only under the keyColumns option) tag
-    'update_postimage' instead of 'insert'.
-    kind='delete': emit the file's rows minus `exclude` (the visible-
-    before masks), intersected with `match` (the new delete groups'
-    keys), deduplicated per file; `pair=True` tags them
-    'update_preimage' instead of 'delete'. `version` = the commit the
-    change belongs to (the initial snapshot carries its endpoint
-    version)."""
+    A multi-version catch-up plan used to emit one partition per
+    (version, file) pair, re-decoding the same parquet file once per
+    version that deletes from it — O(versions x files) reads for a
+    replay over an upsert-heavy log. Grouping by file makes the plan
+    O(files) reads: the file streams through Arrow once and every
+    step's (kilobyte) key-frame joins run against the same decoded
+    batches. Join work is unchanged; only the redundant decode+I/O
+    goes away (r13 measured: the 9-version SCD2 replay planned 36
+    delete file-reads before, 9 after).
 
-    def __init__(
-        self, path, kind, exclude, match=None, version=None,
-        pair=False, pair_match=None,
-    ):
+    `insert`: None, or (exclude, version, pair_match) — emit the
+    file's rows minus `exclude` key frames; rows whose key appears in
+    `pair_match` (the same-version delete groups' keys, present only
+    under the keyColumns option) tag 'update_postimage' instead of
+    'insert'. A file is committed by exactly one version, so at most
+    one insert step exists (the initial snapshot carries its endpoint
+    version).
+    `deletes`: list of (exclude, match, version, pair) steps, version
+    ascending — each emits the file's rows minus `exclude` (that
+    step's visible-before masks), intersected with `match` (the new
+    delete groups' keys), deduplicated per file per step; `pair=True`
+    tags them 'update_preimage' instead of 'delete'."""
+
+    def __init__(self, path, insert=None, deletes=None):
         self.path = path
-        self.kind = kind
-        self.exclude = exclude  # list[pandas key frames]
-        self.match = match or []
-        self.version = version
-        self.pair = pair
-        self.pair_match = pair_match or []
+        self.insert = insert  # None | (exclude, version, pair_match)
+        self.deletes = deletes or []  # [(exclude, match, version, pair)]
 
 
 class ManifestCDFStreamReader(DataSourceStreamReader):
@@ -344,29 +355,33 @@ class ManifestCDFStreamReader(DataSourceStreamReader):
             if _applies(cutoff, batch_id)
         ]
 
-    def _insert_parts(
-        self, m: dict, batch_ids: list[int], memo: dict, version: int,
-        pair_match: list | None = None,
-    ) -> list[_CDFPartition]:
-        parts = []
+    def _insert_step(
+        self, parts_by_file: dict, m: dict, batch_ids: list[int],
+        memo: dict, version: int, pair_match: list | None = None,
+    ) -> None:
         for b in sorted(batch_ids):
             masks = self._mask_frames(m, b, memo)
-            parts += [
-                _CDFPartition(
-                    f, "insert", masks, version=version,
-                    pair_match=pair_match,
+            for f in self._data_files(b):
+                self._part(parts_by_file, f).insert = (
+                    masks, version, pair_match or []
                 )
-                for f in self._data_files(b)
-            ]
-        return parts
+
+    @staticmethod
+    def _part(parts_by_file: dict, f: str) -> _CDFPartition:
+        if f not in parts_by_file:
+            parts_by_file[f] = _CDFPartition(f)
+        return parts_by_file[f]
 
     def _guard_key_bytes(self, parts: list) -> list:
         """The broadcast-small premise, ENFORCED: key frames are
         pickled into every partition they mask, so the plan's real
-        serialized key cost is the per-partition sum. Past the cap the
-        plan refuses loudly (steering to compaction) instead of
-        shipping hundreds of MB of keys to every task — the silent
-        degradation a pathological delete set would otherwise cause."""
+        serialized key cost is the per-partition sum. A frame shared
+        by several steps of ONE partition is counted once (pickle
+        memoizes shared objects within a partition, so that is the
+        true serialized cost). Past the cap the plan refuses loudly
+        (steering to compaction) instead of shipping hundreds of MB
+        of keys to every task — the silent degradation a pathological
+        delete set would otherwise cause."""
         sizes: dict[int, int] = {}
 
         def sz(f) -> int:
@@ -377,9 +392,15 @@ class ManifestCDFStreamReader(DataSourceStreamReader):
 
         total = 0
         for p in parts:
-            total += sum(sz(f) for f in p.exclude)
-            total += sum(sz(f) for f in p.match)
-            total += sum(sz(f) for f in p.pair_match)
+            frames: dict[int, object] = {}
+            if p.insert is not None:
+                exclude, _v, pair_match = p.insert
+                for f in list(exclude) + list(pair_match):
+                    frames[id(f)] = f
+            for exclude, match, _v, _pair in p.deletes:
+                for f in list(exclude) + list(match):
+                    frames[id(f)] = f
+            total += sum(sz(f) for f in frames.values())
         if self.max_key_bytes > 0 and total > self.max_key_bytes:
             raise ValueError(
                 f"manifest_cdf_stream: this micro-batch plan carries "
@@ -411,13 +432,12 @@ class ManifestCDFStreamReader(DataSourceStreamReader):
             )
             self._strict_checked = True
         memo: dict = {}
+        parts_by_file: dict[str, _CDFPartition] = {}
         if sv < 0 and self.snapshot_mode:
             # initial snapshot: the CURRENT visible rows, all 'insert'
             m = m_end if m_end is not None else self._manifest(ev)
-            return self._guard_key_bytes(
-                self._insert_parts(m, m["batch_ids"], memo, ev)
-            )
-        parts: list[_CDFPartition] = []
+            self._insert_step(parts_by_file, m, m["batch_ids"], memo, ev)
+            return self._guard_key_bytes(list(parts_by_file.values()))
         m_prev = self._manifest(sv) if sv >= 0 else {
             "version": -1, "batch_ids": [], "delete_ids": [],
         }
@@ -481,7 +501,9 @@ class ManifestCDFStreamReader(DataSourceStreamReader):
                     for cutoff, ds in ngroups.items()
                 )
             )
-            # deletes FIRST: they retract from the pre-step snapshot
+            # deletes FIRST: they retract from the pre-step snapshot.
+            # Steps append to the per-FILE partition so a file touched
+            # by many versions is decoded once per plan (class doc).
             if ngroups:
                 for b in sorted(prev_ids):
                     match = [
@@ -492,24 +514,22 @@ class ManifestCDFStreamReader(DataSourceStreamReader):
                     if not match:
                         continue
                     exclude = self._mask_frames(m_prev, b, memo)
-                    parts += [
-                        _CDFPartition(
-                            f, "delete", exclude, match, version=v,
-                            pair=pair_v,
+                    for f in self._data_files(b):
+                        self._part(parts_by_file, f).deletes.append(
+                            (exclude, match, v, pair_v)
                         )
-                        for f in self._data_files(b)
-                    ]
             if new_ids:
                 pair_match = (
                     [self._keys_cached(ds, memo) for ds in ngroups.values()]
                     if pair_v
                     else None
                 )
-                parts += self._insert_parts(
-                    m_v, sorted(new_ids), memo, v, pair_match=pair_match
+                self._insert_step(
+                    parts_by_file, m_v, sorted(new_ids), memo, v,
+                    pair_match=pair_match,
                 )
             m_prev = m_v
-        return self._guard_key_bytes(parts)
+        return self._guard_key_bytes(list(parts_by_file.values()))
 
     # ---- execution (executors, arrow-batched) -------------------------
     def read(self, partition: _CDFPartition):
@@ -527,13 +547,8 @@ class ManifestCDFStreamReader(DataSourceStreamReader):
             ]
         )
         data_arrow = to_arrow_schema(data_schema)
-        base_tag = (
-            "update_preimage"
-            if partition.kind == "delete" and partition.pair
-            else partition.kind
-        )
 
-        def emit(tbl, tags=None):
+        def emit(tbl, tag, version, tags=None):
             """Tag a data-column table and yield it as RecordBatches.
             `tags` (per-row string array) overrides the constant tag —
             the paired-insert path mixes insert/update_postimage."""
@@ -545,13 +560,11 @@ class ManifestCDFStreamReader(DataSourceStreamReader):
                     cols.append(
                         tags
                         if tags is not None
-                        else pa.array([base_tag] * tbl.num_rows, pa.string())
+                        else pa.array([tag] * tbl.num_rows, pa.string())
                     )
                 elif field.name == VERSION_COL:
                     cols.append(
-                        pa.array(
-                            [partition.version] * tbl.num_rows, pa.int64()
-                        )
+                        pa.array([version] * tbl.num_rows, pa.int64())
                     )
                 else:
                     cols.append(tbl.column(field.name))
@@ -569,34 +582,42 @@ class ManifestCDFStreamReader(DataSourceStreamReader):
                 cols.append(col)
             return pa.table(cols, names=kt.column_names)
 
-        if (
-            partition.kind == "insert"
-            and not partition.exclude
-            and not partition.pair_match
-        ):
-            # the HOT path: an unmasked insert file (the overwhelming
-            # majority of a real feed's volume) streams arrow-to-arrow
-            # — constant tag columns appended per RecordBatch
+        ins = partition.insert
+        if ins is not None and not ins[0] and not ins[2] and not partition.deletes:
+            # the HOT path: an unmasked insert file untouched by any
+            # delete step in this plan (the overwhelming majority of a
+            # real feed's volume) streams arrow-to-arrow — constant
+            # tag columns appended per RecordBatch
             for rb in _read_evolved_batches(
                 self.fs, partition.path, data_schema
             ):
-                yield from emit(pa.Table.from_batches([rb]))
+                yield from emit(pa.Table.from_batches([rb]), "insert", ins[1])
             return
 
-        # MASKED paths, still RecordBatch-at-a-time: per batch, Acero
+        # MASKED paths, still RecordBatch-at-a-time and ONE decode per
+        # file however many version-steps touch it: per batch, Acero
         # semi-joins over the KEY COLUMNS ONLY (plus a row-id) compute
-        # membership masks, and the batch is row-filtered by mask —
-        # nested payload columns (arrays, structs) never enter a join,
-        # which Acero would reject even as non-key fields. The kilobyte
-        # key frames are the only per-batch join state, so a
-        # heavily-masked file never materializes in pandas; only
-        # MATCHED delete rows (bounded by the delete's own size)
-        # accumulate, for the per-file dedup the module doc promises.
+        # each step's membership masks, and the batch is row-filtered
+        # by mask — nested payload columns (arrays, structs) never
+        # enter a join, which Acero would reject even as non-key
+        # fields. The kilobyte key frames are the only per-batch join
+        # state, so a heavily-masked file never materializes in
+        # pandas; only MATCHED delete rows (bounded by the deletes'
+        # own sizes) accumulate, for the per-file-per-step dedup the
+        # module doc promises.
         import pyarrow.compute as pc
 
-        exclude = [key_table(k) for k in partition.exclude]
-        match = [key_table(k) for k in partition.match]
-        pair_match = [key_table(k) for k in partition.pair_match]
+        ins_exclude = [key_table(k) for k in ins[0]] if ins else []
+        ins_pair = [key_table(k) for k in ins[2]] if ins else []
+        del_steps = [
+            (
+                [key_table(k) for k in exclude],
+                [key_table(k) for k in match],
+                version,
+                pair,
+            )
+            for exclude, match, version, pair in partition.deletes
+        ]
 
         def hit_mask(t: pa.Table, kts: list) -> np.ndarray:
             """Boolean per-row membership: row's key tuple appears in
@@ -616,37 +637,46 @@ class ManifestCDFStreamReader(DataSourceStreamReader):
                 hit[sub.column("__rid").to_numpy(zero_copy_only=False)] = True
             return hit
 
-        matched_deletes: list[pa.Table] = []
+        matched_deletes: list[list[pa.Table]] = [[] for _ in del_steps]
         for rb in _read_evolved_batches(self.fs, partition.path, data_schema):
             t = pa.Table.from_batches([rb])
-            keep = ~hit_mask(t, exclude)
-            if not keep.any():
-                continue
-            t = t.filter(pa.array(keep))
-            if partition.kind == "insert":
-                tags = None
-                if pair_match:
-                    hit = hit_mask(t, pair_match)
-                    tags = pc.if_else(
-                        pa.array(hit),
-                        pa.scalar("update_postimage", pa.string()),
-                        pa.scalar("insert", pa.string()),
-                    )
-                yield from emit(t, tags)
-            else:
-                sel = t.filter(pa.array(hit_mask(t, match)))
+            if ins is not None:
+                keep = ~hit_mask(t, ins_exclude)
+                if keep.any():
+                    ti = t.filter(pa.array(keep))
+                    tags = None
+                    if ins_pair:
+                        hit = hit_mask(ti, ins_pair)
+                        tags = pc.if_else(
+                            pa.array(hit),
+                            pa.scalar("update_postimage", pa.string()),
+                            pa.scalar("insert", pa.string()),
+                        )
+                    yield from emit(ti, "insert", ins[1], tags)
+            for i, (exclude, match, _v, _pair) in enumerate(del_steps):
+                keep = ~hit_mask(t, exclude)
+                if not keep.any():
+                    continue
+                td = t.filter(pa.array(keep))
+                sel = td.filter(pa.array(hit_mask(td, match)))
                 if sel.num_rows:
-                    matched_deletes.append(sel)
-        if partition.kind == "delete" and matched_deletes:
-            acc = pa.concat_tables(matched_deletes)
+                    matched_deletes[i].append(sel)
+        for i, (_excl, _match, version, pair) in enumerate(del_steps):
+            if not matched_deletes[i]:
+                continue
+            acc = pa.concat_tables(matched_deletes[i])
             try:
-                # per-file dedup (module contract), arrow-side distinct
+                # per-file-per-step dedup (module contract), arrow-side
                 acc = acc.group_by(
                     acc.column_names, use_threads=False
                 ).aggregate([])
             except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
                 pass  # unhashable cell types (arrays): emit as-is
-            yield from emit(acc.select(data_arrow.names))
+            yield from emit(
+                acc.select(data_arrow.names),
+                "update_preimage" if pair else "delete",
+                version,
+            )
 
 
 class ManifestCDFBatchReader(DataSourceReader):

@@ -1429,6 +1429,22 @@ def test_cdf_stream_max_versions_per_trigger(spark, tmp_path):
     assert len(nonempty) >= 4  # 1 initial + 3 capped catch-ups
 
 
+def _cdf_steps(parts):
+    """Flatten file-grouped CDF partitions to (kind, path, version,
+    exclude, match) steps — the per-version planning decisions the
+    pre-r13 one-partition-per-(version, file) shape exposed directly;
+    since the file-grouping optimization they ride one partition per
+    FILE so the executor decodes each file once per plan."""
+    out = []
+    for p in parts:
+        if p.insert is not None:
+            exclude, version, _pair_match = p.insert
+            out.append(("insert", p.path, version, exclude, []))
+        for exclude, match, version, _pair in p.deletes:
+            out.append(("delete", p.path, version, exclude, match))
+    return out
+
+
 def test_cdf_stream_planning_model(tmp_path):
     # PLANNING-LEVEL model check, no Spark session: across ANY chunking
     # of the commit log into triggers, the composed CDF plan is
@@ -1509,20 +1525,22 @@ def test_cdf_stream_planning_model(tmp_path):
     )
 
     def fingerprint(parts):
-        # (kind, file, n_exclude_masks, match key tuples) — the full
-        # observable planning decision for one partition
+        # (kind, file, exclude masks, match key tuples) per STEP — the
+        # full observable planning decision; enumerated step-wise so
+        # the chunked and whole-log plans compare identically however
+        # the file-grouping packs steps into partitions
         out = []
-        for p in sorted(parts, key=lambda p: (p.kind, p.path)):
-            match = tuple(
+        for kind, path, _v, exclude, match in _cdf_steps(parts):
+            match_t = tuple(
                 tuple(sorted(map(tuple, k.itertuples(index=False))))
-                for k in p.match
+                for k in match
             )
             excl = tuple(
                 tuple(sorted(map(tuple, k.itertuples(index=False))))
-                for k in p.exclude
+                for k in exclude
             )
-            out.append((p.kind, p.path, excl, match))
-        return out
+            out.append((kind, path, excl, match_t))
+        return sorted(out)
 
     head = len(log) - 1
     plans = {}
@@ -1756,15 +1774,18 @@ def test_cdf_stream_plans_through_memory_backend_and_fails_loud():
     )
     r = mc.ManifestCDFStreamReader(schema, {"path": tbl, "startingversion": "0"})
     parts = r.partitions({"version": -1}, {"version": 1})
-    kinds = sorted((p.kind, p.version) for p in parts)
-    assert kinds == [("delete", 1), ("insert", 0)]
-    # the delete partition carries the key frame loaded through memory://
-    dp = [p for p in parts if p.kind == "delete"][0]
-    assert dp.match[0]["id"].tolist() == [1]
-    # ...and the executor read path works against memory:// too
-    got = pa.Table.from_batches(list(r.read(dp)))
-    assert got.column("id").to_pylist() == [1]
-    assert got.column("_change_type").to_pylist() == ["delete"]
+    steps = sorted((k, v) for k, _p, v, _e, _m in _cdf_steps(parts))
+    assert steps == [("delete", 1), ("insert", 0)]
+    # file-grouped planning: ONE partition carries both steps, and the
+    # delete step rides the key frame loaded through memory://
+    (p0,) = parts
+    assert p0.deletes[0][1][0]["id"].tolist() == [1]
+    # ...and the executor read path works against memory:// too — one
+    # decode of the file yields the insert rows AND the delete row
+    got = pa.Table.from_batches(list(r.read(p0)))
+    assert sorted(
+        zip(got.column("id").to_pylist(), got.column("_change_type").to_pylist())
+    ) == [(1, "delete"), (1, "insert"), (2, "insert")]
     # vacuumed manifest -> loud, named error
     mem.delete(f"{tbl}/_manifests/v000000000000.json")
     r2 = mc.ManifestCDFStreamReader(schema, {"path": tbl, "startingversion": "0"})
@@ -2207,8 +2228,8 @@ def test_cdf_masked_paths_stream_arrow_side():
     mem.put(f"{tbl}/_batch_id=0/part-0.parquet", buf.getvalue())
     r = mc.ManifestCDFStreamReader(schema, {"path": tbl, "startingversion": "0"})
     parts = r.partitions({"version": 0}, {"version": 1})
-    dels = [p for p in parts if p.kind == "delete"]
-    assert len(dels) == 1
+    dels = [p for p in parts if p.deletes]
+    assert len(dels) == 1 and dels[0].insert is None
     got = pa.Table.from_batches(list(r.read(dels[0])))
     assert sorted(
         zip(got.column("id").to_pylist(), got.column("v").to_pylist())
@@ -2219,7 +2240,7 @@ def test_cdf_masked_paths_stream_arrow_side():
     snap = mc.ManifestCDFStreamReader(schema, {"path": tbl})
     sparts = snap.partitions({"version": -1}, {"version": 1})
     b0 = [p for p in sparts if "_batch_id=0" in p.path]
-    assert b0 and b0[0].exclude  # masked: the delete group applies
+    assert b0 and b0[0].insert[0]  # masked: the delete group applies
     rows = []
     for rb in snap.read(b0[0]):
         t = pa.Table.from_batches([rb])
@@ -2299,7 +2320,7 @@ def test_cdf_masked_paths_handle_nested_payload_columns():
     # masked INSERT (initial snapshot at v1): nested column rides along
     snap = mc.ManifestCDFStreamReader(schema, {"path": tbl})
     (ipart,) = snap.partitions({"version": -1}, {"version": 1})
-    assert ipart.exclude
+    assert ipart.insert[0]
     got = pa.Table.from_batches([rb for rb in snap.read(ipart)])
     assert got.column("id").to_pylist() == [1, 3]
     assert got.column("emb").to_pylist() == [[1.0, 2.0], [5.0, 6.0]]
@@ -2311,7 +2332,7 @@ def test_cdf_masked_paths_handle_nested_payload_columns():
     dparts = [
         p
         for p in tail.partitions({"version": 0}, {"version": 1})
-        if p.kind == "delete"
+        if p.deletes
     ]
     got_d = pa.Table.from_batches(
         [rb for p in dparts for rb in tail.read(p)]

@@ -94,7 +94,7 @@ def main() -> None:
         # masked INSERT: initial snapshot at v1 (delete group applies)
         snap = mc.ManifestCDFStreamReader(SCHEMA, {"path": tbl})
         (ipart,) = snap.partitions({"version": -1}, {"version": 1})
-        assert ipart.exclude, "probe expects the masked insert path"
+        assert ipart.insert[0], "probe expects the masked insert path"
         t0 = time.perf_counter()
         ins_out = drain_rows(snap, ipart)
         t_ins = time.perf_counter() - t0
@@ -105,7 +105,7 @@ def main() -> None:
         dparts = [
             p
             for p in tail.partitions({"version": 0}, {"version": 1})
-            if p.kind == "delete"
+            if p.deletes
         ]
         (dpart,) = dparts
         t0 = time.perf_counter()
