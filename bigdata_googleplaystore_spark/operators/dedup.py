@@ -308,23 +308,23 @@ def minhash_signatures(
     # work: CollapseProject inlines it into every per-hash consumer and
     # the string hash runs num_hashes times again (measured slower than
     # the naive form — HOF lambdas get no cross-expression CSE).
-    coeff_arr = F.array(
-        *[
-            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
-            for a, b in coeffs
-        ]
+    #
+    # Built as ONE parsed SQL string, not composed Column objects: the
+    # Column form issued ~1,900 py4j round-trips (64 coefficient
+    # structs x lits + the HOF lambdas), ~250 ms of driver latency per
+    # construction; the parsed string is one round-trip for the
+    # identical expression tree (r13 optimization — every coefficient
+    # fits in INT, matching F.lit's former IntegerType, so hash inputs
+    # and arithmetic promotion are bit-identical).
+    coeff_sql = ",".join(
+        f"named_struct('a',{a},'b',{b})" for a, b in coeffs
     )
-    base_arr = F.transform(
-        F.col("shingles"), lambda sh: F.pmod(F.xxhash64(sh), F.lit(P))
-    )
-    signature = F.aggregate(
-        base_arr,
-        F.array_repeat(F.lit(P).cast("long"), num_hashes),
-        lambda acc, h: F.zip_with(
-            acc,
-            coeff_arr,
-            lambda m, c: F.least(m, F.pmod(c["a"] * h + c["b"], F.lit(P))),
-        ),
+    signature = F.expr(
+        f"aggregate("
+        f"transform(shingles, sh -> pmod(xxhash64(sh), {P})),"
+        f" array_repeat(CAST({P} AS BIGINT), {num_hashes}),"
+        f" (acc, h) -> zip_with(acc, array({coeff_sql}),"
+        f" (m, c) -> least(m, pmod(c.a * h + c.b, {P}))))"
     )
     return s.filter(F.col("set_size") > 0).select(
         "doc", "set_size", signature.alias("signature")
@@ -337,21 +337,23 @@ def band_buckets(sig: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
     slice. THE persistable LSH-index shape: a corpus version's bucket
     rows are what an incremental batch joins against
     (minhash_lsh_pairs_incremental), and the single definition keeps
-    full and incremental banding bit-identical."""
-    band_cols = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    F.lit(b),
-                    *[
-                        F.col("signature")[b * rows_per_band + r]
-                        for r in range(rows_per_band)
-                    ],
-                ).alias("bucket"),
+    full and incremental banding bit-identical.
+
+    One parsed SQL expression (same r13 construction-cost rationale as
+    minhash_signatures: the Column form was bands x (rows+2) py4j
+    round-trips; band literals are INT and signature elements BIGINT in
+    both forms, so every xxhash64 input type — and therefore every
+    bucket value — is unchanged)."""
+    band_cols = F.expr(
+        "array(" + ",".join(
+            f"named_struct('band',{b},'bucket',xxhash64({b},"
+            + ",".join(
+                f"signature[{b * rows_per_band + r}]"
+                for r in range(rows_per_band)
             )
+            + "))"
             for b in range(bands)
-        ]
+        ) + ")"
     )
     return sig.select("doc", F.explode_outer(band_cols).alias("bb")).select(
         "doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
