@@ -306,6 +306,30 @@ def parquet_file_stats(spark: SparkSession, path: str) -> tuple[int, int]:
 
 # --- testdata loaders -----------------------------------------------------
 
+# Schema memo for the static testdata tables — METADATA only, the role a
+# metastore/manifest plays at scale (guide §6: re-listing/re-inferring per
+# read is pure driver overhead). A bare `spark.read.parquet(path)` runs
+# parquet schema inference inside ResolveDataSource on EVERY call
+# (~95 ms/table here; a 6-table query paid ~0.6 s of its bench row just
+# re-deriving schemas it had already derived). The memo is keyed on
+# (path, mtime, size) so a rewritten file re-infers, and it stores only
+# the StructType: every query still builds a fresh scan over the parquet
+# input — no rows, plans, or results are reused across invocations.
+_SCHEMA_MEMO: dict[tuple[str, int, int], StructType] = {}
+
+
+def _parquet_with_schema_memo(spark: SparkSession, path: str) -> DataFrame:
+    import os
+
+    st = os.stat(path)
+    key = (path, st.st_mtime_ns, st.st_size)
+    sch = _SCHEMA_MEMO.get(key)
+    if sch is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_MEMO[key] = df.schema
+        return df
+    return spark.read.schema(sch).parquet(path)
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver testdata table (TESTDATA.md).
@@ -339,7 +363,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         prev = spark.conf.get(key, None)
         spark.conf.set(key, "true")
         try:
-            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+            df = _parquet_with_schema_memo(spark, f"{sf_dir}/{name}.parquet")
             df.schema  # force analysis while the conf is active
         finally:
             if prev is None:
@@ -352,7 +376,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if isinstance(df.schema["ts"].dataType, LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return _ntz_to_utc_timestamp(df)
-    return _ntz_to_utc_timestamp(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+    return _ntz_to_utc_timestamp(
+        _parquet_with_schema_memo(spark, f"{sf_dir}/{name}.parquet")
+    )
 
 
 def _ntz_to_utc_timestamp(df: DataFrame) -> DataFrame:
