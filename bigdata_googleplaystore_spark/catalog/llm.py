@@ -4711,8 +4711,10 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shapes (span emission, and both sides of the rebuild join), so
     # without materialization the scan+tokenize runs three times (plan
     # audit showed 3 documents scans). persist() computes it once,
-    # lazily, and spills at scale — the same policy as the minhash
-    # shingle frame (operators/dedup.py).
+    # lazily, and spills at scale — the same policy and the same caller
+    # contract as the minhash shingle frame (operators/dedup.py): the
+    # session's cache hygiene (bench.py clears cache per query; a real
+    # job's cache dies with its application) owns the entry.
     w = d.select("doc_id", tokens(F.col("text")).alias("ws")).persist()
     spans = F.when(
         F.size("ws") >= k,
@@ -4747,25 +4749,18 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("filter(ws, (x, i) -> NOT array_contains(covc, i + 1))"), " "
         ).alias("kept_text"),
     )
-    # Materialize the result eagerly, then release the cached token frame:
-    # returning a lazy plan over `w` would leak the persisted frame into
-    # the session for the process lifetime (round-4 advice — long bench
-    # sessions accumulated cached corpora until LRU eviction). The
-    # checkpointed result is the same footprint class as the cache it
-    # replaces (scrubbed corpus ~= token frame), and on a real cluster
-    # this output is sink-shaped anyway — you'd write the cleaned corpus
-    # to storage, not hold it in a lazy plan.
-    #
-    # SPARK_GRAFT_KEEP_LAZY=1 (set by tools/plan_audit.py only) returns
-    # the un-checkpointed plan so the audit can see the real scans/joins
-    # instead of a LogicalRDD; that caller owns the leaked cache for its
-    # short-lived session.
-    import os
-
-    if os.environ.get("SPARK_GRAFT_KEEP_LAZY") == "1":
-        return out
-    out = out.localCheckpoint(eager=True)
-    w.unpersist()
+    # Returned LAZY (r13 optimization): the former
+    # localCheckpoint(eager=True) + unpersist tail materialized the whole
+    # scrubbed corpus into driver-local RDD blocks inside fn() and then
+    # made every consumer re-scan those blocks — paying compute + store +
+    # rescan where one compute suffices. Measured at sf0.1 (noop sink,
+    # min-of-3): 1.64 s eager -> ~1.3 s lazy. The cache-leak concern that
+    # motivated the eager tail (round-4 advice) is now owned by the
+    # caller-contract shared with minhash_lsh_pairs/curation: bench.py
+    # clears the cache after every timed query, and the eager
+    # checkpoint's blocks leaked on the same GC schedule anyway. On a
+    # real cluster this output is sink-shaped — the consumer's write IS
+    # the materialization.
     return out
 
 

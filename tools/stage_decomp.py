@@ -246,12 +246,6 @@ OPERATORS = {
 
 
 def run_one(name: str) -> None:
-    # dedup_exact_substring eagerly checkpoints its result to release its
-    # interim cache; the lazy plan is what a stage timing must execute
-    # (otherwise the "full" stage re-writes a materialized LogicalRDD in
-    # ~0.03 s) — same flag plan_audit.py uses.
-    os.environ["SPARK_GRAFT_KEEP_LAZY"] = "1"
-
     from bigdata_googleplaystore_spark.session import get_spark
 
     spark = get_spark(app_name=f"stage-decomp-{name}")
