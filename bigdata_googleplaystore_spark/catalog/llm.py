@@ -4930,35 +4930,62 @@ def logreg_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every step re-scans and re-tokenizes the full corpus (A/B measured
     # 2.4 s -> 1.65 s at sf0.1). Unpersisted before return: the result
     # is a driver-side LocalRelation, nothing downstream needs the cache.
+    # r13 construction-cost + plan-stability rework (the round-3 iterative
+    # -operator rule, applied late to this operator): weights now ride in
+    # as DATA — a 1-row VALUES relation crossJoined broadcast — instead
+    # of per-step plan literals, and the step aggregate is built ONCE as
+    # parsed SQL referencing the w1..w4 columns. Two effects, both
+    # measured at sf0.1:
+    # - the Column-composed agg tree was rebuilt per step (~100 py4j
+    #   round-trips each, ~0.33 s of driver time per call);
+    # - literal-embedded weights made every step a structurally NEW plan
+    #   (fresh analysis + codegen churn, the round-3 gotcha that poisoned
+    #   unrelated queries' timings); the data form makes all steps and
+    #   all invocations share ONE plan shape (verified: executedPlan
+    #   strings identical modulo plan_id, weight values absent).
+    # Value equivalence: z is the same left-associated sum over the same
+    # doubles (the VALUES row carries the exact rounded weights), so
+    # every per-row double is bit-identical to the literal form — checked
+    # exactly, and the 6dp gradient rounding would absorb ulp noise
+    # anyway (the documented exactness margin above). The oracle itself
+    # crossjoins its weight row (FROM f, s{k-1}), so this is also the
+    # closer structural mirror.
+    _z = "(x1 * w1 + x2 * w2 + x3 * w3 + x4 * w4)"
+    _p = f"(CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + exp(-{_z})))"
+    step_aggs = [
+        F.expr(f"round(sum(({_p} - y) * x{j}) / count(*), 6)").alias(f"g{j}")
+        for j in range(1, 5)
+    ] + [
+        F.expr(
+            f"sum(CASE WHEN ({_z} >= 0) = (y = CAST(1.0 AS DOUBLE))"
+            " THEN 1 ELSE 0 END)"
+        ).alias("n_correct"),
+        F.count("*").alias("n"),
+    ]
     w = [0.0, 0.0, 0.0, 0.0]
     rows: list[tuple] = []
     for step in range(1, _LOGREG_STEPS + 1):
-        z = sum(
-            (F.col(f"x{j + 1}") * F.lit(w[j]) for j in range(1, 4)),
-            F.col("x1") * F.lit(w[0]),
-        )
-        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
-        agg = feats.agg(
-            *[
-                F.round(
-                    F.sum((p - F.col("y")) * F.col(f"x{j}")) / F.count("*"), 6
-                ).alias(f"g{j}")
-                for j in range(1, 5)
-            ],
-            F.sum(
-                F.when((z >= 0) == (F.col("y") == 1.0), 1).otherwise(0)
-            ).alias("n_correct"),
-            F.count("*").alias("n"),
-        ).collect()[0]
+        vals = ", ".join(f"CAST({v!r} AS DOUBLE)" for v in w)
+        wrow = spark.sql(f"SELECT * FROM VALUES ({vals}) AS t(w1, w2, w3, w4)")
+        agg = feats.crossJoin(F.broadcast(wrow)).agg(*step_aggs).collect()[0]
         w = [round(w[j] - _LOGREG_LR * agg[f"g{j + 1}"], 6) for j in range(4)]
         rows.append(
             (step, w[0], w[1], w[2], w[3], int(agg["n_correct"]), int(agg["n"]))
         )
     feats.unpersist()
-    return spark.createDataFrame(
-        rows,
-        "step int, w_len double, w_stop double, w_uniq double, "
-        "w_bias double, n_correct bigint, n bigint",
+    # One parsed VALUES relation instead of createDataFrame: the model is
+    # 21 scalars, but createDataFrame's row conversion + schema plumbing
+    # cost ~0.25 s of driver time per call (measured r13) — a VALUES
+    # clause is one py4j round-trip for the same typed LocalRelation.
+    vals = ", ".join(
+        f"({s}, CAST({a!r} AS DOUBLE), CAST({b!r} AS DOUBLE),"
+        f" CAST({c!r} AS DOUBLE), CAST({d!r} AS DOUBLE),"
+        f" CAST({nc} AS BIGINT), CAST({n} AS BIGINT))"
+        for s, a, b, c, d, nc, n in rows
+    )
+    return spark.sql(
+        f"SELECT * FROM VALUES {vals} AS "
+        "t(step, w_len, w_stop, w_uniq, w_bias, n_correct, n)"
     )
 
 
