@@ -227,6 +227,32 @@ def _cms_bucket(item: Column, row_idx: int, width: int, salt: str) -> Column:
     return F.pmod(F.conv(F.substring(h, 1, 13), 16, 10).cast("long"), width)
 
 
+def _cms_probe_array(item_col: str, depth: int, width: int, salt: str) -> Column:
+    """The depth-way (row_idx, bucket) probe generator as ONE parsed SQL
+    expression. Row-for-row identical to
+    explode(array(struct(lit(i), _cms_bucket(col, i, ...)) for i)) plus
+    a struct-field extraction — each literal keeps the type pyspark's
+    Column form produced (row ids and width INT, conv bases INT, bucket
+    CAST ... AS BIGINT), so every md5 input string and therefore every
+    bucket VALUE is unchanged. Built as a string because the Column
+    composition cost ~6 py4j round-trips per (row, call site) — ~50
+    driver round-trips per sketch query where one parse suffices
+    (guide §7.3)."""
+    q = salt.replace("'", "''")
+    col = f"`{item_col.replace('`', '``')}`"
+    entries = ", ".join(
+        f"named_struct('row_idx', {i}, 'bucket', "
+        f"pmod(CAST(conv(substring(md5(concat('{q}{i}:', "
+        f"CAST({col} AS STRING))), 1, 13), 16, 10) AS BIGINT), {width}))"
+        for i in range(depth)
+    )
+    # inline() (the struct-flattening generator) instead of
+    # explode().alias + a second select extracting the struct fields + a
+    # drop: one Dataset op instead of three, and every Dataset op is an
+    # eager JVM re-analysis of the whole subtree.
+    return F.expr(f"inline(array({entries}))")
+
+
 def cms_build(
     counts: DataFrame,
     item_col: str,
@@ -243,24 +269,12 @@ def cms_build(
     in the input: matrices built from any disjoint split of the data
     sum cell-wise to the matrix of the whole (see cms_merge)."""
     rows = counts.select(
-        F.col(item_col).alias("_item"), F.col(count_col).alias("_n")
-    ).select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("row_idx"),
-                        _cms_bucket(F.col("_item"), i, width, salt).alias("bucket"),
-                    )
-                    for i in range(depth)
-                ]
-            )
-        ).alias("_rb"),
-        "_n",
+        _cms_probe_array(item_col, depth, width, salt),
+        F.col(count_col).alias("_n"),
     )
-    return rows.groupBy(
-        F.col("_rb.row_idx").alias("row_idx"), F.col("_rb.bucket").alias("bucket")
-    ).agg(F.sum("_n").cast("long").alias("cell"))
+    return rows.groupBy("row_idx", "bucket").agg(
+        F.sum("_n").cast("long").alias("cell")
+    )
 
 
 def cms_merge(matrices: DataFrame) -> DataFrame:
@@ -285,19 +299,8 @@ def cms_lookup(
     count, never an under. Adds `cms_est`; the depth-way expansion joins
     against the broadcast-sized matrix, so lookups cost O(|queries|)."""
     probes = queries.select(
-        "*",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("row_idx"),
-                        _cms_bucket(F.col(item_col), i, width, salt).alias("bucket"),
-                    )
-                    for i in range(depth)
-                ]
-            )
-        ).alias("_rb"),
-    ).select("*", F.col("_rb.row_idx").alias("row_idx"), F.col("_rb.bucket").alias("bucket")).drop("_rb")
+        "*", _cms_probe_array(item_col, depth, width, salt)
+    )
     # LEFT join + coalesce-to-0: a queried item whose (row, bucket) cell
     # was never populated must read as 0 (the true CMS cell value for an
     # absent item), not drop out of the probe set — an inner join here
