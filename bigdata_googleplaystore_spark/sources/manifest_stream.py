@@ -639,18 +639,25 @@ def _read_evolved_batches(
     src = local if local is not None else fs.open(path, "rb")
     pf = pq.ParquetFile(src)
     in_file = [n for n in names if n in pf.schema_arrow.names]
-    table = pf.read(columns=in_file)
-    cols = []
-    for field in declared:
-        if field.name in in_file:
-            cols.append(table.column(field.name).cast(field.type))
-        else:
-            cols.append(pa.nulls(table.num_rows, type=field.type))
-    out = pa.Table.from_arrays(cols, schema=declared)
-    if local is None:
-        src.close()
-    for rb in out.to_batches():
-        yield rb
+    try:
+        # iter_batches, NOT pf.read(): the whole-file read materialized
+        # an arbitrarily large file as one Table before the first batch
+        # left the reader — peak executor memory was bounded only by
+        # file sizing. Streaming decodes a bounded batch at a time
+        # (row-group granularity), same rows in the same order; both
+        # consumers (scan read() and the CDF mask paths) already work
+        # batch-at-a-time.
+        for rb in pf.iter_batches(columns=in_file):
+            cols = []
+            for field in declared:
+                if field.name in in_file:
+                    cols.append(rb.column(field.name).cast(field.type))
+                else:
+                    cols.append(pa.nulls(rb.num_rows, type=field.type))
+            yield pa.RecordBatch.from_arrays(cols, schema=declared)
+    finally:
+        if local is None:
+            src.close()
 
 
 class ManifestStreamSource(DataSource):
