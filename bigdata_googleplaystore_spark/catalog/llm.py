@@ -2445,7 +2445,19 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "text", "lang", "source", "n_words")
     )
-    ded = kept.groupBy("text").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    # Exact dedup keyed on md5(text), not text (r13, guide §2.3 —
+    # shuffle narrower keys): grouping by the raw string shuffled the
+    # whole corpus text as exchange KEYS; the 16-byte fingerprint cuts
+    # that stage's shuffle width ~10-30x at corpus text lengths while
+    # keeping the min-doc_id representative per identical text — the
+    # same fingerprint-dedup contract as operators/dedup.dedup_exact_docs
+    # (raw text here, no trim/lower: this pipeline dedups exact content).
+    # Verified value-equal to the text-keyed form and oracle hash-green.
+    ded = (
+        kept.groupBy(F.md5(F.encode(F.col("text"), "UTF-8")).alias("fp"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
     rep = kept.join(ded, "doc_id", "semi")
     assigned = hash_split(
         rep, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}, salt="cur"
