@@ -345,7 +345,13 @@ def ahash_dup_pairs(media: DataFrame, grid: int = 8) -> DataFrame:
     text dedup tiers: (media_a, media_b, hamming) with media_a <
     media_b, hamming pinned 0 (equal-hash tier; a banded multi-index
     would relax to small nonzero distances, same join shape)."""
-    hashed = image_ahash(media, grid=grid)
+    # persist: like video_dup_pairs below, the hash frame feeds both
+    # sides of a broadcast self-join whose exchanges differ (build vs
+    # probe), so without the cache boundary the whole image-decode
+    # pipeline ran TWICE (measured at sf0.1: 4 MapInPandas nodes,
+    # 0 ReusedExchange; 0.98 s -> 0.79 s persisted). ~16 bytes/image;
+    # the session's cache hygiene owns the entry.
+    hashed = image_ahash(media, grid=grid).persist()
     a = hashed.select(
         F.col("media_id").alias("media_a"), F.col("ahash").alias("_h")
     )
@@ -684,7 +690,16 @@ def video_dup_pairs(media: DataFrame) -> DataFrame:
     compare by digest, NEVER by frame bytes (the image_ahash
     group-join shape; the join side carries ~32 bytes/clip regardless
     of clip size). Emits (video_a, video_b) with video_a < video_b."""
-    sigs = video_signatures(media).select("media_id", "sig")
+    # persist: the signature frame feeds BOTH sides of the self-join,
+    # and the two sides plan DIFFERENT exchanges (broadcast build vs
+    # probe scan), so exchange reuse can never dedup them — without the
+    # cache boundary the whole decode pipeline ran TWICE (measured at
+    # sf0.1: 4 MapInPandas nodes, 0 ReusedExchange; 1.12 s -> 0.90 s
+    # persisted, both sides InMemoryTableScan). The frame is ~32
+    # bytes/clip; the session's cache
+    # hygiene owns the entry (bench.py/sim clear cache per query — the
+    # dedup_exact_substring precedent).
+    sigs = video_signatures(media).select("media_id", "sig").persist()
     a = sigs.alias("a")
     b = sigs.alias("b")
     return (
