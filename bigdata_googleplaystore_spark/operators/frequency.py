@@ -38,6 +38,18 @@ def heavy_hitters(items: DataFrame, col: str, k: int) -> DataFrame:
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
 
+    # ONE pass yields BOTH the Misra-Gries candidate superset and the
+    # per-batch row totals (item=NULL marker rows), so the global N no
+    # longer needs its own third scan of `items` — at scale `items` is
+    # the tokenized corpus, and the extra pass re-ran the whole
+    # tokenize/explode (r13, guide §1.2: remove a full input pass).
+    # The folded (item, sum) frame is persisted because its two
+    # consumers prune different columns, so their aggregates (and
+    # exchanges) diverge and exchange reuse cannot dedup the scan
+    # (measured: unpersisted, the Python pass ran twice and the query
+    # got SLOWER than the 3-scan form). Post-aggregation the frame is
+    # the distinct locally-heavy vocabulary + 1 marker row — the same
+    # set the candidate broadcast already assumed model-sized.
     def local_candidates(batches):
         import pandas as pd
 
@@ -47,15 +59,24 @@ def heavy_hitters(items: DataFrame, col: str, k: int) -> DataFrame:
                 continue
             counts = s.value_counts()
             cands = counts[counts * k >= len(s)]
-            yield pd.DataFrame({"item": cands.index.astype(str)})
+            yield pd.DataFrame(
+                {"item": cands.index.astype(str), "n_batch": 0}
+            )
+            yield pd.DataFrame({"item": [None], "n_batch": [len(s)]})
 
-    candidates = (
+    stats = (
         items.select(F.col(col).cast("string").alias(col))
-        .mapInPandas(local_candidates, "item string")
-        .distinct()
+        .mapInPandas(local_candidates, "item string, n_batch bigint")
+        .groupBy("item")
+        .agg(F.sum("n_batch").alias("_nb"))
+        .persist()
     )
-    total = items.filter(F.col(col).isNotNull()).agg(
-        F.count("*").alias("n_total")
+    candidates = stats.filter(F.col("item").isNotNull()).select("item")
+    # sum over every group: candidate groups contribute 0, the NULL
+    # marker group carries the batch totals — identical to
+    # count(items where col IS NOT NULL).
+    total = stats.agg(
+        F.coalesce(F.sum("_nb"), F.lit(0)).cast("long").alias("n_total")
     )
     recount = (
         items.select(F.col(col).cast("string").alias("item"))
