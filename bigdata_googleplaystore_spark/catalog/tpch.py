@@ -21,10 +21,31 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources import load_table
-from ._util import CHARGE_DEC_SQL, REVENUE_DEC_SQL, charge_dec, dec2, money_sum, revenue_dec
+from ._util import (
+    CHARGE_DEC_SQL,
+    REVENUE_DEC_SQL,
+    dec2,
+    money_sum,
+    money_sum_sql,
+    revenue_dec,
+)
 from .registry import register
 
 _CUTOFF = "1998-09-02 00:00:00"
+
+# The 8 BENCH-tagged queries below are built as ONE parsed SQL statement
+# via spark.sql(..., {table}=df) instead of composed Column objects (r13
+# optimization, guide §7.3 "driver-side cost"): the Column form of q1
+# alone issued ~700 py4j round-trips per construction (~0.25-0.5 s of
+# driver latency inside the timed bench region; measured with cProfile —
+# every lit/cast/operator is a socket round-trip), the parsed form ~60.
+# The SQL text reuses the same fragments as the DuckDB oracles
+# (REVENUE_DEC_SQL / money_sum_sql), so the decimal-exactness scheme
+# lives in one place; schemas, values (verified equal at sf0.01/sf0.1)
+# and physical plans (pushdown/pruning/broadcasts, tests/test_plans.py)
+# are unchanged. Non-bench flagship queries keep the declarative Column
+# form — they are not in any timed region, and the two styles
+# cross-check each other.
 
 
 @register(
@@ -56,31 +77,28 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     (hash on the 2 group keys); partial aggregation map-side.
     """
     l = load_table(spark, sf_dir, "lineitem")
-    return (
-        l.filter(F.col("l_shipdate") <= F.lit(_CUTOFF).cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            money_sum(dec2(F.col("l_quantity"))).alias("sum_qty"),
-            money_sum(dec2(F.col("l_extendedprice"))).alias("sum_base_price"),
-            money_sum(revenue_dec()).alias("sum_disc_price"),
-            money_sum(charge_dec()).alias("sum_charge"),
-            # avg via exact decimal sum / count: double avg accumulates in
-            # partition order and the last-ulp drift vs DuckDB can straddle
-            # the round(6) boundary (_util.py scheme, applied to means)
-            F.round(
-                F.sum(dec2(F.col("l_quantity"))).cast("double")
-                / F.count("l_quantity"), 6
-            ).alias("avg_qty"),
-            F.round(
-                F.sum(dec2(F.col("l_extendedprice"))).cast("double")
-                / F.count("l_extendedprice"), 6
-            ).alias("avg_price"),
-            F.round(
-                F.sum(dec2(F.col("l_discount"), 4)).cast("double")
-                / F.count("l_discount"), 6
-            ).alias("avg_disc"),
-            F.count("*").alias("count_order"),
-        )
+    # avg via exact decimal sum / count: double avg accumulates in
+    # partition order and the last-ulp drift vs DuckDB can straddle
+    # the round(6) boundary (_util.py scheme, applied to means)
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus,
+               {money_sum_sql("CAST(l_quantity AS DECIMAL(12,2))")} AS sum_qty,
+               {money_sum_sql("CAST(l_extendedprice AS DECIMAL(12,2))")} AS sum_base_price,
+               {money_sum_sql(REVENUE_DEC_SQL)} AS sum_disc_price,
+               {money_sum_sql(CHARGE_DEC_SQL)} AS sum_charge,
+               round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                     / count(l_quantity), 6)      AS avg_qty,
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                     / count(l_extendedprice), 6) AS avg_price,
+               round(CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)
+                     / count(l_discount), 6)      AS avg_disc,
+               count(*) AS count_order
+        FROM {{l}}
+        WHERE l_shipdate <= TIMESTAMP '{_CUTOFF}'
+        GROUP BY l_returnflag, l_linestatus
+        """,
+        l=l,
     )
 
 
@@ -107,18 +125,22 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     reduction); orders⨝lineitem shuffles on orderkey. At 100 TB both fact
     sides hash-partition on the key and AQE picks SMJ/skew handling.
     """
-    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
-    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
-    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
-    return (
-        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
-        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
-        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(
-            money_sum(revenue_dec()).alias("revenue")
-        )
-        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    return spark.sql(
+        f"""
+        SELECT l_orderkey,
+               {money_sum_sql(REVENUE_DEC_SQL)} AS revenue,
+               o_orderdate, o_orderpriority
+        FROM {{c}} JOIN {{o}} ON c_custkey = o_custkey
+                   JOIN {{l}} ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+          AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        """,
+        c=c, o=o, l=l,
     )
 
 
@@ -147,28 +169,26 @@ def q5_region_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem chain shuffles. Catalyst reorders the broadcast joins freely.
     """
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
-    )
+    o = load_table(spark, sf_dir, "orders")
     l = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
-    return (
-        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
-        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(
-            F.broadcast(s),
-            (F.col("l_suppkey") == F.col("s_suppkey"))
-            & (F.col("c_nationkey") == F.col("s_nationkey")),
-        )
-        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
-        .groupBy("n_name")
-        .agg(
-            money_sum(revenue_dec()).alias("revenue")
-        )
+    return spark.sql(
+        f"""
+        SELECT /*+ BROADCAST(s), BROADCAST(n), BROADCAST(r) */
+               n_name, {money_sum_sql(REVENUE_DEC_SQL)} AS revenue
+        FROM {{c}} c
+        JOIN {{o}} o ON c_custkey = o_custkey
+        JOIN {{l}} l ON l_orderkey = o_orderkey
+        JOIN {{s}} s ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN {{n}} n ON s_nationkey = n_nationkey
+        JOIN {{r}} r ON n_regionkey = r_regionkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY n_name
+        """,
+        c=c, o=o, l=l, s=s, n=n, r=r,
     )
 
 
@@ -192,18 +212,21 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     a single partial+final sum — the cheapest possible plan shape.
     """
     l = load_table(spark, sf_dir, "lineitem")
-    return (
-        l.filter(
-            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
-            & (F.col("l_discount") >= 0.03)
-            & (F.col("l_discount") <= 0.07)
-            & (F.col("l_quantity") < 24)
-        )
-        .agg(
-            money_sum(dec2(F.col("l_extendedprice")) * dec2(F.col("l_discount"), 4)).alias("revenue"),
-            F.count("*").alias("n_items"),
-        )
+    # 0.03D/0.07D: double literals, same type F.lit(0.03) carried — a bare
+    # SQL 0.03 parses as DECIMAL(2,2) and would change the pushed filter
+    return spark.sql(
+        f"""
+        SELECT {money_sum_sql(
+            "CAST(l_extendedprice AS DECIMAL(12,2))"
+            " * CAST(l_discount AS DECIMAL(4,2))")} AS revenue,
+               count(*) AS n_items
+        FROM {{l}}
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+          AND l_discount >= 0.03D AND l_discount <= 0.07D
+          AND l_quantity < 24
+        """,
+        l=l,
     )
 
 
@@ -225,18 +248,19 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     group-count. (Adapted predicate: testdata lineitem has no
     commit/receipt dates, so "late ship" = l_shipdate > o_orderdate.)
     The semi join shuffles only (orderkey, orderdate) — no payload."""
-    o = load_table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
-    )
+    o = load_table(spark, sf_dir, "orders")
     l = load_table(spark, sf_dir, "lineitem")
-    late = o.join(
-        l,
-        (F.col("l_orderkey") == F.col("o_orderkey"))
-        & (F.col("l_shipdate") > F.col("o_orderdate")),
-        "left_semi",
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM {o} LEFT SEMI JOIN {l}
+          ON l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+        GROUP BY o_orderpriority
+        """,
+        o=o, l=l,
     )
-    return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
 
 
 @register(
@@ -262,18 +286,22 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     total tiebreak order so the driver hash is stable). Plans as
     TakeOrderedAndProject, not a global sort."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
-    )
-    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
-    return (
-        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
-        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
-        .groupBy("c_custkey", "c_name")
-        .agg(money_sum(revenue_dec()).alias("revenue"))
-        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
-        .limit(20)
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    return spark.sql(
+        f"""
+        SELECT c_custkey, c_name,
+               {money_sum_sql(REVENUE_DEC_SQL)} AS revenue
+        FROM {{c}} JOIN {{o}} ON c_custkey = o_custkey
+                   JOIN {{l}} ON l_orderkey = o_orderkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+        GROUP BY c_custkey, c_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+        """,
+        c=c, o=o, l=l,
     )
 
 
@@ -296,25 +324,21 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: promo revenue share — broadcast the part dim into
     the filtered fact scan, conditional decimal sums, one output row.
     Both sums are exact decimals; only the final ratio is double."""
-    l = load_table(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1997-03-01 00:00:00").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
-    )
+    l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
-    rev = revenue_dec()
-    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
-        F.lit(0).cast("decimal(14,4)")
-    )
-    return (
-        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .agg(
-            F.round(
-                F.lit(100.0)
-                * F.sum(promo).cast("double")
-                / F.sum(rev).cast("double"),
-                6,
-            ).alias("promo_revenue_pct")
-        )
+    return spark.sql(
+        f"""
+        SELECT /*+ BROADCAST(p) */
+               round(100.0D
+                     * CAST(sum(CASE WHEN p_type = 'PROMO' THEN {REVENUE_DEC_SQL}
+                                     ELSE CAST(0 AS DECIMAL(14,4)) END) AS DOUBLE)
+                     / CAST(sum({REVENUE_DEC_SQL}) AS DOUBLE),
+                     6) AS promo_revenue_pct
+        FROM {{l}} JOIN {{p}} p ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+        """,
+        l=l, p=p,
     )
 
 
@@ -340,19 +364,23 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     then join the survivors to orders/customer. Ordering is (qty desc,
     orderkey) — a total order, so top-100 is deterministic."""
     l = load_table(spark, sf_dir, "lineitem")
-    big = (
-        l.groupBy("l_orderkey")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
-        .filter(F.col("total_qty") > 55)
-    )
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
-    return (
-        big.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(c, F.col("c_custkey") == F.col("o_custkey"))
-        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "total_qty")
-        .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
-        .limit(100)
+    return spark.sql(
+        """
+        WITH big AS (
+          SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+          FROM {l} GROUP BY l_orderkey
+          HAVING round(sum(l_quantity), 2) > 55
+        )
+        SELECT c_custkey, c_name, o_orderkey, o_orderdate, total_qty
+        FROM big
+        JOIN {o} ON o_orderkey = l_orderkey
+        JOIN {c} ON c_custkey = o_custkey
+        ORDER BY total_qty DESC, o_orderkey
+        LIMIT 100
+        """,
+        l=l, o=o, c=c,
     )
 
 
