@@ -198,6 +198,97 @@ def jaccard_pairs(
     a planted df=|corpus| boilerplate shingle must be dropped while
     set sizes stay full.
     """
+    if df.is_cached:
+        # A persisted input must NOT flow through parameterized spark.sql
+        # (the binding UNPERSISTS its argument — see minhash_lsh_pairs);
+        # such callers take the staged Column path, same plan & values.
+        return _jaccard_pairs_staged(
+            df, id_col, text_col, n, threshold, max_shingle_df
+        )
+    # ONE parsed SQL statement (r13 round 2, guide §7.3): the staged
+    # Column composition below issued ~800 py4j round-trips / ~10 eager
+    # Dataset re-analyses per construction (~0.3 s driver time inside the
+    # bench row); one parse builds the same stages. The CTE structure
+    # preserves both staging properties from shingle_arrays/
+    # shingle_exploded: tokens materialize behind the doc repartition as
+    # a bound attribute (no O(tokens²) re-tokenize), and the explode is
+    # OUTER + post-filter so InferFiltersFromGenerate cannot push the
+    # fused shingle tree into the scan. _jaccard_pairs_staged keeps the
+    # Column derivation; tests pin the two equal.
+    npart = _par(df)
+    idq = f"`{id_col.replace('`', '``')}`"
+    txq = f"`{text_col.replace('`', '``')}`"
+    grams = ", ".join(
+        f"element_at(toks, CAST(i + {j} AS INT))" for j in range(n)
+    )
+    cap_ctes = ""
+    fact = "s"
+    if max_shingle_df is not None:
+        # semi-join on the grouping key of a frame already partitioned by
+        # shingle: the DF-count agg and the semi-join reuse one exchange
+        cap_ctes = f"""
+        rare AS (
+          SELECT shingle FROM s GROUP BY shingle
+          HAVING count(*) <= {int(max_shingle_df)}
+        ),
+        kept AS (
+          SELECT s.* FROM s LEFT SEMI JOIN rare ON s.shingle = rare.shingle
+        ),"""
+        fact = "kept"
+    return df.sparkSession.sql(
+        f"""
+        WITH toks AS (
+          SELECT /*+ REPARTITION({npart}, doc) */
+                 {idq} AS doc, split(trim(lower({txq})), '\\\\s+') AS toks
+          FROM {{df}}
+        ),
+        hashed AS (
+          SELECT doc,
+                 array_distinct(transform(
+                   array_distinct(transform(
+                     CASE WHEN size(toks) >= {n}
+                          THEN sequence(1, size(toks) - {n - 1})
+                          ELSE CAST(array() AS ARRAY<INT>) END,
+                     i -> concat_ws(' ', {grams}))),
+                   x -> xxhash64(x))) AS hs
+          FROM toks
+        ),
+        s AS (
+          SELECT /*+ REPARTITION({npart}, shingle) */ doc, set_size, shingle
+          FROM (
+            SELECT doc, size(hs) AS set_size, shingle
+            FROM hashed LATERAL VIEW OUTER explode(hs) t AS shingle
+          ) WHERE shingle IS NOT NULL
+        ),{cap_ctes}
+        inter AS (
+          SELECT a.doc AS doc_a, b.doc AS doc_b,
+                 a.set_size AS size_a, b.set_size AS size_b,
+                 count(*) AS n_common
+          FROM {fact} a JOIN {fact} b
+            ON a.shingle = b.shingle AND a.doc < b.doc
+          GROUP BY doc_a, doc_b, size_a, size_b
+        )
+        SELECT doc_a, doc_b, jaccard FROM (
+          SELECT doc_a, doc_b,
+                 round(n_common / (size_a + size_b - n_common), 6) AS jaccard
+          FROM inter
+        ) WHERE jaccard >= {float(threshold)!r}D
+        """,
+        df=df,
+    )
+
+
+def _jaccard_pairs_staged(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Column-composed derivation of jaccard_pairs — the cache-safe path
+    for persisted inputs and the cross-derivation witness the equality
+    tests pin against the fused SQL statement."""
     sh = shingle_arrays(df, id_col, text_col, n)
     hashed = sh.select(
         "doc",
@@ -316,18 +407,28 @@ def minhash_signatures(
     # identical expression tree (r13 optimization — every coefficient
     # fits in INT, matching F.lit's former IntegerType, so hash inputs
     # and arithmetic promotion are bit-identical).
-    coeff_sql = ",".join(
-        f"named_struct('a',{a},'b',{b})" for a, b in coeffs
+    return s.filter(F.col("set_size") > 0).select(
+        "doc", "set_size", F.expr(_signature_sql(num_hashes)).alias("signature")
     )
-    signature = F.expr(
+
+
+def _signature_sql(num_hashes: int) -> str:
+    """The minhash-signature SQL expression over a `shingles` array
+    column — extracted as the SINGLE definition so every consumer of the
+    array path (full and incremental alike) parses the identical
+    expression and produces bit-identical signatures."""
+    P = 2147483647
+    coeffs = [
+        ((((2 * i + 1) * 2654435761) % P) or 1, (i * 40503 + 7) % P)
+        for i in range(num_hashes)
+    ]
+    coeff_sql = ",".join(f"named_struct('a',{a},'b',{b})" for a, b in coeffs)
+    return (
         f"aggregate("
         f"transform(shingles, sh -> pmod(xxhash64(sh), {P})),"
         f" array_repeat(CAST({P} AS BIGINT), {num_hashes}),"
         f" (acc, h) -> zip_with(acc, array({coeff_sql}),"
         f" (m, c) -> least(m, pmod(c.a * h + c.b, {P}))))"
-    )
-    return s.filter(F.col("set_size") > 0).select(
-        "doc", "set_size", signature.alias("signature")
     )
 
 
@@ -344,7 +445,18 @@ def band_buckets(sig: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
     round-trips; band literals are INT and signature elements BIGINT in
     both forms, so every xxhash64 input type — and therefore every
     bucket value — is unchanged)."""
-    band_cols = F.expr(
+    return sig.select(
+        "doc", F.explode_outer(F.expr(_band_array_sql(bands, rows_per_band))).alias("bb")
+    ).select(
+        "doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
+def _band_array_sql(bands: int, rows_per_band: int) -> str:
+    """The banding SQL expression over a `signature` array column —
+    extracted as the SINGLE definition behind band_buckets so full and
+    incremental banding stay bit-identical."""
+    return (
         "array(" + ",".join(
             f"named_struct('band',{b},'bucket',xxhash64({b},"
             + ",".join(
@@ -354,9 +466,6 @@ def band_buckets(sig: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
             + "))"
             for b in range(bands)
         ) + ")"
-    )
-    return sig.select("doc", F.explode_outer(band_cols).alias("bb")).select(
-        "doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
 
 
@@ -442,6 +551,15 @@ def minhash_lsh_pairs(
     # (one row per doc) instead of the exploded form also shrinks the
     # cached footprint and lets the signature stage skip the explode
     # entirely (map-only array_min/transform — no signature shuffle).
+    # NOTE (r13 round 2, measured dead end): fusing everything below the
+    # persisted shingle frame into ONE parameterized spark.sql statement
+    # cut construction 1.9 -> 0.6 s, BUT pyspark's df-parameter binding
+    # UNPERSISTS the frame it binds (verified: CacheManager goes empty
+    # the moment spark.sql(..., arrs=arrs) is analyzed; the executed
+    # plan lost all 8 InMemoryTableScans and re-ran the tokenize+shingle
+    # pipeline four times — 2 exchanges became 4). Never pass a
+    # persisted frame as a spark.sql parameter; the staged Column
+    # composition below keeps the cache contract.
     arrs = shingle_arrays(df, id_col, text_col, n).persist()
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes, shingle_arrs=arrs)
     # Verify in the HASHED shingle domain (same policy as jaccard_pairs,
