@@ -32,7 +32,66 @@ def cosine_topk(
     k: int = 5,
 ) -> DataFrame:
     """Exact brute-force top-k: broadcast queries x corpus, JVM-side
-    zip_with/aggregate dot products, rank window per query."""
+    zip_with/aggregate dot products, rank window per query.
+
+    Built as ONE parsed SQL statement (r13, guide §7.3 construction
+    cost) with `_cosine_sql` mirroring functions/vectors.py's
+    cosine_similarity tree exactly — same left-to-right double
+    accumulation, so the rounded sims match DuckDB's sequential
+    list_dot_product (the exactness contract that bars a numpy matmul
+    rewrite). Persisted inputs take the Column path: parameterized
+    spark.sql UNPERSISTS a bound cached frame (see dedup operators)."""
+    if corpus.is_cached or queries.is_cached:
+        return _cosine_topk_columns(corpus, queries, id_col, vec_col, k)
+    idq = f"`{id_col.replace('`', '``')}`"
+    vq = f"`{vec_col.replace('`', '``')}`"
+    return corpus.sparkSession.sql(
+        f"""
+        WITH sims AS (
+          SELECT /*+ BROADCAST(q) */
+                 query_id, cand_id, round({_cosine_sql('qv', 'cv')}, 4) AS sim
+          FROM (SELECT {idq} AS query_id, {vq} AS qv FROM {{queries}}) q
+          CROSS JOIN (SELECT {idq} AS cand_id, {vq} AS cv FROM {{corpus}}) c
+        )
+        SELECT query_id, cand_id, sim, rn FROM (
+          SELECT query_id, cand_id, sim,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY sim DESC, cand_id) AS rn
+          FROM sims
+        ) WHERE rn <= {int(k)}
+        """,
+        queries=queries,
+        corpus=corpus,
+    )
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with(CAST({a} AS ARRAY<DOUBLE>),"
+        f" CAST({b} AS ARRAY<DOUBLE>), (x, y) -> x * y),"
+        f" 0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    """SQL rendering of functions/vectors.cosine_similarity — identical
+    tree (double cast, left-to-right aggregate fold, null on zero norm)."""
+    denom = f"(sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)}))"
+    return (
+        f"CASE WHEN {denom} > 0.0D THEN {_dot_sql(a, b)} / {denom}"
+        f" ELSE NULL END"
+    )
+
+
+def _cosine_topk_columns(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Column-composed derivation of cosine_topk — the cache-safe path
+    and the cross-derivation witness tests pin against the SQL form."""
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )

@@ -803,3 +803,64 @@ def test_ingest_unless_duplicate_lifecycle(spark, sf_dir, tmp_path):
     }
     base_ids = {r["doc_id"] for r in base.select("doc_id").collect()}
     assert snap_ids == base_ids | s1_ids | s2_ids
+
+
+def test_jaccard_fused_sql_equals_staged_columns(spark, sf_dir):
+    """jaccard_pairs' fused single-statement SQL form (r13 construction
+    optimization) must produce exactly the staged Column derivation's
+    rows — uncapped and capped, including the persisted-input fallback
+    (parameterized spark.sql UNPERSISTS a bound cached frame, so cached
+    inputs must take the staged path)."""
+    d = load_table(spark, sf_dir, "documents")
+    for cap in (None, 30):
+        fused = sorted(
+            map(
+                tuple,
+                dedup.jaccard_pairs(
+                    d, "doc_id", "text", n=3, threshold=0.5, max_shingle_df=cap
+                ).collect(),
+            )
+        )
+        staged = sorted(
+            map(
+                tuple,
+                dedup._jaccard_pairs_staged(
+                    d, "doc_id", "text", n=3, threshold=0.5, max_shingle_df=cap
+                ).collect(),
+            )
+        )
+        assert fused == staged and len(fused) > 0
+    cached = d.persist()
+    try:
+        via_fallback = sorted(
+            map(tuple, dedup.jaccard_pairs(cached, "doc_id", "text").collect())
+        )
+        assert via_fallback == sorted(
+            map(tuple, dedup.jaccard_pairs(d, "doc_id", "text").collect())
+        )
+        # the fallback must not have unpersisted the caller's frame
+        assert cached.is_cached
+    finally:
+        cached.unpersist()
+
+
+def test_cosine_topk_fused_sql_equals_columns(spark, sf_dir):
+    """cosine_topk's fused SQL form must rank exactly like the Column
+    derivation (same left-to-right double accumulation under round(,4)),
+    and a persisted input must take the Column path un-unpersisted."""
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = e.filter(F.col("vec_id") >= 10)
+    queries = e.filter(F.col("vec_id") < 10)
+    fused = sorted(map(tuple, similarity.cosine_topk(corpus, queries, k=5).collect()))
+    cols = sorted(
+        map(tuple, similarity._cosine_topk_columns(corpus, queries, k=5).collect())
+    )
+    assert fused == cols and len(fused) > 0
+    cached = corpus.persist()
+    try:
+        assert sorted(
+            map(tuple, similarity.cosine_topk(cached, queries, k=5).collect())
+        ) == fused
+        assert cached.is_cached
+    finally:
+        cached.unpersist()
