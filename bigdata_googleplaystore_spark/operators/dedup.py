@@ -551,24 +551,89 @@ def minhash_lsh_pairs(
     # (one row per doc) instead of the exploded form also shrinks the
     # cached footprint and lets the signature stage skip the explode
     # entirely (map-only array_min/transform — no signature shuffle).
-    # NOTE (r13 round 2, measured dead end): fusing everything below the
-    # persisted shingle frame into ONE parameterized spark.sql statement
-    # cut construction 1.9 -> 0.6 s, BUT pyspark's df-parameter binding
-    # UNPERSISTS the frame it binds (verified: CacheManager goes empty
-    # the moment spark.sql(..., arrs=arrs) is analyzed; the executed
-    # plan lost all 8 InMemoryTableScans and re-ran the tokenize+shingle
-    # pipeline four times — 2 exchanges became 4). Never pass a
-    # persisted frame as a spark.sql parameter; the staged Column
-    # composition below keeps the cache contract.
+    # Everything downstream of the persisted shingle frame is ONE parsed
+    # SQL statement (r13 round 2, guide §7.3): the staged Column
+    # composition (kept as _minhash_lsh_pairs_staged) issued ~1,000 py4j
+    # round-trips / ~15 eager Dataset re-analyses per construction. The
+    # persisted frame is referenced BY TEMP VIEW NAME, not as a spark.sql
+    # df-parameter: the parameter binding UNPERSISTS the frame it binds
+    # (measured — CacheManager empties at analysis, the executed plan
+    # lost every InMemoryTableScan and re-ran tokenize+shingle four
+    # times), while catalog view resolution is the standard cached path
+    # (InMemoryTableScan under every reference; verified). The view is
+    # NOT dropped: dropTempView/createOrReplaceTempView UNCACHE the plan
+    # the view resolves to (measured — dropping right after parsing
+    # silently lost the cache and the shingle pipeline re-ran per
+    # consumer, 1.8 s -> 12 s e2e), so one fixed engine-prefixed name is
+    # replaced per invocation and the REPLACE doubles as cache hygiene
+    # for the previous invocation's dead frame (bench/sim clear cache
+    # per query anyway). Signature/banding come from the same _signature_sql/
+    # _band_array_sql definitions the staged operators use, so values
+    # are bit-identical; verification stays in the HASHED shingle domain
+    # (round-4 advice): intersection keys AND set sizes are computed
+    # over the distinct xxhash64(shingle) set, and the verify joins
+    # compare 8-byte longs, not length-proportional shingle strings.
+    arrs = shingle_arrays(df, id_col, text_col, n).persist()
+    spark = arrs.sparkSession
+    vname = "_bgps_minhash_shingles"
+    arrs.createOrReplaceTempView(vname)
+    return spark.sql(
+            f"""
+            WITH sig AS (
+              SELECT doc, {_signature_sql(num_hashes)} AS signature
+              FROM {vname} WHERE set_size > 0
+            ),
+            buckets AS (
+              SELECT doc, bb.band AS band, bb.bucket AS bucket
+              FROM sig
+              LATERAL VIEW OUTER explode({_band_array_sql(bands, rows_per_band)}) t AS bb
+            ),
+            cands AS (
+              SELECT DISTINCT l.doc AS doc_a, r.doc AS doc_b
+              FROM buckets l JOIN buckets r
+                ON l.band = r.band AND l.bucket = r.bucket AND l.doc < r.doc
+            ),
+            sh AS (
+              SELECT doc, size(hs) AS set_size, shingle
+              FROM (
+                SELECT doc,
+                       array_distinct(transform(shingles, x -> xxhash64(x))) AS hs
+                FROM {vname}
+              ) LATERAL VIEW OUTER explode(hs) t AS shingle
+              WHERE shingle IS NOT NULL
+            ),
+            inter AS (
+              SELECT doc_a, doc_b, a.set_size AS size_a, b.set_size AS size_b,
+                     count(*) AS n_common
+              FROM cands
+              JOIN sh a ON a.doc = cands.doc_a
+              JOIN sh b ON b.doc = cands.doc_b AND b.shingle = a.shingle
+              GROUP BY doc_a, doc_b, a.set_size, b.set_size
+            )
+            SELECT doc_a, doc_b, jaccard FROM (
+              SELECT doc_a, doc_b,
+                     round(n_common / (size_a + size_b - n_common), 6) AS jaccard
+              FROM inter
+            ) WHERE jaccard >= {float(threshold)!r}D
+        """
+    )
+
+
+def _minhash_lsh_pairs_staged(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Column-composed derivation of minhash_lsh_pairs — the
+    cross-derivation witness the equality tests pin against the fused
+    SQL statement (same persisted shingle frame, same staged operators)."""
+    rows_per_band = num_hashes // bands
     arrs = shingle_arrays(df, id_col, text_col, n).persist()
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes, shingle_arrs=arrs)
-    # Verify in the HASHED shingle domain (same policy as jaccard_pairs,
-    # round-4 advice): intersection keys AND set sizes are both computed
-    # over the distinct xxhash64(shingle) set, so the measured Jaccard is
-    # exactly the hashed-set Jaccard — mutually consistent even under a
-    # 64-bit collision — instead of a mixed string-size/hash-intersection
-    # ratio. Also cheaper: the verify joins compare 8-byte longs, not
-    # length-proportional shingle strings.
     hashed = arrs.select(
         "doc",
         F.array_distinct(

@@ -864,3 +864,34 @@ def test_cosine_topk_fused_sql_equals_columns(spark, sf_dir):
         assert cached.is_cached
     finally:
         cached.unpersist()
+
+
+def test_minhash_fused_sql_equals_staged_columns(spark, sf_dir):
+    """minhash_lsh_pairs' fused SQL form (persisted shingle frame
+    referenced by temp view — NOT a spark.sql parameter, which would
+    unpersist it) must produce exactly the staged Column derivation's
+    pairs, and its plan must still consume the cached shingle frame."""
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    d = load_table(spark, sf_dir, "documents")
+    fused_df = dedup.minhash_lsh_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        fused_df.explain("formatted")
+    plan = buf.getvalue()
+    assert plan.count("InMemoryTableScan") > 0, "shingle cache lost"
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
+    fused = sorted(map(tuple, fused_df.collect()))
+    spark.catalog.clearCache()
+    staged = sorted(
+        map(
+            tuple,
+            dedup._minhash_lsh_pairs_staged(
+                d, "doc_id", "text", n=3, threshold=0.5
+            ).collect(),
+        )
+    )
+    spark.catalog.clearCache()
+    assert fused == staged and len(fused) > 0
