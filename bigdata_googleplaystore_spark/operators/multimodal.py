@@ -46,6 +46,7 @@ from pyspark.sql.types import (
 )
 
 from . import codecs
+from ._cache import keep_latest
 
 MEDIA_SCHEMA = StructType(
     [
@@ -350,8 +351,10 @@ def ahash_dup_pairs(media: DataFrame, grid: int = 8) -> DataFrame:
     # probe), so without the cache boundary the whole image-decode
     # pipeline ran TWICE (measured at sf0.1: 4 MapInPandas nodes,
     # 0 ReusedExchange; 0.98 s -> 0.79 s persisted). ~16 bytes/image;
-    # the session's cache hygiene owns the entry.
-    hashed = image_ahash(media, grid=grid).persist()
+    # keep_latest bounds long-session accumulation to one live frame.
+    hashed = keep_latest(
+        "multimodal.ahash", image_ahash(media, grid=grid).persist()
+    )
     a = hashed.select(
         F.col("media_id").alias("media_a"), F.col("ahash").alias("_h")
     )
@@ -696,10 +699,13 @@ def video_dup_pairs(media: DataFrame) -> DataFrame:
     # cache boundary the whole decode pipeline ran TWICE (measured at
     # sf0.1: 4 MapInPandas nodes, 0 ReusedExchange; 1.12 s -> 0.90 s
     # persisted, both sides InMemoryTableScan). The frame is ~32
-    # bytes/clip; the session's cache
-    # hygiene owns the entry (bench.py/sim clear cache per query — the
+    # bytes/clip; keep_latest bounds long-session accumulation to one
+    # live frame (bench.py/sim additionally clear cache per query — the
     # dedup_exact_substring precedent).
-    sigs = video_signatures(media).select("media_id", "sig").persist()
+    sigs = keep_latest(
+        "multimodal.videosig",
+        video_signatures(media).select("media_id", "sig").persist(),
+    )
     a = sigs.alias("a")
     b = sigs.alias("b")
     return (

@@ -357,11 +357,16 @@ def _session_key(spark: SparkSession) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver testdata table (TESTDATA.md).
 
-    Pins the session timezone to UTC: every catalog query flows through
-    here, and window/date-part/collected-timestamp results are
-    session-TZ-dependent — a non-UTC driver session would shift them
-    against the timezone-naive DuckDB oracles (engine sessions already
-    default to UTC; this covers externally-built sessions).
+    Pins the session timezone to UTC ONCE PER SESSION (first call for a
+    given applicationId): every catalog query flows through here, and
+    window/date-part/collected-timestamp results are session-TZ-dependent
+    — a non-UTC driver session would shift them against the
+    timezone-naive DuckDB oracles (engine sessions already default to
+    UTC; this covers externally-built sessions). The pin is deliberately
+    NOT re-verified per call (a conf.get is a py4j round-trip and this is
+    the hottest driver-side path): user code that re-sets
+    spark.sql.session.timeZone after the first catalog query takes
+    responsibility for the UTC contract itself.
 
     `events.parquet` stores ts as parquet TIMESTAMP(NANOS), which Spark 4
     rejects ([PARQUET_TYPE_ILLEGAL]) unless the legacy nanosAsLong read is

@@ -812,6 +812,7 @@ def test_jaccard_fused_sql_equals_staged_columns(spark, sf_dir):
     (parameterized spark.sql UNPERSISTS a bound cached frame, so cached
     inputs must take the staged path)."""
     d = load_table(spark, sf_dir, "documents")
+    expected_default = None
     for cap in (None, 30):
         fused = sorted(
             map(
@@ -830,14 +831,20 @@ def test_jaccard_fused_sql_equals_staged_columns(spark, sf_dir):
             )
         )
         assert fused == staged and len(fused) > 0
+    # Capture the UNCACHED expected rows BEFORE persisting: persist()
+    # returns self and load_table memoizes, so after d.persist() every
+    # jaccard_pairs(d, ...) call sees a cached input and takes the staged
+    # path — comparing two post-persist calls would never exercise the
+    # cached-vs-uncached equality (r13 advice: the old assert was vacuous).
+    expected_default = sorted(
+        map(tuple, dedup.jaccard_pairs(d, "doc_id", "text").collect())
+    )
     cached = d.persist()
     try:
         via_fallback = sorted(
             map(tuple, dedup.jaccard_pairs(cached, "doc_id", "text").collect())
         )
-        assert via_fallback == sorted(
-            map(tuple, dedup.jaccard_pairs(d, "doc_id", "text").collect())
-        )
+        assert via_fallback == expected_default
         # the fallback must not have unpersisted the caller's frame
         assert cached.is_cached
     finally:
@@ -895,3 +902,23 @@ def test_minhash_fused_sql_equals_staged_columns(spark, sf_dir):
     )
     spark.catalog.clearCache()
     assert fused == staged and len(fused) > 0
+
+
+def test_minhash_interleaved_invocations_both_correct(spark, sf_dir):
+    """Two minhash_lsh_pairs invocations built BEFORE either executes
+    (r14, verdict item 6): per-invocation unique temp-view names mean the
+    second invocation's registration can no longer rebind the first's
+    view, so both lazy results must return the correct pairs — the first
+    merely recomputes its shingle frame from lineage (its cache is
+    released when the second invocation finishes analysis)."""
+    d = load_table(spark, sf_dir, "documents")
+    expected = sorted(
+        map(tuple, dedup.minhash_lsh_pairs(d, "doc_id", "text", n=3).collect())
+    )
+    spark.catalog.clearCache()
+    first = dedup.minhash_lsh_pairs(d, "doc_id", "text", n=3)
+    second = dedup.minhash_lsh_pairs(d, "doc_id", "text", n=3)
+    got_second = sorted(map(tuple, second.collect()))
+    got_first = sorted(map(tuple, first.collect()))
+    spark.catalog.clearCache()
+    assert got_first == expected and got_second == expected and len(expected) > 0

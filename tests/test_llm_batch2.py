@@ -329,6 +329,44 @@ def test_heavy_hitters_exact_under_partitioning(spark, sf_dir):
     assert got == {"hot0": 1000, "hot1": 1000, "hot2": 1000}
 
 
+def test_operator_persists_bounded_in_long_session(spark, sf_dir):
+    """Operators that persist a shared intermediate must not accumulate
+    dead cache entries across invocations in one long-lived session
+    (r14, verdict item 7): after N sequential invocations+actions, at
+    most ONE cached relation per operator survives (keep_latest releases
+    the previous invocation's frame), and results stay correct."""
+    from bigdata_googleplaystore_spark.operators import dedup
+    from bigdata_googleplaystore_spark.operators.frequency import heavy_hitters
+
+    def n_cached():
+        return spark._jsparkSession.sharedState().cacheManager().cachedData().size()
+
+    spark.catalog.clearCache()
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = d.select(F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term"))
+    # Same input twice: CacheManager dedups by plan equality, so both
+    # invocations SHARE one entry — the release must not touch it
+    # (unpersisting the "previous" frame would kill the new cache too).
+    first = sorted(map(tuple, heavy_hitters(toks, "term", 30).collect()))
+    assert n_cached() >= 1
+    second = sorted(map(tuple, heavy_hitters(toks, "term", 30).collect()))
+    assert second == first and n_cached() == 1
+    # Different input: the previous invocation's entry must be RELEASED
+    # (this is the long-session accumulation the bookkeeping bounds).
+    half = toks.limit(500)
+    sorted(map(tuple, heavy_hitters(half, "term", 30).collect()))
+    assert n_cached() == 1
+
+    spark.catalog.clearCache()
+    first = sorted(map(tuple, dedup.minhash_lsh_pairs(d, "doc_id", "text").collect()))
+    second = sorted(map(tuple, dedup.minhash_lsh_pairs(d, "doc_id", "text").collect()))
+    assert second == first and n_cached() == 1
+    d2 = d.filter(F.col("doc_id") % 2 == 0)
+    assert len(dedup.minhash_lsh_pairs(d2, "doc_id", "text").collect()) >= 0
+    assert n_cached() == 1
+    spark.catalog.clearCache()
+
+
 def test_semantic_dedup_precision_and_determinism(spark, sf_dir):
     """SemDeDup drops are exactly the brute-force near-dup pairs whose
     endpoints co-cluster (precision 1.0 by exact verification; recall
