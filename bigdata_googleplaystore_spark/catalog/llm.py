@@ -4744,8 +4744,22 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     sp = w.select("doc_id", F.explode(spans).alias("s")).select(
         "doc_id", "s.pos", "s.h"
     )
-    cnt = sp.groupBy("h").agg(F.count("*").alias("c"))
-    dup = sp.join(cnt.filter(F.col("c") > 1), "h").select("doc_id", "pos")
+    # Duplicated spans via ONE count window over the span hash instead of
+    # groupBy(h) + rejoin (r14, guide §2.4): the join shape computed the
+    # span explode TWICE (its two consumers' exchanges differ — partial
+    # agg vs join probe — so exchange reuse never fires) and shuffled sp
+    # once for the join on top of the distinct-hash aggregate's shuffle.
+    # The window shape emits spans once and shuffles them once (count
+    # over partition-by-h needs no ordering); rows produced are
+    # IDENTICAL — a span occurrence survives iff its hash's global count
+    # exceeds 1, exactly the old cnt.c > 1 semi-join condition.
+    from pyspark.sql import Window as _W
+
+    dup = (
+        sp.withColumn("c", F.count("*").over(_W.partitionBy("h")))
+        .filter(F.col("c") > 1)
+        .select("doc_id", "pos")
+    )
     cov = dup.groupBy("doc_id").agg(
         F.array_sort(
             F.array_distinct(

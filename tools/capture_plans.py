@@ -1,6 +1,6 @@
 #!/usr/bin/env python
 """Dump .explain("formatted") for bench-tagged queries (and the EXTRA_BENCH
-batch-expressible ones) to plans/r13/<query>_<suffix>.txt.
+batch-expressible ones) to plans/$PLANS_ROUND (default r14)/<query>_<suffix>.txt.
 
 Usage: python tools/capture_plans.py <suffix> [name ...]
 With no names: every bench-tagged registry query. Static (pre-AQE) plans —
@@ -17,7 +17,7 @@ from bigdata_googleplaystore_spark.catalog import QUERIES
 from bigdata_googleplaystore_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13")
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", os.environ.get("PLANS_ROUND", "r14"))
 
 suffix = sys.argv[1] if len(sys.argv) > 1 else "before"
 names = sys.argv[2:]
