@@ -10,6 +10,8 @@ from pyspark.sql import functions as F
 from bigdata_googleplaystore_spark.operators import dedup, similarity
 from bigdata_googleplaystore_spark.sources import load_table
 
+from _markers import HEAVY
+
 
 def _pairs(df):
     return {(r["doc_a"], r["doc_b"]) for r in df.collect()}
@@ -210,6 +212,7 @@ def test_quota_per_group_stable_subset(spark, sf_dir):
     assert all(r["n"] <= 5 for r in per)
 
 
+@HEAVY
 def test_embedding_ann_near_pairs_vs_exact(spark, sf_dir):
     """embedding_near_pairs_ann = LSH candidates + exact verify, so its
     output must be a subset of the exact all-pairs tier, and on planted
@@ -468,6 +471,7 @@ def test_incremental_minhash_equals_full_recompute(spark, sf_dir, tmp_path):
     assert all(a >= 1_000_000 or b >= 1_000_000 for a, b in inc)
 
 
+@HEAVY
 def test_incremental_minhash_partitioned_index_equals_flat(
     spark, sf_dir, tmp_path
 ):
@@ -550,6 +554,7 @@ def test_append_ivf_assignments_equals_full_build(spark, sf_dir, tmp_path):
     assert got_map == want_map
 
 
+@HEAVY
 def test_metaless_index_requires_explicit_params(spark, sf_dir, tmp_path):
     """Legacy meta-less index layouts (r10 ADVICE): the indexed
     incremental entry points must not silently shingle/hash the delta
@@ -669,6 +674,7 @@ def test_incremental_jaccard_equals_full_recompute(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, pruned.collect())) == want
 
 
+@HEAVY
 def test_incremental_jaccard_capped_and_appended(spark, sf_dir, tmp_path):
     """The corpus-global hot-shingle cap on the incremental path: df is
     recounted over stored base + delta (exact — each bucket holds its

@@ -14,6 +14,8 @@ from pyspark.sql import functions as F
 from bigdata_googleplaystore_spark.catalog import QUERIES
 from bigdata_googleplaystore_spark.sources import load_table
 
+from _markers import HEAVY
+
 
 def test_quantize_error_bound(spark, sf_dir):
     """Symmetric int8 quantization guarantees |x - q*scale| <= scale/2
@@ -367,6 +369,7 @@ def test_operator_persists_bounded_in_long_session(spark, sf_dir):
     spark.catalog.clearCache()
 
 
+@HEAVY
 def test_semantic_dedup_precision_and_determinism(spark, sf_dir):
     """SemDeDup drops are exactly the brute-force near-dup pairs whose
     endpoints co-cluster (precision 1.0 by exact verification; recall
@@ -445,6 +448,7 @@ def test_gini_matches_numpy(spark, sf_dir):
     assert 0.0 <= r["gini"] < 1.0
 
 
+@HEAVY
 def test_knn_accuracy_matches_numpy(spark, sf_dir):
     """The distributed leave-one-out 5-NN vote must agree with a numpy
     reimplementation (identical rounding and tiebreaks)."""
@@ -837,6 +841,7 @@ def test_bpe_planted_query_matches_reference_and_closed_form(spark, sf_dir):
     assert got == closed_form
 
 
+@HEAVY
 def test_bpe_batched_merges_match_reference_on_adversarial_vocabs(spark):
     """The round-4 merge BATCHING (two merges per pass when
     _second_merge_safe proves sequential equivalence) must stay
@@ -1295,6 +1300,7 @@ def test_pq_planted_fixpoint_codes_and_adc(spark, sf_dir):
         assert r["cand_id"] == r["query_id"] + 10_000_000 * r["rank"]
 
 
+@HEAVY
 def test_ivf_pq_rerank_endpoint_and_production_recall(spark, sf_dir):
     """operators/pq.ivf_pq_topk: (a) at the deterministic endpoint
     (n_probe = n_cells, no shortlist cut) the composed cell -> code ->
@@ -1340,6 +1346,7 @@ def test_ivf_pq_rerank_endpoint_and_production_recall(spark, sf_dir):
     assert recall >= 0.6, recall
 
 
+@HEAVY
 def test_bpe_merges_match_reference_on_random_tied_vocabs(spark):
     """Property (hypothesis): the trainer equals the pure-Python
     reference on RANDOM tiny-alphabet vocabularies, where pair-count

@@ -26,6 +26,8 @@ from pyspark.sql import functions as F
 from bigdata_googleplaystore_spark import streaming
 from bigdata_googleplaystore_spark.streaming import manifest
 
+from _markers import HEAVY
+
 
 class _Model:
     def __init__(self) -> None:
@@ -64,6 +66,7 @@ def _df(spark, pairs):
     )
 
 
+@HEAVY
 def test_manifest_random_op_sequences_match_model(spark, tmp_path):
     rnd = random.Random(1729)
     for scenario in range(3):

@@ -4,6 +4,8 @@ from __future__ import annotations
 
 from bigdata_googleplaystore_spark.catalog import QUERIES
 
+from _markers import HEAVY
+
 
 def test_approx_distinct_error_bound(spark, sf_dir_mid):
     """The query now self-asserts the HLL++ error bound (|approx-exact|
@@ -552,6 +554,7 @@ def test_multiset_topn_surfaces_runner_ups_after_band_delete(spark):
     assert got == [("x", 1, 7.0, 1), ("x", 2, 3.0, 1)]
 
 
+@HEAVY
 def test_multiset_state_matches_counter_model_under_random_cdc(spark):
     """Property (hypothesis): for ANY base multiset and ANY valid CDC
     feed (deletes only of present rows, arbitrary inserts, split across
@@ -643,6 +646,7 @@ def test_multiset_state_matches_counter_model_under_random_cdc(spark):
     check()
 
 
+@HEAVY
 def test_signed_partials_match_counter_model_under_random_cdc(spark):
     """Property (hypothesis): the signed SCALAR state (partial_agg ->
     merge_partials_signed -> finalize_signed) must match an independent
@@ -716,6 +720,7 @@ def test_signed_partials_match_counter_model_under_random_cdc(spark):
     check()
 
 
+@HEAVY
 def test_delta_join_signed_matches_model_under_random_two_sided_cdc(spark):
     """Property (hypothesis): the bilinear delta rule maintains the
     joined view exactly under ANY two-sided CDC feed — random deletes
@@ -792,6 +797,7 @@ def test_delta_join_signed_matches_model_under_random_two_sided_cdc(spark):
     check()
 
 
+@HEAVY
 def test_asof_join_matches_pandas_merge_asof(spark):
     """Property (hypothesis): the union-marker as-of join must agree with
     an INDEPENDENT implementation of the same semantics — pandas
@@ -844,6 +850,7 @@ def test_asof_join_matches_pandas_merge_asof(spark):
     check()
 
 
+@HEAVY
 def test_connected_components_match_union_find(spark):
     """Property (hypothesis): iterative min-label propagation over random
     edge lists must produce exactly the components a trivially-correct
@@ -888,6 +895,7 @@ def test_connected_components_match_union_find(spark):
     check()
 
 
+@HEAVY
 def test_triangle_count_matches_brute_force(spark):
     """Property (hypothesis): both triangle-count methods (edge-iterator
     and wedge-join, each built on the degree-ordered orientation) must
@@ -924,6 +932,7 @@ def test_triangle_count_matches_brute_force(spark):
     check()
 
 
+@HEAVY
 def test_pagerank_matches_python_model(spark):
     """Property (hypothesis): the DataFrame PageRank iteration must match
     a plain-Python reference of the same unnormalized recurrence
@@ -1007,6 +1016,7 @@ def test_winnow_rows_match_python_reference(spark):
     check()
 
 
+@HEAVY
 def test_jaccard_pairs_match_python_model(spark):
     """Property (hypothesis): the inverted-index n-gram Jaccard join must
     produce exactly the pairs a brute-force Python model finds — same
@@ -1056,6 +1066,7 @@ def test_jaccard_pairs_match_python_model(spark):
     check()
 
 
+@HEAVY
 def test_cosine_topk_matches_numpy_model(spark):
     """Property (hypothesis): the exact brute-force cosine top-k must
     reproduce a numpy model applying the operator's documented contract

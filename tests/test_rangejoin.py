@@ -10,7 +10,10 @@ from pyspark.sql import functions as F
 
 from bigdata_googleplaystore_spark.operators.rangejoin import interval_join
 
+from _markers import HEAVY
 
+
+@HEAVY
 def test_bucketed_range_join_equals_bruteforce(spark):
     rng = random.Random(11)
     points = spark.createDataFrame(

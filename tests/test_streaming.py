@@ -9,6 +9,8 @@ import pytest
 from bigdata_googleplaystore_spark import streaming
 from bigdata_googleplaystore_spark.sources import load_table
 
+from _markers import HEAVY
+
 
 @pytest.fixture(scope="module")
 def event_stream_dir(spark, sf_dir, tmp_path_factory):
@@ -686,6 +688,7 @@ def test_compact_state_partials_multiset_dispatch(spark, tmp_path):
     assert out == {"x": (1, 7.0, 7.0), "y": (2, 2.0, 3.0)}
 
 
+@HEAVY
 def test_compaction_invariant_under_random_batches_and_horizon(spark, tmp_path):
     """Property (hypothesis): for ANY random sequence of signed batches
     over a small key/value domain and ANY compaction horizon, the signed

@@ -134,8 +134,15 @@ def stages_substring(spark):
     sp = w.select("doc_id", F.explode(spans).alias("s")).select(
         "doc_id", "s.pos", "s.h"
     )
-    cnt = sp.groupBy("h").agg(F.count("*").alias("c"))
-    dup = sp.join(cnt.filter(F.col("c") > 1), "h").select("doc_id", "pos")
+    # duplicated spans via one count window over h (r14; the previous
+    # groupBy(h)+rejoin shape computed the span explode twice)
+    from pyspark.sql import Window as _W
+
+    dup = (
+        sp.withColumn("c", F.count("*").over(_W.partitionBy("h")))
+        .filter(F.col("c") > 1)
+        .select("doc_id", "pos")
+    )
     cov = dup.groupBy("doc_id").agg(
         F.array_sort(
             F.array_distinct(
@@ -149,7 +156,7 @@ def stages_substring(spark):
     return [
         ("tokenize", w),
         ("+span emission", sp),
-        ("+span-count + dup rejoin", dup),
+        ("+dup spans (count window)", dup),
         ("+per-doc coverage", cov),
         ("+rebuild kept_text (full)", full),
     ]
