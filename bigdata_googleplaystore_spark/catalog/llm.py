@@ -4702,17 +4702,29 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     - spans are (doc_id, pos, xxhash64(span_text)) rows — the corpus is
       scanned once, each doc emitting n-K+1 spans (map-side, no state);
-    - one groupBy on the 8-byte span hash (map-side combinable) finds
-      global occurrence counts; only hashes, never span strings, shuffle;
-    - duplicated occurrences rejoin on that same hash key and collapse to
-      a per-doc sorted coverage set of word positions (collect_list of
-      tiny int ranges — per-doc, bounded by doc length, NOT corpus-sized;
-      order-insensitive because array_distinct+array_sort canonicalize);
+    - duplicated occurrences are found with ONE count(*) window over the
+      8-byte span hash (r14; only hashes, never span strings, shuffle):
+      a span survives iff its hash's global count exceeds 1. The prior
+      groupBy(h) + rejoin shape computed the span explode TWICE (its two
+      consumers' exchanges differ, so exchange reuse never fires) and
+      shuffled the span frame on top of the aggregate's shuffle —
+      measured 1.55 s join-shape vs 1.13 s window-shape at sf0.1.
+      Documented trade: AQE skew handling applies to joins, not windows,
+      so a pathologically hot span hash would serialize in one window
+      task where the join could skew-split its probe side. Measured span
+      tail at sf0.1: max count 4 over 224k distinct hashes — spans are
+      near-unique by construction (K=8 words), and a corpus whose
+      boilerplate breaks that assumption should switch this stage back
+      to the aggregate+skew-join shape;
+    - duplicated occurrences collapse to a per-doc sorted coverage set of
+      word positions (collect_list of tiny int ranges — per-doc, bounded
+      by doc length, NOT corpus-sized; order-insensitive because
+      array_distinct+array_sort canonicalize);
     - the rebuild is a map-side lambda filter over the original token
       array using the coverage set — no further shuffle.
 
-    Three shuffles total (span-count, rejoin, per-doc coverage), all on
-    hash or doc_id keys with uniform fan-out; no pair explosion anywhere.
+    Two shuffles total (dup-span window, per-doc coverage), on hash or
+    doc_id keys; no pair explosion anywhere.
     The oracle compares span TEXT where Spark compares xxhash64(span) —
     identical results absent a 64-bit collision within the corpus
     (~n_spans^2/2^65; negligible, same posture as the jaccard index).
