@@ -11,16 +11,21 @@ at 8 and at 32 cores in SEPARATE processes (same env contract as
 bench.py: master local[$SPARK_GRAFT_CPUS]) and records the
 wall-clock ratio t8/t32.
 
-Scaling construction (deterministic, replica r in 0..9):
-  - lineitem/orders/customer: key' = key*10 + r for every join key
-    (o_orderkey/l_orderkey, c_custkey/o_custkey), all other columns
-    unchanged — per-key join fan-out is IDENTICAL to sf0.1, so the join
-    output scales exactly 10x (no artificial quadratic term).
-  - documents: doc_id' = doc_id*10 + r and each replica appends a
-    replica-unique token to the text, so near-duplicate structure within
-    a replica is preserved while cross-replica exact duplicates (which
-    would add a quadratic pair term the real corpus does not have) are
-    broken.
+Scaling construction (deterministic, replica r in 0..SCALE-1):
+  - lineitem/orders/customer (x SCALE_TPCH, default 40): key' =
+    key*SCALE + r for every join key (o_orderkey/l_orderkey,
+    c_custkey/o_custkey), all other columns unchanged — per-key join
+    fan-out is IDENTICAL to sf0.1, so the join output scales exactly
+    SCALE x (no artificial quadratic term).
+  - documents (x SCALE_DOCS, default 10): doc_id' = doc_id*SCALE + r and
+    each replica's text goes through a replica-specific alphabet
+    rotation (translate a-z -> rotate by r), so within-replica
+    near-duplicate structure is preserved EXACTLY while replica
+    vocabularies are disjoint — posting lists multiply rather than
+    densify, the measured real-corpus regime (tools/dedup_octave_probe).
+    (A first attempt appended one token per replica: that left shingle
+    document-frequency growing SCALE x and made the inverted-index join
+    quadratic — not a property 10x of real corpus has.)
 
 Usage:
   python tools/scale_probe_r14.py            # gen (if needed) + both runs + ratios
@@ -36,15 +41,18 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-SCALE = int(os.environ.get("SCALE_FACTOR", "10"))
-OUT_DIR = f"/tmp/scale_probe_r14_x{SCALE}"
+SCALE_TPCH = int(os.environ.get("SCALE_TPCH", "40"))
+SCALE_DOCS = int(os.environ.get("SCALE_DOCS", "10"))
+OUT_DIR = f"/tmp/scale_probe_r14_t{SCALE_TPCH}_d{SCALE_DOCS}"
 N_RUNS = int(os.environ.get("N_RUNS", "2"))
 
 PROBE_QUERIES = ("q3_shipping_priority", "q18_large_orders", "dedup_ngram_jaccard")
 
+_AZ = "abcdefghijklmnopqrstuvwxyz"
+
 
 def gen():
-    """Write the 10x-scaled tables once (32 cores, untimed)."""
+    """Write the scaled tables once (32 cores, untimed)."""
     from pyspark.sql import functions as F
 
     from bigdata_googleplaystore_spark.session import get_spark
@@ -52,24 +60,36 @@ def gen():
 
     spark = get_spark(app_name="scale-probe-gen")
     spark.sparkContext.setLogLevel("ERROR")
-    r = spark.range(SCALE).select(F.col("id").alias("_r"))
 
-    def expand(name, key_cols, text_col=None):
+    def expand(name, key_cols, scale, text_col=None):
+        r = spark.range(scale).select(F.col("id").alias("_r"))
         df = load_table(spark, SF_DIR, name).crossJoin(F.broadcast(r))
         for k in key_cols:
-            df = df.withColumn(k, F.col(k) * SCALE + F.col("_r"))
+            df = df.withColumn(k, F.col(k) * scale + F.col("_r"))
         if text_col:
-            df = df.withColumn(
-                text_col,
-                F.concat(F.col(text_col), F.lit(" zrep"), F.col("_r").cast("string")),
-            )
+            # replica-specific alphabet rotation: disjoint vocabularies,
+            # identical within-replica duplicate structure
+            rot = F.when(F.col("_r") == 0, F.col(text_col))
+            for i in range(1, scale):
+                rot = rot.when(
+                    F.col("_r") == i,
+                    F.translate(F.col(text_col), _AZ, _AZ[i:] + _AZ[:i]),
+                )
+            df = df.withColumn(text_col, rot)
         cols = [c for c in df.columns if c != "_r"]
-        df.select(cols).write.mode("overwrite").parquet(f"{OUT_DIR}/{name}.parquet")
+        # the sf0.1 inputs are single files, and crossJoin(broadcast)
+        # preserves partitioning — without an explicit repartition the
+        # scaled table writes as ONE file and every scan serializes on a
+        # single task (measured: q18 at 40x ran 6x slower than its data
+        # warranted and showed no 8-vs-32 scaling at all)
+        df.select(cols).repartition(64).write.mode("overwrite").parquet(
+            f"{OUT_DIR}/{name}.parquet"
+        )
 
-    expand("lineitem", ["l_orderkey"])
-    expand("orders", ["o_orderkey", "o_custkey"])
-    expand("customer", ["c_custkey"])
-    expand("documents", ["doc_id"], text_col="text")
+    expand("lineitem", ["l_orderkey"], SCALE_TPCH)
+    expand("orders", ["o_orderkey", "o_custkey"], SCALE_TPCH)
+    expand("customer", ["c_custkey"], SCALE_TPCH)
+    expand("documents", ["doc_id"], SCALE_DOCS, text_col="text")
     # small dims the query builders may touch: copy unscaled
     for name in TESTDATA_TABLES:
         if name in ("lineitem", "orders", "customer", "documents"):
@@ -132,7 +152,10 @@ def main():
         return
 
     if not os.path.exists(f"{OUT_DIR}/documents.parquet"):
-        print(f"generating {SCALE}x tables under {OUT_DIR} ...", file=sys.stderr)
+        print(
+            f"generating x{SCALE_TPCH} tpch / x{SCALE_DOCS} docs under {OUT_DIR} ...",
+            file=sys.stderr,
+        )
         gen()
 
     results = {}
@@ -155,7 +178,8 @@ def main():
         json.dumps(
             {
                 "probe": "scale_r14",
-                "scale_vs_sf0.1": SCALE,
+                "scale_tpch": SCALE_TPCH,
+                "scale_docs": SCALE_DOCS,
                 "t32_sec": results[32],
                 "t8_sec": results[8],
                 "ratio_t8_over_t32": ratios,
