@@ -29,6 +29,32 @@ def test_q5_broadcasts_small_dims(spark, sf_dir):
     assert r.sort_merge_joins == 0
 
 
+def test_bound_sql_preserves_caller_cached_table(spark, sf_dir):
+    """sql_bind (r14, advice): a caller-persisted load_table frame must
+    survive a catalog query that binds it — pyspark's parameterized
+    spark.sql drops its auto temp views after parsing, which also
+    uncaches a persisted bound frame — and the query's results must be
+    identical on the cached path (which binds via a non-dropped view)."""
+    from bigdata_googleplaystore_spark.sources import load_table
+
+    expected = sorted(
+        map(tuple, QUERIES["q5_region_supplier_volume"].fn(spark, sf_dir).collect())
+    )
+    l = load_table(spark, sf_dir, "lineitem").persist()
+    try:
+        got = sorted(
+            map(
+                tuple,
+                QUERIES["q5_region_supplier_volume"].fn(spark, sf_dir).collect(),
+            )
+        )
+        assert got == expected and len(got) > 0
+        assert l.is_cached, "bound persisted table was silently unpersisted"
+    finally:
+        l.unpersist()
+        spark.catalog.clearCache()
+
+
 def test_q1_scan_prunes_to_agg_columns(spark, sf_dir):
     r = plans.analyze(QUERIES["q1_pricing_summary"].fn(spark, sf_dir))
     scan = r.scan_for("lineitem")
