@@ -12,6 +12,7 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
+from _markers import HEAVY
 from bigdata_googleplaystore_spark import playstore
 
 # FIXTURES.md §1 dirty classes, plus clean values.
@@ -81,6 +82,7 @@ def _run_column(spark, values, col_builder, out_type="double"):
     ]
 
 
+@HEAVY
 @settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
 @given(st.lists(_SIZE, min_size=1, max_size=40))
 def test_parse_size_matches_reference_impl(spark, sizes):
@@ -89,6 +91,7 @@ def test_parse_size_matches_reference_impl(spark, sizes):
     assert got == pytest.approx(want)
 
 
+@HEAVY
 @settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
 @given(st.lists(_PRICE, min_size=1, max_size=40))
 def test_parse_price_matches_reference_impl(spark, prices):
@@ -97,6 +100,7 @@ def test_parse_price_matches_reference_impl(spark, prices):
     assert got == pytest.approx(want)
 
 
+@HEAVY
 @settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
 @given(st.lists(_RATING, min_size=1, max_size=40))
 def test_parse_rating_total_on_garbage(spark, ratings):
@@ -111,6 +115,7 @@ def test_parse_rating_total_on_garbage(spark, ratings):
             assert math.isfinite(out)
 
 
+@HEAVY
 @settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     st.lists(
@@ -139,3 +144,34 @@ def test_parse_last_updated_total(spark, dates):
             assert str(out) == "2018-01-07"
         if raw in ("1.0.19", "Everyone"):
             assert out is None
+
+
+def test_coercers_on_canonical_dirty_values(spark):
+    """Fast deterministic witness for the HEAVY-gated hypothesis
+    batteries above: one fixed value per FIXTURES.md quirk class per
+    coercer, checked against the same Python references. The golden
+    parity suite (test_playstore_parity.py) additionally exercises the
+    coercers end-to-end on the full reference CSV byte-exactly."""
+    sizes = ["19M", "3.5M", "201K", "1,000+", "Varies with device", "19k", ""]
+    got = _run_column(spark, sizes, playstore.parse_size_mb)
+    assert got == pytest.approx([_ref_size(s) for s in sizes])
+
+    prices = ["0", "$4.99", "$0.99", "$399", "Everyone", "free", ""]
+    got = _run_column(spark, prices, playstore.parse_price_eur)
+    assert got == pytest.approx([_ref_price(p) for p in prices])
+
+    ratings = ["4.5", "NaN", "19", " navigation", None, ""]
+    got = _run_column(spark, ratings, playstore.parse_rating)
+    assert got[1] is None  # NaN -> null
+    assert all(o is None or math.isfinite(o) for o in got)
+
+    dates = ["January 7, 2018", "February 31, 2018", "1.0.19", "Everyone"]
+    df = spark.createDataFrame([(v,) for v in dates], "v string")
+    out = [
+        r["out"]
+        for r in df.select(
+            playstore.parse_last_updated(F.col("v")).alias("out")
+        ).collect()
+    ]
+    assert str(out[0]) == "2018-01-07"
+    assert out[2] is None and out[3] is None
